@@ -1,0 +1,140 @@
+"""Synthetic-MD trajectory generator with known ground truth.
+
+The reference has no test suite; its de-facto integration test is an example
+notebook on a real AIMD trajectory (SURVEY.md §5).  This generator replaces
+that: a host lattice with frozen disorder + thermal jitter, and mobile ions
+hopping among known interstitial sites via a Poisson process — so site-count
+recovery and jump-rate parity (BASELINE.md parity gates) can be asserted
+exactly against ground truth.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from sitator_tpu.core.structure import Structure
+
+
+@dataclass
+class SyntheticMD:
+    """A generated trajectory plus its ground truth."""
+
+    structure: Structure            # reference (frame-0 ideal) structure
+    static_mask: np.ndarray         # (n_atoms,)
+    mobile_mask: np.ndarray         # (n_atoms,)
+    traj: np.ndarray                # (n_frames, n_atoms, 3) cartesian
+    true_sites: np.ndarray          # (S, 3) ground-truth site centers
+    true_assignments: np.ndarray    # (n_frames, n_ions) site index per frame
+    true_n_ij: np.ndarray           # (S, S) ground-truth hop counts
+    site_neighbors: np.ndarray = field(default=None)  # (S, 6) grid adjacency
+
+    @property
+    def n_frames(self):
+        return self.traj.shape[0]
+
+    @property
+    def n_ions(self):
+        return self.true_assignments.shape[1]
+
+
+def make_hopping_trajectory(
+    n_cells: int = 3,
+    a: float = 4.0,
+    n_ions: int = 4,
+    n_frames: int = 2000,
+    jump_rate: float = 0.01,
+    sigma_mobile: float = 0.25,
+    sigma_static: float = 0.04,
+    frozen_disorder: float = 0.10,
+    host_species: int = 16,
+    mobile_species: int = 3,
+    seed: int = 0,
+    dtype=np.float32,
+) -> SyntheticMD:
+    """Simple-cubic host lattice; ions hop between body-center sites.
+
+    - Host atoms sit on an ``n_cells^3`` simple-cubic lattice (spacing ``a``)
+      with small frozen displacements (breaks the Voronoi degeneracy of the
+      ideal lattice, like real materials) plus per-frame thermal jitter
+      ``sigma_static``.
+    - Sites are the body centers; each frame every ion stays in a harmonic
+      well around its site (``sigma_mobile``) and jumps to one of the 6
+      neighboring sites with probability ``jump_rate`` per frame (rejected if
+      the target is occupied — single occupancy ground truth).
+    """
+    rng = np.random.default_rng(seed)
+    cell = np.eye(3) * (a * n_cells)
+
+    # host lattice + frozen disorder
+    grid = np.stack(np.meshgrid(*[np.arange(n_cells)] * 3, indexing="ij"),
+                    axis=-1).reshape(-1, 3).astype(np.float64)
+    host = grid * a
+    host += rng.normal(scale=frozen_disorder, size=host.shape)
+    n_host = len(host)
+
+    # body-center sites on the same periodic grid
+    sites = (grid + 0.5) * a
+    n_sites = len(sites)
+    if n_ions >= n_sites:
+        raise ValueError("need n_ions < number of sites for single occupancy")
+
+    # 6-neighbor adjacency on the periodic grid
+    idx3 = {tuple(g): i for i, g in enumerate(grid.astype(int))}
+    neighbors = np.zeros((n_sites, 6), dtype=np.int64)
+    for i, g in enumerate(grid.astype(int)):
+        k = 0
+        for d in range(3):
+            for s in (-1, 1):
+                gg = list(g)
+                gg[d] = (gg[d] + s) % n_cells
+                neighbors[i, k] = idx3[tuple(gg)]
+                k += 1
+
+    # Poisson hopping with exclusion
+    occ_site = rng.choice(n_sites, size=n_ions, replace=False)
+    occupied = np.zeros(n_sites, dtype=bool)
+    occupied[occ_site] = True
+    assignments = np.zeros((n_frames, n_ions), dtype=np.int32)
+    n_ij = np.zeros((n_sites, n_sites), dtype=np.int64)
+    for f in range(n_frames):
+        for ion in range(n_ions):
+            if rng.random() < jump_rate:
+                target = neighbors[occ_site[ion], rng.integers(6)]
+                if not occupied[target]:
+                    occupied[occ_site[ion]] = False
+                    if f > 0:
+                        n_ij[occ_site[ion], target] += 1
+                    occ_site[ion] = target
+                    occupied[target] = True
+        assignments[f] = occ_site
+
+    # assemble cartesian trajectory
+    n_atoms = n_host + n_ions
+    traj = np.empty((n_frames, n_atoms, 3), dtype=dtype)
+    traj[:, :n_host] = host[None] + rng.normal(
+        scale=sigma_static, size=(n_frames, n_host, 3))
+    ion_centers = sites[assignments]  # (F, n_ions, 3)
+    traj[:, n_host:] = ion_centers + rng.normal(
+        scale=sigma_mobile, size=(n_frames, n_ions, 3))
+
+    positions = np.concatenate([host, sites[assignments[0]]], axis=0)
+    species = np.concatenate([
+        np.full(n_host, host_species, dtype=np.int32),
+        np.full(n_ions, mobile_species, dtype=np.int32),
+    ])
+    structure = Structure(positions, species, cell)
+    static_mask = np.concatenate(
+        [np.ones(n_host, bool), np.zeros(n_ions, bool)])
+    mobile_mask = ~static_mask
+
+    return SyntheticMD(
+        structure=structure,
+        static_mask=static_mask,
+        mobile_mask=mobile_mask,
+        traj=traj,
+        true_sites=sites,
+        true_assignments=assignments,
+        true_n_ij=n_ij,
+        site_neighbors=neighbors,
+    )

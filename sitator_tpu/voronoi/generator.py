@@ -1,0 +1,290 @@
+"""Periodic (radical) Voronoi site seeding — ``VoronoiSiteGenerator``.
+
+Reference parity: ``sitator/voronoi/VoronoiSiteGenerator.py`` (SURVEY.md
+§3.3), which shells out to the Zeo++ ``network`` C++ binary.  Zeo++ is not
+available here (SURVEY.md §3.9 item 3), and this is a host-side, once-per-
+structure operation — so it is implemented natively:
+
+- standard Voronoi: scipy Delaunay triangulation of the static lattice plus a
+  periodic halo of images; Voronoi nodes are the circumcenters of the
+  tetrahedra, node "vertices" are the defining static atoms;
+- radical (radii-weighted) Voronoi (``radial=True``): the power diagram via
+  the classic 4D lifting — lower convex hull of points lifted to
+  ``(x, |x|^2 - r^2)``; each lower facet's orthocenter is a power-diagram
+  node.  With equal radii this reduces exactly to the standard case.
+
+Nodes are deduplicated across periodic images and near-coincident nodes
+(degenerate lattices) merged with their vertex sets unioned.  The node radius
+(distance to its defining atoms — Zeo++'s node radius) is attached as site
+attribute ``site_radii``.
+"""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from sitator_tpu.core.sitenet import SiteNetwork
+from sitator_tpu.ops.pbc import PBCCalculator
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["VoronoiSiteGenerator", "periodic_voronoi_nodes"]
+
+
+def _supercell_points(frac, halo_frac):
+    """Replicate fractional points into ±1 images, keeping those within
+    ``[-halo, 1+halo]`` per axis.  Returns (points_frac, orig_index)."""
+    n = len(frac)
+    shifts = np.array([[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
+                       for k in (-1, 0, 1)], dtype=np.float64)
+    all_frac = (frac[None, :, :] + shifts[:, None, :]).reshape(-1, 3)
+    orig = np.tile(np.arange(n), len(shifts))
+    lo = -halo_frac
+    hi = 1.0 + halo_frac
+    keep = np.all((all_frac >= lo) & (all_frac <= hi), axis=1)
+    return all_frac[keep], orig[keep]
+
+
+def _orthocenters(points, z, simplices):
+    """Orthocenter (power center) of each simplex: the point equidistant in
+    power distance |c-p|^2 - r^2 from all 4 vertices, where z = |p|^2 - r^2.
+    For equal radii this is the circumcenter.  Returns (centers, ok_mask)."""
+    p = points[simplices]                       # (T, 4, 3)
+    zz = z[simplices]                           # (T, 4)
+    a = 2.0 * (p[:, 1:] - p[:, :1])             # (T, 3, 3)
+    b = zz[:, 1:] - zz[:, :1]                   # (T, 3)
+    det = np.linalg.det(a)
+    ok = np.abs(det) > 1e-10
+    centers = np.zeros((len(p), 3))
+    if ok.any():
+        centers[ok] = np.linalg.solve(a[ok], b[ok][..., None])[..., 0]
+    return centers, ok
+
+
+def periodic_voronoi_nodes(positions, cell, radii=None, halo=None,
+                           merge_tol=1e-2):
+    """Periodic (power-)Voronoi nodes of ``positions`` under ``cell``.
+
+    Returns ``(centers, vertex_sets, node_radii)`` where ``centers`` is
+    (n_nodes, 3) cartesian in the home cell, ``vertex_sets`` is a list of
+    int arrays (indices into ``positions``), and ``node_radii`` the distance
+    from each node to its defining atoms (minus atom radius if radical).
+    """
+    from scipy.spatial import ConvexHull, Delaunay, cKDTree
+
+    positions = np.asarray(positions, dtype=np.float64)
+    cell = np.asarray(cell, dtype=np.float64)
+    n = len(positions)
+    if n < 4:
+        raise ValueError("need at least 4 atoms for a Voronoi decomposition")
+    calc = PBCCalculator(cell)
+    frac = positions @ calc.cell_inv
+    frac -= np.floor(frac)
+
+    # cell heights (face-to-face distances) per axis
+    vol = abs(np.linalg.det(cell))
+    heights = np.array([
+        vol / np.linalg.norm(np.cross(cell[(d + 1) % 3], cell[(d + 2) % 3]))
+        for d in range(3)
+    ])
+    if halo is None:
+        # adaptive: generous multiple of the mean atomic spacing, capped at
+        # a full extra cell on each side
+        r_nn = (vol / n) ** (1.0 / 3.0)
+        halo = max(6.0, 4.0 * r_nn)
+    halo_frac = np.minimum(halo / heights, 1.0)
+
+    sfrac, orig = _supercell_points(frac, halo_frac)
+    spts = sfrac @ cell
+
+    if radii is None:
+        z = np.einsum("ij,ij->i", spts, spts)
+        tri = Delaunay(spts)
+        simplices = tri.simplices
+    else:
+        radii = np.asarray(radii, dtype=np.float64)
+        srad = radii[orig]
+        z = np.einsum("ij,ij->i", spts, spts) - srad ** 2
+        lifted = np.column_stack([spts, z])
+        hull = ConvexHull(lifted, qhull_options="Qt")
+        # lower hull: facets whose outward normal points down in the lifted
+        # dimension
+        lower = hull.equations[:, 3] < -1e-12
+        simplices = hull.simplices[lower]
+
+    centers, ok = _orthocenters(spts, z, simplices)
+    simplices = simplices[ok]
+    centers = centers[ok]
+
+    # Every physical periodic node has exactly one image whose center lies in
+    # the home cell — keep only those.  (Sliver simplices of the finite slab
+    # produce circumcenters far outside it; wrapping those in would
+    # fabricate nodes, and the empty-sphere test below is only conclusive
+    # for centers whose sphere lies inside the sampled region.)
+    cfrac_raw = centers @ calc.cell_inv
+    in_cell = np.all((cfrac_raw >= -1e-9) & (cfrac_raw < 1.0 - 1e-9), axis=1)
+    simplices = simplices[in_cell]
+    centers = centers[in_cell]
+
+    # Empty-sphere validation: a genuine (power-)Voronoi node's defining
+    # sphere contains no atom.  The finite-halo triangulation adds boundary
+    # sliver simplices whose circumcenters are artifacts — their circumsphere
+    # would contain an atom in the infinite crystal.  Also drop nodes whose
+    # sphere pokes outside the sampled halo region (cannot be validated).
+    halo_cart = float(np.min(halo_frac * heights))
+    tree = cKDTree(spts)
+    p0 = spts[simplices[:, 0]]
+    d0sq = np.einsum("ij,ij->i", centers - p0, centers - p0)
+    if radii is None:
+        node_power = d0sq                       # squared circumradius
+        dmin = tree.query(centers, workers=-1)[0]
+        min_power = dmin ** 2
+    else:
+        node_power = d0sq - srad[simplices[:, 0]] ** 2
+        r_max = float(srad.max())
+        qr = np.sqrt(np.maximum(node_power, 0.0) + r_max ** 2) + 1e-9
+        min_power = np.empty(len(centers))
+        for i, (c, R) in enumerate(zip(centers, qr)):
+            nbrs = tree.query_ball_point(c, R)
+            dd = spts[nbrs] - c
+            min_power[i] = np.min(
+                np.einsum("ij,ij->i", dd, dd) - srad[nbrs] ** 2)
+    eps = 1e-6 * (1.0 + np.abs(node_power))
+    valid = (min_power >= node_power - eps) & (d0sq <= halo_cart ** 2)
+    simplices = simplices[valid]
+    centers = centers[valid]
+
+    # keep one copy per physical node: wrap into the home cell and dedupe
+    cfrac = centers @ calc.cell_inv
+    cfrac -= np.floor(cfrac)
+    centers_w = cfrac @ cell
+
+    # exact-duplicate collapse via quantized fractional key
+    key = np.round(cfrac * 1.0e5).astype(np.int64)
+    # wrap quantization edge: 0.999995 rounds to 1e5 == 0
+    key[key == 100000] = 0
+    _, first_idx, inverse = np.unique(key, axis=0, return_index=True,
+                                      return_inverse=True)
+    n_unique = len(first_idx)
+
+    # union-find over near-coincident unique nodes (degenerate lattices)
+    parent = np.arange(n_unique)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    if merge_tol > 0 and n_unique > 1:
+        upts = centers_w[first_idx]
+        tree = cKDTree(upts)
+        pairs = tree.query_pairs(merge_tol, output_type="ndarray")
+        # catch pairs straddling the periodic boundary: ghost-copy nodes near
+        # a face and re-query against all
+        near = np.any((cfrac[first_idx] < merge_tol / heights) |
+                      (cfrac[first_idx] > 1 - merge_tol / heights), axis=1)
+        if near.any():
+            gidx = np.flatnonzero(near)
+            shifts = np.array([[i, j, k] for i in (-1, 0, 1)
+                               for j in (-1, 0, 1) for k in (-1, 0, 1)
+                               if (i, j, k) != (0, 0, 0)], dtype=np.float64)
+            ghosts = (upts[gidx][:, None, :] +
+                      (shifts @ cell)[None, :, :]).reshape(-1, 3)
+            gmap = np.repeat(gidx, len(shifts))
+            gtree = cKDTree(ghosts)
+            extra = gtree.query_ball_tree(tree, merge_tol)
+            epairs = [(gmap[a], b) for a, bs in enumerate(extra) for b in bs
+                      if gmap[a] != b]
+            if epairs:
+                pairs = np.vstack([pairs.reshape(-1, 2),
+                                   np.asarray(epairs, dtype=np.int64)])
+        for a, b in pairs.reshape(-1, 2):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[rb] = ra
+
+    roots = np.array([find(i) for i in range(n_unique)])
+    group_of_node = roots[inverse]          # per original simplex-node
+    groups = np.unique(roots)
+
+    out_centers = []
+    vertex_sets = []
+    node_radii = []
+    for g in groups:
+        members = np.flatnonzero(group_of_node == g)
+        # representative position: PBC-average of member node positions
+        pos = calc.average(centers_w[members]) if len(members) > 1 \
+            else centers_w[members[0]]
+        verts = np.unique(orig[simplices[members].ravel()])
+        d = calc.distances(pos, positions[verts])
+        if radii is None:
+            r = float(d.min())
+        else:
+            r = float((d - radii[verts]).min())
+        out_centers.append(pos)
+        vertex_sets.append(verts.astype(np.int32))
+        node_radii.append(r)
+
+    return (np.asarray(out_centers), vertex_sets,
+            np.asarray(node_radii, dtype=np.float64))
+
+
+class VoronoiSiteGenerator:
+    """``run(sn_without_sites) -> SiteNetwork`` whose centers are the periodic
+    Voronoi nodes of the static substructure and whose vertices are the
+    static-atom indices defining each node (reference API parity).
+
+    Parameters
+    ----------
+    radial : use the radical (radii-weighted) Voronoi decomposition.
+    radii : per-atom radii for ``radial`` — dict ``{species: radius}`` or
+        an (n_static,) array.  Required if ``radial``.
+    halo : cartesian halo width for periodic images (None = adaptive).
+    merge_tol : merge Voronoi nodes closer than this (Å); unions their
+        vertex sets.  Handles degenerate (high-symmetry) lattices.
+    min_radius : drop nodes whose node radius is below this (Zeo++-style
+        probe-radius filter).
+    """
+
+    def __init__(self, radial=False, radii=None, halo=None, merge_tol=1e-2,
+                 min_radius=0.0, verbose=True):
+        if radial and radii is None:
+            raise ValueError("radial=True requires radii")
+        self.radial = radial
+        self.radii = radii
+        self.halo = halo
+        self.merge_tol = merge_tol
+        self.min_radius = min_radius
+        self.verbose = verbose
+
+    def run(self, sn: SiteNetwork) -> SiteNetwork:
+        static = sn.static_structure
+        radii = None
+        if self.radial:
+            if isinstance(self.radii, dict):
+                radii = np.array([self.radii[int(z)] for z in static.species])
+            else:
+                radii = np.asarray(self.radii, dtype=np.float64)
+                if radii.shape != (static.n_atoms,):
+                    raise ValueError("radii must be (n_static,)")
+        centers, vertex_sets, node_radii = periodic_voronoi_nodes(
+            static.positions, static.cell, radii=radii, halo=self.halo,
+            merge_tol=self.merge_tol)
+
+        if self.min_radius > 0:
+            keep = node_radii >= self.min_radius
+            centers = centers[keep]
+            vertex_sets = [v for v, k in zip(vertex_sets, keep) if k]
+            node_radii = node_radii[keep]
+
+        out = SiteNetwork(sn.structure, sn.static_mask, sn.mobile_mask)
+        out.centers = centers
+        # vertices are stored as full-structure atom indices
+        static_to_full = np.flatnonzero(sn.static_mask).astype(np.int32)
+        out.vertices = [static_to_full[v] for v in vertex_sets]
+        out.add_site_attribute("site_radii", node_radii)
+        logger.info("VoronoiSiteGenerator: %d nodes from %d static atoms",
+                    out.n_sites, sn.n_static)
+        return out
