@@ -1,0 +1,9 @@
+from sitator_tpu.landmark.analysis import LandmarkAnalysis
+from sitator_tpu.util.errors import (
+    StaticLatticeError,
+    ZeroLandmarkError,
+    MultipleOccupancyError,
+)
+
+__all__ = ["LandmarkAnalysis", "StaticLatticeError", "ZeroLandmarkError",
+           "MultipleOccupancyError"]

@@ -1,0 +1,229 @@
+"""Landmark engine: numpy oracle vs MXU kernel, clustering, end-to-end
+physics recovery on synthetic MD (SURVEY.md §5 items 1-3)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sitator_tpu import SiteNetwork
+from sitator_tpu.io import make_hopping_trajectory
+from sitator_tpu.landmark import LandmarkAnalysis, ZeroLandmarkError, \
+    StaticLatticeError
+from sitator_tpu.ops import landmark as lmops
+from sitator_tpu.ops.cluster import dotprod_fit
+from sitator_tpu.ops.pbc import PBCCalculator
+from sitator_tpu.voronoi import VoronoiSiteGenerator
+
+
+# ---------------------------------------------------------------- oracle --
+def oracle_landmark_vectors(mobile, static, verts_list, cell, midpoint,
+                            steepness):
+    """Pure-NumPy float64 reimplementation of the landmark math from the
+    paper / SURVEY.md §4.1: per (frame, ion, site), the product over the
+    site's vertex atoms of the logistic cutoff of the min-image distance."""
+    cell_inv = np.linalg.inv(cell)
+    F, M, _ = mobile.shape
+    S = len(verts_list)
+    out = np.zeros((F, M, S))
+    for f in range(F):
+        for m in range(M):
+            for s, verts in enumerate(verts_list):
+                prod = 1.0
+                for v in verts:
+                    d = mobile[f, m] - static[f, v]
+                    df = d @ cell_inv
+                    df -= np.round(df)
+                    dist = np.linalg.norm(df @ cell)
+                    prod *= 1.0 / (1.0 + np.exp(steepness * (dist - midpoint)))
+                out[f, m, s] = prod
+    return out
+
+
+def test_landmark_vectors_match_oracle(rng):
+    cell = np.diag([9.0, 10.0, 11.0])
+    F, M, N, S = 3, 4, 12, 5
+    mobile = rng.uniform(0, 9, size=(F, M, 3))
+    static = rng.uniform(0, 9, size=(F, N, 3))
+    verts_list = [rng.choice(N, size=rng.integers(3, 6), replace=False)
+                  for _ in range(S)]
+    want = oracle_landmark_vectors(mobile, static, verts_list, cell,
+                                   midpoint=3.0, steepness=4.0)
+
+    vmax = max(len(v) for v in verts_list)
+    verts = np.zeros((S, vmax), np.int32)
+    vmask = np.zeros((S, vmax), bool)
+    for i, v in enumerate(verts_list):
+        verts[i, :len(v)] = v
+        vmask[i, :len(v)] = True
+    A = lmops.vertex_membership_matrix(verts, vmask, N)
+    got = lmops.landmark_vectors(
+        jnp.asarray(mobile, jnp.float32), jnp.asarray(static, jnp.float32),
+        A, jnp.asarray(cell, jnp.float32),
+        jnp.asarray(np.linalg.inv(cell), jnp.float32), 3.0, 4.0)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_landmark_repeated_vertex_multiplicity(rng):
+    """An atom listed twice among a site's vertices squares its factor."""
+    cell = np.eye(3) * 8.0
+    mobile = rng.uniform(0, 8, size=(1, 1, 3))
+    static = rng.uniform(0, 8, size=(1, 4, 3))
+    verts = np.array([[0, 0, 1]], np.int32)
+    vmask = np.ones((1, 3), bool)
+    A = lmops.vertex_membership_matrix(verts, vmask, 4)
+    assert A[0, 0] == 2.0
+    got = lmops.landmark_vectors(
+        jnp.asarray(mobile, jnp.float32), jnp.asarray(static, jnp.float32),
+        A, jnp.asarray(cell, jnp.float32),
+        jnp.asarray(np.linalg.inv(cell), jnp.float32), 3.0, 2.0)
+    want = oracle_landmark_vectors(mobile, static, [np.array([0, 0, 1])],
+                                   cell, 3.0, 2.0)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_peak_even_clip():
+    lv = jnp.asarray([[0.9, 0.5, 0.1], [0.2, 0.2, 0.2]])
+    out = np.asarray(lmops.peak_even(lv, "clip"))
+    np.testing.assert_allclose(out, [[0.5, 0.5, 0.1], [0.2, 0.2, 0.2]])
+
+
+def test_normalize_zero_rows():
+    lv = jnp.asarray([[0.0, 0.0], [3.0, 4.0]])
+    out, norms = lmops.normalize_landmark_vectors(lv)
+    np.testing.assert_allclose(np.asarray(norms), [0.0, 5.0])
+    np.testing.assert_allclose(np.asarray(out), [[0, 0], [0.6, 0.8]])
+
+
+# ------------------------------------------------------------- clustering --
+def _clustered_unit_vectors(rng, n_per, centers_idx, D, noise=0.05):
+    X = []
+    labels = []
+    for i, c in enumerate(centers_idx):
+        base = np.zeros(D)
+        base[c] = 1.0
+        pts = base[None] + rng.normal(scale=noise, size=(n_per, D))
+        X.append(np.abs(pts))
+        labels += [i] * n_per
+    X = np.concatenate(X)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    return X.astype(np.float32), np.array(labels)
+
+
+def test_dotprod_fit_recovers_clusters(rng):
+    X, true = _clustered_unit_vectors(rng, 200, [0, 3, 7], D=10)
+    perm = rng.permutation(len(X))
+    res = dotprod_fit(jnp.asarray(X[perm]), k_max=16, cluster_threshold=0.8,
+                      min_samples=20)
+    assert res.n_clusters == 3
+    labels, confs = lmops.assign_to_centers(
+        jnp.asarray(X), res["centers"], res["active"], 0.5)
+    labels = np.asarray(labels)
+    # permutation-consistent exact recovery
+    for t in range(3):
+        lab = labels[true == t]
+        assert len(np.unique(lab)) == 1 and lab[0] >= 0
+    assert np.asarray(confs).min() > 0.8
+
+
+def test_dotprod_min_samples_drops_tiny_clusters(rng):
+    X, true = _clustered_unit_vectors(rng, 100, [0, 4], D=8)
+    X2, _ = _clustered_unit_vectors(rng, 3, [6], D=8)  # tiny cluster
+    allX = np.concatenate([X, X2])
+    res = dotprod_fit(jnp.asarray(allX), k_max=8, cluster_threshold=0.8,
+                      min_samples=10)
+    assert res.n_clusters == 2
+
+
+def test_dotprod_zero_rows_never_seed(rng):
+    X, _ = _clustered_unit_vectors(rng, 50, [1], D=6)
+    X[10] = 0.0
+    X[30] = 0.0
+    res = dotprod_fit(jnp.asarray(X), k_max=4, cluster_threshold=0.8,
+                      min_samples=5)
+    assert res.n_clusters == 1
+
+
+# ------------------------------------------------------------- end-to-end --
+@pytest.fixture(scope="module")
+def synthetic_run():
+    md = make_hopping_trajectory(n_cells=3, a=4.0, n_ions=4, n_frames=800,
+                                 jump_rate=0.02, sigma_mobile=0.25,
+                                 sigma_static=0.04, seed=42)
+    sn0 = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+    seeds = VoronoiSiteGenerator(merge_tol=0.05).run(sn0)
+    la = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                          minimum_site_occupancy=0.01)
+    st = la.run(seeds, md.traj)
+    return md, seeds, la, st
+
+
+def test_end_to_end_site_recovery(synthetic_run):
+    """Parity gate 1 (BASELINE.md): every well-visited ground-truth site is
+    discovered, every discovered site sits on a truly visited site, and raw
+    landmark analysis may only over-split modestly (the reference pipeline
+    fixes over-splitting downstream with MergeSitesByDynamics)."""
+    md, seeds, la, st = synthetic_run
+    sn = st.site_network
+    calc = PBCCalculator(md.structure.cell)
+
+    visited, visits = np.unique(md.true_assignments, return_counts=True)
+    well_visited = visited[visits >= 16]   # 2x the occupancy threshold
+    d_wv = calc.pairwise_distances(sn.centers, md.true_sites[well_visited])
+    # every well-visited true site has a discovered site within 0.5 A
+    assert d_wv.min(axis=0).max() < 0.5
+    # every discovered site sits on SOME truly visited site (no phantoms)
+    d_v = calc.pairwise_distances(sn.centers, md.true_sites[visited])
+    assert d_v.min(axis=1).max() < 0.5
+    # bounded over-splitting
+    assert sn.n_sites <= int(1.3 * len(visited))
+
+
+def test_end_to_end_assignment_accuracy(synthetic_run):
+    """Frame-by-frame assignments match ground truth through the site map."""
+    md, seeds, la, st = synthetic_run
+    calc = PBCCalculator(md.structure.cell)
+    d = calc.pairwise_distances(st.site_network.centers, md.true_sites)
+    site_map = d.argmin(axis=1)          # discovered -> true
+    mapped = np.where(st.traj >= 0, site_map[st.traj], -1)
+    agree = mapped == md.true_assignments
+    assert agree.mean() > 0.97
+    assert st.percent_unassigned < 0.02
+
+
+def test_end_to_end_landmark_vectors_exposed(synthetic_run):
+    md, seeds, la, st = synthetic_run
+    lv = la.landmark_vectors
+    assert lv.shape == (md.n_frames * md.n_ions, la.landmark_dimension)
+    assert la.landmark_dimension == seeds.n_sites
+    # vectors are normalized (or zero)
+    norms = np.linalg.norm(lv, axis=1)
+    assert np.all((np.abs(norms - 1) < 1e-4) | (norms == 0))
+
+
+def test_static_drift_detection(synthetic_run):
+    md, seeds, la, st = synthetic_run
+    bad = md.traj.copy()
+    bad[400:, 0] += 3.0  # a "static" atom wanders off
+    la2 = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                           static_movement_threshold=1.0)
+    with pytest.raises(StaticLatticeError):
+        la2.run(seeds, bad)
+
+
+def test_zero_landmark_detection(synthetic_run):
+    md, seeds, la, st = synthetic_run
+    bad = md.traj.copy()
+    # an ion teleports far from every landmark polyhedron with a tight cutoff
+    la2 = LandmarkAnalysis(cutoff_midpoint=1.0, cutoff_steepness=30.0)
+    with pytest.raises(ZeroLandmarkError):
+        la2.run(seeds, bad)
+    # warn-only mode must not raise
+    la3 = LandmarkAnalysis(cutoff_midpoint=1.0, cutoff_steepness=30.0,
+                           check_for_zero_landmarks=False,
+                           minimum_site_occupancy=0.0)
+    try:
+        la3.run(seeds, bad)
+    except ZeroLandmarkError:
+        pytest.fail("check_for_zero_landmarks=False must not raise")
+    except Exception:
+        pass  # all-zero vectors may legitimately yield no sites
