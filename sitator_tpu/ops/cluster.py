@@ -82,7 +82,11 @@ def dotprod_refine(X, centers, k, k_max, cluster_threshold, n_iters=10):
 class ClusterResult(dict):
     """centers (K_max, D), active (K_max,), counts (K_max,), n_clusters."""
 
-    __getattr__ = dict.__getitem__
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
 
 
 def dotprod_fit(X, k_max, cluster_threshold, min_samples=1, n_iters=10,
