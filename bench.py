@@ -1,0 +1,152 @@
+"""Benchmark: landmark + assignment + jump detection throughput (frames/sec)
+on the BASELINE.md headline config scale — 10k atoms (9261 static SC lattice,
+739 mobile ions), a 9261-landmark basis (8 vertices each), 1024 site centers
+— on one TPU chip.  The multi-chip path is validated separately
+(``__graft_entry__.dryrun_multichip``); throughput scales linearly in the
+frame axis by construction (frame-sharded, psum-only communication).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is measured against a vectorized-NumPy implementation of the
+reference algorithm (sitator's Cython loop is single-core; vectorized NumPy
+with multithreaded BLAS is a generous stand-in) on the same config.
+"""
+import json
+import time
+
+import numpy as np
+
+N_CELLS = 21          # 21^3 = 9261 static atoms
+A_LAT = 4.0
+N_IONS = 739          # 9261 + 739 = 10000 atoms
+K_CENTERS = 1024
+BLOCK = 16            # frames per analysis block
+N_BLOCKS = 16         # blocks per timed dispatch (scan-batched)
+MIDPOINT, STEEPNESS, ASSIGN_THR = 4.0, 3.0, 0.35
+
+
+def build_system(seed=0):
+    rng = np.random.default_rng(seed)
+    grid = np.stack(np.meshgrid(*[np.arange(N_CELLS)] * 3, indexing="ij"),
+                    axis=-1).reshape(-1, 3)
+    n_static = len(grid)
+    host = grid * A_LAT
+    cell = np.eye(3, dtype=np.float32) * (N_CELLS * A_LAT)
+    # analytic SC cage vertices (what VoronoiSiteGenerator produces, built
+    # directly so the bench isolates the hot path)
+    lin = (grid[:, 0] * N_CELLS + grid[:, 1]) * N_CELLS + grid[:, 2]
+    order = np.argsort(lin)
+    assert np.array_equal(order, np.arange(n_static))
+    verts = np.zeros((n_static, 8), np.int32)
+    k = 0
+    for di in (0, 1):
+        for dj in (0, 1):
+            for dk in (0, 1):
+                gi = (grid[:, 0] + di) % N_CELLS
+                gj = (grid[:, 1] + dj) % N_CELLS
+                gk = (grid[:, 2] + dk) % N_CELLS
+                verts[:, k] = (gi * N_CELLS + gj) * N_CELLS + gk
+                k += 1
+    sites = (grid + 0.5) * A_LAT
+    occ = rng.choice(n_static, size=N_IONS, replace=False)
+
+    def frames(n, seed2):
+        r = np.random.default_rng(seed2)
+        static = host[None] + r.normal(scale=0.05, size=(n, n_static, 3))
+        mobile = sites[occ][None] + r.normal(scale=0.25, size=(n, N_IONS, 3))
+        return static.astype(np.float32), mobile.astype(np.float32)
+
+    centers = rng.random((K_CENTERS, n_static)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    return cell, verts, frames, centers, n_static
+
+
+def cpu_reference_fps(cell, verts, frames, centers, n_frames=2,
+                      site_chunk=256):
+    """Reference algorithm, vectorized NumPy (site-chunked so intermediates
+    stay cache-resident — a *generous* stand-in for the reference's
+    single-core Cython loop): per-site gather of vertex positions, logistic
+    cutoff product, normalize, assign by max cosine."""
+    static, mobile = frames(n_frames, seed2=123)
+    cell_inv = np.linalg.inv(cell).astype(np.float32)
+    S = len(verts)
+    t0 = time.perf_counter()
+    for f in range(n_frames):
+        lv = np.empty((len(mobile[f]), S), np.float32)
+        for lo in range(0, S, site_chunk):
+            vp = static[f][verts[lo:lo + site_chunk]]    # (Sc, 8, 3)
+            diff = mobile[f][:, None, None, :] - vp[None]  # (M, Sc, 8, 3)
+            df = diff @ cell_inv
+            df -= np.round(df)
+            d = np.linalg.norm(df @ cell, axis=-1)       # (M, Sc, 8)
+            lv[:, lo:lo + site_chunk] = np.exp(np.sum(
+                -np.logaddexp(0.0, STEEPNESS * (d - MIDPOINT)), axis=-1))
+        lv /= np.maximum(np.linalg.norm(lv, axis=1, keepdims=True), 1e-12)
+        sims = lv @ centers.T                        # (M, K)
+        lab = sims.argmax(1)
+        lab[sims.max(1) < ASSIGN_THR] = -1
+    dt = time.perf_counter() - t0
+    return n_frames / dt
+
+
+def tpu_fps(cell, verts, frames, centers, n_static):
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from sitator_tpu.ops import landmark as lmops
+    from sitator_tpu.ops.jumps import _jump_stats_parallel
+
+    A = lmops.vertex_membership_matrix(verts, np.ones_like(verts, bool),
+                                       n_static)
+    cell_j = jnp.asarray(cell)
+    cell_inv = jnp.asarray(np.linalg.inv(cell).astype(np.float32))
+    centers_j = jnp.asarray(centers)
+    active = jnp.ones(K_CENTERS, bool)
+
+    @jax.jit
+    def step(static_blocks, mobile_blocks, A, centers, active):
+        # big arrays arrive as arguments (baking them into the HLO as
+        # constants bloats the program past the remote-compile limit)
+        def body(carry, xs):
+            static, mobile = xs
+            lv = lmops.landmark_vectors(mobile, static, A, cell_j, cell_inv,
+                                        MIDPOINT, STEEPNESS,
+                                        matmul_dtype=jnp.bfloat16)
+            lv_n, _ = lmops.normalize_landmark_vectors(lv)
+            labels, confs = lmops.assign_to_centers(
+                lv_n, centers, active, ASSIGN_THR,
+                matmul_dtype=jnp.bfloat16)
+            stats = _jump_stats_parallel(labels, K_CENTERS)
+            return carry + stats["n_ij"].sum() + labels.sum(), None
+
+        total, _ = jax.lax.scan(body, jnp.int32(0),
+                                (static_blocks, mobile_blocks))
+        return total
+
+    static, mobile = frames(N_BLOCKS * BLOCK, seed2=7)
+    sb = jnp.asarray(static.reshape(N_BLOCKS, BLOCK, n_static, 3))
+    mb = jnp.asarray(mobile.reshape(N_BLOCKS, BLOCK, N_IONS, 3))
+    args = (sb, mb, A, centers_j, active)
+
+    step(*args).block_until_ready()            # compile + warm
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        step(*args).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return N_BLOCKS * BLOCK / best
+
+
+def main():
+    cell, verts, frames, centers, n_static = build_system()
+    fps = tpu_fps(cell, verts, frames, centers, n_static)
+    ref = cpu_reference_fps(cell, verts, frames, centers)
+    print(json.dumps({
+        "metric": "frames_per_sec_landmark_assign_jump_10k_atoms_1chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / ref, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

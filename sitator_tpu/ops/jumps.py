@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["jump_stats", "JumpStats"]
+__all__ = ["jump_stats", "jump_stats_parallel", "JumpStats"]
 
 
 class JumpStats(dict):
@@ -97,4 +97,74 @@ def _jump_stats(traj, n_sites, init_last=None, init_res=None):
         occ_counts=occ[:S],
         last_sites=last,
         last_res=res,
+    )
+
+
+def jump_stats_parallel(traj, n_sites):
+    """Order-dependent jump statistics WITHOUT a sequential frame scan —
+    exact, and partitionable over a frame-sharded mesh (SURVEY.md §6.7).
+
+    The "last known site" carry is re-expressed as associative prefix ops:
+
+    - ``filled`` — forward-fill of known sites (``associative_scan``);
+    - ``K`` — running count of known frames (``cumsum``);
+    - run starts marked where ``filled`` changes; the known-frame count at
+      the most recent run start is a ``cummax`` (run starts have
+      monotonically increasing ``K``), so the residence closed by a jump at
+      frame ``f`` is ``K[f-1] - cummax_start_K[f-1]``.
+
+    XLA partitions prefix scans across shards with log-depth collectives,
+    so under ``pjit`` on a frame-sharded array this runs without any
+    host-side stitching.  Returns the same :class:`JumpStats` as
+    :func:`jump_stats` (bitwise-identical statistics).
+    """
+    return JumpStats(_jump_stats_parallel(traj, n_sites))
+
+
+@partial(jax.jit, static_argnames=("n_sites",))
+def _jump_stats_parallel(traj, n_sites):
+    traj = traj.astype(jnp.int32)
+    F, M = traj.shape
+    S = n_sites
+    known = traj >= 0
+
+    filled = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b >= 0, b, a), traj, axis=0)
+    K = jnp.cumsum(known.astype(jnp.int32), axis=0)           # inclusive
+
+    prev = jnp.concatenate(
+        [jnp.full((1, M), -1, jnp.int32), filled[:-1]], axis=0)
+    start = known & (filled != prev)
+    # K-count just before each run started; cummax == forward-fill because
+    # run starts carry nondecreasing K
+    startK = jnp.where(start, K - 1, -1)
+    run_base = jax.lax.cummax(startK, axis=0)
+    prev_base = jnp.concatenate(
+        [jnp.full((1, M), -1, jnp.int32), run_base[:-1]], axis=0)
+    prev_K = jnp.concatenate(
+        [jnp.zeros((1, M), jnp.int32), K[:-1]], axis=0)
+
+    jump = (filled != prev) & (prev >= 0)
+    res = prev_K - prev_base                                   # valid at jumps
+
+    i_from = jnp.where(jump, prev, S).ravel()
+    i_to = jnp.where(jump, filled, S).ravel()
+    one = jump.astype(jnp.int32).ravel()
+    resv = jnp.where(jump, res, 0).ravel()
+
+    n_ij = jnp.zeros((S + 1, S + 1), jnp.int32).at[i_from, i_to].add(one)
+    lag = jnp.zeros((S + 1, S + 1), jnp.int32).at[i_from, i_to].add(resv)
+    res_sum = jnp.zeros((S + 1,), jnp.int32).at[i_from].add(resv)
+    res_cnt = jnp.zeros((S + 1,), jnp.int32).at[i_from].add(one)
+    occ = jnp.zeros((S + 1,), jnp.int32).at[
+        jnp.where(known, traj, S).ravel()].add(1)
+
+    return dict(
+        n_ij=n_ij[:S, :S],
+        lag_sum=lag[:S, :S],
+        res_sum=res_sum[:S],
+        res_cnt=res_cnt[:S],
+        occ_counts=occ[:S],
+        last_sites=filled[-1],
+        last_res=jnp.where(filled[-1] >= 0, K[-1] - run_base[-1], 0),
     )

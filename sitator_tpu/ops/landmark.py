@@ -66,7 +66,8 @@ def log_cutoff(d, midpoint, steepness):
     return -jax.nn.softplus(steepness * (d - midpoint))
 
 
-def landmark_vectors(mobile, static, A, cell, cell_inv, midpoint, steepness):
+def landmark_vectors(mobile, static, A, cell, cell_inv, midpoint, steepness,
+                     matmul_dtype=None):
     """Landmark vectors for a block of frames.
 
     Parameters
@@ -76,6 +77,10 @@ def landmark_vectors(mobile, static, A, cell, cell_inv, midpoint, steepness):
     A : (N, S) vertex-membership matrix.
     cell, cell_inv : (3, 3).
     midpoint, steepness : logistic cutoff parameters.
+    matmul_dtype : optional dtype (e.g. ``jnp.bfloat16``) for the log-space
+        contraction operands — positions/distances stay fp32; only the MXU
+        matmul runs reduced.  Cosine-threshold decisions tolerate the <1%
+        perturbation; parity tests use the default fp32.
 
     Returns
     -------
@@ -85,6 +90,9 @@ def landmark_vectors(mobile, static, A, cell, cell_inv, midpoint, steepness):
     diff = min_image_disp(diff, cell, cell_inv)
     d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))               # (B, M, N)
     logc = log_cutoff(d, midpoint, steepness)
+    if matmul_dtype is not None:
+        logc = logc.astype(matmul_dtype)
+        A = A.astype(matmul_dtype)
     # product over vertices == matmul in log space (MXU)
     loglv = jax.lax.dot_general(
         logc, A,
@@ -119,13 +127,17 @@ def peak_even(lv, mode: str):
     raise ValueError(f"unknown peak_evening mode {mode!r}")
 
 
-def assign_to_centers(lv_norm, centers, active, assignment_threshold):
+def assign_to_centers(lv_norm, centers, active, assignment_threshold,
+                      matmul_dtype=None):
     """Assign normalized landmark vectors to the best cluster center.
 
     lv_norm : (..., S) unit vectors; centers : (K, S) unit rows;
     active : (K,) bool.  Returns (labels (...,), confidences (...,)) with
     label -1 (SITE_UNKNOWN) where the best dot product is below threshold.
     """
+    if matmul_dtype is not None:
+        lv_norm = lv_norm.astype(matmul_dtype)
+        centers = centers.astype(matmul_dtype)
     sims = jax.lax.dot_general(
         lv_norm, centers,
         dimension_numbers=(((lv_norm.ndim - 1,), (1,)), ((), ())),

@@ -1,0 +1,14 @@
+from sitator_tpu.parallel.mesh import (
+    FRAME_AXIS,
+    frame_mesh,
+    frame_sharding,
+    pad_frames,
+    replicated,
+    shard_frames,
+)
+from sitator_tpu.parallel.pipeline import SpmdLandmarkPipeline, analysis_step
+
+__all__ = [
+    "FRAME_AXIS", "frame_mesh", "frame_sharding", "pad_frames",
+    "replicated", "shard_frames", "SpmdLandmarkPipeline", "analysis_step",
+]

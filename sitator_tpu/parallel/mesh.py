@@ -1,0 +1,52 @@
+"""Device-mesh helpers for frame-axis SPMD.
+
+The workload's natural parallel axis is the frame (time) axis — SURVEY.md
+§3.10: landmark vectors are embarrassingly parallel over frames, and every
+cross-chip quantity is a tiny per-site reduction riding ICI.  One 1-D mesh
+covers DP/"CP"; the in-chip (mobile × site) plane is the degenerate TP axis
+handled by the kernels themselves.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+FRAME_AXIS = "frames"
+
+__all__ = ["FRAME_AXIS", "frame_mesh", "frame_sharding", "replicated",
+           "shard_frames", "pad_frames"]
+
+
+def frame_mesh(n_devices=None, devices=None) -> Mesh:
+    """1-D mesh over the frame axis (all visible devices by default)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (FRAME_AXIS,))
+
+
+def frame_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding that splits the leading (frame) axis across the mesh."""
+    return NamedSharding(mesh, P(FRAME_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_frames(arr, multiple):
+    """Pad the leading axis to a multiple (repeating the last frame), so
+    frame shards divide evenly.  Returns (padded, n_valid)."""
+    n = arr.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return arr, n
+    pad = np.broadcast_to(arr[-1:], (rem,) + arr.shape[1:])
+    return np.concatenate([arr, pad], axis=0), n
+
+
+def shard_frames(arr, mesh: Mesh):
+    """Device-put a host array with its leading axis sharded over the mesh."""
+    return jax.device_put(arr, frame_sharding(mesh))

@@ -1,0 +1,127 @@
+"""Frame-sharded SPMD analysis pipeline — the flagship compiled step.
+
+This is the multi-chip execution path for the core workload (SURVEY.md §8.2
+step 6): one ``jit``-compiled function computes landmark vectors → peak
+evening → normalization → site assignment → jump statistics for a block of
+frames, with the frame axis sharded over a 1-D :func:`frame_mesh`.  Per-site
+statistics come out replicated — XLA inserts the ``psum`` over ICI from the
+scatter-add + prefix-scan structure; there is no hand-written communication.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sitator_tpu.ops import landmark as lmops
+from sitator_tpu.ops.jumps import JumpStats, _jump_stats_parallel
+from sitator_tpu.parallel.mesh import (
+    frame_mesh,
+    frame_sharding,
+    pad_frames,
+    replicated,
+)
+
+__all__ = ["SpmdLandmarkPipeline", "analysis_step"]
+
+
+@partial(jax.jit,
+         static_argnames=("n_sites", "peak_evening", "matmul_dtype"))
+def analysis_step(mobile, static, A, cell, cell_inv, centers, active,
+                  cutoff_midpoint, cutoff_steepness, assignment_threshold,
+                  n_sites, peak_evening="none", matmul_dtype=None):
+    """Pure jittable analysis step (single- or multi-chip; sharding comes
+    from the argument placements).
+
+    mobile (F, M, 3), static (F, N, 3) — frame-sharded under a mesh;
+    A (N, S_landmark), centers (K, S_landmark), active (K,) — replicated.
+    Returns (labels (F, M), confs (F, M), jump-stats dict over ``n_sites``).
+    """
+    lv = lmops.landmark_vectors(mobile, static, A, cell, cell_inv,
+                                cutoff_midpoint, cutoff_steepness,
+                                matmul_dtype=matmul_dtype)
+    lv = lmops.peak_even(lv, peak_evening)
+    lv_n, _ = lmops.normalize_landmark_vectors(lv)
+    labels, confs = lmops.assign_to_centers(lv_n, centers, active,
+                                            assignment_threshold,
+                                            matmul_dtype=matmul_dtype)
+    stats = _jump_stats_parallel(labels, n_sites)
+    return labels, confs, stats
+
+
+class SpmdLandmarkPipeline:
+    """Bind a fitted analysis (landmark basis + cluster centers) to a device
+    mesh and stream frame blocks through :func:`analysis_step`.
+
+    Parameters
+    ----------
+    seed_sn : SiteNetwork with vertices — the landmark basis.
+    centers : (K, S_landmark) fitted cluster centers (unit rows).
+    active : (K,) bool — live clusters; ``n_sites`` = K (labels use the
+        fitted cluster indexing).
+    mesh : a 1-D device mesh (default: all devices).
+    """
+
+    def __init__(self, seed_sn, centers, active, *, cutoff_midpoint,
+                 cutoff_steepness, assignment_threshold=0.35,
+                 peak_evening="none", mesh=None):
+        self.mesh = mesh if mesh is not None else frame_mesh()
+        self.n_devices = self.mesh.devices.size
+        self.peak_evening = peak_evening
+        self.cutoff_midpoint = float(cutoff_midpoint)
+        self.cutoff_steepness = float(cutoff_steepness)
+        self.assignment_threshold = float(assignment_threshold)
+
+        self.mobile_idx = np.flatnonzero(seed_sn.mobile_mask)
+        self.static_idx = np.flatnonzero(seed_sn.static_mask)
+        verts, vmask = seed_sn.padded_vertices()
+        rep = replicated(self.mesh)
+        self.A = jax.device_put(
+            lmops.vertex_membership_matrix(verts, vmask,
+                                           len(self.static_idx)), rep)
+        self.cell = jax.device_put(
+            jnp.asarray(seed_sn.structure.cell, jnp.float32), rep)
+        self.cell_inv = jax.device_put(
+            jnp.asarray(np.linalg.inv(seed_sn.structure.cell), jnp.float32),
+            rep)
+        self.centers = jax.device_put(jnp.asarray(centers, jnp.float32), rep)
+        self.active = jax.device_put(jnp.asarray(active, bool), rep)
+        self.n_sites = int(centers.shape[0])
+
+    def run_block(self, frames):
+        """Run one frame block (host array (B, n_atoms, 3)); B is padded to a
+        multiple of the mesh size.  Returns (labels, confs, JumpStats) as
+        host arrays covering the original B frames."""
+        frames = np.asarray(frames)
+        padded, n_valid = pad_frames(frames, self.n_devices)
+        sh = frame_sharding(self.mesh)
+        mobile = jax.device_put(
+            padded[:, self.mobile_idx].astype(np.float32), sh)
+        static = jax.device_put(
+            padded[:, self.static_idx].astype(np.float32), sh)
+        labels, confs, stats = analysis_step(
+            mobile, static, self.A, self.cell, self.cell_inv, self.centers,
+            self.active, self.cutoff_midpoint, self.cutoff_steepness,
+            self.assignment_threshold, self.n_sites, self.peak_evening)
+        labels = np.asarray(labels)[:n_valid]
+        confs = np.asarray(confs)[:n_valid]
+        if n_valid != len(padded):
+            # recompute stats minus the padding tail: cheapest exact fix is
+            # host-side subtraction of the padded frames' (no-op) occupancy;
+            # padded frames repeat the last frame so they add no jumps but do
+            # add occupancy counts
+            stats = dict(stats)
+            occ_extra = np.zeros(self.n_sites + 1, dtype=np.int64)
+            tail = labels[-1]
+            pad_n = len(padded) - n_valid
+            lab = np.where(tail >= 0, tail, self.n_sites)
+            np.add.at(occ_extra, lab, pad_n)
+            stats["occ_counts"] = (np.asarray(stats["occ_counts"])
+                                   - occ_extra[:self.n_sites])
+            # padding also extends the final residence of known ions
+            stats["last_res"] = np.asarray(stats["last_res"]) - np.where(
+                tail >= 0, pad_n, 0)
+        return labels, confs, JumpStats(
+            {k: np.asarray(v) for k, v in stats.items()})

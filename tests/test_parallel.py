@@ -1,0 +1,130 @@
+"""Multi-device tests on the 8-virtual-CPU mesh (SURVEY.md §5 item 4):
+parallel jump stats == sequential scan; sharded pipeline == single-chip."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sitator_tpu import SiteNetwork
+from sitator_tpu.io import make_hopping_trajectory
+from sitator_tpu.landmark import LandmarkAnalysis
+from sitator_tpu.ops.cluster import dotprod_fit
+from sitator_tpu.ops.jumps import jump_stats, jump_stats_parallel
+from sitator_tpu.parallel import (
+    SpmdLandmarkPipeline,
+    frame_mesh,
+    shard_frames,
+)
+from sitator_tpu.voronoi import VoronoiSiteGenerator
+
+STAT_KEYS = ("n_ij", "lag_sum", "res_sum", "res_cnt", "occ_counts",
+             "last_sites", "last_res")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_parallel_jump_stats_exact(seed):
+    rng = np.random.default_rng(seed)
+    S = 6
+    traj = rng.integers(-1, S, size=(97, 5)).astype(np.int32)
+    a = jump_stats(jnp.asarray(traj), S)
+    b = jump_stats_parallel(jnp.asarray(traj), S)
+    for k in STAT_KEYS:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
+
+
+def test_parallel_jump_stats_all_unknown():
+    traj = np.full((10, 3), -1, dtype=np.int32)
+    b = jump_stats_parallel(jnp.asarray(traj), 4)
+    assert np.asarray(b.n_ij).sum() == 0
+    np.testing.assert_array_equal(np.asarray(b.last_sites), [-1, -1, -1])
+    np.testing.assert_array_equal(np.asarray(b.last_res), [0, 0, 0])
+
+
+def test_parallel_jump_stats_sharded_matches():
+    """Same result when the frame axis is actually sharded over 8 devices."""
+    rng = np.random.default_rng(7)
+    S = 5
+    traj = rng.integers(-1, S, size=(160, 4)).astype(np.int32)
+    want = jump_stats(jnp.asarray(traj), S)
+    mesh = frame_mesh()
+    sharded = shard_frames(traj, mesh)
+    got = jump_stats_parallel(sharded, S)
+    for k in STAT_KEYS:
+        np.testing.assert_array_equal(np.asarray(want[k]), np.asarray(got[k]),
+                                      err_msg=k)
+
+
+@pytest.fixture(scope="module")
+def fitted_system():
+    md = make_hopping_trajectory(n_cells=3, a=4.0, n_ions=4, n_frames=400,
+                                 jump_rate=0.03, seed=3)
+    sn0 = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+    seeds = VoronoiSiteGenerator(merge_tol=0.05).run(sn0)
+    la = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                          verbose=False)
+    st = la.run(seeds, md.traj)
+    # fit cluster centers from the analysis' landmark vectors
+    res = dotprod_fit(jnp.asarray(la.landmark_vectors), k_max=128,
+                      cluster_threshold=0.45, min_samples=4)
+    return md, seeds, res
+
+
+def test_sharded_pipeline_matches_single_device(fitted_system):
+    """Frame-shard invariance: 8-device mesh == 1-device mesh, bit-exact."""
+    md, seeds, res = fitted_system
+    kw = dict(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+              assignment_threshold=0.35)
+    pipe8 = SpmdLandmarkPipeline(seeds, res["centers"], res["active"],
+                                 mesh=frame_mesh(), **kw)
+    pipe1 = SpmdLandmarkPipeline(seeds, res["centers"], res["active"],
+                                 mesh=frame_mesh(n_devices=1), **kw)
+    lab8, conf8, stats8 = pipe8.run_block(md.traj)
+    lab1, conf1, stats1 = pipe1.run_block(md.traj)
+    np.testing.assert_array_equal(lab8, lab1)
+    np.testing.assert_allclose(conf8, conf1, atol=1e-6)
+    for k in STAT_KEYS:
+        np.testing.assert_array_equal(stats8[k], stats1[k], err_msg=k)
+
+
+def test_pipeline_padding_correction(fitted_system):
+    """A block whose length does not divide the mesh still gives exact
+    occupancy/residence stats."""
+    md, seeds, res = fitted_system
+    kw = dict(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+              assignment_threshold=0.35)
+    pipe8 = SpmdLandmarkPipeline(seeds, res["centers"], res["active"],
+                                 mesh=frame_mesh(), **kw)
+    pipe1 = SpmdLandmarkPipeline(seeds, res["centers"], res["active"],
+                                 mesh=frame_mesh(n_devices=1), **kw)
+    odd = md.traj[:395]  # 395 % 8 != 0
+    lab8, _, stats8 = pipe8.run_block(odd)
+    lab1, _, stats1 = pipe1.run_block(odd)
+    assert lab8.shape[0] == 395
+    np.testing.assert_array_equal(lab8, lab1)
+    for k in STAT_KEYS:
+        np.testing.assert_array_equal(stats8[k], stats1[k], err_msg=k)
+
+
+def test_pipeline_matches_landmark_analysis(fitted_system):
+    """The SPMD pipeline's assignments agree with the plain LandmarkAnalysis
+    path when given the same centers (sanity of the fused step)."""
+    md, seeds, res = fitted_system
+    pipe = SpmdLandmarkPipeline(seeds, res["centers"], res["active"],
+                                cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                                assignment_threshold=0.35)
+    labels, confs, _ = pipe.run_block(md.traj[:64])
+    # re-derive directly from landmark ops on one device
+    from sitator_tpu.ops import landmark as lmops
+    verts, vmask = seeds.padded_vertices()
+    A = lmops.vertex_membership_matrix(verts, vmask, int(md.static_mask.sum()))
+    cell = jnp.asarray(md.structure.cell, jnp.float32)
+    cinv = jnp.asarray(np.linalg.inv(md.structure.cell), jnp.float32)
+    mobile = jnp.asarray(md.traj[:64][:, md.mobile_mask], jnp.float32)
+    static = jnp.asarray(md.traj[:64][:, md.static_mask], jnp.float32)
+    lv = lmops.landmark_vectors(mobile, static, A, cell, cinv, 4.0, 3.0)
+    lvn, _ = lmops.normalize_landmark_vectors(lv)
+    want_lab, want_conf = lmops.assign_to_centers(
+        lvn, res["centers"], res["active"], 0.35)
+    np.testing.assert_array_equal(labels, np.asarray(want_lab))
