@@ -88,33 +88,45 @@ def cpu_reference_fps(cell, verts, frames, centers, n_frames=2,
     return n_frames / dt
 
 
-def tpu_fps(cell, verts, frames, centers, n_static):
+def tpu_fps(cell, verts, frames, centers, n_static, mode="fused"):
+    """Throughput of the full landmark+assign+jump step on device.
+
+    mode 'fused' uses the Pallas kernel (O(M·S·V) distances, landmark
+    vectors never leave VMEM); 'xla' uses the dense log-matmul formulation.
+    Timing is scan-batched — one dispatch covers N_BLOCKS blocks and returns
+    a scalar, so remote-dispatch latency cannot pollute the measurement.
+    """
     import jax
     import jax.numpy as jnp
-    from functools import partial
     from sitator_tpu.ops import landmark as lmops
     from sitator_tpu.ops.jumps import _jump_stats_parallel
+    from sitator_tpu.ops.landmark_pallas import fused_assign_blocks
 
-    A = lmops.vertex_membership_matrix(verts, np.ones_like(verts, bool),
-                                       n_static)
     cell_j = jnp.asarray(cell)
     cell_inv = jnp.asarray(np.linalg.inv(cell).astype(np.float32))
-    centers_j = jnp.asarray(centers)
+    cell_diag = jnp.asarray(np.diag(cell).astype(np.float32))
+    vmask = jnp.ones_like(verts, dtype=bool)
     active = jnp.ones(K_CENTERS, bool)
 
     @jax.jit
-    def step(static_blocks, mobile_blocks, A, centers, active):
+    def step(static_blocks, mobile_blocks, verts_j, centers_j, A):
         # big arrays arrive as arguments (baking them into the HLO as
         # constants bloats the program past the remote-compile limit)
         def body(carry, xs):
             static, mobile = xs
-            lv = lmops.landmark_vectors(mobile, static, A, cell_j, cell_inv,
-                                        MIDPOINT, STEEPNESS,
-                                        matmul_dtype=jnp.bfloat16)
-            lv_n, _ = lmops.normalize_landmark_vectors(lv)
-            labels, confs = lmops.assign_to_centers(
-                lv_n, centers, active, ASSIGN_THR,
-                matmul_dtype=jnp.bfloat16)
+            if mode == "fused":
+                labels, confs = fused_assign_blocks(
+                    mobile, static, verts_j, vmask, cell_diag, centers_j,
+                    midpoint=MIDPOINT, steepness=STEEPNESS,
+                    threshold=ASSIGN_THR, s_tile=512, mxu_bf16=True)
+            else:
+                lv = lmops.landmark_vectors(
+                    mobile, static, A, cell_j, cell_inv, MIDPOINT, STEEPNESS,
+                    matmul_dtype=jnp.bfloat16)
+                lv_n, _ = lmops.normalize_landmark_vectors(lv)
+                labels, confs = lmops.assign_to_centers(
+                    lv_n, centers_j, active, ASSIGN_THR,
+                    matmul_dtype=jnp.bfloat16)
             stats = _jump_stats_parallel(labels, K_CENTERS)
             return carry + stats["n_ij"].sum() + labels.sum(), None
 
@@ -122,16 +134,21 @@ def tpu_fps(cell, verts, frames, centers, n_static):
                                 (static_blocks, mobile_blocks))
         return total
 
+    if mode == "fused":
+        A = jnp.zeros((1, 1), jnp.float32)  # unused
+    else:
+        A = lmops.vertex_membership_matrix(verts, np.ones_like(verts, bool),
+                                           n_static)
     static, mobile = frames(N_BLOCKS * BLOCK, seed2=7)
     sb = jnp.asarray(static.reshape(N_BLOCKS, BLOCK, n_static, 3))
     mb = jnp.asarray(mobile.reshape(N_BLOCKS, BLOCK, N_IONS, 3))
-    args = (sb, mb, A, centers_j, active)
+    args = (sb, mb, jnp.asarray(verts), jnp.asarray(centers), A)
 
-    step(*args).block_until_ready()            # compile + warm
+    np.asarray(step(*args))                    # compile + warm (full sync)
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
-        step(*args).block_until_ready()
+        np.asarray(step(*args))                # scalar transfer == sync
         best = min(best, time.perf_counter() - t0)
     return N_BLOCKS * BLOCK / best
 

@@ -1,0 +1,194 @@
+"""Fused Pallas TPU kernel for landmark analysis (the production hot path).
+
+Replaces the reference's Cython inner loop
+(``sitator/landmark/helpers.pyx :: _fill_landmark_vectors``, SURVEY.md §3.2)
+at speed-of-light: where the XLA matmul formulation
+(:mod:`sitator_tpu.ops.landmark`) spends ``2·M·N·S`` MXU flops on a 0.1%%-
+dense membership matrix, this kernel computes only the ``M·S·V`` physical
+ion–vertex distances and never materializes landmark vectors in HBM:
+
+    per (frame, site-tile) grid step, entirely in VMEM:
+      for each vertex slot v (static unroll, V≈8):
+        dx,dy,dz = mobile coords − vertex coords        (M, S_t) VPU
+        min-image per axis (orthorhombic cell)           VPU
+        log-cutoff −softplus(k(d−d0)), masked, accumulate VPU
+      lv = exp(Σ_v …)                                    (M, S_t)
+      norm²  += Σ_s lv²                                  (M, 1)  scratch
+      sims   += lv @ centersᵀ                            (M, K)  MXU scratch
+    last tile: sims·rsqrt(norm²) → argmax/threshold → labels, confs (B, M)
+
+Only ``(B, M)`` labels/confidences leave the chip per block.  Orthorhombic
+(diagonal) cells only — the general-cell path falls back to the XLA
+formulation (callers use :func:`supports_cell`).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_assign_blocks", "prepare_vertex_planes", "supports_cell"]
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def supports_cell(cell, tol=1e-8) -> bool:
+    """The fused kernel handles orthorhombic (diagonal) cells."""
+    cell = np.asarray(cell)
+    return bool(np.all(np.abs(cell - np.diag(np.diag(cell))) < tol))
+
+
+def prepare_vertex_planes(static, verts, vmask):
+    """Gather per-site vertex coordinate planes for the kernel.
+
+    static (B, N, 3), verts (S, V) indices into static, vmask (S, V) →
+    vp (B, 3, V, S) f32 and mask (V, S) f32.  The gather is a cheap XLA op
+    (B·S·V·3 elements) run once per block outside the kernel.
+    """
+    vp = jnp.take(static, verts, axis=1)        # (B, S, V, 3)
+    vp = jnp.transpose(vp, (0, 3, 2, 1))        # (B, 3, V, S)
+    mask = jnp.asarray(vmask, jnp.float32).T    # (V, S)
+    return vp, mask
+
+
+def _kernel(mob_ref, vp_ref, mask_ref, centers_ref, params_ref,
+            labels_ref, confs_ref, sims_acc, norm_acc, *, V, n_s_tiles,
+            mxu_dtype):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        sims_acc[:] = jnp.zeros_like(sims_acc)
+        norm_acc[:] = jnp.zeros_like(norm_acc)
+
+    lx = params_ref[0]
+    ly = params_ref[1]
+    lz = params_ref[2]
+    midpoint = params_ref[3]
+    steepness = params_ref[4]
+    threshold = params_ref[5]
+
+    mx = mob_ref[0, 0, :]                        # (M,)
+    my = mob_ref[0, 1, :]
+    mz = mob_ref[0, 2, :]
+
+    loglv = jnp.zeros(sims_acc.shape[:1] + (vp_ref.shape[-1],),
+                      dtype=jnp.float32)         # (M, S_t)
+    for v in range(V):
+        dx = mx[:, None] - vp_ref[0, 0, v, :][None, :]
+        dy = my[:, None] - vp_ref[0, 1, v, :][None, :]
+        dz = mz[:, None] - vp_ref[0, 2, v, :][None, :]
+        # orthorhombic minimum image, per axis
+        dx = dx - jnp.round(dx * (1.0 / lx)) * lx
+        dy = dy - jnp.round(dy * (1.0 / ly)) * ly
+        dz = dz - jnp.round(dz * (1.0 / lz)) * lz
+        d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        logc = -jax.nn.softplus(steepness * (d - midpoint))
+        loglv = loglv + mask_ref[v, :][None, :] * logc
+
+    # row V of the mask is the padded-site kill switch: 1 for padding-only
+    # sites, driving lv to exp(-1e4) == 0 so they pollute neither the norm
+    # nor the similarities
+    loglv = loglv + mask_ref[V, :][None, :] * (-1.0e4)
+    lv = jnp.exp(loglv)                          # (M, S_t)
+    norm_acc[:, 0] += jnp.sum(lv * lv, axis=1)
+    sims_acc[:] += jax.lax.dot_general(
+        lv.astype(mxu_dtype), centers_ref[:].astype(mxu_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_s_tiles - 1)
+    def _():
+        inv = jax.lax.rsqrt(jnp.maximum(norm_acc[:, 0], 1e-24))
+        sims = sims_acc[:] * inv[:, None]        # (M, K)
+        conf = jnp.max(sims, axis=1)
+        lab = jnp.argmax(sims, axis=1).astype(jnp.int32)
+        labels_ref[b, :] = jnp.where(conf >= threshold, lab, -1)
+        confs_ref[b, :] = conf
+
+
+@partial(jax.jit,
+         static_argnames=("midpoint", "steepness", "threshold", "s_tile",
+                          "mxu_bf16", "interpret"))
+def fused_assign_blocks(mobile, static, verts, vmask, cell_diag, centers,
+                        *, midpoint, steepness, threshold, s_tile=512,
+                        mxu_bf16=True, interpret=False):
+    """Fused landmark + normalize + assign for a block of frames.
+
+    mobile (B, M, 3), static (B, N, 3), verts (S, V) int32, vmask (S, V),
+    cell_diag (3,) orthorhombic cell lengths, centers (K, S) unit rows.
+    Returns (labels (B, M) int32 with −1 below threshold, confs (B, M)).
+    """
+    B, M, _ = mobile.shape
+    S, V = verts.shape
+    K = centers.shape[0]
+
+    MP = _round_up(M, 128)
+    SP = _round_up(S, s_tile)
+    KP = _round_up(K, 128)
+    n_s_tiles = SP // s_tile
+
+    # pad mobile ions (repeat ion 0) and transpose to coordinate planes
+    mob = jnp.transpose(mobile, (0, 2, 1))                   # (B, 3, M)
+    mob = jnp.pad(mob, ((0, 0), (0, 0), (0, MP - M)), mode="edge")
+
+    # pad the site axis; a padded site has mask 0 for every vertex slot, so
+    # its loglv would be 0 → lv = 1, polluting norms and sims.  Row V of the
+    # mask marks padding-only sites; the kernel turns it into a −1e4 log
+    # bias, zeroing them exactly.
+    vp, mask = prepare_vertex_planes(static, verts, vmask)   # (B,3,V,S),(V,S)
+    vp = jnp.pad(vp, ((0, 0), (0, 0), (0, 0), (0, SP - S)))
+    mask = jnp.pad(mask, ((0, 0), (0, SP - S)))
+    pad_kill = jnp.zeros((1, SP), jnp.float32).at[0, S:].set(1.0)
+    mask = jnp.concatenate([mask, pad_kill], axis=0)         # (V+1, SP)
+
+    cpad = jnp.pad(centers.T.astype(jnp.float32),
+                   ((0, SP - S), (0, KP - K)))               # (SP, KP)
+
+    params = jnp.asarray(
+        [cell_diag[0], cell_diag[1], cell_diag[2],
+         midpoint, steepness, threshold], jnp.float32)
+
+    grid = (B, n_s_tiles)
+    kernel = partial(_kernel, V=V, n_s_tiles=n_s_tiles,
+                     mxu_dtype=jnp.bfloat16 if mxu_bf16 else jnp.float32)
+    labels, confs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, MP), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),            # mobile planes
+            pl.BlockSpec((1, 3, V, s_tile), lambda b, j: (b, 0, 0, j),
+                         memory_space=pltpu.VMEM),            # vertex planes
+            pl.BlockSpec((V + 1, s_tile), lambda b, j: (0, j),
+                         memory_space=pltpu.VMEM),            # vertex mask
+            pl.BlockSpec((s_tile, KP), lambda b, j: (j, 0),
+                         memory_space=pltpu.VMEM),            # centers tile
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # params
+        ],
+        out_specs=[
+            # whole-array blocks (persist across the grid); each frame's row
+            # is written once at its last site tile
+            pl.BlockSpec((B, MP), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, MP), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, MP), jnp.int32),
+            jax.ShapeDtypeStruct((B, MP), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((MP, KP), jnp.float32),               # sims acc
+            pltpu.VMEM((MP, 1), jnp.float32),                # norm acc
+        ],
+        interpret=interpret,
+    )(mob, vp, mask, cpad, params)
+    return labels[:, :M], confs[:, :M]

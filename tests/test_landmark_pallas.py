@@ -1,0 +1,74 @@
+"""Fused Pallas kernel vs the XLA formulation (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sitator_tpu.ops import landmark as lmops
+from sitator_tpu.ops.landmark_pallas import (
+    fused_assign_blocks,
+    supports_cell,
+)
+
+
+def _system(rng, B=2, M=7, N=40, S=20, V=5, K=6, L=11.0):
+    cell_diag = np.array([L, L + 1, L + 2], np.float32)
+    mobile = (rng.random((B, M, 3)) * L).astype(np.float32)
+    static = (rng.random((B, N, 3)) * L).astype(np.float32)
+    verts = np.stack([rng.choice(N, V, replace=False)
+                      for _ in range(S)]).astype(np.int32)
+    vmask = rng.random((S, V)) < 0.8
+    vmask[:, 0] = True
+    centers = rng.random((K, S)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    return cell_diag, mobile, static, verts, vmask, centers
+
+
+def _xla_reference(cell_diag, mobile, static, verts, vmask, centers, thr):
+    cell = np.diag(cell_diag).astype(np.float32)
+    A = lmops.vertex_membership_matrix(verts, vmask, static.shape[1])
+    lv = lmops.landmark_vectors(
+        jnp.asarray(mobile), jnp.asarray(static), A, jnp.asarray(cell),
+        jnp.asarray(np.linalg.inv(cell), jnp.float32), 3.0, 4.0)
+    lvn, _ = lmops.normalize_landmark_vectors(lv)
+    return lmops.assign_to_centers(lvn, jnp.asarray(centers),
+                                   jnp.ones(len(centers), bool), thr)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_kernel_matches_xla(rng, seed):
+    r = np.random.default_rng(seed)
+    cell_diag, mobile, static, verts, vmask, centers = _system(r)
+    want_lab, want_conf = _xla_reference(cell_diag, mobile, static, verts,
+                                         vmask, centers, 0.35)
+    got_lab, got_conf = fused_assign_blocks(
+        jnp.asarray(mobile), jnp.asarray(static), jnp.asarray(verts),
+        jnp.asarray(vmask), jnp.asarray(cell_diag), jnp.asarray(centers),
+        midpoint=3.0, steepness=4.0, threshold=0.35, s_tile=128,
+        mxu_bf16=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(want_lab), np.asarray(got_lab))
+    np.testing.assert_allclose(np.asarray(want_conf), np.asarray(got_conf),
+                               atol=1e-5)
+
+
+def test_fused_kernel_site_padding_exact(rng):
+    """S not a multiple of the tile: padded sites must not perturb results
+    (they'd otherwise contribute lv=1 to every norm)."""
+    r = np.random.default_rng(5)
+    cell_diag, mobile, static, verts, vmask, centers = _system(
+        r, S=33, K=4)
+    want_lab, want_conf = _xla_reference(cell_diag, mobile, static, verts,
+                                         vmask, centers, 0.2)
+    got_lab, got_conf = fused_assign_blocks(
+        jnp.asarray(mobile), jnp.asarray(static), jnp.asarray(verts),
+        jnp.asarray(vmask), jnp.asarray(cell_diag), jnp.asarray(centers),
+        midpoint=3.0, steepness=4.0, threshold=0.2, s_tile=128,
+        mxu_bf16=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(want_lab), np.asarray(got_lab))
+    np.testing.assert_allclose(np.asarray(want_conf), np.asarray(got_conf),
+                               atol=1e-5)
+
+
+def test_supports_cell():
+    assert supports_cell(np.diag([3.0, 4.0, 5.0]))
+    assert not supports_cell(np.array([[3, 0.1, 0], [0, 4, 0], [0, 0, 5.0]]))
