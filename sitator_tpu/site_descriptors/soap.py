@@ -1,0 +1,217 @@
+"""Native JAX SOAP-style descriptors (power spectrum of a local density
+expansion) — TPU-friendly dense einsums.
+
+Replaces the reference's external quippy/GAP (Fortran) and dscribe (C++)
+SOAP backends (``sitator/site_descriptors/SOAP.py``, SURVEY.md §3.6, §3.9
+item 4), neither of which exists in this environment.  The expansion here
+evaluates a Gaussian radial basis × real spherical harmonics at neighbor
+positions (smooth-cutoff weighted) and forms the rotation-invariant power
+spectrum
+
+    p^{αβ}_{n n' l} = Σ_m c^α_{nlm} c^β_{n'lm},
+
+per species pair — the same invariance structure as GAP SOAP, with a
+simplified (density-sampling) radial integral.  The descriptor interface is
+pluggable (SURVEY.md §3.9), so an external SOAP can be swapped in where
+available.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sitator_tpu.ops.pbc import min_image_disp
+
+__all__ = ["soap_descriptors", "SOAPDescriptorAverages",
+           "SiteCentersDescriptor"]
+
+
+def _real_sph_harm(unit_vecs, l_max):
+    """Real spherical harmonics Y_lm at unit vectors (..., 3) for
+    l = 0..l_max.  Returns (..., (l_max+1)^2) ordered [(l, m)] with
+    m = -l..l (sin components for m<0, cos for m>0)."""
+    x, y, z = unit_vecs[..., 0], unit_vecs[..., 1], unit_vecs[..., 2]
+    ct = jnp.clip(z, -1.0, 1.0)                       # cos(theta)
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))    # sin(theta)
+    phi = jnp.arctan2(y, x)
+
+    # associated Legendre P_l^m(ct) via stable recurrences
+    P = {}
+    P[(0, 0)] = jnp.ones_like(ct)
+    for m in range(1, l_max + 1):
+        P[(m, m)] = (2 * m - 1) * st * P[(m - 1, m - 1)]
+    for m in range(0, l_max):
+        P[(m + 1, m)] = (2 * m + 1) * ct * P[(m, m)]
+    for m in range(0, l_max + 1):
+        for l in range(m + 2, l_max + 1):
+            P[(l, m)] = ((2 * l - 1) * ct * P[(l - 1, m)]
+                         - (l + m - 1) * P[(l - 2, m)]) / (l - m)
+
+    feats = []
+    for l in range(l_max + 1):
+        for m in range(-l, l + 1):
+            am = abs(m)
+            norm = math.sqrt((2 * l + 1) / (4 * math.pi)
+                             * math.factorial(l - am)
+                             / math.factorial(l + am))
+            if m == 0:
+                feats.append(norm * P[(l, 0)])
+            elif m > 0:
+                feats.append(math.sqrt(2) * norm * P[(l, m)]
+                             * jnp.cos(m * phi))
+            else:
+                feats.append(math.sqrt(2) * norm * P[(l, am)]
+                             * jnp.sin(am * phi))
+    return jnp.stack(feats, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n_max", "l_max", "n_species"))
+def _soap_one(probe, positions, species_onehot, cell, cell_inv, r_cut,
+              sigma, n_max, l_max, n_species):
+    """SOAP vector for one probe.  positions (N, 3); species_onehot
+    (N, n_species) with zero rows for atoms to ignore."""
+    disp = min_image_disp(positions - probe, cell, cell_inv)   # (N, 3)
+    r = jnp.sqrt(jnp.sum(disp * disp, axis=-1))
+    safe_r = jnp.maximum(r, 1e-9)
+    unit = disp / safe_r[:, None]
+
+    # smooth cosine cutoff; excludes atoms beyond r_cut
+    fcut = jnp.where(r < r_cut, 0.5 * (jnp.cos(jnp.pi * r / r_cut) + 1.0),
+                     0.0)                                      # (N,)
+    # Gaussian radial basis centered on an equispaced grid in [0, r_cut]
+    centers = jnp.linspace(0.0, r_cut, n_max)
+    g = jnp.exp(-((r[:, None] - centers[None, :]) ** 2)
+                / (2.0 * sigma ** 2))                          # (N, n_max)
+    Y = _real_sph_harm(unit, l_max)                            # (N, L2)
+
+    # c[s, n, lm] = sum_j onehot[j, s] fcut[j] g[j, n] Y[j, lm]
+    w = species_onehot * fcut[:, None]                         # (N, S)
+    c = jnp.einsum("js,jn,jl->snl", w, g, Y)
+
+    # power spectrum per (s, s', n, n', l): sum over m
+    l_sizes = [2 * l + 1 for l in range(l_max + 1)]
+    out = []
+    lo = 0
+    for l, sz in enumerate(l_sizes):
+        cl = c[:, :, lo:lo + sz]                               # (S, n, m)
+        pl = jnp.einsum("snm,tpm->stnp", cl, cl) / math.sqrt(sz)
+        out.append(pl.reshape(n_species * n_species * n_max * n_max))
+        lo += sz
+    p = jnp.concatenate(out)
+    norm = jnp.sqrt(jnp.sum(p * p))
+    return p / jnp.maximum(norm, 1e-12)
+
+
+def soap_descriptors(probes, positions, species, cell, r_cut=5.0,
+                     sigma=0.5, n_max=8, l_max=6, species_list=None,
+                     batch=256):
+    """SOAP vectors for ``probes (P, 3)`` in the environment of
+    ``positions (N, 3)`` with ``species (N,)``.  Returns (P, D) float32.
+    """
+    positions = np.asarray(positions, dtype=np.float32)
+    species = np.asarray(species)
+    if species_list is None:
+        species_list = np.unique(species)
+    n_species = len(species_list)
+    onehot = np.zeros((len(positions), n_species), dtype=np.float32)
+    for i, s in enumerate(species_list):
+        onehot[species == s, i] = 1.0
+    cell = np.asarray(cell, dtype=np.float32)
+    cell_inv = np.linalg.inv(cell).astype(np.float32)
+
+    fn = jax.vmap(_soap_one, in_axes=(0,) + (None,) * 8 + (None,))
+    outs = []
+    probes = np.asarray(probes, dtype=np.float32)
+    for lo in range(0, len(probes), batch):
+        blk = jnp.asarray(probes[lo:lo + batch])
+        outs.append(np.asarray(fn(
+            blk, jnp.asarray(positions), jnp.asarray(onehot),
+            jnp.asarray(cell), jnp.asarray(cell_inv), r_cut, sigma,
+            n_max, l_max, n_species)))
+    return np.concatenate(outs, axis=0)
+
+
+class SOAPDescriptorAverages:
+    """Per-site SOAP by averaging descriptors of sampled assigned positions
+    (reference ``SOAPDescriptorAverages`` parity): probes are real mobile-ion
+    positions while assigned to the site, each evaluated in its own frame's
+    static-lattice environment, then averaged per site.
+
+    ``get_descriptors(st)`` → ((n_sites, D), counts).
+    """
+
+    def __init__(self, r_cut=5.0, sigma=0.5, n_max=8, l_max=6,
+                 averages_n=16, seed=0, verbose=True):
+        self.r_cut = float(r_cut)
+        self.sigma = float(sigma)
+        self.n_max = int(n_max)
+        self.l_max = int(l_max)
+        self.averages_n = int(averages_n)
+        self.seed = seed
+        self.verbose = verbose
+
+    def get_descriptors(self, st):
+        sn = st.site_network
+        if st.real_trajectory is None:
+            raise ValueError("SiteTrajectory needs a real trajectory")
+        rng = np.random.default_rng(self.seed)
+        static_idx = np.flatnonzero(sn.static_mask)
+        mobile_idx = np.flatnonzero(sn.mobile_mask)
+        species = sn.structure.species[static_idx]
+        species_list = np.unique(species)
+        cell = sn.structure.cell
+
+        descs = []
+        counts = []
+        for site in range(sn.n_sites):
+            frames, ions = np.nonzero(st.traj == site)
+            if len(frames) == 0:
+                descs.append(None)
+                counts.append(0)
+                continue
+            if len(frames) > self.averages_n:
+                sel = rng.choice(len(frames), self.averages_n, replace=False)
+                frames, ions = frames[sel], ions[sel]
+            site_descs = []
+            for f, ion in zip(frames, ions):
+                probe = st.real_trajectory[f, mobile_idx[ion]][None, :]
+                env = st.real_trajectory[f, static_idx]
+                site_descs.append(soap_descriptors(
+                    probe, env, species, cell, r_cut=self.r_cut,
+                    sigma=self.sigma, n_max=self.n_max, l_max=self.l_max,
+                    species_list=species_list))
+            d = np.mean(np.concatenate(site_descs, axis=0), axis=0)
+            d /= max(np.linalg.norm(d), 1e-12)
+            descs.append(d)
+            counts.append(len(frames))
+        D = next(len(d) for d in descs if d is not None)
+        out = np.zeros((sn.n_sites, D), dtype=np.float32)
+        for i, d in enumerate(descs):
+            if d is not None:
+                out[i] = d
+        return out, np.asarray(counts)
+
+
+class SiteCentersDescriptor:
+    """Per-center SOAP variant (reference's per-center descriptor ⚠):
+    probes at the site centers, environment = the static reference
+    structure."""
+
+    def __init__(self, r_cut=5.0, sigma=0.5, n_max=8, l_max=6):
+        self.r_cut = float(r_cut)
+        self.sigma = float(sigma)
+        self.n_max = int(n_max)
+        self.l_max = int(l_max)
+
+    def get_descriptors(self, st_or_sn):
+        sn = getattr(st_or_sn, "site_network", st_or_sn)
+        static = sn.static_structure
+        d = soap_descriptors(sn.centers, static.positions, static.species,
+                             sn.structure.cell, r_cut=self.r_cut,
+                             sigma=self.sigma, n_max=self.n_max,
+                             l_max=self.l_max)
+        return d, np.full(sn.n_sites, 1)

@@ -1,0 +1,254 @@
+"""Pathways, SOAP descriptors, site typing, descriptor merging, misc."""
+import numpy as np
+import pytest
+
+from sitator_tpu import SiteNetwork, SiteTrajectory, Structure
+from sitator_tpu.misc import NAvgsPerSite, RecenterTrajectory
+from sitator_tpu.network import DiffusionPathwayAnalysis
+from sitator_tpu.site_descriptors import (
+    MergeSitesByDescriptors,
+    SiteCentersDescriptor,
+    SiteTypeAnalysis,
+    SOAPDescriptorAverages,
+    soap_descriptors,
+)
+from sitator_tpu.util.dotprod import DotProdClassifier
+
+
+def make_network(centers, n_mobile=2, a=12.0, seed=0, n_static=8):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(0, a, size=(n_static + n_mobile, 3))
+    species = np.array([16] * n_static + [3] * n_mobile)
+    s = Structure(pos, species, np.eye(3) * a)
+    sn = SiteNetwork(s, s.species == 16, s.species == 3)
+    sn.centers = np.asarray(centers, dtype=float)
+    return sn
+
+
+# ------------------------------------------------------------- pathways ---
+def test_pathway_percolating_1d():
+    """Chain of sites across the cell with a wrap-around edge percolates 1-D;
+    an isolated pair does not."""
+    a = 12.0
+    centers = [[1, 1, 1], [5, 1, 1], [9, 1, 1],       # chain along x
+               [1, 6, 6], [5, 6, 6]]                  # isolated pair
+    sn = make_network(centers, a=a)
+    n_ij = np.zeros((5, 5), int)
+    n_ij[0, 1] = n_ij[1, 2] = 3
+    n_ij[2, 0] = 3   # 9 -> 1 crosses the boundary: wrap!
+    n_ij[3, 4] = 5
+    sn.add_edge_attribute("n_ij", n_ij)
+    dpa = DiffusionPathwayAnalysis(verbose=False)
+    dpa.run(sn)
+    assert dpa.n_pathways == 2
+    pw = sn.diffusion_pathway
+    assert pw[0] == pw[1] == pw[2]
+    assert pw[3] == pw[4] != pw[0]
+    chain_id = pw[0]
+    assert dpa.pathway_dims[chain_id] == 1
+    assert dpa.pathway_percolating[chain_id]
+    assert dpa.pathway_dims[pw[3]] == 0
+
+
+def test_pathway_3d_grid():
+    """Full periodic cubic grid of connected sites percolates in 3-D.
+    (n=3 per axis: with n=2 the ±half-cell neighbor displacement is
+    geometrically ambiguous and wraps are undetectable from n_ij alone.)"""
+    n, a = 3, 12.0
+    grid = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing="ij"),
+                    axis=-1).reshape(-1, 3)
+    centers = (grid + 0.5) * (a / n)
+    sn = make_network(centers, a=a)
+    S = len(centers)
+    n_ij = np.zeros((S, S), int)
+    idx3 = {tuple(g): i for i, g in enumerate(grid)}
+    for i, g in enumerate(grid):
+        for d in range(3):
+            gg = list(g)
+            gg[d] = (gg[d] + 1) % n
+            n_ij[i, idx3[tuple(gg)]] = 2
+    sn.add_edge_attribute("n_ij", n_ij)
+    dpa = DiffusionPathwayAnalysis(verbose=False)
+    dpa.run(sn)
+    assert dpa.n_pathways == 1
+    assert dpa.pathway_dims[0] == 3
+
+
+def test_pathway_threshold():
+    sn = make_network([[1, 1, 1], [5, 5, 5]])
+    n_ij = np.zeros((2, 2), int)
+    n_ij[0, 1] = 1
+    sn.add_edge_attribute("n_ij", n_ij)
+    dpa = DiffusionPathwayAnalysis(connectivity_threshold=3, verbose=False)
+    dpa.run(sn)
+    assert dpa.n_pathways == 0
+    assert np.all(sn.diffusion_pathway == -1)
+
+
+# ----------------------------------------------------------------- SOAP ---
+def _env(a=14.0):
+    """Two distinct probe environments: octahedral and tetrahedral cages."""
+    center_o = np.array([3.5, 3.5, 3.5])
+    oct_pts = center_o + 2.0 * np.array(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1],
+         [0, 0, -1]])
+    center_t = np.array([10.0, 10.0, 10.0])
+    tet_pts = center_t + 2.0 / np.sqrt(3) * np.array(
+        [[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]])
+    pos = np.concatenate([oct_pts, tet_pts])
+    species = np.array([16] * len(pos))
+    return pos, species, np.eye(3) * a, center_o, center_t
+
+
+def test_soap_rotation_invariance(rng):
+    pos, species, cell, c_o, _ = _env()
+    d0 = soap_descriptors(c_o[None], pos, species, cell, r_cut=4.0)
+    # rotate the octahedron about its center by a random rotation
+    from scipy.spatial.transform import Rotation
+    R = Rotation.random(random_state=3).as_matrix()
+    pos_rot = pos.copy()
+    pos_rot[:6] = (pos[:6] - c_o) @ R.T + c_o
+    d1 = soap_descriptors(c_o[None], pos_rot, species, cell, r_cut=4.0)
+    np.testing.assert_allclose(d0, d1, atol=2e-4)
+
+
+def test_soap_distinguishes_environments():
+    pos, species, cell, c_o, c_t = _env()
+    d = soap_descriptors(np.stack([c_o, c_t]), pos, species, cell, r_cut=4.0)
+    sim = float(d[0] @ d[1])
+    assert sim < 0.95          # oct vs tet clearly distinct
+    # same environment at both probes -> identical descriptors
+    d2 = soap_descriptors(np.stack([c_o, c_o]), pos, species, cell,
+                          r_cut=4.0)
+    np.testing.assert_allclose(d2[0], d2[1], atol=1e-6)
+
+
+def test_soap_translation_and_pbc(rng):
+    """Descriptor is invariant under rigid translation, even across the
+    periodic boundary."""
+    pos, species, cell, c_o, _ = _env()
+    d0 = soap_descriptors(c_o[None], pos, species, cell, r_cut=4.0)
+    t = np.array([12.0, 13.0, 11.5])   # pushes atoms out of the cell
+    d1 = soap_descriptors((c_o + t)[None], pos + t, species, cell, r_cut=4.0)
+    np.testing.assert_allclose(d0, d1, atol=1e-5)
+
+
+# ----------------------------------------------- typing over descriptors --
+def _typed_system(n_oct=3, n_tet=3, a=30.0, jitter=0.05, seed=0):
+    """Several oct/tet cages scattered in a big cell + assigned ions."""
+    rng = np.random.default_rng(seed)
+    host = []
+    centers = []
+    kinds = []
+    spots = rng.choice(len(np.arange(8)), size=n_oct + n_tet, replace=False)
+    anchors = (np.stack(np.meshgrid(*[np.arange(2)] * 3, indexing="ij"),
+                        axis=-1).reshape(-1, 3) * (a / 2) + 4.0)[spots]
+    for i, anchor in enumerate(anchors):
+        if i < n_oct:
+            pts = anchor + 2.0 * np.array(
+                [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1],
+                 [0, 0, -1]])
+            kinds.append(0)
+        else:
+            pts = anchor + 2.0 / np.sqrt(3) * np.array(
+                [[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]])
+            kinds.append(1)
+        pts = pts + rng.normal(scale=jitter, size=pts.shape)
+        host.append(pts)
+        centers.append(anchor)
+    host = np.concatenate(host)
+    centers = np.asarray(centers, dtype=float)
+    S = len(centers)
+    n_mobile = 2
+    pos = np.concatenate([host, centers[:n_mobile] + 0.1])
+    species = np.array([16] * len(host) + [3] * n_mobile)
+    s = Structure(pos, species, np.eye(3) * a)
+    sn = SiteNetwork(s, s.species == 16, s.species == 3)
+    sn.centers = centers
+    # trajectory: ions sit at sites (cycling), real traj = probe at center
+    F = 12
+    traj = np.stack([np.arange(F) % S, (np.arange(F) + 1) % S], axis=1)
+    st = SiteTrajectory(sn, traj.astype(np.int32))
+    real = np.zeros((F, s.n_atoms, 3), dtype=np.float32)
+    real[:, s.species == 16] = host
+    mobile_idx = np.flatnonzero(s.species == 3)
+    for f in range(F):
+        for k, ion in enumerate(mobile_idx):
+            real[f, ion] = centers[traj[f, k]] + rng.normal(scale=0.05,
+                                                            size=3)
+    st.set_real_traj(real)
+    return st, np.array(kinds)
+
+
+def test_site_type_analysis_recovers_oct_tet():
+    st, kinds = _typed_system()
+    sta = SiteTypeAnalysis(
+        SOAPDescriptorAverages(r_cut=4.0, averages_n=4), n_types=2,
+        verbose=False)
+    sta.run(st)
+    types = st.site_network.site_types
+    # perfect partition (up to label swap)
+    assert len(np.unique(types)) == 2
+    for k in (0, 1):
+        assert len(np.unique(types[kinds == k])) == 1
+    assert types[kinds == 0][0] != types[kinds == 1][0]
+
+
+def test_site_type_analysis_elbow_mode():
+    st, kinds = _typed_system()
+    sta = SiteTypeAnalysis(
+        SOAPDescriptorAverages(r_cut=4.0, averages_n=4), max_types=5,
+        verbose=False)
+    sta.run(st)
+    assert st.site_network.site_types is not None
+    assert 1 <= st.site_network.n_types <= 5
+
+
+def test_merge_sites_by_descriptors():
+    """Two sites sharing an identical environment merge; a distinct one
+    survives — using the per-center descriptor."""
+    st, kinds = _typed_system(n_oct=2, n_tet=1)
+    merged = MergeSitesByDescriptors(
+        SiteCentersDescriptor(r_cut=4.0), similarity_threshold=0.98,
+        distance_threshold=100.0, verbose=False).run(st)
+    assert merged.site_network.n_sites == 2
+
+
+# ------------------------------------------------------------------ misc --
+def test_navgs_per_site():
+    st, kinds = _typed_system()
+    S = st.site_network.n_sites
+    out = NAvgsPerSite(n=3, verbose=False).run(st)
+    assert out.n_sites == 3 * S
+    src = out.source_site
+    assert np.all(np.bincount(src, minlength=S) == 3)
+    # averages sit near their source site centers
+    d = np.linalg.norm(out.centers - st.site_network.centers[src], axis=1)
+    assert d.max() < 0.5
+
+
+def test_recenter_trajectory():
+    rng = np.random.default_rng(0)
+    F, N = 20, 6
+    base = rng.uniform(0, 10, size=(N, 3))
+    drift = np.cumsum(rng.normal(scale=0.1, size=(F, 1, 3)), axis=0)
+    traj = base[None] + drift
+    static_mask = np.ones(N, dtype=bool)
+    out = RecenterTrajectory().run(static_mask, traj)
+    # after recentering, the static COM is constant
+    com = out.mean(axis=1)
+    np.testing.assert_allclose(com - com[0], 0, atol=1e-10)
+
+
+def test_dotprod_classifier_api(rng):
+    base = np.zeros((3, 16))
+    base[0, 0] = base[1, 5] = base[2, 11] = 1.0
+    X = np.repeat(base, 50, axis=0) + rng.normal(scale=0.05, size=(150, 16))
+    clf = DotProdClassifier(threshold=0.8, min_samples=10)
+    labels, confs = clf.fit_predict(X, return_confidences=True)
+    assert clf.n_clusters == 3
+    assert clf.cluster_centers.shape == (3, 16)
+    assert len(np.unique(labels[labels >= 0])) == 3
+    # predict on held-out data
+    lab2 = clf.predict(base + 0.01)
+    assert len(np.unique(lab2)) == 3
