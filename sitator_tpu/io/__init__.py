@@ -1,3 +1,20 @@
 from sitator_tpu.io.synthetic import SyntheticMD, make_hopping_trajectory
+from sitator_tpu.io.formats import (
+    ArrayTrajectory,
+    ChunkedFeeder,
+    H5Trajectory,
+    NpyTrajectory,
+    NpzTrajectory,
+    XYZTrajectory,
+    iread_xyz,
+    open_trajectory,
+    read_xyz,
+    write_xyz,
+)
 
-__all__ = ["SyntheticMD", "make_hopping_trajectory"]
+__all__ = [
+    "SyntheticMD", "make_hopping_trajectory",
+    "read_xyz", "write_xyz", "iread_xyz", "open_trajectory",
+    "ArrayTrajectory", "NpyTrajectory", "NpzTrajectory", "H5Trajectory",
+    "XYZTrajectory", "ChunkedFeeder",
+]

@@ -1,0 +1,224 @@
+"""Structure & trajectory file IO.
+
+The reference delegates all of this to ASE (SURVEY.md §3.9 item 5); ASE is
+not available here, so sitator_tpu owns its formats:
+
+- extended XYZ (``Lattice=...`` comment convention) read/write for
+  structures and multi-frame trajectories;
+- ``.npy`` (memmapped), ``.npz`` and HDF5 trajectory readers behind one
+  ``TrajectoryReader`` protocol: ``len()``, ``reader[lo:hi] -> (n, A, 3)``;
+- :class:`ChunkedFeeder`, a background-thread prefetcher that overlaps host
+  IO/decode with device compute for the streaming pipeline.
+"""
+from __future__ import annotations
+
+import re
+import threading
+import queue as _queue
+
+import numpy as np
+
+from sitator_tpu.core.structure import Structure, number_to_symbol, \
+    symbol_to_number
+
+__all__ = [
+    "read_xyz", "write_xyz", "iread_xyz",
+    "NpyTrajectory", "NpzTrajectory", "H5Trajectory", "XYZTrajectory",
+    "ArrayTrajectory", "open_trajectory", "ChunkedFeeder",
+]
+
+
+_LATTICE_RE = re.compile(r'Lattice\s*=\s*"([^"]+)"', re.IGNORECASE)
+
+
+def _parse_comment(comment):
+    m = _LATTICE_RE.search(comment)
+    if not m:
+        return None
+    vals = np.array([float(x) for x in m.group(1).split()])
+    if vals.size != 9:
+        raise ValueError(f"bad Lattice= entry: {m.group(1)!r}")
+    return vals.reshape(3, 3)
+
+
+def iread_xyz(path):
+    """Yield ``Structure`` per frame from an (ext)xyz file."""
+    with open(path) as f:
+        while True:
+            line = f.readline()
+            if not line:
+                return
+            line = line.strip()
+            if not line:
+                continue
+            n = int(line)
+            comment = f.readline()
+            cell = _parse_comment(comment)
+            species = np.empty(n, dtype=np.int32)
+            pos = np.empty((n, 3), dtype=np.float64)
+            for i in range(n):
+                parts = f.readline().split()
+                s = parts[0]
+                species[i] = (int(s) if s.isdigit()
+                              else symbol_to_number(s))
+                pos[i] = [float(x) for x in parts[1:4]]
+            if cell is None:
+                # non-periodic xyz: bounding box with margin
+                span = pos.max(0) - pos.min(0) + 10.0
+                cell = np.diag(span)
+            yield Structure(pos, species, cell)
+
+
+def read_xyz(path, index=None):
+    """Read an (ext)xyz file.  ``index=None`` → first frame as a
+    ``Structure``; ``index='all'`` → (structure0, traj (F, A, 3))."""
+    frames = iread_xyz(path)
+    first = next(frames)
+    if index is None:
+        return first
+    if index == "all":
+        traj = [first.positions]
+        for s in frames:
+            traj.append(s.positions)
+        return first, np.stack(traj)
+    raise ValueError("index must be None or 'all'")
+
+
+def write_xyz(path, structure, traj=None, mode="w"):
+    """Write a ``Structure`` (plus optional trajectory positions (F, A, 3))
+    as extended XYZ."""
+    cellstr = " ".join(f"{x:.10g}" for x in structure.cell.ravel())
+    syms = structure.symbols
+    frames = (traj if traj is not None
+              else structure.positions[None, :, :])
+    with open(path, mode) as f:
+        for pos in frames:
+            f.write(f"{structure.n_atoms}\n")
+            f.write(f'Lattice="{cellstr}" Properties=species:S:1:pos:R:3\n')
+            for s, p in zip(syms, pos):
+                f.write(f"{s} {p[0]:.8f} {p[1]:.8f} {p[2]:.8f}\n")
+
+
+# ---------------------------------------------------------------- readers --
+class TrajectoryReader:
+    """Protocol: ``len(r)`` frames; ``r[lo:hi] -> (n, A, 3) float32``;
+    optional ``r.structure``."""
+
+    structure = None
+
+    def __len__(self):
+        raise NotImplementedError
+
+    def __getitem__(self, key):
+        raise NotImplementedError
+
+    @property
+    def n_atoms(self):
+        return self[0:1].shape[1]
+
+
+class ArrayTrajectory(TrajectoryReader):
+    def __init__(self, array, structure=None):
+        self._a = np.asarray(array)
+        self.structure = structure
+
+    def __len__(self):
+        return self._a.shape[0]
+
+    def __getitem__(self, key):
+        return np.asarray(self._a[key], dtype=np.float32)
+
+
+class NpyTrajectory(ArrayTrajectory):
+    """Memory-mapped ``.npy`` of shape (F, A, 3) — zero-copy block reads,
+    the preferred large-trajectory format."""
+
+    def __init__(self, path, structure=None):
+        super().__init__(np.load(path, mmap_mode="r"), structure)
+
+
+class NpzTrajectory(ArrayTrajectory):
+    def __init__(self, path, key="positions", structure=None):
+        with np.load(path) as d:
+            arr = d[key]
+        super().__init__(arr, structure)
+
+
+class H5Trajectory(TrajectoryReader):
+    def __init__(self, path, key="positions", structure=None):
+        import h5py
+        self._f = h5py.File(path, "r")
+        self._d = self._f[key]
+        self.structure = structure
+
+    def __len__(self):
+        return self._d.shape[0]
+
+    def __getitem__(self, key):
+        return np.asarray(self._d[key], dtype=np.float32)
+
+    def close(self):
+        self._f.close()
+
+
+class XYZTrajectory(ArrayTrajectory):
+    def __init__(self, path):
+        structure, traj = read_xyz(path, index="all")
+        super().__init__(traj, structure)
+
+
+def open_trajectory(path, **kwargs):
+    p = str(path)
+    if p.endswith(".npy"):
+        return NpyTrajectory(p, **kwargs)
+    if p.endswith(".npz"):
+        return NpzTrajectory(p, **kwargs)
+    if p.endswith((".h5", ".hdf5")):
+        return H5Trajectory(p, **kwargs)
+    if p.endswith((".xyz", ".extxyz")):
+        return XYZTrajectory(p)
+    raise ValueError(f"unknown trajectory format: {p}")
+
+
+# ----------------------------------------------------------------- feeder --
+class ChunkedFeeder:
+    """Background prefetcher: reads fixed-size frame blocks from a
+    ``TrajectoryReader`` on worker thread(s) so host IO overlaps device
+    compute (SURVEY.md §6.7 — the streaming half of the "context
+    parallelism" analogue).  Iterate to get ``(lo, block)`` pairs in order.
+    """
+
+    def __init__(self, reader, block_frames, start=0, stop=None, depth=2):
+        self.reader = reader
+        self.block = int(block_frames)
+        self.start = int(start)
+        self.stop = len(reader) if stop is None else int(stop)
+        self.depth = int(depth)
+
+    def __iter__(self):
+        q = _queue.Queue(maxsize=self.depth)
+        stop_flag = threading.Event()
+
+        def worker():
+            try:
+                for lo in range(self.start, self.stop, self.block):
+                    if stop_flag.is_set():
+                        return
+                    hi = min(lo + self.block, self.stop)
+                    q.put((lo, self.reader[lo:hi]))
+                q.put(None)
+            except BaseException as e:  # surface reader errors to consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop_flag.set()

@@ -1,0 +1,18 @@
+from sitator_tpu.visualization.common import (
+    layers,
+    plotter,
+    species_color,
+)
+from sitator_tpu.visualization.atoms import plot_atoms, plot_points
+from sitator_tpu.visualization.network_plot import (
+    SiteNetworkPlotter,
+    plot_frame,
+    plot_particle_trajectory,
+    plot_site,
+)
+
+__all__ = [
+    "plotter", "layers", "species_color", "plot_atoms", "plot_points",
+    "SiteNetworkPlotter", "plot_frame", "plot_site",
+    "plot_particle_trajectory",
+]

@@ -1,0 +1,130 @@
+"""IO formats, chunked feeder, and visualization smoke tests."""
+import numpy as np
+import pytest
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+from sitator_tpu import SiteNetwork, SiteTrajectory, Structure
+from sitator_tpu.io import (
+    ChunkedFeeder,
+    H5Trajectory,
+    NpyTrajectory,
+    XYZTrajectory,
+    open_trajectory,
+    read_xyz,
+    write_xyz,
+)
+from sitator_tpu.visualization import (
+    SiteNetworkPlotter,
+    layers,
+    plot_atoms,
+    plot_points,
+)
+
+
+@pytest.fixture
+def structure(rng):
+    cell = np.array([[10.0, 0, 0], [1.0, 9.0, 0], [0, 0, 11.0]])
+    pos = rng.uniform(0, 8, size=(7, 3))
+    return Structure(pos, ["Li", "Li", "S", "S", "S", "O", "O"], cell)
+
+
+def test_xyz_roundtrip(structure, tmp_path):
+    f = tmp_path / "s.extxyz"
+    write_xyz(f, structure)
+    s2 = read_xyz(f)
+    assert np.array_equal(s2.species, structure.species)
+    np.testing.assert_allclose(s2.positions, structure.positions, atol=1e-7)
+    np.testing.assert_allclose(s2.cell, structure.cell, atol=1e-9)
+
+
+def test_xyz_trajectory_roundtrip(structure, tmp_path, rng):
+    traj = rng.uniform(0, 9, size=(5, 7, 3))
+    f = tmp_path / "t.extxyz"
+    write_xyz(f, structure, traj=traj)
+    s2, t2 = read_xyz(f, index="all")
+    assert t2.shape == (5, 7, 3)
+    np.testing.assert_allclose(t2, traj, atol=1e-7)
+    r = XYZTrajectory(f)
+    assert len(r) == 5
+    np.testing.assert_allclose(r[1:3], traj[1:3], atol=1e-6)
+
+
+def test_npy_h5_readers(tmp_path, rng):
+    traj = rng.random((20, 4, 3)).astype(np.float32)
+    np.save(tmp_path / "t.npy", traj)
+    r = NpyTrajectory(tmp_path / "t.npy")
+    assert len(r) == 20 and r.n_atoms == 4
+    np.testing.assert_allclose(r[3:7], traj[3:7])
+
+    import h5py
+    with h5py.File(tmp_path / "t.h5", "w") as f:
+        f.create_dataset("positions", data=traj)
+    r2 = open_trajectory(tmp_path / "t.h5")
+    np.testing.assert_allclose(r2[0:20], traj)
+    r2.close()
+
+
+def test_chunked_feeder(tmp_path, rng):
+    traj = rng.random((23, 3, 3)).astype(np.float32)
+    np.save(tmp_path / "t.npy", traj)
+    r = NpyTrajectory(tmp_path / "t.npy")
+    got = list(ChunkedFeeder(r, block_frames=5))
+    assert [lo for lo, _ in got] == [0, 5, 10, 15, 20]
+    np.testing.assert_allclose(np.concatenate([b for _, b in got]), traj)
+    # partial range
+    got2 = list(ChunkedFeeder(r, block_frames=8, start=4, stop=20))
+    assert sum(len(b) for _, b in got2) == 16
+
+
+def test_feeder_propagates_errors():
+    class Bad:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, key):
+            raise IOError("disk on fire")
+
+    with pytest.raises(IOError):
+        list(ChunkedFeeder(Bad(), block_frames=4))
+
+
+def _make_annotated_st(rng):
+    cell = np.eye(3) * 8.0
+    pos = rng.uniform(0, 8, size=(10, 3))
+    s = Structure(pos, [16] * 8 + [3] * 2, cell)
+    sn = SiteNetwork(s, s.species == 16, s.species == 3)
+    sn.centers = rng.uniform(0, 8, size=(4, 3))
+    sn.vertices = [np.sort(rng.choice(8, 3, replace=False))
+                   for _ in range(4)]
+    sn.site_types = np.array([0, 0, 1, 1])
+    sn.add_site_attribute("occupancies", np.array([0.5, 0.2, 0.9, 0.1]))
+    sn.add_edge_attribute("n_ij", rng.integers(0, 5, size=(4, 4)))
+    traj = rng.integers(-1, 4, size=(6, 2)).astype(np.int32)
+    st = SiteTrajectory(sn, traj)
+    st.set_real_traj(rng.uniform(0, 8, size=(6, 10, 3)))
+    return st
+
+
+def test_plotting_smoke(rng, tmp_path):
+    st = _make_annotated_st(rng)
+    sn = st.site_network
+    fig = plot_atoms(sn.structure)
+    fig.savefig(tmp_path / "atoms.png")
+    fig = SiteNetworkPlotter(site_size_attr="occupancies",
+                             site_color_attr="occupancies").plot(sn)
+    fig.savefig(tmp_path / "network.png")
+    fig = st.plot_frame(0)
+    fig.savefig(tmp_path / "frame.png")
+    fig = st.plot_site(2)
+    fig.savefig(tmp_path / "site.png")
+    fig = st.plot_particle_trajectory(0)
+    fig.savefig(tmp_path / "ion.png")
+    fig = layers((plot_atoms, dict(structure=sn.structure)),
+                 (plot_points, dict(points=sn.centers, cell=sn.structure.cell)))
+    fig.savefig(tmp_path / "layers.png")
+    assert (tmp_path / "network.png").stat().st_size > 1000
+    import matplotlib.pyplot as plt
+    plt.close("all")
