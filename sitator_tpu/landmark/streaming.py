@@ -1,0 +1,279 @@
+"""``StreamingLandmarkAnalysis`` — the out-of-core / pod-scale pipeline.
+
+BASELINE.md config 5: a 1M-frame × 10k-atom trajectory is ~120 GB of fp32
+positions — far beyond HBM.  This pipeline streams it (SURVEY.md §6.7):
+
+- **pass 1 (fit)**: landmark vectors on an evenly-strided frame subsample →
+  on-device dot-product clustering → fixed cluster centers;
+- **pass 2 (stream)**: :class:`ChunkedFeeder` prefetches frame blocks on a
+  host thread while the device runs the fused landmark→assign kernel (or
+  the XLA path for triclinic cells), accumulating per-site statistics *on
+  device*: occupancy counts, confidence sums, toroidal (circular-mean)
+  center accumulators, and the jump scan whose (last-site, residence)
+  carry chains exactly across blocks.  Labels can optionally spill to a
+  memmapped ``.npy``.
+
+Result: an annotated :class:`SiteNetwork` (centers, occupancies, n_ij,
+p_ij, jump_lag, residence_times) without the trajectory or the label
+matrix ever being resident in host memory at once.
+"""
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sitator_tpu.core.sitenet import SiteNetwork
+from sitator_tpu.io.formats import ArrayTrajectory, ChunkedFeeder
+from sitator_tpu.ops import landmark as lmops
+from sitator_tpu.ops.cluster import dotprod_fit
+from sitator_tpu.ops.jumps import _jump_stats
+from sitator_tpu.ops.landmark_pallas import fused_assign_blocks, \
+    supports_cell
+
+logger = logging.getLogger(__name__)
+
+
+@partial(jax.jit, static_argnames=("n_sites", "use_fused", "midpoint",
+                                   "steepness", "threshold"))
+def _stream_block(mobile, static, verts, vmask, A, cell, cell_inv,
+                  cell_diag, centers, active, carry, acc, *, n_sites,
+                  use_fused, midpoint, steepness, threshold):
+    """One streamed block: assign + accumulate.  ``carry`` = (last, res)
+    from the previous block; ``acc`` = dict of device accumulators."""
+    if use_fused:
+        labels, confs = fused_assign_blocks(
+            mobile, static, verts, vmask, cell_diag, centers,
+            midpoint=midpoint, steepness=steepness, threshold=threshold)
+    else:
+        lv = lmops.landmark_vectors(mobile, static, A, cell, cell_inv,
+                                    midpoint, steepness)
+        lv_n, _ = lmops.normalize_landmark_vectors(lv)
+        labels, confs = lmops.assign_to_centers(lv_n, centers, active,
+                                                threshold)
+
+    stats = _jump_stats(labels, n_sites, init_last=carry[0],
+                        init_res=carry[1])
+
+    # per-site accumulators (dummy slot S for unassigned)
+    S = n_sites
+    flat = jnp.where(labels >= 0, labels, S).ravel()
+    w = jnp.where(labels >= 0, confs, 0.0).ravel()
+    # toroidal mean accumulators over fractional coords
+    frac = (mobile.reshape(-1, 3) @ cell_inv) * (2.0 * jnp.pi)
+    acc = dict(acc)
+    acc["occ"] = acc["occ"].at[flat].add(1)
+    acc["conf"] = acc["conf"].at[flat].add(w)
+    acc["cos"] = acc["cos"].at[flat].add(w[:, None] * jnp.cos(frac))
+    acc["sin"] = acc["sin"].at[flat].add(w[:, None] * jnp.sin(frac))
+    acc["n_ij"] = acc["n_ij"] + stats["n_ij"]
+    acc["lag_sum"] = acc["lag_sum"] + stats["lag_sum"]
+    acc["res_sum"] = acc["res_sum"] + stats["res_sum"]
+    acc["res_cnt"] = acc["res_cnt"] + stats["res_cnt"]
+    return labels, confs, (stats["last_sites"], stats["last_res"]), acc
+
+
+class StreamingLandmarkAnalysis:
+    """Parameters mirror :class:`LandmarkAnalysis` plus streaming controls:
+
+    block_frames : frames per streamed device block.
+    fit_frames : subsample size for the clustering pass.
+    store_labels : optional path — labels spill to a memmapped ``.npy``
+        of shape (n_frames, n_mobile).
+    """
+
+    def __init__(self, cutoff_midpoint=3.0, cutoff_steepness=4.0,
+                 minimum_site_occupancy=0.01, assignment_threshold=None,
+                 clustering_params=None, block_frames=1024, fit_frames=8192,
+                 store_labels=None, verbose=True):
+        self.cutoff_midpoint = float(cutoff_midpoint)
+        self.cutoff_steepness = float(cutoff_steepness)
+        self.minimum_site_occupancy = float(minimum_site_occupancy)
+        self.clustering_params = dict(clustering_params or {})
+        self.assignment_threshold = (
+            self.clustering_params.get("assignment_threshold", 0.35)
+            if assignment_threshold is None else float(assignment_threshold))
+        self.block_frames = int(block_frames)
+        self.fit_frames = int(fit_frames)
+        self.store_labels = store_labels
+        self.verbose = verbose
+        self.n_sites_ = None
+
+    # -- pass 1 --------------------------------------------------------
+    def fit_centers(self, sn: SiteNetwork, reader):
+        n_frames = len(reader)
+        stride = max(1, n_frames // self.fit_frames)
+        mobile_idx = np.flatnonzero(sn.mobile_mask)
+        static_idx = np.flatnonzero(sn.static_mask)
+        verts, vmask = sn.padded_vertices()
+        A = lmops.vertex_membership_matrix(verts, vmask, len(static_idx))
+        cell = jnp.asarray(sn.structure.cell, jnp.float32)
+        cell_inv = jnp.asarray(np.linalg.inv(sn.structure.cell), jnp.float32)
+
+        lvs = []
+        B = 256
+        sel = np.arange(0, n_frames, stride)
+        for lo in range(0, len(sel), B):
+            frames = np.stack([reader[int(i):int(i) + 1][0]
+                               for i in sel[lo:lo + B]])
+            lv = lmops.landmark_vectors(
+                jnp.asarray(frames[:, mobile_idx], jnp.float32),
+                jnp.asarray(frames[:, static_idx], jnp.float32),
+                A, cell, cell_inv, self.cutoff_midpoint,
+                self.cutoff_steepness)
+            lv_n, _ = lmops.normalize_landmark_vectors(lv)
+            lvs.append(np.asarray(lv_n.reshape(-1, lv_n.shape[-1])))
+        X = np.concatenate(lvs)
+        p = {"clustering_threshold": 0.45, "k_max": 512, "n_refine_iters": 10,
+             **self.clustering_params}
+        min_samples = max(1, int(np.ceil(
+            self.minimum_site_occupancy * len(sel))))
+        res = dotprod_fit(jnp.asarray(X), k_max=p["k_max"],
+                          cluster_threshold=p["clustering_threshold"],
+                          min_samples=min_samples,
+                          n_iters=p["n_refine_iters"])
+        keep = np.asarray(res["active"])
+        centers = np.asarray(res["centers"])[keep]
+        if self.verbose:
+            logger.info("streaming fit: %d sites from %d subsampled frames",
+                        len(centers), len(sel))
+        return centers
+
+    # -- pass 2 --------------------------------------------------------
+    def run(self, sn: SiteNetwork, trajectory, centers=None):
+        """``trajectory``: a TrajectoryReader or (F, A, 3) array.  Returns
+        an annotated SiteNetwork (the streaming result object)."""
+        reader = (trajectory if hasattr(trajectory, "__getitem__")
+                  and not isinstance(trajectory, np.ndarray)
+                  else ArrayTrajectory(np.asarray(trajectory)))
+        n_frames = len(reader)
+        if centers is None:
+            centers = self.fit_centers(sn, reader)
+        K = len(centers)
+        self.n_sites_ = K
+
+        mobile_idx = np.flatnonzero(sn.mobile_mask)
+        static_idx = np.flatnonzero(sn.static_mask)
+        n_mobile = len(mobile_idx)
+        verts, vmask = sn.padded_vertices()
+        A = lmops.vertex_membership_matrix(verts, vmask, len(static_idx))
+        cell_np = sn.structure.cell
+        cell = jnp.asarray(cell_np, jnp.float32)
+        cell_inv = jnp.asarray(np.linalg.inv(cell_np), jnp.float32)
+        cell_diag = jnp.asarray(np.diag(cell_np), jnp.float32)
+        use_fused = supports_cell(cell_np) and \
+            jax.default_backend() == "tpu"
+        centers_j = jnp.asarray(centers, jnp.float32)
+        active = jnp.ones(K, bool)
+        verts_j = jnp.asarray(verts)
+        vmask_j = jnp.asarray(vmask)
+
+        carry = (jnp.full((n_mobile,), -1, jnp.int32),
+                 jnp.zeros((n_mobile,), jnp.int32))
+        acc = {
+            # int32: a real site's count is bounded by n_frames (<2^31);
+            # only the discarded dummy slot could wrap
+            "occ": jnp.zeros((K + 1,), jnp.int32),
+            "conf": jnp.zeros((K + 1,), jnp.float32),
+            "cos": jnp.zeros((K + 1, 3), jnp.float32),
+            "sin": jnp.zeros((K + 1, 3), jnp.float32),
+            "n_ij": jnp.zeros((K, K), jnp.int32),
+            "lag_sum": jnp.zeros((K, K), jnp.int32),
+            "res_sum": jnp.zeros((K,), jnp.int32),
+            "res_cnt": jnp.zeros((K,), jnp.int32),
+        }
+
+        labels_out = None
+        if self.store_labels is not None:
+            labels_out = np.lib.format.open_memmap(
+                self.store_labels, mode="w+", dtype=np.int32,
+                shape=(n_frames, n_mobile))
+
+        B = self.block_frames
+        for lo, block in ChunkedFeeder(reader, B):
+            nb = len(block)
+            if nb < B:  # pad to the compiled block shape
+                pad = np.broadcast_to(block[-1:],
+                                      (B - nb,) + block.shape[1:])
+                block = np.concatenate([block, pad])
+            mobile = jnp.asarray(block[:, mobile_idx], jnp.float32)
+            static = jnp.asarray(block[:, static_idx], jnp.float32)
+            labels, confs, new_carry, new_acc = _stream_block(
+                mobile, static, verts_j, vmask_j, A, cell, cell_inv,
+                cell_diag, centers_j, active, carry, acc, n_sites=K,
+                use_fused=use_fused, midpoint=self.cutoff_midpoint,
+                steepness=self.cutoff_steepness,
+                threshold=self.assignment_threshold)
+            if nb < B:
+                # rerun carry/acc on the unpadded tail is wasteful; instead
+                # correct: padding repeats the final frame, adding no jumps
+                # but inflating occupancy-style accumulators — subtract.
+                lab_np = np.asarray(labels)[:nb]
+                tail = lab_np[-1]
+                pad_n = B - nb
+                sub = np.zeros(K + 1, np.int32)
+                np.add.at(sub, np.where(tail >= 0, tail, K), pad_n)
+                new_acc = dict(new_acc)
+                new_acc["occ"] = new_acc["occ"] - jnp.asarray(sub)
+                cf = np.asarray(confs)[nb - 1]
+                subc = np.zeros(K + 1, np.float32)
+                np.add.at(subc, np.where(tail >= 0, tail, K),
+                          pad_n * np.where(tail >= 0, cf, 0.0))
+                new_acc["conf"] = new_acc["conf"] - jnp.asarray(subc)
+                fr = (block[-1][mobile_idx] @ np.linalg.inv(cell_np)) \
+                    * 2 * np.pi
+                subcos = np.zeros((K + 1, 3), np.float32)
+                subsin = np.zeros((K + 1, 3), np.float32)
+                wpad = pad_n * np.where(tail >= 0, cf, 0.0)
+                np.add.at(subcos, np.where(tail >= 0, tail, K),
+                          wpad[:, None] * np.cos(fr))
+                np.add.at(subsin, np.where(tail >= 0, tail, K),
+                          wpad[:, None] * np.sin(fr))
+                new_acc["cos"] = new_acc["cos"] - jnp.asarray(subcos)
+                new_acc["sin"] = new_acc["sin"] - jnp.asarray(subsin)
+                new_carry = (new_carry[0],
+                             new_carry[1] - jnp.where(
+                                 jnp.asarray(tail) >= 0, pad_n, 0))
+            carry, acc = new_carry, new_acc
+            if labels_out is not None:
+                labels_out[lo:lo + nb] = np.asarray(labels)[:nb]
+
+        return self._finalize(sn, centers, acc, n_frames, labels_out)
+
+    def _finalize(self, sn, centers, acc, n_frames, labels_out):
+        K = len(centers)
+        acc = {k: np.asarray(v) for k, v in acc.items()}
+        occ = acc["occ"][:K].astype(np.float64)
+        # toroidal mean -> fractional coords -> cartesian
+        theta = np.arctan2(acc["sin"][:K], acc["cos"][:K])
+        frac = (theta / (2 * np.pi)) % 1.0
+        site_centers = frac @ sn.structure.cell
+
+        out = SiteNetwork(sn.structure, sn.static_mask, sn.mobile_mask)
+        out.centers = site_centers
+        out.add_site_attribute("occupancies", occ / n_frames)
+        n_ij = acc["n_ij"].astype(np.int64)
+        out.add_edge_attribute("n_ij", n_ij)
+        row = n_ij.sum(1, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out.add_edge_attribute(
+                "p_ij", np.where(row > 0, n_ij / np.maximum(row, 1), 0.0))
+            out.add_edge_attribute(
+                "jump_lag", np.where(n_ij > 0,
+                                     acc["lag_sum"] / np.maximum(n_ij, 1),
+                                     np.nan))
+            out.add_site_attribute(
+                "residence_times",
+                np.where(acc["res_cnt"] > 0,
+                         acc["res_sum"] / np.maximum(acc["res_cnt"], 1),
+                         np.nan))
+        out.add_site_attribute("total_corrected_residences",
+                               acc["occ"][:K].astype(np.int64))
+        self.labels_ = labels_out
+        if self.verbose:
+            logger.info("streaming run: %d frames, %d sites, %d jumps",
+                        n_frames, K, int(n_ij.sum()))
+        return out

