@@ -1,0 +1,174 @@
+// fastxyz — multithreaded extended-XYZ trajectory decoder.
+//
+// Native data-loader for the streaming pipeline (SURVEY.md §3.9 item 5: the
+// reference delegates trajectory IO to ASE's C-backed readers; this is the
+// sitator_tpu equivalent, built for feeding frame blocks to the device at
+// HBM-filling rates).  Two entry points, C ABI, consumed via ctypes:
+//
+//   fxyz_index:      scan the file once, recording the byte offset and atom
+//                    count of every frame (enables random block access);
+//   fxyz_read_block: decode a contiguous range of frames into a float32
+//                    (n, n_atoms, 3) buffer, frames parsed in parallel.
+//
+// The parser is deliberately minimal: species tokens are skipped (the
+// structure comes from frame 0 via the Python side), positions are read with
+// a fast inline float scanner.  Returns negative error codes; never throws.
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cctype>
+#include <thread>
+#include <vector>
+#include <atomic>
+
+extern "C" {
+
+// Scan the file; fill offsets[0..max_frames) with byte offsets of each
+// frame's first line.  Returns the number of frames found (may exceed
+// max_frames — call again with a larger buffer), or <0 on error.
+// n_atoms_out receives the (uniform) atom count, -2 if inconsistent.
+int64_t fxyz_index(const char* path, int64_t* offsets, int64_t max_frames,
+                   int64_t* n_atoms_out) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    char line[1 << 16];
+    int64_t n_frames = 0;
+    int64_t n_atoms = -1;
+    int64_t pos = 0;
+    while (true) {
+        int64_t frame_start = pos;
+        if (!std::fgets(line, sizeof line, f)) break;
+        pos += (int64_t)std::strlen(line);
+        // skip blank lines between frames
+        const char* p = line;
+        while (*p == ' ' || *p == '\t') ++p;
+        if (*p == '\n' || *p == '\0') continue;
+        long na = std::strtol(p, nullptr, 10);
+        if (na <= 0) { std::fclose(f); return -3; }
+        if (n_atoms < 0) n_atoms = na;
+        else if (n_atoms != na) { std::fclose(f); *n_atoms_out = -2;
+                                  return n_frames; }
+        if (n_frames < max_frames) offsets[n_frames] = frame_start;
+        ++n_frames;
+        // comment line + na atom lines
+        for (long i = 0; i <= na; ++i) {
+            if (!std::fgets(line, sizeof line, f)) { std::fclose(f);
+                                                     return -4; }
+            pos += (int64_t)std::strlen(line);
+        }
+    }
+    std::fclose(f);
+    *n_atoms_out = n_atoms;
+    return n_frames;
+}
+
+static inline const char* skip_ws(const char* p, const char* end) {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+    return p;
+}
+
+static inline const char* skip_token(const char* p, const char* end) {
+    while (p < end && *p != ' ' && *p != '\t' && *p != '\n' && *p != '\r')
+        ++p;
+    return p;
+}
+
+static inline const char* next_line(const char* p, const char* end) {
+    while (p < end && *p != '\n') ++p;
+    return p < end ? p + 1 : end;
+}
+
+// Fast float scan: sign, integer, fraction, exponent.  Positions in MD
+// files are plain decimals; falls back to strtod on exponent forms.
+static inline const char* parse_float(const char* p, const char* end,
+                                      float* out) {
+    p = skip_ws(p, end);
+    bool neg = false;
+    if (p < end && (*p == '-' || *p == '+')) { neg = (*p == '-'); ++p; }
+    double v = 0.0;
+    while (p < end && (unsigned)(*p - '0') < 10u) {
+        v = v * 10.0 + (*p - '0'); ++p;
+    }
+    if (p < end && *p == '.') {
+        ++p;
+        double scale = 0.1;
+        while (p < end && (unsigned)(*p - '0') < 10u) {
+            v += (*p - '0') * scale; scale *= 0.1; ++p;
+        }
+    }
+    if (p < end && (*p == 'e' || *p == 'E')) {
+        ++p;
+        bool eneg = false;
+        if (p < end && (*p == '-' || *p == '+')) { eneg = (*p == '-'); ++p; }
+        long ex = 0;
+        while (p < end && (unsigned)(*p - '0') < 10u) {
+            ex = ex * 10 + (*p - '0'); ++p;
+        }
+        double mul = 1.0;
+        double base = eneg ? 0.1 : 10.0;
+        for (long i = 0; i < ex; ++i) mul *= base;
+        v *= mul;
+    }
+    *out = (float)(neg ? -v : v);
+    return p;
+}
+
+// Parse one frame's atom block (text between begin/end) into out[n_atoms*3].
+static int parse_frame(const char* begin, const char* end, int64_t n_atoms,
+                       float* out) {
+    const char* p = begin;
+    p = next_line(p, end);   // natoms line
+    p = next_line(p, end);   // comment line
+    for (int64_t i = 0; i < n_atoms; ++i) {
+        p = skip_ws(p, end);
+        p = skip_token(p, end);               // species symbol
+        for (int c = 0; c < 3; ++c)
+            p = parse_float(p, end, out + i * 3 + c);
+        p = next_line(p, end);
+        if (p >= end && i + 1 < n_atoms) return -1;
+    }
+    return 0;
+}
+
+// Decode frames [first, first+n_frames) into out (n_frames*n_atoms*3 f32).
+// offsets must contain at least first+n_frames+? entries; file_size bounds
+// the final frame.  Parses frames across n_threads.
+int fxyz_read_block(const char* path, const int64_t* offsets,
+                    int64_t n_total_frames, int64_t file_size,
+                    int64_t first, int64_t n_frames, int64_t n_atoms,
+                    float* out, int n_threads) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    int64_t begin_off = offsets[first];
+    int64_t end_off = (first + n_frames < n_total_frames)
+                          ? offsets[first + n_frames] : file_size;
+    int64_t span = end_off - begin_off;
+    std::vector<char> buf((size_t)span);
+    if (std::fseek(f, (long)begin_off, SEEK_SET) != 0) { std::fclose(f);
+                                                         return -2; }
+    if ((int64_t)std::fread(buf.data(), 1, (size_t)span, f) != span) {
+        std::fclose(f); return -3;
+    }
+    std::fclose(f);
+
+    if (n_threads < 1) n_threads = 1;
+    std::atomic<int> err{0};
+    auto work = [&](int t) {
+        for (int64_t i = t; i < n_frames; i += n_threads) {
+            const char* b = buf.data() + (offsets[first + i] - begin_off);
+            const char* e = (first + i + 1 < n_total_frames)
+                ? buf.data() + (offsets[first + i + 1] - begin_off)
+                : buf.data() + span;
+            if (parse_frame(b, e, n_atoms, out + i * n_atoms * 3) != 0)
+                err.store(-4);
+        }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 1; t < n_threads; ++t) threads.emplace_back(work, t);
+    work(0);
+    for (auto& th : threads) th.join();
+    return err.load();
+}
+
+}  // extern "C"
