@@ -1,0 +1,115 @@
+"""``Zeopy`` — optional wrapper for an external Zeo++ ``network`` binary.
+
+Reference parity: ``sitator/util/zeo.py`` (SURVEY.md §3.7).  The reference
+*requires* Zeo++ for Voronoi decomposition; sitator_tpu ships a native
+implementation (:mod:`sitator_tpu.voronoi`) and does not.  This wrapper
+exists for users who have Zeo++ installed and want its decomposition
+instead: it writes the structure in CSSR form, invokes ``network -nt2``,
+and parses the resulting Voronoi net.  Without the binary it raises with a
+pointer to the native path.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+
+import numpy as np
+
+
+class ZeoppNotFoundError(RuntimeError):
+    pass
+
+
+class Zeopy:
+    """Context manager around the Zeo++ ``network`` executable."""
+
+    def __init__(self, executable="network"):
+        self.executable = executable
+        self._dir = None
+
+    def __enter__(self):
+        if shutil.which(self.executable) is None:
+            raise ZeoppNotFoundError(
+                f"Zeo++ executable {self.executable!r} not found. "
+                "sitator_tpu does not require Zeo++ — use "
+                "sitator_tpu.voronoi.VoronoiSiteGenerator (native periodic "
+                "Voronoi) instead.")
+        self._dir = tempfile.mkdtemp(prefix="zeopy_")
+        return self
+
+    def __exit__(self, *exc):
+        if self._dir:
+            shutil.rmtree(self._dir, ignore_errors=True)
+        return False
+
+    def voronoi(self, structure, radial=False, radii=None):
+        """Run the Voronoi decomposition of a Structure.  Returns
+        (nodes (N, 3), vertex index lists, node radii)."""
+        cssr = os.path.join(self._dir, "structure.cssr")
+        out = os.path.join(self._dir, "structure.nt2")
+        self._write_cssr(structure, cssr)
+        cmd = [self.executable]
+        if radial and radii is not None:
+            rad_file = os.path.join(self._dir, "radii.rad")
+            with open(rad_file, "w") as f:
+                for sym, r in radii.items():
+                    f.write(f"{sym} {r}\n")
+            cmd += ["-r", rad_file]
+        elif not radial:
+            cmd += ["-nor"]
+        cmd += ["-nt2", out, cssr]
+        res = subprocess.run(cmd, capture_output=True, text=True)
+        if res.returncode != 0:
+            raise RuntimeError(f"Zeo++ failed: {res.stderr[-2000:]}")
+        return self._parse_nt2(out, structure)
+
+    @staticmethod
+    def _write_cssr(structure, path):
+        # CSSR expects cell lengths+angles; only orthorhombic-safe general
+        # triclinic conversion
+        cell = structure.cell
+        a, b, c = np.linalg.norm(cell, axis=1)
+        def ang(u, v):
+            return np.degrees(np.arccos(
+                np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v))))
+        alpha, beta, gamma = ang(cell[1], cell[2]), ang(cell[0], cell[2]), \
+            ang(cell[0], cell[1])
+        frac = structure.frac_positions % 1.0
+        with open(path, "w") as f:
+            f.write(f"{a:.6f} {b:.6f} {c:.6f}\n")
+            f.write(f"{alpha:.4f} {beta:.4f} {gamma:.4f} SPGR= 1 P1\n")
+            f.write(f"{structure.n_atoms} 0\n0 sitator_tpu\n")
+            for i, (sym, p) in enumerate(zip(structure.symbols, frac), 1):
+                f.write(f"{i} {sym} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                        "0 0 0 0 0 0 0 0 0.0\n")
+
+    @staticmethod
+    def _parse_nt2(path, structure):
+        nodes = []
+        verts = []
+        radii = []
+        with open(path) as f:
+            lines = f.readlines()
+        in_nodes = False
+        for line in lines:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "Vertex" or (parts[0].isdigit()
+                                        and len(parts) >= 5):
+                if parts[0] == "Vertex":
+                    parts = parts[1:]
+                try:
+                    nodes.append([float(parts[1]), float(parts[2]),
+                                  float(parts[3])])
+                    radii.append(float(parts[4]))
+                    verts.append(np.array(
+                        [int(x) - 1 for x in parts[5:] if x.isdigit()],
+                        dtype=np.int32))
+                    in_nodes = True
+                except (ValueError, IndexError):
+                    if in_nodes:
+                        break
+        return (np.asarray(nodes), verts, np.asarray(radii))
