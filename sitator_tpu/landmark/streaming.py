@@ -88,7 +88,7 @@ class StreamingLandmarkAnalysis:
     def __init__(self, cutoff_midpoint=3.0, cutoff_steepness=4.0,
                  minimum_site_occupancy=0.01, assignment_threshold=None,
                  clustering_params=None, block_frames=1024, fit_frames=8192,
-                 store_labels=None, verbose=True):
+                 store_labels=None, mesh=None, verbose=True):
         self.cutoff_midpoint = float(cutoff_midpoint)
         self.cutoff_steepness = float(cutoff_steepness)
         self.minimum_site_occupancy = float(minimum_site_occupancy)
@@ -99,6 +99,7 @@ class StreamingLandmarkAnalysis:
         self.block_frames = int(block_frames)
         self.fit_frames = int(fit_frames)
         self.store_labels = store_labels
+        self.mesh = mesh  # optional 1-D frame mesh: blocks shard over it
         self.verbose = verbose
         self.n_sites_ = None
 
@@ -192,6 +193,13 @@ class StreamingLandmarkAnalysis:
                 self.store_labels, mode="w+", dtype=np.int32,
                 shape=(n_frames, n_mobile))
 
+        sharding = None
+        if self.mesh is not None:
+            from sitator_tpu.parallel.mesh import frame_sharding
+            sharding = frame_sharding(self.mesh)
+            if self.block_frames % self.mesh.devices.size:
+                raise ValueError("block_frames must divide the mesh size")
+
         B = self.block_frames
         for lo, block in ChunkedFeeder(reader, B):
             nb = len(block)
@@ -201,6 +209,9 @@ class StreamingLandmarkAnalysis:
                 block = np.concatenate([block, pad])
             mobile = jnp.asarray(block[:, mobile_idx], jnp.float32)
             static = jnp.asarray(block[:, static_idx], jnp.float32)
+            if sharding is not None:
+                mobile = jax.device_put(mobile, sharding)
+                static = jax.device_put(static, sharding)
             labels, confs, new_carry, new_acc = _stream_block(
                 mobile, static, verts_j, vmask_j, A, cell, cell_inv,
                 cell_diag, centers_j, active, carry, acc, n_sites=K,

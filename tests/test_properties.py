@@ -1,0 +1,96 @@
+"""Property tests (SURVEY.md §5 item 2): permutation equivariance, rigid
+translation invariance of the full analysis, and multi-device streaming."""
+import numpy as np
+import pytest
+
+from sitator_tpu import SiteNetwork
+from sitator_tpu.io import make_hopping_trajectory
+from sitator_tpu.landmark import LandmarkAnalysis, StreamingLandmarkAnalysis
+from sitator_tpu.ops.pbc import PBCCalculator
+from sitator_tpu.parallel import frame_mesh
+from sitator_tpu.voronoi import VoronoiSiteGenerator
+
+
+@pytest.fixture(scope="module")
+def base_system():
+    md = make_hopping_trajectory(n_cells=3, a=4.0, n_ions=4, n_frames=300,
+                                 jump_rate=0.03, seed=21)
+    sn0 = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+    seeds = VoronoiSiteGenerator(merge_tol=0.05).run(sn0)
+    la = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                          verbose=False)
+    st = la.run(seeds, md.traj)
+    return md, seeds, st
+
+
+def test_mobile_permutation_equivariance(base_system):
+    """Permuting the mobile atoms permutes the assignment columns — site
+    discovery itself is unchanged."""
+    md, seeds, st = base_system
+    n_host = int(md.static_mask.sum())
+    perm = np.array([2, 0, 3, 1])
+    atom_order = np.concatenate([np.arange(n_host), n_host + perm])
+    traj_p = md.traj[:, atom_order]
+
+    from sitator_tpu.core.structure import Structure
+    s_p = Structure(md.structure.positions[atom_order],
+                    md.structure.species[atom_order], md.structure.cell)
+    sn_p = SiteNetwork(s_p, md.static_mask, md.mobile_mask)
+    seeds_p = VoronoiSiteGenerator(merge_tol=0.05).run(sn_p)
+    la = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                          verbose=False)
+    st_p = la.run(seeds_p, traj_p)
+
+    assert st_p.site_network.n_sites == st.site_network.n_sites
+    # site labels may be numbered differently; map via centers
+    calc = PBCCalculator(md.structure.cell)
+    d = calc.pairwise_distances(st_p.site_network.centers,
+                                st.site_network.centers)
+    mapping = d.argmin(axis=1)
+    assert d[np.arange(len(mapping)), mapping].max() < 1e-3
+    mapped = np.where(st_p.traj >= 0, mapping[st_p.traj], -1)
+    np.testing.assert_array_equal(mapped, st.traj[:, perm])
+
+
+def test_rigid_translation_invariance(base_system):
+    """Translating every position by a constant vector leaves assignments
+    identical (sites translate accordingly)."""
+    md, seeds, st = base_system
+    t = np.array([1.7, -2.3, 0.9], dtype=md.traj.dtype)
+    from sitator_tpu.core.structure import Structure
+    s_t = Structure(md.structure.positions + t, md.structure.species,
+                    md.structure.cell)
+    sn_t = SiteNetwork(s_t, md.static_mask, md.mobile_mask)
+    seeds_t = VoronoiSiteGenerator(merge_tol=0.05).run(sn_t)
+    la = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                          verbose=False)
+    st_t = la.run(seeds_t, md.traj + t)
+    assert st_t.site_network.n_sites == st.site_network.n_sites
+    calc = PBCCalculator(md.structure.cell)
+    d = calc.pairwise_distances(st_t.site_network.centers - t,
+                                st.site_network.centers)
+    mapping = d.argmin(axis=1)
+    assert d[np.arange(len(mapping)), mapping].max() < 1e-2
+    mapped = np.where(st_t.traj >= 0, mapping[st_t.traj], -1)
+    np.testing.assert_array_equal(mapped, st.traj)
+
+
+def test_streaming_on_mesh_matches_single_device(base_system):
+    """Streaming over an 8-device frame mesh == single device, exactly."""
+    md, seeds, st = base_system
+    sla = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0,
+                                    block_frames=64, verbose=False)
+    from sitator_tpu.io import ArrayTrajectory
+    centers = sla.fit_centers(seeds, ArrayTrajectory(md.traj))
+    out1 = sla.run(seeds, md.traj, centers=centers)
+
+    sla8 = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=64, mesh=frame_mesh(),
+                                     verbose=False)
+    out8 = sla8.run(seeds, md.traj, centers=centers)
+    np.testing.assert_array_equal(out1.n_ij, out8.n_ij)
+    np.testing.assert_allclose(out1.occupancies, out8.occupancies,
+                               atol=1e-12)
+    np.testing.assert_allclose(out1.centers, out8.centers, atol=1e-4)
