@@ -88,7 +88,8 @@ class StreamingLandmarkAnalysis:
     def __init__(self, cutoff_midpoint=3.0, cutoff_steepness=4.0,
                  minimum_site_occupancy=0.01, assignment_threshold=None,
                  clustering_params=None, block_frames=1024, fit_frames=8192,
-                 store_labels=None, mesh=None, verbose=True):
+                 store_labels=None, mesh=None, checkpoint_path=None,
+                 checkpoint_every=64, verbose=True):
         self.cutoff_midpoint = float(cutoff_midpoint)
         self.cutoff_steepness = float(cutoff_steepness)
         self.minimum_site_occupancy = float(minimum_site_occupancy)
@@ -100,6 +101,11 @@ class StreamingLandmarkAnalysis:
         self.fit_frames = int(fit_frames)
         self.store_labels = store_labels
         self.mesh = mesh  # optional 1-D frame mesh: blocks shard over it
+        # mid-run checkpointing (SURVEY.md §6.4): every N blocks the device
+        # accumulators + scan carry + cursor are snapshotted; an interrupted
+        # run resumes from the snapshot bit-exactly
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = int(checkpoint_every)
         self.verbose = verbose
         self.n_sites_ = None
 
@@ -172,6 +178,7 @@ class StreamingLandmarkAnalysis:
         verts_j = jnp.asarray(verts)
         vmask_j = jnp.asarray(vmask)
 
+        start_lo = 0
         carry = (jnp.full((n_mobile,), -1, jnp.int32),
                  jnp.zeros((n_mobile,), jnp.int32))
         acc = {
@@ -187,10 +194,27 @@ class StreamingLandmarkAnalysis:
             "res_cnt": jnp.zeros((K,), jnp.int32),
         }
 
+        # resume from a mid-run checkpoint if one exists
+        import os
+        ckpt = self.checkpoint_path
+        if ckpt is not None and os.path.exists(ckpt):
+            with np.load(ckpt) as d:
+                if int(d["n_frames"]) != n_frames or int(d["K"]) != K:
+                    raise ValueError("checkpoint does not match this run")
+                start_lo = int(d["next_lo"])
+                carry = (jnp.asarray(d["carry_last"]),
+                         jnp.asarray(d["carry_res"]))
+                acc = {k[4:]: jnp.asarray(d[k]) for k in d.files
+                       if k.startswith("acc/")}
+            if self.verbose:
+                logger.info("resuming streaming run at frame %d", start_lo)
+
         labels_out = None
         if self.store_labels is not None:
+            mode = "r+" if (ckpt is not None and start_lo > 0
+                            and os.path.exists(self.store_labels)) else "w+"
             labels_out = np.lib.format.open_memmap(
-                self.store_labels, mode="w+", dtype=np.int32,
+                self.store_labels, mode=mode, dtype=np.int32,
                 shape=(n_frames, n_mobile))
 
         sharding = None
@@ -201,7 +225,8 @@ class StreamingLandmarkAnalysis:
                 raise ValueError("block_frames must divide the mesh size")
 
         B = self.block_frames
-        for lo, block in ChunkedFeeder(reader, B):
+        blocks_done = 0
+        for lo, block in ChunkedFeeder(reader, B, start=start_lo):
             nb = len(block)
             if nb < B:  # pad to the compiled block shape
                 pad = np.broadcast_to(block[-1:],
@@ -251,8 +276,25 @@ class StreamingLandmarkAnalysis:
             carry, acc = new_carry, new_acc
             if labels_out is not None:
                 labels_out[lo:lo + nb] = np.asarray(labels)[:nb]
+            blocks_done += 1
+            if (ckpt is not None
+                    and blocks_done % self.checkpoint_every == 0):
+                self._save_checkpoint(ckpt, n_frames, K, lo + nb, carry, acc)
 
+        if ckpt is not None and os.path.exists(ckpt):
+            os.remove(ckpt)  # run completed; checkpoint no longer needed
         return self._finalize(sn, centers, acc, n_frames, labels_out)
+
+    @staticmethod
+    def _save_checkpoint(path, n_frames, K, next_lo, carry, acc):
+        import os
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, n_frames=n_frames, K=K, next_lo=next_lo,
+                     carry_last=np.asarray(carry[0]),
+                     carry_res=np.asarray(carry[1]),
+                     **{f"acc/{k}": np.asarray(v) for k, v in acc.items()})
+        os.replace(tmp, path)  # atomic: a crash never corrupts the ckpt
 
     def _finalize(self, sn, centers, acc, n_frames, labels_out):
         K = len(centers)

@@ -89,3 +89,52 @@ def test_streaming_jump_parity_vs_ground_truth(md_system):
     n_true = md.true_n_ij.sum()
     # raw streaming (no merge/debounce) may double-count flickers slightly
     assert abs(int(got.sum()) - n_true) <= max(3, 0.15 * n_true)
+
+
+def test_streaming_checkpoint_resume(md_system, tmp_path):
+    """A run interrupted mid-stream resumes from its checkpoint and produces
+    bit-identical statistics to an uninterrupted run."""
+    md, seeds = md_system
+    from sitator_tpu.io import ArrayTrajectory
+    ref = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0,
+                                    block_frames=100, verbose=False)
+    centers = ref.fit_centers(seeds, ArrayTrajectory(md.traj))
+    out_ref = ref.run(seeds, md.traj, centers=centers)
+
+    ckpt = str(tmp_path / "run.ckpt")
+
+    class Interrupt(Exception):
+        pass
+
+    class FlakyReader(ArrayTrajectory):
+        """Dies after serving 4 blocks the first time through."""
+
+        def __init__(self, arr, die_after):
+            super().__init__(arr)
+            self.served = 0
+            self.die_after = die_after
+
+        def __getitem__(self, key):
+            self.served += 1
+            if self.die_after is not None and self.served > self.die_after:
+                raise Interrupt()
+            return super().__getitem__(key)
+
+    sla = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0, block_frames=100,
+                                    checkpoint_path=ckpt, checkpoint_every=2,
+                                    verbose=False)
+    import pytest as _pytest
+    with _pytest.raises(Interrupt):
+        sla.run(seeds, FlakyReader(md.traj, die_after=4), centers=centers)
+    import os
+    assert os.path.exists(ckpt)
+
+    out = sla.run(seeds, FlakyReader(md.traj, die_after=None),
+                  centers=centers)
+    np.testing.assert_array_equal(out.n_ij, out_ref.n_ij)
+    np.testing.assert_allclose(out.occupancies, out_ref.occupancies,
+                               atol=1e-12)
+    np.testing.assert_allclose(out.centers, out_ref.centers, atol=1e-5)
+    assert not os.path.exists(ckpt)  # cleaned up after completion
