@@ -67,10 +67,20 @@ class LandmarkAnalysis:
                  check_for_zero_landmarks=True,
                  static_movement_threshold=1.0,
                  max_mobile_per_site=1,
+                 dynamic_lattice_mapping=False,
                  clustering_algorithm="dotprod",
                  clustering_params=None,
                  batch_frames=256,
                  verbose=True):
+        if dynamic_lattice_mapping:
+            # reference ⚠ feature (SURVEY.md §3.2): re-map the landmark
+            # basis when static atoms EXCHANGE lattice sites.  Vertex
+            # positions here are already instantaneous per frame (thermal
+            # motion is handled); site-exchange remapping is not yet built.
+            raise NotImplementedError(
+                "dynamic_lattice_mapping (static-atom site exchange) is not "
+                "implemented; instantaneous vertex positions already follow "
+                "thermal motion")
         self.cutoff_midpoint = float(cutoff_midpoint)
         self.cutoff_steepness = float(cutoff_steepness)
         self.minimum_site_occupancy = float(minimum_site_occupancy)
