@@ -128,3 +128,14 @@ def test_plotting_smoke(rng, tmp_path):
     assert (tmp_path / "network.png").stat().st_size > 1000
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def test_plot_jump_lag(rng, tmp_path):
+    from sitator_tpu.dynamics import JumpAnalysis
+    st = _make_annotated_st(rng)
+    ja = JumpAnalysis(verbose=False)
+    ja.run(st)
+    fig = ja.plot_jump_lag()
+    fig.savefig(tmp_path / "lag.png")
+    import matplotlib.pyplot as plt
+    plt.close("all")
