@@ -252,3 +252,39 @@ def test_dotprod_classifier_api(rng):
     # predict on held-out data
     lab2 = clf.predict(base + 0.01)
     assert len(np.unique(lab2)) == 3
+
+
+def test_site_volumes():
+    from sitator_tpu.network import SiteVolumes
+    rng = np.random.default_rng(4)
+    sn = make_network([[3.0, 3, 3], [9.0, 9, 9]], n_mobile=1)
+    F = 60
+    traj = (np.arange(F) % 2).astype(np.int32)[:, None]
+    st = SiteTrajectory(sn, traj)
+    real = np.zeros((F, sn.structure.n_atoms, 3))
+    mobile_idx = np.flatnonzero(sn.mobile_mask)
+    # site 0: points in a ~1 A ball; site 1: ~2 A ball -> ~8x volume
+    for f in range(F):
+        c = sn.centers[traj[f, 0]]
+        r = 0.5 if traj[f, 0] == 0 else 1.0
+        real[f, mobile_idx[0]] = c + rng.uniform(-r, r, 3)
+    st.set_real_traj(real)
+    SiteVolumes(verbose=False).run(st)
+    v = sn.site_volumes
+    assert np.all(np.isfinite(v))
+    assert 3 < v[1] / v[0] < 20
+    assert np.all(np.isfinite(sn.site_surface_areas))
+
+
+def test_site_volumes_insufficient_points():
+    from sitator_tpu.network import SiteVolumes
+    sn = make_network([[3.0, 3, 3], [9.0, 9, 9]], n_mobile=1)
+    traj = np.zeros((3, 1), np.int32)  # site 1 never visited
+    st = SiteTrajectory(sn, traj)
+    st.set_real_traj(np.random.default_rng(0).uniform(
+        0, 12, (3, sn.structure.n_atoms, 3)))
+    SiteVolumes(verbose=False).run(st)
+    assert np.isnan(sn.site_volumes[1])
+    import pytest as _p
+    with _p.raises(ValueError):
+        SiteVolumes(error_on_insufficient=True, verbose=False).run(st)
