@@ -5,9 +5,9 @@ A backend is a module exposing
 ``do_landmark_clustering(landmark_vectors, clustering_params, min_samples,
 verbose) -> (counts, assignments, confidences, centers)``.
 """
-from sitator_tpu.landmark.cluster import dotprod
+from sitator_tpu.landmark.cluster import dotprod, mcl
 
-_BACKENDS = {"dotprod": dotprod}
+_BACKENDS = {"dotprod": dotprod, "mcl": mcl}
 
 
 def get_backend(name):

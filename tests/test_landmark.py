@@ -227,3 +227,20 @@ def test_zero_landmark_detection(synthetic_run):
         pytest.fail("check_for_zero_landmarks=False must not raise")
     except Exception:
         pass  # all-zero vectors may legitimately yield no sites
+
+
+def test_mcl_clustering_backend(synthetic_run):
+    """The MCL backend is a drop-in clustering_algorithm and recovers the
+    same site structure (within splitting tolerance)."""
+    md, seeds, la, st = synthetic_run
+    la2 = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                           clustering_algorithm="mcl", verbose=False)
+    st2 = la2.run(seeds, md.traj)
+    sn2 = st2.site_network
+    calc = PBCCalculator(md.structure.cell)
+    visited = np.unique(md.true_assignments)
+    d = calc.pairwise_distances(sn2.centers, md.true_sites[visited])
+    # every discovered site sits on a truly visited site
+    assert d.min(axis=1).max() < 1.0
+    # assignments mostly valid
+    assert st2.percent_unassigned < 0.10
