@@ -285,6 +285,76 @@ class StreamingLandmarkAnalysis:
             os.remove(ckpt)  # run completed; checkpoint no longer needed
         return self._finalize(sn, centers, acc, n_frames, labels_out)
 
+    # -- streaming post-merge -------------------------------------------
+    @staticmethod
+    def merge_network(sn, inflation=2.0, distance_threshold=3.0,
+                      verbose=True):
+        """Merge over-split sites of a *streamed* result network using its
+        accumulated ``n_ij`` (MCL on the jump graph, like
+        ``MergeSitesByDynamics``) — but at the statistics level, since the
+        label matrix may never be memory-resident: hop counts and
+        occupancy-style attributes are group-summed; intra-group hops
+        (flickers between split halves) drop out of ``n_ij``.
+
+        Returns ``(merged_network, remap)`` where ``remap[j]`` is the new
+        index of old site ``j`` — apply to spilled labels lazily.
+
+        Note: residence-style attributes cannot be exactly reconstituted
+        from summed statistics (a flicker inside a merged group should have
+        been one continuous residence); they are dropped.  Re-run
+        JumpAnalysis on remapped labels where exact residences matter.
+        """
+        from sitator_tpu.ops.mcl import markov_cluster
+        from sitator_tpu.ops.pbc import PBCCalculator
+        from sitator_tpu.network.merging import _components
+
+        n_ij = np.asarray(sn.n_ij, dtype=np.float64)
+        T = n_ij + n_ij.T
+        T[np.diag_indices_from(T)] += np.maximum(T.max(axis=1), 1.0)
+        groups = markov_cluster(T, inflation=inflation)
+        calc = PBCCalculator(sn.structure.cell)
+        occ = np.asarray(sn.occupancies)
+
+        # distance guard: single-linkage split within each group
+        final = []
+        for g in groups:
+            g = np.asarray(g)
+            if len(g) == 1 or distance_threshold is None:
+                final.append(g)
+                continue
+            d = calc.pairwise_distances(sn.centers[g])
+            final.extend(g[c] for c in _components(d <= distance_threshold))
+        final.sort(key=lambda g: int(g.min()))
+
+        S = sn.n_sites
+        remap = np.empty(S, dtype=np.int32)
+        for k, g in enumerate(final):
+            remap[g] = k
+        K2 = len(final)
+        centers = np.empty((K2, 3))
+        for k, g in enumerate(final):
+            w = occ[g]
+            centers[k] = calc.average(sn.centers[g],
+                                      w if w.sum() > 0 else None)
+        n_ij2 = np.zeros((K2, K2), dtype=np.int64)
+        idx_i = np.broadcast_to(remap[:, None], (S, S))
+        idx_j = np.broadcast_to(remap[None, :], (S, S))
+        np.add.at(n_ij2, (idx_i, idx_j), n_ij.astype(np.int64))
+        np.fill_diagonal(n_ij2, 0)  # intra-group hops were flickers
+        out = SiteNetwork(sn.structure, sn.static_mask, sn.mobile_mask)
+        out.centers = centers
+        out.add_site_attribute("occupancies",
+                               np.bincount(remap, weights=occ,
+                                           minlength=K2))
+        out.add_edge_attribute("n_ij", n_ij2)
+        row = n_ij2.sum(1, keepdims=True)
+        out.add_edge_attribute(
+            "p_ij", np.where(row > 0, n_ij2 / np.maximum(row, 1), 0.0))
+        if verbose:
+            logger.info("merge_network: %d -> %d sites, %d -> %d jumps",
+                        S, K2, int(n_ij.sum()), int(n_ij2.sum()))
+        return out, remap
+
     @staticmethod
     def _save_checkpoint(path, n_frames, K, next_lo, carry, acc):
         import os

@@ -138,3 +138,30 @@ def test_streaming_checkpoint_resume(md_system, tmp_path):
                                atol=1e-12)
     np.testing.assert_allclose(out.centers, out_ref.centers, atol=1e-5)
     assert not os.path.exists(ckpt)  # cleaned up after completion
+
+
+def test_streaming_merge_network(md_system):
+    """Stats-level post-merge collapses split sites; inter-group hop counts
+    approach ground truth."""
+    md, seeds = md_system
+    sla = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0,
+                                    block_frames=128, verbose=False)
+    out = sla.run(seeds, md.traj)
+    merged, remap = StreamingLandmarkAnalysis.merge_network(
+        out, distance_threshold=2.0, verbose=False)
+    assert merged.n_sites <= out.n_sites
+    assert remap.shape == (out.n_sites,)
+    # total occupancy conserved
+    np.testing.assert_allclose(merged.occupancies.sum(),
+                               out.occupancies.sum(), atol=1e-9)
+    # merged hop counts closer to ground truth than raw
+    calc = PBCCalculator(md.structure.cell)
+    d = calc.pairwise_distances(merged.centers, md.true_sites)
+    site_map = d.argmin(axis=1)
+    assert len(np.unique(site_map)) == merged.n_sites
+    n_true = md.true_n_ij.sum()
+    raw_err = abs(int(out.n_ij.sum()) - n_true)
+    merged_err = abs(int(merged.n_ij.sum()) - n_true)
+    assert merged_err <= raw_err
+    assert merged_err <= max(5, 0.15 * n_true)
