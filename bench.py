@@ -19,8 +19,8 @@ N_CELLS = 21          # 21^3 = 9261 static atoms
 A_LAT = 4.0
 N_IONS = 739          # 9261 + 739 = 10000 atoms
 K_CENTERS = 1024
-BLOCK = 16            # frames per analysis block
-N_BLOCKS = 16         # blocks per timed dispatch (scan-batched)
+BLOCK = 32            # frames per analysis block
+N_BLOCKS = 8          # blocks per timed dispatch (scan-batched)
 MIDPOINT, STEEPNESS, ASSIGN_THR = 4.0, 3.0, 0.35
 
 
@@ -118,7 +118,7 @@ def tpu_fps(cell, verts, frames, centers, n_static, mode="fused"):
                 labels, confs = fused_assign_blocks(
                     mobile, static, verts_j, vmask, cell_diag, centers_j,
                     midpoint=MIDPOINT, steepness=STEEPNESS,
-                    threshold=ASSIGN_THR, s_tile=512, mxu_bf16=True)
+                    threshold=ASSIGN_THR, s_tile=256, mxu_bf16=True)
             else:
                 lv = lmops.landmark_vectors(
                     mobile, static, A, cell_j, cell_inv, MIDPOINT, STEEPNESS,

@@ -61,6 +61,7 @@ class LandmarkAnalysis:
     def __init__(self,
                  cutoff_midpoint=3.0,
                  cutoff_steepness=4.0,
+                 cutoff_shape="logistic",
                  minimum_site_occupancy=0.01,
                  peak_evening="none",
                  weighted_site_positions=True,
@@ -83,6 +84,7 @@ class LandmarkAnalysis:
                 "thermal motion")
         self.cutoff_midpoint = float(cutoff_midpoint)
         self.cutoff_steepness = float(cutoff_steepness)
+        self.cutoff_shape = cutoff_shape
         self.minimum_site_occupancy = float(minimum_site_occupancy)
         self.peak_evening = peak_evening
         self.weighted_site_positions = bool(weighted_site_positions)
@@ -140,7 +142,8 @@ class LandmarkAnalysis:
         def block_fn(mobile, static):
             lv = lmops.landmark_vectors(
                 mobile, static, A, cell_j, cell_inv_j,
-                self.cutoff_midpoint, self.cutoff_steepness)
+                self.cutoff_midpoint, self.cutoff_steepness,
+                cutoff_shape=self.cutoff_shape)
             lv = lmops.peak_even(lv, mode)
             lv_n, norms = lmops.normalize_landmark_vectors(lv)
             drift = lmops.max_static_drift(static, static_ref, cell_j,

@@ -38,19 +38,23 @@ logger = logging.getLogger(__name__)
 
 
 @partial(jax.jit, static_argnames=("n_sites", "use_fused", "midpoint",
-                                   "steepness", "threshold"))
+                                   "steepness", "threshold",
+                                   "cutoff_shape"))
 def _stream_block(mobile, static, verts, vmask, A, cell, cell_inv,
                   cell_diag, centers, active, carry, acc, *, n_sites,
-                  use_fused, midpoint, steepness, threshold):
+                  use_fused, midpoint, steepness, threshold,
+                  cutoff_shape="logistic"):
     """One streamed block: assign + accumulate.  ``carry`` = (last, res)
     from the previous block; ``acc`` = dict of device accumulators."""
     if use_fused:
         labels, confs = fused_assign_blocks(
             mobile, static, verts, vmask, cell_diag, centers,
-            midpoint=midpoint, steepness=steepness, threshold=threshold)
+            midpoint=midpoint, steepness=steepness, threshold=threshold,
+            cutoff_shape=cutoff_shape)
     else:
         lv = lmops.landmark_vectors(mobile, static, A, cell, cell_inv,
-                                    midpoint, steepness)
+                                    midpoint, steepness,
+                                    cutoff_shape=cutoff_shape)
         lv_n, _ = lmops.normalize_landmark_vectors(lv)
         labels, confs = lmops.assign_to_centers(lv_n, centers, active,
                                                 threshold)
@@ -86,12 +90,14 @@ class StreamingLandmarkAnalysis:
     """
 
     def __init__(self, cutoff_midpoint=3.0, cutoff_steepness=4.0,
+                 cutoff_shape="logistic",
                  minimum_site_occupancy=0.01, assignment_threshold=None,
                  clustering_params=None, block_frames=1024, fit_frames=8192,
                  store_labels=None, mesh=None, checkpoint_path=None,
                  checkpoint_every=64, verbose=True):
         self.cutoff_midpoint = float(cutoff_midpoint)
         self.cutoff_steepness = float(cutoff_steepness)
+        self.cutoff_shape = cutoff_shape
         self.minimum_site_occupancy = float(minimum_site_occupancy)
         self.clustering_params = dict(clustering_params or {})
         self.assignment_threshold = (
@@ -130,7 +136,7 @@ class StreamingLandmarkAnalysis:
                 jnp.asarray(frames[:, mobile_idx], jnp.float32),
                 jnp.asarray(frames[:, static_idx], jnp.float32),
                 A, cell, cell_inv, self.cutoff_midpoint,
-                self.cutoff_steepness)
+                self.cutoff_steepness, cutoff_shape=self.cutoff_shape)
             lv_n, _ = lmops.normalize_landmark_vectors(lv)
             lvs.append(np.asarray(lv_n.reshape(-1, lv_n.shape[-1])))
         X = np.concatenate(lvs)
@@ -242,7 +248,8 @@ class StreamingLandmarkAnalysis:
                 cell_diag, centers_j, active, carry, acc, n_sites=K,
                 use_fused=use_fused, midpoint=self.cutoff_midpoint,
                 steepness=self.cutoff_steepness,
-                threshold=self.assignment_threshold)
+                threshold=self.assignment_threshold,
+                cutoff_shape=self.cutoff_shape)
             if nb < B:
                 # rerun carry/acc on the unpadded tail is wasteful; instead
                 # correct: padding repeats the final frame, adding no jumps

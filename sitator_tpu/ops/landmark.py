@@ -33,6 +33,7 @@ from sitator_tpu.ops.pbc import min_image_disp
 __all__ = [
     "vertex_membership_matrix",
     "log_cutoff",
+    "log_cutoff_r2",
     "landmark_vectors",
     "normalize_landmark_vectors",
     "peak_even",
@@ -66,8 +67,18 @@ def log_cutoff(d, midpoint, steepness):
     return -jax.nn.softplus(steepness * (d - midpoint))
 
 
+def log_cutoff_r2(d2, midpoint, steepness):
+    """Fast cutoff variant: logistic in d² —
+    ``c(d) = 1/(1+exp(k' (d² - d0²)))`` with ``k' = steepness/(2 d0)`` so
+    value (½) and slope at the midpoint match :func:`log_cutoff`.  Same
+    smooth-switch physics, no sqrt on the hot path; select with
+    ``cutoff_shape='logistic_r2'``."""
+    k2 = steepness / (2.0 * midpoint)
+    return -jax.nn.softplus(k2 * (d2 - midpoint * midpoint))
+
+
 def landmark_vectors(mobile, static, A, cell, cell_inv, midpoint, steepness,
-                     matmul_dtype=None):
+                     matmul_dtype=None, cutoff_shape="logistic"):
     """Landmark vectors for a block of frames.
 
     Parameters
@@ -88,8 +99,13 @@ def landmark_vectors(mobile, static, A, cell, cell_inv, midpoint, steepness,
     """
     diff = mobile[:, :, None, :] - static[:, None, :, :]      # (B, M, N, 3)
     diff = min_image_disp(diff, cell, cell_inv)
-    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))               # (B, M, N)
-    logc = log_cutoff(d, midpoint, steepness)
+    d2 = jnp.sum(diff * diff, axis=-1)                        # (B, M, N)
+    if cutoff_shape == "logistic":
+        logc = log_cutoff(jnp.sqrt(d2), midpoint, steepness)
+    elif cutoff_shape == "logistic_r2":
+        logc = log_cutoff_r2(d2, midpoint, steepness)
+    else:
+        raise ValueError(f"unknown cutoff_shape {cutoff_shape!r}")
     if matmul_dtype is not None:
         logc = logc.astype(matmul_dtype)
         A = A.astype(matmul_dtype)

@@ -59,7 +59,7 @@ def prepare_vertex_planes(static, verts, vmask):
 
 def _kernel(mob_ref, vp_ref, mask_ref, centers_ref, params_ref,
             labels_ref, confs_ref, sims_acc, norm_acc, *, V, n_s_tiles,
-            mxu_dtype):
+            mxu_dtype, r2_cutoff=False):
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -89,8 +89,14 @@ def _kernel(mob_ref, vp_ref, mask_ref, centers_ref, params_ref,
         dx = dx - jnp.round(dx * (1.0 / lx)) * lx
         dy = dy - jnp.round(dy * (1.0 / ly)) * ly
         dz = dz - jnp.round(dz * (1.0 / lz)) * lz
-        d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-        logc = -jax.nn.softplus(steepness * (d - midpoint))
+        d2 = dx * dx + dy * dy + dz * dz
+        if r2_cutoff:
+            # slope-matched logistic in d^2 (see ops.landmark.log_cutoff_r2)
+            k2 = steepness / (2.0 * midpoint)
+            logc = -jax.nn.softplus(k2 * (d2 - midpoint * midpoint))
+        else:
+            logc = -jax.nn.softplus(
+                steepness * (jnp.sqrt(d2) - midpoint))
         loglv = loglv + mask_ref[v, :][None, :] * logc
 
     # row V of the mask is the padded-site kill switch: 1 for padding-only
@@ -116,10 +122,11 @@ def _kernel(mob_ref, vp_ref, mask_ref, centers_ref, params_ref,
 
 @partial(jax.jit,
          static_argnames=("midpoint", "steepness", "threshold", "s_tile",
-                          "mxu_bf16", "interpret"))
+                          "mxu_bf16", "interpret", "cutoff_shape"))
 def fused_assign_blocks(mobile, static, verts, vmask, cell_diag, centers,
                         *, midpoint, steepness, threshold, s_tile=512,
-                        mxu_bf16=True, interpret=False):
+                        mxu_bf16=True, interpret=False,
+                        cutoff_shape="logistic"):
     """Fused landmark + normalize + assign for a block of frames.
 
     mobile (B, M, 3), static (B, N, 3), verts (S, V) int32, vmask (S, V),
@@ -158,7 +165,8 @@ def fused_assign_blocks(mobile, static, verts, vmask, cell_diag, centers,
 
     grid = (B, n_s_tiles)
     kernel = partial(_kernel, V=V, n_s_tiles=n_s_tiles,
-                     mxu_dtype=jnp.bfloat16 if mxu_bf16 else jnp.float32)
+                     mxu_dtype=jnp.bfloat16 if mxu_bf16 else jnp.float32,
+                     r2_cutoff=(cutoff_shape == "logistic_r2"))
     labels, confs = pl.pallas_call(
         kernel,
         grid=grid,

@@ -244,3 +244,59 @@ def test_mcl_clustering_backend(synthetic_run):
     assert d.min(axis=1).max() < 1.0
     # assignments mostly valid
     assert st2.percent_unassigned < 0.10
+
+
+def test_cutoff_r2_matches_oracle(rng):
+    """The d^2-logistic fast cutoff matches its own float64 oracle and
+    agrees with the standard logistic at the midpoint."""
+    cell = np.diag([9.0, 10.0, 11.0])
+    F, M, N, S = 2, 3, 10, 4
+    mobile = rng.uniform(0, 9, size=(F, M, 3))
+    static = rng.uniform(0, 9, size=(F, N, 3))
+    verts_list = [rng.choice(N, size=4, replace=False) for _ in range(S)]
+    k, d0 = 3.0, 4.0
+
+    # float64 oracle of the r2 variant
+    cell_inv = np.linalg.inv(cell)
+    want = np.zeros((F, M, S))
+    k2 = k / (2 * d0)
+    for f in range(F):
+        for m in range(M):
+            for s, vv in enumerate(verts_list):
+                prod = 1.0
+                for v in vv:
+                    d = mobile[f, m] - static[f, v]
+                    df = d @ cell_inv
+                    df -= np.round(df)
+                    d2 = np.sum((df @ cell) ** 2)
+                    prod *= 1.0 / (1.0 + np.exp(k2 * (d2 - d0 * d0)))
+                want[f, m, s] = prod
+
+    vmax = 4
+    verts = np.stack(verts_list).astype(np.int32)
+    vmask = np.ones((S, vmax), bool)
+    A = lmops.vertex_membership_matrix(verts, vmask, N)
+    got = lmops.landmark_vectors(
+        jnp.asarray(mobile, jnp.float32), jnp.asarray(static, jnp.float32),
+        A, jnp.asarray(cell, jnp.float32),
+        jnp.asarray(np.linalg.inv(cell), jnp.float32), d0, k,
+        cutoff_shape="logistic_r2")
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+    # both cutoffs equal 1/2 exactly at d = midpoint
+    c_log = np.exp(np.asarray(lmops.log_cutoff(jnp.asarray(d0), d0, k)))
+    c_r2 = np.exp(np.asarray(lmops.log_cutoff_r2(jnp.asarray(d0 * d0),
+                                                 d0, k)))
+    assert abs(c_log - 0.5) < 1e-6 and abs(c_r2 - 0.5) < 1e-6
+
+
+def test_landmark_analysis_r2_cutoff_end_to_end(synthetic_run):
+    """cutoff_shape='logistic_r2' recovers the same physics."""
+    md, seeds, la, st = synthetic_run
+    la2 = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                           cutoff_shape="logistic_r2", verbose=False)
+    st2 = la2.run(seeds, md.traj)
+    calc = PBCCalculator(md.structure.cell)
+    d = calc.pairwise_distances(st2.site_network.centers, md.true_sites)
+    site_map = d.argmin(axis=1)
+    mapped = np.where(st2.traj >= 0, site_map[st2.traj], -1)
+    assert (mapped == md.true_assignments).mean() > 0.97

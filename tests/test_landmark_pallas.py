@@ -72,3 +72,25 @@ def test_fused_kernel_site_padding_exact(rng):
 def test_supports_cell():
     assert supports_cell(np.diag([3.0, 4.0, 5.0]))
     assert not supports_cell(np.array([[3, 0.1, 0], [0, 4, 0], [0, 0, 5.0]]))
+
+
+def test_fused_kernel_r2_cutoff_matches_xla(rng):
+    r = np.random.default_rng(9)
+    cell_diag, mobile, static, verts, vmask, centers = _system(r)
+    cell = np.diag(cell_diag).astype(np.float32)
+    A = lmops.vertex_membership_matrix(verts, vmask, static.shape[1])
+    lv = lmops.landmark_vectors(
+        jnp.asarray(mobile), jnp.asarray(static), A, jnp.asarray(cell),
+        jnp.asarray(np.linalg.inv(cell), jnp.float32), 3.0, 4.0,
+        cutoff_shape="logistic_r2")
+    lvn, _ = lmops.normalize_landmark_vectors(lv)
+    want_lab, want_conf = lmops.assign_to_centers(
+        lvn, jnp.asarray(centers), jnp.ones(len(centers), bool), 0.3)
+    got_lab, got_conf = fused_assign_blocks(
+        jnp.asarray(mobile), jnp.asarray(static), jnp.asarray(verts),
+        jnp.asarray(vmask), jnp.asarray(cell_diag), jnp.asarray(centers),
+        midpoint=3.0, steepness=4.0, threshold=0.3, s_tile=128,
+        mxu_bf16=False, interpret=True, cutoff_shape="logistic_r2")
+    np.testing.assert_array_equal(np.asarray(want_lab), np.asarray(got_lab))
+    np.testing.assert_allclose(np.asarray(want_conf), np.asarray(got_conf),
+                               atol=1e-5)
