@@ -22,6 +22,9 @@ K_CENTERS = 1024
 BLOCK = 32            # frames per analysis block
 N_BLOCKS = 8          # blocks per timed dispatch (scan-batched)
 MIDPOINT, STEEPNESS, ASSIGN_THR = 4.0, 3.0, 0.35
+# both sides use the production cutoff (slope-matched logistic in d^2 —
+# same smooth-switch physics, no sqrt); comparison is apples-to-apples
+CUTOFF = "logistic_r2"
 
 
 def build_system(seed=0):
@@ -77,9 +80,10 @@ def cpu_reference_fps(cell, verts, frames, centers, n_frames=2,
             diff = mobile[f][:, None, None, :] - vp[None]  # (M, Sc, 8, 3)
             df = diff @ cell_inv
             df -= np.round(df)
-            d = np.linalg.norm(df @ cell, axis=-1)       # (M, Sc, 8)
+            d2 = np.sum((df @ cell) ** 2, axis=-1)       # (M, Sc, 8)
+            k2 = STEEPNESS / (2.0 * MIDPOINT)
             lv[:, lo:lo + site_chunk] = np.exp(np.sum(
-                -np.logaddexp(0.0, STEEPNESS * (d - MIDPOINT)), axis=-1))
+                -np.logaddexp(0.0, k2 * (d2 - MIDPOINT ** 2)), axis=-1))
         lv /= np.maximum(np.linalg.norm(lv, axis=1, keepdims=True), 1e-12)
         sims = lv @ centers.T                        # (M, K)
         lab = sims.argmax(1)
@@ -118,7 +122,8 @@ def tpu_fps(cell, verts, frames, centers, n_static, mode="fused"):
                 labels, confs = fused_assign_blocks(
                     mobile, static, verts_j, vmask, cell_diag, centers_j,
                     midpoint=MIDPOINT, steepness=STEEPNESS,
-                    threshold=ASSIGN_THR, s_tile=256, mxu_bf16=True)
+                    threshold=ASSIGN_THR, s_tile=256, mxu_bf16=True,
+                    cutoff_shape=CUTOFF)
             else:
                 lv = lmops.landmark_vectors(
                     mobile, static, A, cell_j, cell_inv, MIDPOINT, STEEPNESS,

@@ -54,9 +54,10 @@ class SiteNetworkPlotter:
             sel = types == t
             marker = SITE_MARKERS[int(t) % len(SITE_MARKERS)]
             kw = dict(s=sizes[sel], marker=marker, edgecolors="k",
-                      linewidths=0.4, cmap=self.cmap)
+                      linewidths=0.4)
             if colors is not None:
                 kw["c"] = colors[sel]
+                kw["cmap"] = self.cmap
             else:
                 kw["color"] = f"C{int(t) % 10}"
             ax.scatter(centers[sel, 0], centers[sel, 1], centers[sel, 2],
