@@ -72,6 +72,7 @@ class LandmarkAnalysis:
                  clustering_algorithm="dotprod",
                  clustering_params=None,
                  batch_frames=256,
+                 mesh=None,
                  verbose=True):
         if dynamic_lattice_mapping:
             # reference ⚠ feature (SURVEY.md §3.2): re-map the landmark
@@ -94,6 +95,7 @@ class LandmarkAnalysis:
         self.clustering_algorithm = clustering_algorithm
         self.clustering_params = dict(clustering_params or {})
         self.batch_frames = int(batch_frames)
+        self.mesh = mesh  # optional 1-D frame mesh: blocks shard over it
         self.verbose = verbose
         self._landmark_vectors = None
         self._landmark_dimension = None
@@ -152,6 +154,12 @@ class LandmarkAnalysis:
 
         # -- blockwise landmark computation (fixed shapes; pad last block) --
         B = min(self.batch_frames, n_frames)
+        sharding = None
+        if self.mesh is not None:
+            from sitator_tpu.parallel.mesh import frame_sharding
+            n_dev = self.mesh.devices.size
+            B = max(B // n_dev, 1) * n_dev  # blocks divide the mesh
+            sharding = frame_sharding(self.mesh)
         lv_all = np.empty((n_frames, n_mobile, n_landmarks), dtype=np.float32)
         n_zero = 0
         first_zero = None
@@ -165,6 +173,9 @@ class LandmarkAnalysis:
                 blk = np.concatenate([blk, pad], axis=0)
             mobile = jnp.asarray(blk[:, mobile_idx], dtype=jnp.float32)
             static = jnp.asarray(blk[:, static_idx], dtype=jnp.float32)
+            if sharding is not None:
+                mobile = jax.device_put(mobile, sharding)
+                static = jax.device_put(static, sharding)
             lv_n, norms, drift = block_fn(mobile, static)
             lv_all[lo:hi] = np.asarray(lv_n)[: hi - lo]
             zn = np.asarray(norms)[: hi - lo] == 0

@@ -94,3 +94,14 @@ def test_streaming_on_mesh_matches_single_device(base_system):
     np.testing.assert_allclose(out1.occupancies, out8.occupancies,
                                atol=1e-12)
     np.testing.assert_allclose(out1.centers, out8.centers, atol=1e-4)
+
+
+def test_landmark_analysis_on_mesh_matches_single(base_system):
+    """LandmarkAnalysis(mesh=8 devices) == single-device result exactly."""
+    md, seeds, st = base_system
+    la8 = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                           mesh=frame_mesh(), verbose=False)
+    st8 = la8.run(seeds, md.traj)
+    np.testing.assert_array_equal(st8.traj, st.traj)
+    np.testing.assert_allclose(st8.site_network.centers,
+                               st.site_network.centers, atol=1e-5)
