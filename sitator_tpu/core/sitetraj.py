@@ -135,20 +135,28 @@ class SiteTrajectory:
         """Fill ``SITE_UNKNOWN`` gaps with each ion's last known site, in
         place.  ``frame_threshold`` bounds how many consecutive unknown frames
         may be filled (None = unbounded).  Logs the residual unassigned
-        fraction (reference parity)."""
+        fraction (reference parity).
+
+        Runs as two associative prefix scans on device (forward-fill of the
+        site and of the last-known frame index) — O(log F) depth, scales to
+        millions of frames."""
+        import jax
+        import jax.numpy as jnp
+
         before = self.percent_unassigned
-        traj = self._traj
-        last = np.full(self.n_mobile, self.SITE_UNKNOWN, dtype=np.int32)
-        age = np.zeros(self.n_mobile, dtype=np.int64)
-        for f in range(self.n_frames):
-            row = traj[f]
-            unknown = row == self.SITE_UNKNOWN
-            age = np.where(unknown, age + 1, 0)
-            fillable = unknown & (last != self.SITE_UNKNOWN)
-            if frame_threshold is not None:
-                fillable &= age <= frame_threshold
-            row[fillable] = last[fillable]
-            last = np.where(row != self.SITE_UNKNOWN, row, last)
+        traj = jnp.asarray(self._traj)
+        filled = jax.lax.associative_scan(
+            lambda a, b: jnp.where(b >= 0, b, a), traj, axis=0)
+        if frame_threshold is None:
+            out = filled
+        else:
+            F = traj.shape[0]
+            fidx = jnp.arange(F, dtype=jnp.int32)[:, None]
+            seen = jnp.where(traj >= 0, fidx, -1)
+            last_seen = jax.lax.cummax(seen, axis=0)
+            age = fidx - last_seen
+            out = jnp.where(age <= int(frame_threshold), filled, traj)
+        self._traj = np.asarray(out).astype(np.int32)
         after = self.percent_unassigned
         logger.info("assign_to_last_known_site: unassigned %.3f%% -> %.3f%%",
                     100 * before, 100 * after)
