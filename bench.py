@@ -160,7 +160,13 @@ def tpu_fps(cell, verts, frames, centers, n_static, mode="fused"):
 
 def main():
     cell, verts, frames, centers, n_static = build_system()
-    fps = tpu_fps(cell, verts, frames, centers, n_static)
+    # the axon tunnel occasionally fails transiently (session-grant races);
+    # one retry after a cooldown keeps the bench robust
+    try:
+        fps = tpu_fps(cell, verts, frames, centers, n_static)
+    except RuntimeError:
+        time.sleep(120)
+        fps = tpu_fps(cell, verts, frames, centers, n_static)
     ref = cpu_reference_fps(cell, verts, frames, centers)
     print(json.dumps({
         "metric": "frames_per_sec_landmark_assign_jump_10k_atoms_1chip",
