@@ -18,8 +18,7 @@ import queue as _queue
 
 import numpy as np
 
-from sitator_tpu.core.structure import Structure, number_to_symbol, \
-    symbol_to_number
+from sitator_tpu.core.structure import Structure, symbol_to_number
 
 __all__ = [
     "read_xyz", "write_xyz", "iread_xyz",

@@ -32,7 +32,6 @@ class SiteNetworkPlotter:
 
     @plotter(is3D=True)
     def plot(self, sn, with_atoms=True, fig=None, ax=None):
-        import matplotlib.pyplot as plt
         if with_atoms:
             plot_atoms(sn.static_structure, alpha=0.25, show_cell=False,
                        fig=fig, ax=ax)

@@ -300,3 +300,19 @@ def test_landmark_analysis_r2_cutoff_end_to_end(synthetic_run):
     site_map = d.argmin(axis=1)
     mapped = np.where(st2.traj >= 0, site_map[st2.traj], -1)
     assert (mapped == md.true_assignments).mean() > 0.97
+
+
+def test_multiple_occupancy_warning(synthetic_run, caplog):
+    """max_mobile_per_site violations surface as a warning."""
+    import logging
+    md, seeds, la, st = synthetic_run
+    # force two ions onto one site by duplicating an ion's coordinates
+    bad = md.traj.copy()
+    mobile_idx = np.flatnonzero(md.mobile_mask)
+    bad[:, mobile_idx[1]] = bad[:, mobile_idx[0]]
+    la2 = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                           verbose=False)
+    with caplog.at_level(logging.WARNING,
+                         logger="sitator_tpu.landmark.analysis"):
+        la2.run(seeds, bad)
+    assert any("max_mobile_per_site" in r.message for r in caplog.records)
