@@ -24,7 +24,47 @@ from sitator_tpu.parallel.mesh import (
     replicated,
 )
 
-__all__ = ["SpmdLandmarkPipeline", "analysis_step"]
+__all__ = ["SpmdLandmarkPipeline", "analysis_step", "fused_analysis_step"]
+
+
+def fused_analysis_step(mesh, mobile, static, verts, vmask, cell_diag,
+                        centers, *, midpoint, steepness, threshold,
+                        s_tile=256, cutoff_shape="logistic", mxu_bf16=True,
+                        interpret=False):
+    """Frame-sharded analysis step using the fused Pallas kernel.
+
+    The kernel runs per shard under ``shard_map`` (a Pallas call cannot be
+    auto-partitioned by GSPMD); the order-dependent jump statistics run on
+    the sharded labels OUTSIDE the shard_map, where the associative-prefix
+    formulation partitions automatically.  Orthorhombic cells only.
+
+    mobile (F, M, 3) / static (F, N, 3) frame-sharded over ``mesh``;
+    verts/vmask/centers replicated.  Returns (labels, confs, stats).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from sitator_tpu.ops.landmark_pallas import fused_assign_blocks
+    from sitator_tpu.parallel.mesh import FRAME_AXIS
+
+    fs = P(FRAME_AXIS)
+    rep = P()
+
+    def local(mobile, static, verts, vmask, cell_diag, centers):
+        return fused_assign_blocks(
+            mobile, static, verts, vmask, cell_diag, centers,
+            midpoint=midpoint, steepness=steepness, threshold=threshold,
+            s_tile=s_tile, mxu_bf16=mxu_bf16, interpret=interpret,
+            cutoff_shape=cutoff_shape)
+
+    labels, confs = shard_map(
+        local, mesh=mesh,
+        in_specs=(fs, fs, rep, rep, rep, rep),
+        out_specs=(fs, fs),
+        check_rep=False,
+    )(mobile, static, verts, vmask, cell_diag, centers)
+    stats = _jump_stats_parallel(labels, int(centers.shape[0]))
+    return labels, confs, stats
 
 
 @partial(jax.jit,

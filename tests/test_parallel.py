@@ -128,3 +128,42 @@ def test_pipeline_matches_landmark_analysis(fitted_system):
     want_lab, want_conf = lmops.assign_to_centers(
         lvn, res["centers"], res["active"], 0.35)
     np.testing.assert_array_equal(labels, np.asarray(want_lab))
+
+
+def test_fused_spmd_step_matches_xla(fitted_system):
+    """Fused Pallas kernel under shard_map on the 8-device mesh equals the
+    XLA analysis step (interpret mode on CPU)."""
+    import jax
+    from sitator_tpu.parallel.pipeline import analysis_step, \
+        fused_analysis_step
+    from sitator_tpu.ops.landmark import vertex_membership_matrix
+
+    md, seeds, res = fitted_system
+    mesh = frame_mesh()
+    F = 64
+    frames = md.traj[:F]
+    mobile = jnp.asarray(frames[:, md.mobile_mask], jnp.float32)
+    static = jnp.asarray(frames[:, md.static_mask], jnp.float32)
+    verts, vmask = seeds.padded_vertices()
+    cell = jnp.asarray(md.structure.cell, jnp.float32)
+    cell_inv = jnp.asarray(np.linalg.inv(md.structure.cell), jnp.float32)
+    cell_diag = jnp.asarray(np.diag(md.structure.cell), jnp.float32)
+    # the fused step takes only live center rows (no active mask)
+    centers = jnp.asarray(np.asarray(res["centers"])[np.asarray(
+        res["active"])])
+    K = centers.shape[0]
+
+    sh = shard_frames
+    labels_f, confs_f, stats_f = fused_analysis_step(
+        mesh, sh(np.asarray(mobile), mesh), sh(np.asarray(static), mesh),
+        jnp.asarray(verts), jnp.asarray(vmask), cell_diag, centers,
+        midpoint=4.0, steepness=3.0, threshold=0.35, s_tile=128,
+        mxu_bf16=False, interpret=True)
+
+    A = vertex_membership_matrix(verts, vmask, int(md.static_mask.sum()))
+    labels_x, confs_x, stats_x = analysis_step(
+        mobile, static, A, cell, cell_inv, centers, jnp.ones(K, bool),
+        4.0, 3.0, 0.35, n_sites=K)
+    np.testing.assert_array_equal(np.asarray(labels_f), np.asarray(labels_x))
+    np.testing.assert_array_equal(np.asarray(stats_f["n_ij"]),
+                                  np.asarray(stats_x["n_ij"]))
