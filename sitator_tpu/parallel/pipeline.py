@@ -41,7 +41,7 @@ def fused_analysis_step(mesh, mobile, static, verts, vmask, cell_diag,
     mobile (F, M, 3) / static (F, N, 3) frame-sharded over ``mesh``;
     verts/vmask/centers replicated.  Returns (labels, confs, stats).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from sitator_tpu.ops.landmark_pallas import fused_assign_blocks
