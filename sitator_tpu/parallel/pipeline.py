@@ -61,7 +61,6 @@ def fused_analysis_step(mesh, mobile, static, verts, vmask, cell_diag,
         local, mesh=mesh,
         in_specs=(fs, fs, rep, rep, rep, rep),
         out_specs=(fs, fs),
-        check_rep=False,
     )(mobile, static, verts, vmask, cell_diag, centers)
     stats = _jump_stats_parallel(labels, int(centers.shape[0]))
     return labels, confs, stats
