@@ -61,6 +61,7 @@ def fused_analysis_step(mesh, mobile, static, verts, vmask, cell_diag,
         local, mesh=mesh,
         in_specs=(fs, fs, rep, rep, rep, rep),
         out_specs=(fs, fs),
+        check_vma=False,  # Pallas outputs carry no varying-mesh-axes info
     )(mobile, static, verts, vmask, cell_diag, centers)
     stats = _jump_stats_parallel(labels, int(centers.shape[0]))
     return labels, confs, stats
