@@ -177,8 +177,12 @@ class StreamingLandmarkAnalysis:
         cell = jnp.asarray(cell_np, jnp.float32)
         cell_inv = jnp.asarray(np.linalg.inv(cell_np), jnp.float32)
         cell_diag = jnp.asarray(np.diag(cell_np), jnp.float32)
-        use_fused = supports_cell(cell_np) and \
-            jax.default_backend() == "tpu"
+        # the fused Pallas kernel cannot be GSPMD-partitioned; with a mesh,
+        # take the XLA path (round-2: route through
+        # parallel.pipeline.fused_analysis_step's shard_map)
+        use_fused = (supports_cell(cell_np)
+                     and jax.default_backend() == "tpu"
+                     and self.mesh is None)
         centers_j = jnp.asarray(centers, jnp.float32)
         active = jnp.ones(K, bool)
         verts_j = jnp.asarray(verts)
