@@ -316,3 +316,21 @@ def test_multiple_occupancy_warning(synthetic_run, caplog):
                          logger="sitator_tpu.landmark.analysis"):
         la2.run(seeds, bad)
     assert any("max_mobile_per_site" in r.message for r in caplog.records)
+
+
+def test_suggest_cutoff_recovers_physics(synthetic_run):
+    """Auto-calibrated cutoff parameters drive the pipeline to the same
+    ground-truth recovery as the hand-tuned ones."""
+    from sitator_tpu.landmark import suggest_cutoff
+    md, seeds, la, st = synthetic_run
+    midpoint, steepness = suggest_cutoff(seeds, md.traj)
+    assert 3.0 < midpoint < 6.5
+    assert 1.0 <= steepness <= 10.0
+    la2 = LandmarkAnalysis(cutoff_midpoint=midpoint,
+                           cutoff_steepness=steepness, verbose=False)
+    st2 = la2.run(seeds, md.traj)
+    calc = PBCCalculator(md.structure.cell)
+    d = calc.pairwise_distances(st2.site_network.centers, md.true_sites)
+    site_map = d.argmin(axis=1)
+    mapped = np.where(st2.traj >= 0, site_map[st2.traj], -1)
+    assert (mapped == md.true_assignments).mean() > 0.95
