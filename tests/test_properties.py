@@ -105,3 +105,41 @@ def test_landmark_analysis_on_mesh_matches_single(base_system):
     np.testing.assert_array_equal(st8.traj, st.traj)
     np.testing.assert_allclose(st8.site_network.centers,
                                st.site_network.centers, atol=1e-5)
+
+
+def test_triclinic_end_to_end():
+    """Full pipeline on a sheared (triclinic) cell: general-cell XLA path +
+    auto-calibrated cutoff still recover the hopping physics."""
+    from sitator_tpu.core.structure import Structure
+    from sitator_tpu.landmark import suggest_cutoff
+    from sitator_tpu.dynamics import JumpAnalysis, MergeSitesByDynamics, \
+        RemoveShortJumps
+
+    md = make_hopping_trajectory(n_cells=3, a=4.0, n_ions=4, n_frames=600,
+                                 jump_rate=0.03, seed=13)
+    # shear the whole system (cell + all positions) — a genuine triclinic MD
+    S = np.array([[1.0, 0.18, 0.0], [0.0, 1.0, 0.12], [0.0, 0.0, 1.0]])
+    cell_t = md.structure.cell @ S
+    traj_t = md.traj @ S.astype(md.traj.dtype)
+    s_t = Structure(md.structure.positions @ S, md.structure.species, cell_t)
+    sn = SiteNetwork(s_t, md.static_mask, md.mobile_mask)
+    seeds = VoronoiSiteGenerator(merge_tol=0.05).run(sn)
+
+    midpoint, steepness = suggest_cutoff(seeds, traj_t)
+    la = LandmarkAnalysis(cutoff_midpoint=midpoint,
+                          cutoff_steepness=steepness, verbose=False)
+    st = la.run(seeds, traj_t)
+    st = MergeSitesByDynamics(distance_threshold=2.0, verbose=False).run(st)
+    st = RemoveShortJumps(verbose=False).run(st)
+    ja = JumpAnalysis(verbose=False)
+    ja.run(st)
+
+    # site recovery against the sheared true sites
+    calc = PBCCalculator(cell_t)
+    true_sites_t = md.true_sites @ S
+    d = calc.pairwise_distances(st.site_network.centers, true_sites_t)
+    site_map = d.argmin(axis=1)
+    mapped = np.where(st.traj >= 0, site_map[st.traj], -1)
+    assert (mapped == md.true_assignments).mean() > 0.95
+    n_true = md.true_n_ij.sum()
+    assert abs(ja.n_jumps - n_true) <= max(3, 0.15 * n_true)
