@@ -164,7 +164,11 @@ class LandmarkAnalysis:
         n_zero = 0
         first_zero = None
         max_drift = 0.0
-        for lo in range(0, n_frames, B):
+        from sitator_tpu.util.progress import get_progress_bar
+        blocks = get_progress_bar(range(0, n_frames, B),
+                                  enabled=self.verbose,
+                                  desc="landmark vectors", unit="block")
+        for lo in blocks:
             hi = min(lo + B, n_frames)
             blk = frames[lo:hi]
             if hi - lo < B:  # pad to the jitted block shape

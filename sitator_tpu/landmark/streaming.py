@@ -236,7 +236,12 @@ class StreamingLandmarkAnalysis:
 
         B = self.block_frames
         blocks_done = 0
-        for lo, block in ChunkedFeeder(reader, B, start=start_lo):
+        from sitator_tpu.util.progress import get_progress_bar
+        feeder = get_progress_bar(
+            ChunkedFeeder(reader, B, start=start_lo), enabled=self.verbose,
+            total=-(-(n_frames - start_lo) // B), desc="streaming",
+            unit="block")
+        for lo, block in feeder:
             nb = len(block)
             if nb < B:  # pad to the compiled block shape
                 pad = np.broadcast_to(block[-1:],
