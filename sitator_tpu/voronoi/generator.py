@@ -17,6 +17,13 @@ Nodes are deduplicated across periodic images and near-coincident nodes
 (degenerate lattices) merged with their vertex sets unioned.  The node radius
 (distance to its defining atoms — Zeo++'s node radius) is attached as site
 attribute ``site_radii``.
+
+Small-cell caveat: vertex sets store *original* atom indices.  In cells so
+small that a node's defining simplex spans multiple periodic images of the
+same atom, the unique vertex set under-counts that atom's images, and the
+downstream minimum-image landmark product sees only the nearest image.
+Irrelevant once the cell comfortably exceeds the landmark cutoff (the
+production regime); use a supercell otherwise.
 """
 from __future__ import annotations
 
