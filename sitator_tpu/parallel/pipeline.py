@@ -106,18 +106,37 @@ class SpmdLandmarkPipeline:
 
     def __init__(self, seed_sn, centers, active, *, cutoff_midpoint,
                  cutoff_steepness, assignment_threshold=0.35,
-                 peak_evening="none", mesh=None):
+                 peak_evening="none", mesh=None, use_fused="auto",
+                 cutoff_shape="logistic", interpret=False):
         self.mesh = mesh if mesh is not None else frame_mesh()
         self.n_devices = self.mesh.devices.size
         self.peak_evening = peak_evening
         self.cutoff_midpoint = float(cutoff_midpoint)
         self.cutoff_steepness = float(cutoff_steepness)
         self.assignment_threshold = float(assignment_threshold)
+        self.cutoff_shape = cutoff_shape
+        self.interpret = bool(interpret)
+        if use_fused == "auto":
+            from sitator_tpu.ops.landmark_pallas import supports_cell
+            use_fused = (supports_cell(seed_sn.structure.cell)
+                         and jax.default_backend() == "tpu"
+                         and peak_evening == "none")
+        self.use_fused = bool(use_fused)
 
         self.mobile_idx = np.flatnonzero(seed_sn.mobile_mask)
         self.static_idx = np.flatnonzero(seed_sn.static_mask)
         verts, vmask = seed_sn.padded_vertices()
         rep = replicated(self.mesh)
+        self.verts = jax.device_put(jnp.asarray(verts), rep)
+        self.vmask = jax.device_put(jnp.asarray(vmask), rep)
+        self.cell_diag = jax.device_put(
+            jnp.asarray(np.diag(seed_sn.structure.cell), jnp.float32), rep)
+        # fused path uses compacted (live-row) centers; labels are remapped
+        # back to the caller's cluster indexing on the way out
+        self._active_idx = np.flatnonzero(np.asarray(active))
+        self._centers_compact = jax.device_put(
+            jnp.asarray(np.asarray(centers)[self._active_idx], jnp.float32),
+            rep)
         self.A = jax.device_put(
             lmops.vertex_membership_matrix(verts, vmask,
                                            len(self.static_idx)), rep)
@@ -141,11 +160,28 @@ class SpmdLandmarkPipeline:
             padded[:, self.mobile_idx].astype(np.float32), sh)
         static = jax.device_put(
             padded[:, self.static_idx].astype(np.float32), sh)
-        labels, confs, stats = analysis_step(
-            mobile, static, self.A, self.cell, self.cell_inv, self.centers,
-            self.active, self.cutoff_midpoint, self.cutoff_steepness,
-            self.assignment_threshold, self.n_sites, self.peak_evening)
-        labels = np.asarray(labels)[:n_valid]
+        if self.use_fused:
+            labels, confs, _ = fused_analysis_step(
+                self.mesh, mobile, static, self.verts, self.vmask,
+                self.cell_diag, self._centers_compact,
+                midpoint=self.cutoff_midpoint,
+                steepness=self.cutoff_steepness,
+                threshold=self.assignment_threshold,
+                cutoff_shape=self.cutoff_shape, interpret=self.interpret)
+            # remap compact labels to the caller's cluster indexing, then
+            # recompute stats in that indexing
+            lab = np.asarray(labels)
+            lab = np.where(lab >= 0, self._active_idx[lab], -1).astype(
+                np.int32)
+            stats = _jump_stats_parallel(jnp.asarray(lab), self.n_sites)
+            labels = lab[:n_valid]
+        else:
+            labels, confs, stats = analysis_step(
+                mobile, static, self.A, self.cell, self.cell_inv,
+                self.centers, self.active, self.cutoff_midpoint,
+                self.cutoff_steepness, self.assignment_threshold,
+                self.n_sites, self.peak_evening)
+            labels = np.asarray(labels)[:n_valid]
         confs = np.asarray(confs)[:n_valid]
         if n_valid != len(padded):
             # recompute stats minus the padding tail: cheapest exact fix is

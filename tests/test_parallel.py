@@ -167,3 +167,20 @@ def test_fused_spmd_step_matches_xla(fitted_system):
     np.testing.assert_array_equal(np.asarray(labels_f), np.asarray(labels_x))
     np.testing.assert_array_equal(np.asarray(stats_f["n_ij"]),
                                   np.asarray(stats_x["n_ij"]))
+
+
+def test_pipeline_fused_mode_matches_xla_mode(fitted_system):
+    """SpmdLandmarkPipeline(use_fused=True, interpret) == XLA mode, with the
+    caller's (non-compacted) cluster indexing preserved."""
+    md, seeds, res = fitted_system
+    kw = dict(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+              assignment_threshold=0.35, mesh=frame_mesh())
+    pipe_x = SpmdLandmarkPipeline(seeds, res["centers"], res["active"],
+                                  use_fused=False, **kw)
+    pipe_f = SpmdLandmarkPipeline(seeds, res["centers"], res["active"],
+                                  use_fused=True, interpret=True, **kw)
+    block = md.traj[:64]
+    lab_x, conf_x, stats_x = pipe_x.run_block(block)
+    lab_f, conf_f, stats_f = pipe_f.run_block(block)
+    np.testing.assert_array_equal(lab_x, lab_f)
+    np.testing.assert_array_equal(stats_x["n_ij"], stats_f["n_ij"])
