@@ -74,16 +74,18 @@ class SiteNetworkPlotter:
         vmax = sym.max()
         if vmax <= self.edge_threshold:
             return
-        for i in range(sn.n_sites):
-            for j in range(i + 1, sn.n_sites):
-                if sym[i, j] <= self.edge_threshold:
-                    continue
-                w = (self.min_width + (self.max_width - self.min_width)
-                     * sym[i, j] / vmax)
-                # draw through the minimum image of j as seen from i
-                a = sn.centers[i]
-                b = calc.min_image(a, sn.centers[j][None, :])[0]
-                ax.plot(*zip(a, b), lw=w, color="0.3", alpha=0.7)
+        ii, jj = np.nonzero(np.triu(sym > self.edge_threshold, k=1))
+        if len(ii) == 0:
+            return
+        a = sn.centers[ii]
+        # draw each edge through the minimum image of j as seen from i
+        b = a + calc._min_image_disp(sn.centers[jj] - a)
+        widths = (self.min_width + (self.max_width - self.min_width)
+                  * sym[ii, jj] / vmax)
+        from mpl_toolkits.mplot3d.art3d import Line3DCollection
+        segs = np.stack([a, b], axis=1)
+        ax.add_collection3d(Line3DCollection(
+            segs, linewidths=widths, colors="0.3", alpha=0.7))
 
 
 @plotter(is3D=True)
