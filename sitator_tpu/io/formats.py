@@ -175,6 +175,14 @@ def open_trajectory(path, **kwargs):
     if p.endswith((".h5", ".hdf5")):
         return H5Trajectory(p, **kwargs)
     if p.endswith((".xyz", ".extxyz")):
+        # prefer the native multithreaded decoder (random block access, no
+        # whole-file materialization); fall back to the Python parser
+        try:
+            from sitator_tpu.io.native import FastXYZTrajectory, get_lib
+            if get_lib() is not None:
+                return FastXYZTrajectory(p, **kwargs)
+        except Exception:
+            pass
         return XYZTrajectory(p)
     raise ValueError(f"unknown trajectory format: {p}")
 

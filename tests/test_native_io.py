@@ -67,3 +67,11 @@ def test_native_faster_than_python(tmp_path):
     t_python = time.perf_counter() - t0
     # parse itself should win by a lot; index+read must at least not lose
     assert t_native < t_python
+
+
+def test_open_trajectory_prefers_native(xyz_file):
+    from sitator_tpu.io import open_trajectory
+    f, s, traj = xyz_file
+    r = open_trajectory(f)
+    assert isinstance(r, FastXYZTrajectory)
+    np.testing.assert_allclose(r[2:5], traj[2:5], atol=2e-4)
