@@ -120,3 +120,60 @@ def test_sitetraj_all_unknown_occupancies():
     assert st.percent_unassigned == 1.0
     st.assign_to_last_known_site()      # nothing to fill; must not crash
     assert st.percent_unassigned == 1.0
+
+
+@pytest.mark.parametrize("unknown_frac", [0.0, 0.5, 0.95])
+def test_jump_stats_fuzz_vs_oracle(unknown_frac):
+    """Randomized fuzz: scan and parallel jump stats vs the python oracle
+    at varying unknown-frame densities."""
+    from tests.test_dynamics import oracle_jump_stats
+    rng = np.random.default_rng(int(unknown_frac * 100))
+    for trial in range(3):
+        F, M, S = rng.integers(2, 120), rng.integers(1, 7), rng.integers(2, 9)
+        traj = rng.integers(0, S, size=(F, M)).astype(np.int32)
+        mask = rng.random((F, M)) < unknown_frac
+        traj[mask] = -1
+        n_ij, lag, res_sum, res_cnt = oracle_jump_stats(traj, S)
+        for fn in (jump_stats, jump_stats_parallel):
+            got = fn(jnp.asarray(traj), int(S))
+            np.testing.assert_array_equal(np.asarray(got["n_ij"]), n_ij)
+            np.testing.assert_array_equal(np.asarray(got["lag_sum"]), lag)
+            np.testing.assert_array_equal(np.asarray(got["res_sum"]),
+                                          res_sum)
+            np.testing.assert_array_equal(np.asarray(got["res_cnt"]),
+                                          res_cnt)
+
+
+def test_soap_species_sensitivity():
+    """Swapping the species of half an environment changes the descriptor;
+    species-preserving permutations do not."""
+    from sitator_tpu.site_descriptors import soap_descriptors
+    pos = np.array([[2.0, 0, 0], [-2, 0, 0], [0, 2, 0], [0, -2, 0],
+                    [0, 0, 2], [0, 0, -2]]) + 7.0
+    cell = np.eye(3) * 14.0
+    probe = np.array([[7.0, 7.0, 7.0]])
+    # NOTE: a 3/3 split of the octahedron swaps onto itself by rotation
+    # (the swapped config is a rotated copy), so a rotation-invariant
+    # descriptor rightly cannot see it; use a 4/2 composition change
+    sp_a = np.array([16, 16, 16, 16, 8, 8])
+    sp_b = np.array([8, 8, 8, 8, 16, 16])      # species swapped
+    kw = dict(r_cut=4.0, species_list=np.array([8, 16]))
+    d_a = soap_descriptors(probe, pos, sp_a, cell, **kw)
+    d_b = soap_descriptors(probe, pos, sp_b, cell, **kw)
+    assert float(d_a[0] @ d_b[0]) < 0.999
+    # permuting atoms WITHIN a species is invisible
+    perm = np.array([2, 0, 1, 5, 3, 4])
+    d_p = soap_descriptors(probe, pos[perm], sp_a[perm], cell, **kw)
+    np.testing.assert_allclose(d_a, d_p, atol=1e-6)
+
+
+def test_dotprod_determinism(rng):
+    X = rng.random((300, 12)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    r1 = dotprod_fit(jnp.asarray(X), k_max=16, cluster_threshold=0.95,
+                     min_samples=2)
+    r2 = dotprod_fit(jnp.asarray(X), k_max=16, cluster_threshold=0.95,
+                     min_samples=2)
+    np.testing.assert_array_equal(np.asarray(r1["centers"]),
+                                  np.asarray(r2["centers"]))
+    assert r1.n_clusters == r2.n_clusters
