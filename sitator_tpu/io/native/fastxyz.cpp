@@ -18,6 +18,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cctype>
+#include <string>
 #include <thread>
 #include <vector>
 #include <atomic>
@@ -28,37 +29,77 @@ extern "C" {
 // frame's first line.  Returns the number of frames found (may exceed
 // max_frames — call again with a larger buffer), or <0 on error.
 // n_atoms_out receives the (uniform) atom count, -2 if inconsistent.
+//
+// Implementation: bulk 4 MB reads + memchr newline hops — no per-line
+// fgets, and no line-length limit (extxyz comment lines carry arbitrary
+// per-frame metadata and may exceed any fixed buffer).  Only the short
+// natoms header lines are materialized across chunk boundaries.
 int64_t fxyz_index(const char* path, int64_t* offsets, int64_t max_frames,
                    int64_t* n_atoms_out) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
-    char line[1 << 16];
+    const size_t CHUNK = (size_t)1 << 22;
+    std::vector<char> buf(CHUNK);
+    std::string header;          // partial natoms-line carried across chunks
     int64_t n_frames = 0;
     int64_t n_atoms = -1;
-    int64_t pos = 0;
-    while (true) {
-        int64_t frame_start = pos;
-        if (!std::fgets(line, sizeof line, f)) break;
-        pos += (int64_t)std::strlen(line);
-        // skip blank lines between frames
-        const char* p = line;
-        while (*p == ' ' || *p == '\t') ++p;
-        if (*p == '\n' || *p == '\0') continue;
-        long na = std::strtol(p, nullptr, 10);
-        if (na <= 0) { std::fclose(f); return -3; }
-        if (n_atoms < 0) n_atoms = na;
-        else if (n_atoms != na) { std::fclose(f); *n_atoms_out = -2;
-                                  return n_frames; }
-        if (n_frames < max_frames) offsets[n_frames] = frame_start;
-        ++n_frames;
-        // comment line + na atom lines
-        for (long i = 0; i <= na; ++i) {
-            if (!std::fgets(line, sizeof line, f)) { std::fclose(f);
-                                                     return -4; }
-            pos += (int64_t)std::strlen(line);
+    int64_t skip = 0;            // lines to swallow before the next header
+    bool in_header = false;
+    int64_t header_start = 0;
+    int64_t base = 0;            // absolute offset of buf[0]
+    for (;;) {
+        size_t got = std::fread(buf.data(), 1, CHUNK, f);
+        if (got == 0) break;
+        const char* p = buf.data();
+        const char* end = buf.data() + got;
+        while (p < end) {
+            if (skip > 0) {
+                const char* nl = (const char*)memchr(p, '\n',
+                                                     (size_t)(end - p));
+                if (!nl) { p = end; break; }
+                p = nl + 1;
+                --skip;
+                continue;
+            }
+            if (!in_header) {
+                in_header = true;
+                header.clear();
+                header_start = base + (p - buf.data());
+            }
+            const char* nl = (const char*)memchr(p, '\n',
+                                                 (size_t)(end - p));
+            const char* stop = nl ? nl : end;
+            if (header.size() + (size_t)(stop - p) > (size_t)1 << 20) {
+                std::fclose(f); return -3;   // absurd natoms line
+            }
+            header.append(p, stop);
+            if (!nl) { p = end; break; }
+            p = nl + 1;
+            in_header = false;
+            const char* h = header.c_str();
+            while (*h == ' ' || *h == '\t' || *h == '\r') ++h;
+            if (*h == '\0') continue;        // blank line between frames
+            char* after = nullptr;
+            long na = std::strtol(h, &after, 10);
+            if (na <= 0 || after == h) { std::fclose(f); return -3; }
+            if (n_atoms < 0) n_atoms = na;
+            else if (n_atoms != na) { std::fclose(f); *n_atoms_out = -2;
+                                      return n_frames; }
+            if (n_frames < max_frames) offsets[n_frames] = header_start;
+            ++n_frames;
+            skip = (int64_t)na + 1;          // comment + atom lines
         }
+        base += (int64_t)got;
+        if (got < CHUNK) break;
     }
     std::fclose(f);
+    if (skip > 1) return -4;                 // truncated final frame
+    if (in_header) {
+        // text after the last complete frame with no trailing newline
+        const char* h = header.c_str();
+        while (*h == ' ' || *h == '\t' || *h == '\r') ++h;
+        if (*h != '\0') return -4;
+    }
     *n_atoms_out = n_atoms;
     return n_frames;
 }

@@ -82,7 +82,8 @@ def do_landmark_clustering(landmark_vectors, clustering_params, min_samples,
     remap[kept] = np.arange(len(kept))
     ok = labels >= 0
     labels[ok] = remap[labels[ok]]
-    confs[labels < 0] = np.where(ok[labels < 0], confs[labels < 0], 0.0)
+    # convention: confidences stay the raw max cosine similarity for every
+    # sample, assigned or not (unassigned is signalled by label -1 alone)
 
     counts = np.bincount(labels[labels >= 0], minlength=len(kept))
     return counts, labels, confs, np.asarray(centers)[kept]

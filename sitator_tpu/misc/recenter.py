@@ -15,15 +15,21 @@ class RecenterTrajectory:
         self.masses = masses
         self.verbose = verbose
 
-    def run(self, static_mask, traj, in_place=False):
+    def run(self, static_mask, traj, cell=None, in_place=False):
         """traj (n_frames, n_atoms, 3); static_mask (n_atoms,).  The COM
-        displacement is computed over *unwrapped* static positions relative
-        to frame 0 (per-frame minimum-image of the displacement, so thermal
-        wrap-around does not corrupt the COM)."""
+        displacement of each static atom relative to frame 0 is reduced to
+        its minimum image when ``cell`` (3, 3) is given, so wrapped
+        trajectories (atoms oscillating across a cell face contribute ±L
+        otherwise) do not corrupt the COM.  Pass ``cell=None`` only for
+        unwrapped coordinates."""
         traj = np.asarray(traj)
         out = traj if in_place else traj.copy()
         static = traj[:, static_mask, :]
         disp = static - static[0:1]
+        if cell is not None:
+            cell = np.asarray(cell, dtype=np.float64)
+            frac = disp @ np.linalg.inv(cell)
+            disp = (frac - np.round(frac)) @ cell
         if self.masses is not None:
             w = np.asarray(self.masses, dtype=np.float64)
             w = w / w.sum()

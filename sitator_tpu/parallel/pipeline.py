@@ -30,7 +30,7 @@ __all__ = ["SpmdLandmarkPipeline", "analysis_step", "fused_analysis_step"]
 def fused_analysis_step(mesh, mobile, static, verts, vmask, cell_diag,
                         centers, *, midpoint, steepness, threshold,
                         s_tile=256, cutoff_shape="logistic", mxu_bf16=True,
-                        interpret=False):
+                        interpret=False, active_idx=None, n_sites=None):
     """Frame-sharded analysis step using the fused Pallas kernel.
 
     The kernel runs per shard under ``shard_map`` (a Pallas call cannot be
@@ -39,7 +39,10 @@ def fused_analysis_step(mesh, mobile, static, verts, vmask, cell_diag,
     formulation partitions automatically.  Orthorhombic cells only.
 
     mobile (F, M, 3) / static (F, N, 3) frame-sharded over ``mesh``;
-    verts/vmask/centers replicated.  Returns (labels, confs, stats).
+    verts/vmask/centers replicated.  ``active_idx`` (K_compact,) int32,
+    optional: remap the kernel's compact labels to a caller cluster
+    indexing on device (a static gather) before the jump scan; ``n_sites``
+    sizes the statistics in that indexing.  Returns (labels, confs, stats).
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -63,15 +66,28 @@ def fused_analysis_step(mesh, mobile, static, verts, vmask, cell_diag,
         out_specs=(fs, fs),
         check_vma=False,  # Pallas outputs carry no varying-mesh-axes info
     )(mobile, static, verts, vmask, cell_diag, centers)
-    stats = _jump_stats_parallel(labels, int(centers.shape[0]))
+    if active_idx is not None:
+        labels = _remap_labels(labels, jnp.asarray(active_idx, jnp.int32))
+    stats = _jump_stats_parallel(
+        labels, int(centers.shape[0]) if n_sites is None else int(n_sites))
     return labels, confs, stats
 
 
+@jax.jit
+def _remap_labels(labels, active_idx):
+    """Compact cluster labels → caller indexing; −1 (unknown) passes through."""
+    return jnp.where(labels >= 0,
+                     active_idx[jnp.maximum(labels, 0)],
+                     jnp.int32(-1))
+
+
 @partial(jax.jit,
-         static_argnames=("n_sites", "peak_evening", "matmul_dtype"))
+         static_argnames=("n_sites", "peak_evening", "matmul_dtype",
+                          "cutoff_shape"))
 def analysis_step(mobile, static, A, cell, cell_inv, centers, active,
                   cutoff_midpoint, cutoff_steepness, assignment_threshold,
-                  n_sites, peak_evening="none", matmul_dtype=None):
+                  n_sites, peak_evening="none", matmul_dtype=None,
+                  cutoff_shape="logistic"):
     """Pure jittable analysis step (single- or multi-chip; sharding comes
     from the argument placements).
 
@@ -81,7 +97,8 @@ def analysis_step(mobile, static, A, cell, cell_inv, centers, active,
     """
     lv = lmops.landmark_vectors(mobile, static, A, cell, cell_inv,
                                 cutoff_midpoint, cutoff_steepness,
-                                matmul_dtype=matmul_dtype)
+                                matmul_dtype=matmul_dtype,
+                                cutoff_shape=cutoff_shape)
     lv = lmops.peak_even(lv, peak_evening)
     lv_n, _ = lmops.normalize_landmark_vectors(lv)
     labels, confs = lmops.assign_to_centers(lv_n, centers, active,
@@ -134,6 +151,8 @@ class SpmdLandmarkPipeline:
         # fused path uses compacted (live-row) centers; labels are remapped
         # back to the caller's cluster indexing on the way out
         self._active_idx = np.flatnonzero(np.asarray(active))
+        self._active_idx_j = jax.device_put(
+            jnp.asarray(self._active_idx, jnp.int32), rep)
         self._centers_compact = jax.device_put(
             jnp.asarray(np.asarray(centers)[self._active_idx], jnp.float32),
             rep)
@@ -161,26 +180,22 @@ class SpmdLandmarkPipeline:
         static = jax.device_put(
             padded[:, self.static_idx].astype(np.float32), sh)
         if self.use_fused:
-            labels, confs, _ = fused_analysis_step(
+            labels, confs, stats = fused_analysis_step(
                 self.mesh, mobile, static, self.verts, self.vmask,
                 self.cell_diag, self._centers_compact,
                 midpoint=self.cutoff_midpoint,
                 steepness=self.cutoff_steepness,
                 threshold=self.assignment_threshold,
-                cutoff_shape=self.cutoff_shape, interpret=self.interpret)
-            # remap compact labels to the caller's cluster indexing, then
-            # recompute stats in that indexing
-            lab = np.asarray(labels)
-            lab = np.where(lab >= 0, self._active_idx[lab], -1).astype(
-                np.int32)
-            stats = _jump_stats_parallel(jnp.asarray(lab), self.n_sites)
-            labels = lab[:n_valid]
+                cutoff_shape=self.cutoff_shape, interpret=self.interpret,
+                active_idx=self._active_idx_j, n_sites=self.n_sites)
+            labels = np.asarray(labels)[:n_valid]
         else:
             labels, confs, stats = analysis_step(
                 mobile, static, self.A, self.cell, self.cell_inv,
                 self.centers, self.active, self.cutoff_midpoint,
                 self.cutoff_steepness, self.assignment_threshold,
-                self.n_sites, self.peak_evening)
+                self.n_sites, self.peak_evening,
+                cutoff_shape=self.cutoff_shape)
             labels = np.asarray(labels)[:n_valid]
         confs = np.asarray(confs)[:n_valid]
         if n_valid != len(padded):

@@ -240,6 +240,27 @@ def test_recenter_trajectory():
     np.testing.assert_allclose(com - com[0], 0, atol=1e-10)
 
 
+def test_recenter_trajectory_wrapped():
+    # a static atom oscillating across a cell face contributes spurious ±L
+    # to the naive COM; with cell passed, min-image displacements fix it
+    rng = np.random.default_rng(1)
+    L = 10.0
+    cell = np.eye(3) * L
+    F, N = 30, 5
+    base = rng.uniform(1, 9, size=(N, 3))
+    base[0] = [0.02, 5.0, 5.0]  # sits on the x face
+    drift = np.cumsum(rng.normal(scale=0.05, size=(F, 1, 3)), axis=0)
+    jitter = rng.normal(scale=0.05, size=(F, N, 3))
+    traj_unwrapped = base[None] + drift + jitter
+    traj = traj_unwrapped % L  # wrapped coordinates, as MD dumps them
+    out = RecenterTrajectory().run(np.ones(N, bool), traj, cell=cell)
+    ref = RecenterTrajectory().run(np.ones(N, bool), traj_unwrapped)
+    # recentred wrapped traj matches recentred unwrapped traj mod L
+    d = (out - ref) @ np.linalg.inv(cell)
+    d -= np.round(d)
+    np.testing.assert_allclose(d @ cell, 0, atol=1e-8)
+
+
 def test_dotprod_classifier_api(rng):
     base = np.zeros((3, 16))
     base[0, 0] = base[1, 5] = base[2, 11] = 1.0
