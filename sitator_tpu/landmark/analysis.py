@@ -52,7 +52,15 @@ class LandmarkAnalysis:
         sees no landmark (else warn).
     static_movement_threshold : max drift (Å) of any static atom before
         :class:`StaticLatticeError`.
-    max_mobile_per_site : log a warning if more ions share a site in a frame.
+    dynamic_lattice_mapping : follow static atoms that EXCHANGE lattice
+        sites: vertex indices address lattice slots, and the slot→atom
+        permutation is rebuilt (min-image Hungarian match of displaced
+        atoms to vacated slots) at each detected exchange;
+        :class:`StaticLatticeError` is raised only when no consistent
+        mapping exists.  The final map is exposed as ``lattice_mapping_``.
+    max_mobile_per_site : flag frames where more ions than this share a site.
+    multiple_occupancy_action : 'warn' (default) | 'raise'
+        (:class:`MultipleOccupancyError`) | 'ignore'.
     clustering_algorithm : backend name ('dotprod') or module.
     clustering_params : dict passed to the backend.
     batch_frames : frames per device block.
@@ -68,21 +76,19 @@ class LandmarkAnalysis:
                  check_for_zero_landmarks=True,
                  static_movement_threshold=1.0,
                  max_mobile_per_site=1,
+                 multiple_occupancy_action="warn",
                  dynamic_lattice_mapping=False,
                  clustering_algorithm="dotprod",
                  clustering_params=None,
                  batch_frames=256,
                  mesh=None,
                  verbose=True):
-        if dynamic_lattice_mapping:
-            # reference ⚠ feature (SURVEY.md §3.2): re-map the landmark
-            # basis when static atoms EXCHANGE lattice sites.  Vertex
-            # positions here are already instantaneous per frame (thermal
-            # motion is handled); site-exchange remapping is not yet built.
-            raise NotImplementedError(
-                "dynamic_lattice_mapping (static-atom site exchange) is not "
-                "implemented; instantaneous vertex positions already follow "
-                "thermal motion")
+        # dynamic_lattice_mapping (reference ⚠ feature, SURVEY.md §3.2):
+        # vertex indices address lattice SLOTS; a slot→atom permutation is
+        # rebuilt whenever static atoms exchange lattice sites, so the
+        # landmark basis follows the lattice.  StaticLatticeError is raised
+        # only when no consistent mapping exists.
+        self.dynamic_lattice_mapping = bool(dynamic_lattice_mapping)
         self.cutoff_midpoint = float(cutoff_midpoint)
         self.cutoff_steepness = float(cutoff_steepness)
         self.cutoff_shape = cutoff_shape
@@ -92,6 +98,10 @@ class LandmarkAnalysis:
         self.check_for_zero_landmarks = bool(check_for_zero_landmarks)
         self.static_movement_threshold = float(static_movement_threshold)
         self.max_mobile_per_site = max_mobile_per_site
+        if multiple_occupancy_action not in ("warn", "raise", "ignore"):
+            raise ValueError("multiple_occupancy_action must be "
+                             "'warn' | 'raise' | 'ignore'")
+        self.multiple_occupancy_action = multiple_occupancy_action
         self.clustering_algorithm = clustering_algorithm
         self.clustering_params = dict(clustering_params or {})
         self.batch_frames = int(batch_frames)
@@ -148,8 +158,8 @@ class LandmarkAnalysis:
                 cutoff_shape=self.cutoff_shape)
             lv = lmops.peak_even(lv, mode)
             lv_n, norms = lmops.normalize_landmark_vectors(lv)
-            drift = lmops.max_static_drift(static, static_ref, cell_j,
-                                           cell_inv_j)
+            drift = lmops.static_drift_per_frame(static, static_ref, cell_j,
+                                                 cell_inv_j)
             return lv_n, norms, drift
 
         # -- blockwise landmark computation (fixed shapes; pad last block) --
@@ -160,41 +170,91 @@ class LandmarkAnalysis:
             n_dev = self.mesh.devices.size
             B = max(B // n_dev, 1) * n_dev  # blocks divide the mesh
             sharding = frame_sharding(self.mesh)
+        lv_bytes = 4 * n_frames * n_mobile * n_landmarks
+        if lv_bytes > 4 << 30:
+            # reference parity requires exposing .landmark_vectors, which
+            # means a host-resident (F·M, S) matrix; beyond a few GB the
+            # streaming engine is the right tool
+            logger.warning(
+                "landmark-vector matrix is %.1f GiB of host RAM; for long "
+                "trajectories use StreamingLandmarkAnalysis (two-pass, "
+                "O(block) memory)", lv_bytes / 2**30)
         lv_all = np.empty((n_frames, n_mobile, n_landmarks), dtype=np.float32)
         n_zero = 0
         first_zero = None
         max_drift = 0.0
+        thr = self.static_movement_threshold
+        perm = np.arange(n_static)  # slot → atom (identity until exchanges)
+        n_remaps = 0
+        static_ref_np = np.asarray(sn.structure.positions[static_idx],
+                                   np.float64)
         from sitator_tpu.util.progress import get_progress_bar
-        blocks = get_progress_bar(range(0, n_frames, B),
-                                  enabled=self.verbose,
-                                  desc="landmark vectors", unit="block")
-        for lo in blocks:
-            hi = min(lo + B, n_frames)
-            blk = frames[lo:hi]
-            if hi - lo < B:  # pad to the jitted block shape
-                pad = np.broadcast_to(blk[-1:], (B - (hi - lo),) +
+        pbar = get_progress_bar(total=n_frames, enabled=self.verbose,
+                                desc="landmark vectors", unit="frame")
+        pos = 0
+        last_remap = (-1, 0)
+        while pos < n_frames:
+            hi = min(pos + B, n_frames)
+            blk = frames[pos:hi]
+            if hi - pos < B:  # pad to the jitted block shape
+                pad = np.broadcast_to(blk[-1:], (B - (hi - pos),) +
                                       blk.shape[1:])
                 blk = np.concatenate([blk, pad], axis=0)
+            static_np = blk[:, static_idx]
+            if self.dynamic_lattice_mapping:
+                static_np = static_np[:, perm]
             mobile = jnp.asarray(blk[:, mobile_idx], dtype=jnp.float32)
-            static = jnp.asarray(blk[:, static_idx], dtype=jnp.float32)
+            static = jnp.asarray(static_np, dtype=jnp.float32)
             if sharding is not None:
                 mobile = jax.device_put(mobile, sharding)
                 static = jax.device_put(static, sharding)
             lv_n, norms, drift = block_fn(mobile, static)
-            lv_all[lo:hi] = np.asarray(lv_n)[: hi - lo]
-            zn = np.asarray(norms)[: hi - lo] == 0
-            if zn.any():
-                n_zero += int(zn.sum())
-                if first_zero is None:
-                    f, m = np.argwhere(zn)[0]
-                    first_zero = (int(lo + f), int(m))
-            max_drift = max(max_drift, float(drift))
+            drift_f = np.asarray(drift)[: hi - pos]
+            n_ok = hi - pos
+            if self.dynamic_lattice_mapping and (drift_f > thr).any():
+                # accept frames before the exchange, rebuild the slot→atom
+                # permutation at the first offending frame, reprocess from it
+                f_rel = int(np.argmax(drift_f > thr))
+                if pos + f_rel == last_remap[0]:
+                    if last_remap[1] >= 3:
+                        raise StaticLatticeError(
+                            "lattice remapping did not converge at frame "
+                            f"{pos + f_rel}", frame=pos + f_rel)
+                    last_remap = (pos + f_rel, last_remap[1] + 1)
+                else:
+                    last_remap = (pos + f_rel, 1)
+                n_ok = f_rel
+            if n_ok:
+                lv_all[pos:pos + n_ok] = np.asarray(lv_n)[:n_ok]
+                zn = np.asarray(norms)[:n_ok] == 0
+                if zn.any():
+                    n_zero += int(zn.sum())
+                    if first_zero is None:
+                        f, m = np.argwhere(zn)[0]
+                        first_zero = (int(pos + f), int(m))
+                valid = drift_f[:n_ok]
+                if len(valid):
+                    max_drift = max(max_drift, float(valid.max()))
+            if n_ok < hi - pos:
+                perm = self._remap_lattice(
+                    frames[pos + n_ok, static_idx], perm, static_ref_np,
+                    sn.structure.cell, pos + n_ok)
+                n_remaps += 1
+            pbar.update(n_ok)
+            pos += n_ok
+        pbar.close()
 
-        if max_drift > self.static_movement_threshold:
+        if self.dynamic_lattice_mapping:
+            if n_remaps and self.verbose:
+                logger.info("dynamic lattice mapping: %d slot→atom remaps",
+                            n_remaps)
+            self.lattice_mapping_ = perm
+        elif max_drift > thr:
             raise StaticLatticeError(
                 f"a static-lattice atom drifted {max_drift:.3f} Å "
-                f"(> threshold {self.static_movement_threshold} Å); the host "
-                "lattice moved too much for landmark analysis",
+                f"(> threshold {thr} Å); the host lattice moved too much "
+                "for landmark analysis (see dynamic_lattice_mapping for "
+                "site-exchanging lattices)",
                 max_drift=max_drift)
         if n_zero:
             msg = (f"{n_zero} (frame, ion) samples "
@@ -256,13 +316,68 @@ class LandmarkAnalysis:
             self._check_multiple_occupancy(traj, n_sites, n_frames)
         return st
 
+    @staticmethod
+    def _find_lattice_mapping(static_pos, perm, static_ref, cell, threshold):
+        """Rebuild the slot→atom permutation at a site exchange.
+
+        ``static_pos`` (N, 3): current static-atom positions (original atom
+        order); ``perm`` (N,): current slot→atom map; ``static_ref`` (N, 3):
+        reference slot positions.  Atoms that drifted beyond ``threshold``
+        from their slot are re-matched to the displaced slots by min-image
+        Hungarian assignment.  Returns (new_perm, matched_max_distance) or
+        (None, best_distance) when no consistent mapping exists.
+        """
+        calc = PBCCalculator(cell)
+        d = calc.paired_distances(static_pos[perm], static_ref)
+        off = d > threshold
+        if not off.any():
+            return perm, float(d.max())
+        off_slots = np.flatnonzero(off)
+        atoms = perm[off_slots]
+        D = calc.pairwise_distances(static_pos[atoms],
+                                    static_ref[off_slots])
+        from scipy.optimize import linear_sum_assignment
+        r, c = linear_sum_assignment(D)
+        worst = float(D[r, c].max())
+        if worst > threshold:
+            return None, worst
+        new_perm = perm.copy()
+        new_perm[off_slots[c]] = atoms[r]
+        return new_perm, worst
+
+    def _remap_lattice(self, static_pos, perm, static_ref, cell, frame):
+        new_perm, worst = self._find_lattice_mapping(
+            static_pos, perm, static_ref, cell,
+            self.static_movement_threshold)
+        if new_perm is None:
+            raise StaticLatticeError(
+                f"no consistent lattice mapping at frame {frame}: a "
+                f"displaced static atom is {worst:.3f} Å from every "
+                "vacated lattice site (> threshold "
+                f"{self.static_movement_threshold} Å)", frame=frame,
+                max_drift=worst)
+        if self.verbose:
+            n_moved = int((new_perm != perm).sum())
+            logger.info("frame %d: lattice site exchange — remapped %d "
+                        "slots (max residual %.3f Å)", frame, n_moved, worst)
+        return new_perm
+
     def _check_multiple_occupancy(self, traj, n_sites, n_frames):
+        if self.multiple_occupancy_action == "ignore":
+            return
         ok = traj >= 0
         flat = traj.astype(np.int64) + n_sites * np.arange(n_frames)[:, None]
         counts = np.bincount(flat[ok].ravel(), minlength=n_sites * n_frames)
         n_viol = int(np.sum(counts > self.max_mobile_per_site))
-        if n_viol:
-            logger.warning(
-                "%d (frame, site) occupancies exceed max_mobile_per_site=%d "
-                "— sites may be under-resolved (consider lowering merge "
-                "thresholds)", n_viol, self.max_mobile_per_site)
+        if not n_viol:
+            return
+        msg = (f"{n_viol} (frame, site) occupancies exceed "
+               f"max_mobile_per_site={self.max_mobile_per_site} — sites may "
+               "be under-resolved (consider lowering merge thresholds)")
+        if self.multiple_occupancy_action == "raise":
+            first = int(np.argmax(counts > self.max_mobile_per_site))
+            from sitator_tpu.util.errors import MultipleOccupancyError
+            raise MultipleOccupancyError(
+                msg, frame=first // n_sites, site=first % n_sites,
+                count=int(counts[first]))
+        logger.warning(msg)

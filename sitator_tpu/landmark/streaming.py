@@ -6,12 +6,15 @@ positions — far beyond HBM.  This pipeline streams it (SURVEY.md §6.7):
 - **pass 1 (fit)**: landmark vectors on an evenly-strided frame subsample →
   on-device dot-product clustering → fixed cluster centers;
 - **pass 2 (stream)**: :class:`ChunkedFeeder` prefetches frame blocks on a
-  host thread while the device runs the fused landmark→assign kernel (or
-  the XLA path for triclinic cells), accumulating per-site statistics *on
-  device*: occupancy counts, confidence sums, toroidal (circular-mean)
-  center accumulators, and the jump scan whose (last-site, residence)
-  carry chains exactly across blocks.  Labels can optionally spill to a
-  memmapped ``.npy``.
+  host thread while the device runs the fused landmark→assign kernel
+  (orthorhombic AND triclinic cells; under a mesh it runs per shard via
+  ``shard_map``), accumulating per-site statistics *on device*: occupancy
+  counts, confidence sums, toroidal (circular-mean) center accumulators,
+  the multiple-occupancy violation counter, and the jump scan whose
+  (last-site, residence) carry chains exactly across blocks.  Device
+  epochs spill into exact int64/float64 host totals, so arbitrarily long
+  runs neither wrap int32 nor stall fp32 accumulation.  Labels can
+  optionally spill to a memmapped ``.npy``.
 
 Result: an annotated :class:`SiteNetwork` (centers, occupancies, n_ij,
 p_ij, jump_lag, residence_times) without the trajectory or the label
@@ -31,26 +34,53 @@ from sitator_tpu.io.formats import ArrayTrajectory, ChunkedFeeder
 from sitator_tpu.ops import landmark as lmops
 from sitator_tpu.ops.cluster import dotprod_fit
 from sitator_tpu.ops.jumps import _jump_stats
-from sitator_tpu.ops.landmark_pallas import fused_assign_blocks, \
-    supports_cell
+from sitator_tpu.ops.landmark_pallas import fused_assign_blocks
 
 logger = logging.getLogger(__name__)
 
 
 @partial(jax.jit, static_argnames=("n_sites", "use_fused", "midpoint",
                                    "steepness", "threshold",
-                                   "cutoff_shape"))
+                                   "cutoff_shape", "mesh", "max_mobile",
+                                   "interpret"))
 def _stream_block(mobile, static, verts, vmask, A, cell, cell_inv,
-                  cell_diag, centers, active, carry, acc, *, n_sites,
+                  kcell, centers, active, carry, acc, *, n_sites,
                   use_fused, midpoint, steepness, threshold,
-                  cutoff_shape="logistic"):
+                  cutoff_shape="logistic", mesh=None, max_mobile=None,
+                  interpret=False):
     """One streamed block: assign + accumulate.  ``carry`` = (last, res)
-    from the previous block; ``acc`` = dict of device accumulators."""
+    from the previous block; ``acc`` = dict of device accumulators.
+
+    With ``mesh`` set (a 1-D frame mesh, hashable → static), the fused
+    Pallas kernel runs per shard under ``shard_map`` and every accumulator
+    update below auto-partitions over the frame-sharded labels — the same
+    route as ``parallel.pipeline.fused_analysis_step``."""
     if use_fused:
-        labels, confs = fused_assign_blocks(
-            mobile, static, verts, vmask, cell_diag, centers,
-            midpoint=midpoint, steepness=steepness, threshold=threshold,
-            cutoff_shape=cutoff_shape)
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from sitator_tpu.parallel.mesh import FRAME_AXIS
+
+            fs, rep = P(FRAME_AXIS), P()
+
+            def local(mobile, static, verts, vmask, kcell, centers):
+                return fused_assign_blocks(
+                    mobile, static, verts, vmask, kcell, centers,
+                    midpoint=midpoint, steepness=steepness,
+                    threshold=threshold, cutoff_shape=cutoff_shape,
+                    interpret=interpret)
+
+            labels, confs = shard_map(
+                local, mesh=mesh,
+                in_specs=(fs, fs, rep, rep, rep, rep),
+                out_specs=(fs, fs), check_vma=False,
+            )(mobile, static, verts, vmask, kcell, centers)
+        else:
+            labels, confs = fused_assign_blocks(
+                mobile, static, verts, vmask, kcell, centers,
+                midpoint=midpoint, steepness=steepness, threshold=threshold,
+                cutoff_shape=cutoff_shape, interpret=interpret)
     else:
         lv = lmops.landmark_vectors(mobile, static, A, cell, cell_inv,
                                     midpoint, steepness,
@@ -77,6 +107,15 @@ def _stream_block(mobile, static, verts, vmask, A, cell, cell_inv,
     acc["lag_sum"] = acc["lag_sum"] + stats["lag_sum"]
     acc["res_sum"] = acc["res_sum"] + stats["res_sum"]
     acc["res_cnt"] = acc["res_cnt"] + stats["res_cnt"]
+    if max_mobile is not None:
+        # multiple-occupancy detector, on device (SURVEY §3.2 guard): count
+        # (frame, site) cells with more than max_mobile assigned ions
+        B = labels.shape[0]
+        per_fs = jnp.zeros((B, S + 1), jnp.int32).at[
+            jnp.arange(B)[:, None],
+            jnp.where(labels >= 0, labels, S)].add(1)
+        acc["mo_viol"] = acc["mo_viol"] + jnp.sum(
+            (per_fs[:, :S] > max_mobile).astype(jnp.int32))
     return labels, confs, (stats["last_sites"], stats["last_res"]), acc
 
 
@@ -94,7 +133,9 @@ class StreamingLandmarkAnalysis:
                  minimum_site_occupancy=0.01, assignment_threshold=None,
                  clustering_params=None, block_frames=1024, fit_frames=8192,
                  store_labels=None, mesh=None, checkpoint_path=None,
-                 checkpoint_every=64, verbose=True):
+                 checkpoint_every=64, max_mobile_per_site=1,
+                 multiple_occupancy_action="warn", use_fused="auto",
+                 interpret=False, verbose=True):
         self.cutoff_midpoint = float(cutoff_midpoint)
         self.cutoff_steepness = float(cutoff_steepness)
         self.cutoff_shape = cutoff_shape
@@ -106,7 +147,18 @@ class StreamingLandmarkAnalysis:
         self.block_frames = int(block_frames)
         self.fit_frames = int(fit_frames)
         self.store_labels = store_labels
+        # multiple-occupancy guard (reference max_mobile_per_site semantics,
+        # SURVEY §3.2): 'warn' | 'raise' (MultipleOccupancyError) | 'ignore'
+        self.max_mobile_per_site = (
+            None if max_mobile_per_site is None else int(max_mobile_per_site))
+        if multiple_occupancy_action not in ("warn", "raise", "ignore"):
+            raise ValueError("multiple_occupancy_action must be "
+                             "'warn' | 'raise' | 'ignore'")
+        self.multiple_occupancy_action = multiple_occupancy_action
         self.mesh = mesh  # optional 1-D frame mesh: blocks shard over it
+        self.use_fused = use_fused  # 'auto' | True | False
+        self.interpret = bool(interpret)  # Pallas interpret mode (CPU tests)
+        self.spill_every = None  # None = auto epoch bound; tests override
         # mid-run checkpointing (SURVEY.md §6.4): every N blocks the device
         # accumulators + scan carry + cursor are snapshotted; an interrupted
         # run resumes from the snapshot bit-exactly
@@ -176,13 +228,12 @@ class StreamingLandmarkAnalysis:
         cell_np = sn.structure.cell
         cell = jnp.asarray(cell_np, jnp.float32)
         cell_inv = jnp.asarray(np.linalg.inv(cell_np), jnp.float32)
-        cell_diag = jnp.asarray(np.diag(cell_np), jnp.float32)
-        # the fused Pallas kernel cannot be GSPMD-partitioned; with a mesh,
-        # take the XLA path (round-2: route through
-        # parallel.pipeline.fused_analysis_step's shard_map)
-        use_fused = (supports_cell(cell_np)
-                     and jax.default_backend() == "tpu"
-                     and self.mesh is None)
+        from sitator_tpu.ops.landmark_pallas import kernel_cell
+        kcell = kernel_cell(cell_np)
+        # fused Pallas path for any cell; with a mesh it runs per shard
+        # under shard_map inside _stream_block
+        use_fused = (jax.default_backend() == "tpu"
+                     if self.use_fused == "auto" else bool(self.use_fused))
         centers_j = jnp.asarray(centers, jnp.float32)
         active = jnp.ones(K, bool)
         verts_j = jnp.asarray(verts)
@@ -191,18 +242,43 @@ class StreamingLandmarkAnalysis:
         start_lo = 0
         carry = (jnp.full((n_mobile,), -1, jnp.int32),
                  jnp.zeros((n_mobile,), jnp.int32))
-        acc = {
-            # int32: a real site's count is bounded by n_frames (<2^31);
-            # only the discarded dummy slot could wrap
-            "occ": jnp.zeros((K + 1,), jnp.int32),
-            "conf": jnp.zeros((K + 1,), jnp.float32),
-            "cos": jnp.zeros((K + 1, 3), jnp.float32),
-            "sin": jnp.zeros((K + 1, 3), jnp.float32),
-            "n_ij": jnp.zeros((K, K), jnp.int32),
-            "lag_sum": jnp.zeros((K, K), jnp.int32),
-            "res_sum": jnp.zeros((K,), jnp.int32),
-            "res_cnt": jnp.zeros((K,), jnp.int32),
-        }
+
+        def zero_acc():
+            acc = {
+                "occ": jnp.zeros((K + 1,), jnp.int32),
+                "conf": jnp.zeros((K + 1,), jnp.float32),
+                "cos": jnp.zeros((K + 1, 3), jnp.float32),
+                "sin": jnp.zeros((K + 1, 3), jnp.float32),
+                "n_ij": jnp.zeros((K, K), jnp.int32),
+                "lag_sum": jnp.zeros((K, K), jnp.int32),
+                "res_sum": jnp.zeros((K,), jnp.int32),
+                "res_cnt": jnp.zeros((K,), jnp.int32),
+            }
+            if self.max_mobile_per_site is not None:
+                acc["mo_viol"] = jnp.zeros((), jnp.int32)
+            return acc
+
+        # Device accumulators are int32/float32 for speed; to stay exact on
+        # arbitrarily long runs (int32 wraps ≈4M frames in, fp32 addition
+        # stalls ≈2^24 in) they are SPILLED into host int64/float64 totals
+        # every `spill_every` blocks.  The epoch bound keeps every device
+        # tally ≤ 2^26 — far from both failure modes.
+        spill_every = self.spill_every or max(
+            1, (1 << 26) // max(1, self.block_frames * n_mobile))
+        host_acc = None  # lazily keyed off the first device acc
+        acc = zero_acc()
+
+        def spill(host, dev):
+            dev = {k: np.asarray(v) for k, v in dev.items()}
+            if host is None:
+                host = {}
+            for k, v in dev.items():
+                if k not in host:  # also covers legacy checkpoints
+                    host[k] = np.zeros(v.shape,
+                                       np.int64 if v.dtype.kind in "iu"
+                                       else np.float64)
+                host[k] += v
+            return host
 
         # resume from a mid-run checkpoint if one exists
         import os
@@ -214,8 +290,12 @@ class StreamingLandmarkAnalysis:
                 start_lo = int(d["next_lo"])
                 carry = (jnp.asarray(d["carry_last"]),
                          jnp.asarray(d["carry_res"]))
-                acc = {k[4:]: jnp.asarray(d[k]) for k in d.files
-                       if k.startswith("acc/")}
+                host_acc = {k[5:]: d[k].copy() for k in d.files
+                            if k.startswith("hacc/")}
+                if not host_acc:
+                    # legacy checkpoint (device acc only): fold it in
+                    host_acc = spill(None, {k[4:]: d[k] for k in d.files
+                                            if k.startswith("acc/")})
             if self.verbose:
                 logger.info("resuming streaming run at frame %d", start_lo)
 
@@ -254,11 +334,13 @@ class StreamingLandmarkAnalysis:
                 static = jax.device_put(static, sharding)
             labels, confs, new_carry, new_acc = _stream_block(
                 mobile, static, verts_j, vmask_j, A, cell, cell_inv,
-                cell_diag, centers_j, active, carry, acc, n_sites=K,
+                kcell, centers_j, active, carry, acc, n_sites=K,
                 use_fused=use_fused, midpoint=self.cutoff_midpoint,
                 steepness=self.cutoff_steepness,
                 threshold=self.assignment_threshold,
-                cutoff_shape=self.cutoff_shape)
+                cutoff_shape=self.cutoff_shape, mesh=self.mesh,
+                max_mobile=self.max_mobile_per_site,
+                interpret=self.interpret)
             if nb < B:
                 # rerun carry/acc on the unpadded tail is wasteful; instead
                 # correct: padding repeats the final frame, adding no jumps
@@ -286,6 +368,11 @@ class StreamingLandmarkAnalysis:
                           wpad[:, None] * np.sin(fr))
                 new_acc["cos"] = new_acc["cos"] - jnp.asarray(subcos)
                 new_acc["sin"] = new_acc["sin"] - jnp.asarray(subsin)
+                if self.max_mobile_per_site is not None:
+                    cnt = np.bincount(tail[tail >= 0], minlength=K)
+                    viol_tail = int((cnt > self.max_mobile_per_site).sum())
+                    new_acc["mo_viol"] = (new_acc["mo_viol"]
+                                          - pad_n * viol_tail)
                 new_carry = (new_carry[0],
                              new_carry[1] - jnp.where(
                                  jnp.asarray(tail) >= 0, pad_n, 0))
@@ -293,13 +380,34 @@ class StreamingLandmarkAnalysis:
             if labels_out is not None:
                 labels_out[lo:lo + nb] = np.asarray(labels)[:nb]
             blocks_done += 1
-            if (ckpt is not None
-                    and blocks_done % self.checkpoint_every == 0):
-                self._save_checkpoint(ckpt, n_frames, K, lo + nb, carry, acc)
+            do_ckpt = (ckpt is not None
+                       and blocks_done % self.checkpoint_every == 0)
+            if do_ckpt or blocks_done % spill_every == 0:
+                # fold the device epoch into the exact host totals; a
+                # checkpoint always snapshots fully-spilled state
+                host_acc = spill(host_acc, acc)
+                acc = zero_acc()
+            if do_ckpt:
+                self._save_checkpoint(ckpt, n_frames, K, lo + nb, carry,
+                                      host_acc)
 
+        host_acc = spill(host_acc, acc)
         if ckpt is not None and os.path.exists(ckpt):
             os.remove(ckpt)  # run completed; checkpoint no longer needed
-        return self._finalize(sn, centers, acc, n_frames, labels_out)
+        self._check_multiple_occupancy(host_acc, n_frames)
+        return self._finalize(sn, centers, host_acc, n_frames, labels_out)
+
+    def _check_multiple_occupancy(self, host_acc, n_frames):
+        n_viol = int(host_acc.get("mo_viol", 0))
+        if n_viol == 0 or self.multiple_occupancy_action == "ignore":
+            return
+        msg = (f"{n_viol} (frame, site) occupancies exceed "
+               f"max_mobile_per_site={self.max_mobile_per_site} over "
+               f"{n_frames} frames — sites may be under-resolved")
+        if self.multiple_occupancy_action == "raise":
+            from sitator_tpu.util.errors import MultipleOccupancyError
+            raise MultipleOccupancyError(msg, count=n_viol)
+        logger.warning(msg)
 
     # -- streaming post-merge -------------------------------------------
     @staticmethod
@@ -372,14 +480,17 @@ class StreamingLandmarkAnalysis:
         return out, remap
 
     @staticmethod
-    def _save_checkpoint(path, n_frames, K, next_lo, carry, acc):
+    def _save_checkpoint(path, n_frames, K, next_lo, carry, host_acc):
+        """Snapshot fully-spilled state: exact int64/float64 host totals
+        plus the jump-scan carry.  Written atomically."""
         import os
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             np.savez(f, n_frames=n_frames, K=K, next_lo=next_lo,
                      carry_last=np.asarray(carry[0]),
                      carry_res=np.asarray(carry[1]),
-                     **{f"acc/{k}": np.asarray(v) for k, v in acc.items()})
+                     **{f"hacc/{k}": np.asarray(v)
+                        for k, v in host_acc.items()})
         os.replace(tmp, path)  # atomic: a crash never corrupts the ckpt
 
     def _finalize(self, sn, centers, acc, n_frames, labels_out):

@@ -171,3 +171,13 @@ def max_static_drift(static_block, static_ref, cell, cell_inv):
     its reference position — feeds ``StaticLatticeError`` detection."""
     diff = min_image_disp(static_block - static_ref[None], cell, cell_inv)
     return jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1)))
+
+
+def static_drift_per_frame(static_block, static_ref, cell, cell_inv):
+    """Per-frame max minimum-image drift of the static lattice: (B,).
+
+    Feeds ``dynamic_lattice_mapping``: the first frame whose drift exceeds
+    the threshold marks a candidate lattice-site exchange, localized on
+    host before the slot→atom permutation is rebuilt."""
+    diff = min_image_disp(static_block - static_ref[None], cell, cell_inv)
+    return jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))

@@ -17,9 +17,14 @@ ion–vertex distances and never materializes landmark vectors in HBM:
       sims   += lv @ centersᵀ                            (M, K)  MXU scratch
     last tile: sims·rsqrt(norm²) → argmax/threshold → labels, confs (B, M)
 
-Only ``(B, M)`` labels/confidences leave the chip per block.  Orthorhombic
-(diagonal) cells only — the general-cell path falls back to the XLA
-formulation (callers use :func:`supports_cell`).
+Only ``(B, M)`` labels/confidences leave the chip per block.
+
+Cells: pass ``cell`` as the 3 diagonal lengths ``(3,)`` for orthorhombic
+cells (fast per-axis minimum image) or the full ``(3, 3)`` matrix for
+triclinic cells (fractional round-trip, the same math as the XLA path's
+``ops.pbc.min_image_disp``) — :func:`kernel_cell` picks automatically.
+The round-trip convention is exact for displacements within the cell's
+inscribed sphere; pathologically skewed cells share the XLA path's caveat.
 """
 from __future__ import annotations
 
@@ -31,7 +36,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_assign_blocks", "prepare_vertex_planes", "supports_cell"]
+__all__ = ["fused_assign_blocks", "prepare_vertex_planes", "supports_cell",
+           "kernel_cell"]
 
 
 def _round_up(x, m):
@@ -39,9 +45,21 @@ def _round_up(x, m):
 
 
 def supports_cell(cell, tol=1e-8) -> bool:
-    """The fused kernel handles orthorhombic (diagonal) cells."""
+    """True when ``cell`` is orthorhombic (diagonal) — the kernel's fastest
+    minimum-image variant.  Triclinic cells are also supported (via
+    :func:`kernel_cell`); this predicate only selects the cheap path."""
     cell = np.asarray(cell)
     return bool(np.all(np.abs(cell - np.diag(np.diag(cell))) < tol))
+
+
+def kernel_cell(cell):
+    """Host-side: reduce a (3, 3) cell to the kernel's preferred argument —
+    the ``(3,)`` diagonal when orthorhombic (fast per-axis min-image), else
+    the full ``(3, 3)`` matrix (fractional round-trip in-kernel)."""
+    cell = np.asarray(cell, np.float32)
+    if supports_cell(cell):
+        return jnp.asarray(np.diag(cell))
+    return jnp.asarray(cell)
 
 
 def prepare_vertex_planes(static, verts, vmask):
@@ -58,22 +76,39 @@ def prepare_vertex_planes(static, verts, vmask):
 
 
 def _kernel(mob_ref, vp_ref, mask_ref, centers_ref, params_ref,
-            labels_ref, confs_ref, sims_acc, norm_acc, *, V, n_s_tiles,
-            mxu_dtype, r2_cutoff=False):
+            labels_ref, confs_ref, sims_acc, norm_acc, top2_acc, *, V,
+            n_s_tiles, mxu_dtype, r2_cutoff=False, triclinic=False,
+            peak_clip=False):
     b = pl.program_id(0)
-    j = pl.program_id(1)
+    p = pl.program_id(1)   # pass: 0 = top-2 scan (clip only), last = assign
+    j = pl.program_id(2)
+    acc_pass = 1 if peak_clip else 0
 
-    @pl.when(j == 0)
+    @pl.when((p == acc_pass) & (j == 0))
     def _():
         sims_acc[:] = jnp.zeros_like(sims_acc)
         norm_acc[:] = jnp.zeros_like(norm_acc)
 
-    lx = params_ref[0]
-    ly = params_ref[1]
-    lz = params_ref[2]
-    midpoint = params_ref[3]
-    steepness = params_ref[4]
-    threshold = params_ref[5]
+    if peak_clip:
+        @pl.when((p == 0) & (j == 0))
+        def _():
+            top2_acc[:] = jnp.zeros_like(top2_acc)
+
+    if triclinic:
+        # params: cell (9, row-major; rows are lattice vectors), cell_inv
+        # (9), midpoint, steepness, threshold
+        c = [params_ref[k] for k in range(9)]
+        ci = [params_ref[9 + k] for k in range(9)]
+        midpoint = params_ref[18]
+        steepness = params_ref[19]
+        threshold = params_ref[20]
+    else:
+        lx = params_ref[0]
+        ly = params_ref[1]
+        lz = params_ref[2]
+        midpoint = params_ref[3]
+        steepness = params_ref[4]
+        threshold = params_ref[5]
 
     mx = mob_ref[0, 0, :]                        # (M,)
     my = mob_ref[0, 1, :]
@@ -85,10 +120,23 @@ def _kernel(mob_ref, vp_ref, mask_ref, centers_ref, params_ref,
         dx = mx[:, None] - vp_ref[0, 0, v, :][None, :]
         dy = my[:, None] - vp_ref[0, 1, v, :][None, :]
         dz = mz[:, None] - vp_ref[0, 2, v, :][None, :]
-        # orthorhombic minimum image, per axis
-        dx = dx - jnp.round(dx * (1.0 / lx)) * lx
-        dy = dy - jnp.round(dy * (1.0 / ly)) * ly
-        dz = dz - jnp.round(dz * (1.0 / lz)) * lz
+        if triclinic:
+            # minimum image via the fractional round-trip (frac = d @ Cinv,
+            # frac -= round(frac), d = frac @ C) — ops.pbc.min_image_disp
+            fx = dx * ci[0] + dy * ci[3] + dz * ci[6]
+            fy = dx * ci[1] + dy * ci[4] + dz * ci[7]
+            fz = dx * ci[2] + dy * ci[5] + dz * ci[8]
+            fx = fx - jnp.round(fx)
+            fy = fy - jnp.round(fy)
+            fz = fz - jnp.round(fz)
+            dx = fx * c[0] + fy * c[3] + fz * c[6]
+            dy = fx * c[1] + fy * c[4] + fz * c[7]
+            dz = fx * c[2] + fy * c[5] + fz * c[8]
+        else:
+            # orthorhombic minimum image, per axis
+            dx = dx - jnp.round(dx * (1.0 / lx)) * lx
+            dy = dy - jnp.round(dy * (1.0 / ly)) * ly
+            dz = dz - jnp.round(dz * (1.0 / lz)) * lz
         d2 = dx * dx + dy * dy + dz * dz
         if r2_cutoff:
             # slope-matched logistic in d^2 (see ops.landmark.log_cutoff_r2)
@@ -104,13 +152,35 @@ def _kernel(mob_ref, vp_ref, mask_ref, centers_ref, params_ref,
     # nor the similarities
     loglv = loglv + mask_ref[V, :][None, :] * (-1.0e4)
     lv = jnp.exp(loglv)                          # (M, S_t)
-    norm_acc[:, 0] += jnp.sum(lv * lv, axis=1)
-    sims_acc[:] += jax.lax.dot_general(
-        lv.astype(mxu_dtype), centers_ref[:].astype(mxu_dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
 
-    @pl.when(j == n_s_tiles - 1)
+    if peak_clip:
+        @pl.when(p == 0)
+        def _():
+            # per-row top-2 of this tile, merged into the running top-2.
+            # Ties: if the max occurs more than once, the 2nd-largest IS
+            # the max (matches lax.top_k semantics in ops.landmark.peak_even)
+            m1 = jnp.max(lv, axis=1)
+            is_max = lv >= m1[:, None]
+            n_max = jnp.sum(is_max.astype(jnp.float32), axis=1)
+            m2 = jnp.where(n_max > 1.0, m1,
+                           jnp.max(jnp.where(is_max, -1.0, lv), axis=1))
+            r1 = top2_acc[:, 0]
+            r2 = top2_acc[:, 1]
+            # top-2 of the union of two top-2 summaries
+            top2_acc[:, 0] = jnp.maximum(r1, m1)
+            top2_acc[:, 1] = jnp.maximum(jnp.minimum(r1, m1),
+                                         jnp.maximum(r2, m2))
+
+    @pl.when(p == acc_pass)
+    def _():
+        lvc = jnp.minimum(lv, top2_acc[:, 1][:, None]) if peak_clip else lv
+        norm_acc[:, 0] += jnp.sum(lvc * lvc, axis=1)
+        sims_acc[:] += jax.lax.dot_general(
+            lvc.astype(mxu_dtype), centers_ref[:].astype(mxu_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when((p == acc_pass) & (j == n_s_tiles - 1))
     def _():
         inv = jax.lax.rsqrt(jnp.maximum(norm_acc[:, 0], 1e-24))
         sims = sims_acc[:] * inv[:, None]        # (M, K)
@@ -122,17 +192,29 @@ def _kernel(mob_ref, vp_ref, mask_ref, centers_ref, params_ref,
 
 @partial(jax.jit,
          static_argnames=("midpoint", "steepness", "threshold", "s_tile",
-                          "mxu_bf16", "interpret", "cutoff_shape"))
-def fused_assign_blocks(mobile, static, verts, vmask, cell_diag, centers,
+                          "mxu_bf16", "interpret", "cutoff_shape",
+                          "peak_evening"))
+def fused_assign_blocks(mobile, static, verts, vmask, cell, centers,
                         *, midpoint, steepness, threshold, s_tile=512,
                         mxu_bf16=True, interpret=False,
-                        cutoff_shape="logistic"):
+                        cutoff_shape="logistic", peak_evening="none"):
     """Fused landmark + normalize + assign for a block of frames.
 
     mobile (B, M, 3), static (B, N, 3), verts (S, V) int32, vmask (S, V),
-    cell_diag (3,) orthorhombic cell lengths, centers (K, S) unit rows.
+    cell: (3,) orthorhombic lengths OR (3, 3) triclinic matrix (see
+    :func:`kernel_cell`), centers (K, S) unit rows.
+    ``peak_evening='clip'`` runs a second site-tile sweep: pass 0 reduces
+    each row's global top-2 into VMEM scratch, pass 1 recomputes the tile,
+    caps at the 2nd-largest value, and accumulates — ~2x the distance work,
+    still far cheaper than the HBM-materializing XLA fallback.
     Returns (labels (B, M) int32 with −1 below threshold, confs (B, M)).
     """
+    cell = jnp.asarray(cell, jnp.float32)
+    triclinic = cell.ndim == 2
+    if peak_evening not in ("none", "clip"):
+        raise ValueError(f"unknown peak_evening mode {peak_evening!r}")
+    peak_clip = peak_evening == "clip"
+    n_passes = 2 if peak_clip else 1
     B, M, _ = mobile.shape
     S, V = verts.shape
     K = centers.shape[0]
@@ -159,34 +241,39 @@ def fused_assign_blocks(mobile, static, verts, vmask, cell_diag, centers,
     cpad = jnp.pad(centers.T.astype(jnp.float32),
                    ((0, SP - S), (0, KP - K)))               # (SP, KP)
 
-    params = jnp.asarray(
-        [cell_diag[0], cell_diag[1], cell_diag[2],
-         midpoint, steepness, threshold], jnp.float32)
+    consts = jnp.asarray([midpoint, steepness, threshold], jnp.float32)
+    if triclinic:
+        cell_inv = jnp.linalg.inv(cell).astype(jnp.float32)
+        params = jnp.concatenate(
+            [cell.ravel(), cell_inv.ravel(), consts])
+    else:
+        params = jnp.concatenate([cell, consts])
 
-    grid = (B, n_s_tiles)
+    grid = (B, n_passes, n_s_tiles)
     kernel = partial(_kernel, V=V, n_s_tiles=n_s_tiles,
                      mxu_dtype=jnp.bfloat16 if mxu_bf16 else jnp.float32,
-                     r2_cutoff=(cutoff_shape == "logistic_r2"))
+                     r2_cutoff=(cutoff_shape == "logistic_r2"),
+                     triclinic=triclinic, peak_clip=peak_clip)
     labels, confs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 3, MP), lambda b, j: (b, 0, 0),
+            pl.BlockSpec((1, 3, MP), lambda b, p, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),            # mobile planes
-            pl.BlockSpec((1, 3, V, s_tile), lambda b, j: (b, 0, 0, j),
+            pl.BlockSpec((1, 3, V, s_tile), lambda b, p, j: (b, 0, 0, j),
                          memory_space=pltpu.VMEM),            # vertex planes
-            pl.BlockSpec((V + 1, s_tile), lambda b, j: (0, j),
+            pl.BlockSpec((V + 1, s_tile), lambda b, p, j: (0, j),
                          memory_space=pltpu.VMEM),            # vertex mask
-            pl.BlockSpec((s_tile, KP), lambda b, j: (j, 0),
+            pl.BlockSpec((s_tile, KP), lambda b, p, j: (j, 0),
                          memory_space=pltpu.VMEM),            # centers tile
             pl.BlockSpec(memory_space=pltpu.SMEM),            # params
         ],
         out_specs=[
             # whole-array blocks (persist across the grid); each frame's row
             # is written once at its last site tile
-            pl.BlockSpec((B, MP), lambda b, j: (0, 0),
+            pl.BlockSpec((B, MP), lambda b, p, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, MP), lambda b, j: (0, 0),
+            pl.BlockSpec((B, MP), lambda b, p, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -196,6 +283,7 @@ def fused_assign_blocks(mobile, static, verts, vmask, cell_diag, centers,
         scratch_shapes=[
             pltpu.VMEM((MP, KP), jnp.float32),               # sims acc
             pltpu.VMEM((MP, 1), jnp.float32),                # norm acc
+            pltpu.VMEM((MP, 2), jnp.float32),                # running top-2
         ],
         interpret=interpret,
     )(mob, vp, mask, cpad, params)

@@ -199,6 +199,12 @@ class PBCCalculator:
         d = self._min_image_disp(a[:, None, :] - b[None, :, :])
         return np.sqrt(np.sum(d * d, axis=-1))
 
+    def paired_distances(self, a, b):
+        """Row-wise min-image distances |b[i] - a[i]| for (n, 3) arrays."""
+        d = self._min_image_disp(np.asarray(b, np.float64)
+                                 - np.asarray(a, np.float64))
+        return np.sqrt(np.sum(d * d, axis=-1))
+
     # -- images / wrapping -------------------------------------------------
     def min_image(self, ref, pts):
         """Map ``pts`` into the minimum image of ``ref``; returns new array."""

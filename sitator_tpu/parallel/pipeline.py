@@ -27,16 +27,18 @@ from sitator_tpu.parallel.mesh import (
 __all__ = ["SpmdLandmarkPipeline", "analysis_step", "fused_analysis_step"]
 
 
-def fused_analysis_step(mesh, mobile, static, verts, vmask, cell_diag,
+def fused_analysis_step(mesh, mobile, static, verts, vmask, cell,
                         centers, *, midpoint, steepness, threshold,
                         s_tile=256, cutoff_shape="logistic", mxu_bf16=True,
-                        interpret=False, active_idx=None, n_sites=None):
+                        interpret=False, active_idx=None, n_sites=None,
+                        peak_evening="none"):
     """Frame-sharded analysis step using the fused Pallas kernel.
 
     The kernel runs per shard under ``shard_map`` (a Pallas call cannot be
     auto-partitioned by GSPMD); the order-dependent jump statistics run on
     the sharded labels OUTSIDE the shard_map, where the associative-prefix
-    formulation partitions automatically.  Orthorhombic cells only.
+    formulation partitions automatically.  ``cell``: (3,) orthorhombic
+    lengths or (3, 3) triclinic matrix (``ops.landmark_pallas.kernel_cell``).
 
     mobile (F, M, 3) / static (F, N, 3) frame-sharded over ``mesh``;
     verts/vmask/centers replicated.  ``active_idx`` (K_compact,) int32,
@@ -53,19 +55,19 @@ def fused_analysis_step(mesh, mobile, static, verts, vmask, cell_diag,
     fs = P(FRAME_AXIS)
     rep = P()
 
-    def local(mobile, static, verts, vmask, cell_diag, centers):
+    def local(mobile, static, verts, vmask, cell, centers):
         return fused_assign_blocks(
-            mobile, static, verts, vmask, cell_diag, centers,
+            mobile, static, verts, vmask, cell, centers,
             midpoint=midpoint, steepness=steepness, threshold=threshold,
             s_tile=s_tile, mxu_bf16=mxu_bf16, interpret=interpret,
-            cutoff_shape=cutoff_shape)
+            cutoff_shape=cutoff_shape, peak_evening=peak_evening)
 
     labels, confs = shard_map(
         local, mesh=mesh,
         in_specs=(fs, fs, rep, rep, rep, rep),
         out_specs=(fs, fs),
         check_vma=False,  # Pallas outputs carry no varying-mesh-axes info
-    )(mobile, static, verts, vmask, cell_diag, centers)
+    )(mobile, static, verts, vmask, cell, centers)
     if active_idx is not None:
         labels = _remap_labels(labels, jnp.asarray(active_idx, jnp.int32))
     stats = _jump_stats_parallel(
@@ -134,10 +136,10 @@ class SpmdLandmarkPipeline:
         self.cutoff_shape = cutoff_shape
         self.interpret = bool(interpret)
         if use_fused == "auto":
-            from sitator_tpu.ops.landmark_pallas import supports_cell
-            use_fused = (supports_cell(seed_sn.structure.cell)
-                         and jax.default_backend() == "tpu"
-                         and peak_evening == "none")
+            # the fused kernel handles every configuration: orthorhombic
+            # and triclinic cells (kernel_cell picks the min-image variant)
+            # and peak_evening='clip' (two-pass top-2 sweep in-kernel)
+            use_fused = jax.default_backend() == "tpu"
         self.use_fused = bool(use_fused)
 
         self.mobile_idx = np.flatnonzero(seed_sn.mobile_mask)
@@ -146,8 +148,8 @@ class SpmdLandmarkPipeline:
         rep = replicated(self.mesh)
         self.verts = jax.device_put(jnp.asarray(verts), rep)
         self.vmask = jax.device_put(jnp.asarray(vmask), rep)
-        self.cell_diag = jax.device_put(
-            jnp.asarray(np.diag(seed_sn.structure.cell), jnp.float32), rep)
+        from sitator_tpu.ops.landmark_pallas import kernel_cell
+        self.kcell = jax.device_put(kernel_cell(seed_sn.structure.cell), rep)
         # fused path uses compacted (live-row) centers; labels are remapped
         # back to the caller's cluster indexing on the way out
         self._active_idx = np.flatnonzero(np.asarray(active))
@@ -182,12 +184,13 @@ class SpmdLandmarkPipeline:
         if self.use_fused:
             labels, confs, stats = fused_analysis_step(
                 self.mesh, mobile, static, self.verts, self.vmask,
-                self.cell_diag, self._centers_compact,
+                self.kcell, self._centers_compact,
                 midpoint=self.cutoff_midpoint,
                 steepness=self.cutoff_steepness,
                 threshold=self.assignment_threshold,
                 cutoff_shape=self.cutoff_shape, interpret=self.interpret,
-                active_idx=self._active_idx_j, n_sites=self.n_sites)
+                active_idx=self._active_idx_j, n_sites=self.n_sites,
+                peak_evening=self.peak_evening)
             labels = np.asarray(labels)[:n_valid]
         else:
             labels, confs, stats = analysis_step(

@@ -210,6 +210,50 @@ def test_static_drift_detection(synthetic_run):
         la2.run(seeds, bad)
 
 
+def test_dynamic_lattice_mapping_recovers_swap(synthetic_run):
+    """Two static atoms exchange lattice sites mid-trajectory: with
+    dynamic_lattice_mapping the analysis follows the lattice and recovers
+    IDENTICAL sites/assignments/jumps as the unswapped run; without it,
+    StaticLatticeError (VERDICT r1 item 3)."""
+    md, seeds, la, st = synthetic_run
+    swapped = md.traj.copy()
+    static_atoms = np.flatnonzero(md.static_mask)
+    i, j = static_atoms[2], static_atoms[17]
+    T = 389  # not on a block boundary (batch_frames=256)
+    swapped[T:, i], swapped[T:, j] = (md.traj[T:, j].copy(),
+                                      md.traj[T:, i].copy())
+
+    la_plain = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                                static_movement_threshold=1.0, verbose=False)
+    with pytest.raises(StaticLatticeError):
+        la_plain.run(seeds, swapped)
+
+    la_dyn = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                              static_movement_threshold=1.0,
+                              dynamic_lattice_mapping=True, verbose=False)
+    st_dyn = la_dyn.run(seeds, swapped)
+    # slot->atom map records exactly the swap
+    perm = la_dyn.lattice_mapping_
+    si = np.flatnonzero(static_atoms == i)[0]
+    sj = np.flatnonzero(static_atoms == j)[0]
+    assert perm[si] == sj and perm[sj] == si
+    assert (perm == np.arange(len(perm))).sum() == len(perm) - 2
+    # swapping static-atom IDENTITIES does not change the physics: the
+    # remapped landmark basis reproduces the unswapped analysis exactly
+    np.testing.assert_array_equal(st_dyn.traj, st.traj)
+    np.testing.assert_allclose(st_dyn.site_network.centers,
+                               st.site_network.centers, atol=1e-5)
+    # a swap that strands an atom between sites has no consistent mapping
+    broken = md.traj.copy()
+    broken[T:, i] += 2.0  # drifts off, but no vacated site to claim
+    with pytest.raises(StaticLatticeError):
+        la_dyn2 = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                                   static_movement_threshold=1.0,
+                                   dynamic_lattice_mapping=True,
+                                   verbose=False)
+        la_dyn2.run(seeds, broken)
+
+
 def test_zero_landmark_detection(synthetic_run):
     md, seeds, la, st = synthetic_run
     bad = md.traj.copy()

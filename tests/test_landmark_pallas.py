@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from sitator_tpu.ops import landmark as lmops
 from sitator_tpu.ops.landmark_pallas import (
     fused_assign_blocks,
+    kernel_cell,
     supports_cell,
 )
 
@@ -72,6 +73,82 @@ def test_fused_kernel_site_padding_exact(rng):
 def test_supports_cell():
     assert supports_cell(np.diag([3.0, 4.0, 5.0]))
     assert not supports_cell(np.array([[3, 0.1, 0], [0, 4, 0], [0, 0, 5.0]]))
+
+
+def test_kernel_cell_shapes():
+    assert kernel_cell(np.diag([3.0, 4.0, 5.0])).shape == (3,)
+    skew = np.array([[6, 0, 0], [1.2, 6, 0], [0.4, -0.8, 6.0]])
+    assert kernel_cell(skew).shape == (3, 3)
+
+
+@pytest.mark.parametrize("seed", [2, 3])
+def test_fused_kernel_triclinic_matches_xla(rng, seed):
+    """Skewed (triclinic) cell: the in-kernel fractional round-trip must
+    reproduce the XLA path (ops.pbc.min_image_disp) exactly — no fallback,
+    no 2x perf cliff (VERDICT r1 item 4)."""
+    r = np.random.default_rng(seed)
+    L = 11.0
+    cell = np.array([[L, 0, 0],
+                     [0.25 * L, L + 1, 0],
+                     [-0.15 * L, 0.2 * L, L + 2]], np.float32)
+    B, M, N, S, V, K = 2, 7, 40, 20, 5, 6
+    # positions spread over the (skewed) cell
+    frac = r.random((B, M + N, 3)).astype(np.float32)
+    pos = frac @ cell
+    mobile, static = pos[:, :M], pos[:, M:]
+    verts = np.stack([r.choice(N, V, replace=False)
+                      for _ in range(S)]).astype(np.int32)
+    vmask = r.random((S, V)) < 0.8
+    vmask[:, 0] = True
+    centers = r.random((K, S)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    A = lmops.vertex_membership_matrix(verts, vmask, N)
+    lv = lmops.landmark_vectors(
+        jnp.asarray(mobile), jnp.asarray(static), A, jnp.asarray(cell),
+        jnp.asarray(np.linalg.inv(cell), jnp.float32), 3.0, 4.0)
+    lvn, _ = lmops.normalize_landmark_vectors(lv)
+    want_lab, want_conf = lmops.assign_to_centers(
+        lvn, jnp.asarray(centers), jnp.ones(K, bool), 0.3)
+
+    kc = kernel_cell(cell)
+    assert kc.shape == (3, 3)
+    got_lab, got_conf = fused_assign_blocks(
+        jnp.asarray(mobile), jnp.asarray(static), jnp.asarray(verts),
+        jnp.asarray(vmask), kc, jnp.asarray(centers),
+        midpoint=3.0, steepness=4.0, threshold=0.3, s_tile=128,
+        mxu_bf16=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(want_lab), np.asarray(got_lab))
+    np.testing.assert_allclose(np.asarray(want_conf), np.asarray(got_conf),
+                               atol=2e-5)
+
+
+@pytest.mark.parametrize("n_tiles_forced", [1, 2])
+def test_fused_kernel_peak_clip_matches_xla(rng, n_tiles_forced):
+    """peak_evening='clip' in-kernel (two-pass top-2 sweep) must equal the
+    XLA path's peak_even+normalize+assign — including when the top-2 values
+    live in different site tiles (VERDICT r1 item 8)."""
+    r = np.random.default_rng(21 + n_tiles_forced)
+    S = 20 if n_tiles_forced == 1 else 200  # 200 > s_tile=128 → 2 tiles
+    cell_diag, mobile, static, verts, vmask, centers = _system(
+        r, N=60, S=S, K=6)
+    cell = np.diag(cell_diag).astype(np.float32)
+    A = lmops.vertex_membership_matrix(verts, vmask, static.shape[1])
+    lv = lmops.landmark_vectors(
+        jnp.asarray(mobile), jnp.asarray(static), A, jnp.asarray(cell),
+        jnp.asarray(np.linalg.inv(cell), jnp.float32), 3.0, 4.0)
+    lv = lmops.peak_even(lv, "clip")
+    lvn, _ = lmops.normalize_landmark_vectors(lv)
+    want_lab, want_conf = lmops.assign_to_centers(
+        lvn, jnp.asarray(centers), jnp.ones(len(centers), bool), 0.3)
+    got_lab, got_conf = fused_assign_blocks(
+        jnp.asarray(mobile), jnp.asarray(static), jnp.asarray(verts),
+        jnp.asarray(vmask), jnp.asarray(cell_diag), jnp.asarray(centers),
+        midpoint=3.0, steepness=4.0, threshold=0.3, s_tile=128,
+        mxu_bf16=False, interpret=True, peak_evening="clip")
+    np.testing.assert_array_equal(np.asarray(want_lab), np.asarray(got_lab))
+    np.testing.assert_allclose(np.asarray(want_conf), np.asarray(got_conf),
+                               atol=2e-5)
 
 
 def test_fused_kernel_r2_cutoff_matches_xla(rng):

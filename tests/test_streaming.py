@@ -140,6 +140,100 @@ def test_streaming_checkpoint_resume(md_system, tmp_path):
     assert not os.path.exists(ckpt)  # cleaned up after completion
 
 
+def test_streaming_mesh_fused_matches_single_device(md_system):
+    """The fused Pallas path under an 8-device mesh (shard_map inside
+    _stream_block) is bit-exact vs the same kernel on one device."""
+    md, seeds = md_system
+    from sitator_tpu.parallel.mesh import frame_mesh
+    base = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=64, use_fused=True,
+                                     interpret=True, verbose=False)
+    centers = base.fit_centers(seeds, ArrayTrajectory(md.traj))
+    out1 = base.run(seeds, md.traj[:256], centers=centers)
+    mesh = frame_mesh(n_devices=8)
+    sla = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0,
+                                    block_frames=64, mesh=mesh,
+                                    use_fused=True, interpret=True,
+                                    verbose=False)
+    out8 = sla.run(seeds, md.traj[:256], centers=centers)
+    np.testing.assert_array_equal(out1.n_ij, out8.n_ij)
+    np.testing.assert_allclose(out1.occupancies, out8.occupancies,
+                               atol=1e-12)
+    np.testing.assert_allclose(out1.centers, out8.centers, atol=1e-6)
+    np.testing.assert_allclose(out1.residence_times, out8.residence_times,
+                               equal_nan=True)
+
+
+def test_streaming_spill_invariance(md_system):
+    """Spilling device epochs to host int64/float64 every block changes
+    nothing (the overflow-proofing is exact)."""
+    md, seeds = md_system
+    sla1 = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=100, verbose=False)
+    centers = sla1.fit_centers(seeds, ArrayTrajectory(md.traj))
+    out1 = sla1.run(seeds, md.traj, centers=centers)
+    sla2 = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=100, verbose=False)
+    sla2.spill_every = 1
+    out2 = sla2.run(seeds, md.traj, centers=centers)
+    np.testing.assert_array_equal(out1.n_ij, out2.n_ij)
+    np.testing.assert_allclose(out1.occupancies, out2.occupancies,
+                               atol=1e-12)
+    np.testing.assert_allclose(out1.centers, out2.centers, atol=1e-6)
+
+
+def test_streaming_multiple_occupancy_modes(md_system):
+    """Two ions riding the same positions must trip the on-device
+    multiple-occupancy counter: warn mode logs, raise mode raises."""
+    md, seeds = md_system
+    from sitator_tpu.util.errors import MultipleOccupancyError
+    traj = md.traj[:200].copy()
+    mob = np.flatnonzero(md.mobile_mask)
+    traj[:, mob[1]] = traj[:, mob[0]]  # ion 1 shadows ion 0 exactly
+
+    sla = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0, block_frames=64,
+                                    multiple_occupancy_action="raise",
+                                    verbose=False)
+    centers = sla.fit_centers(seeds, ArrayTrajectory(md.traj))
+    with pytest.raises(MultipleOccupancyError):
+        sla.run(seeds, traj, centers=centers)
+
+    sla_warn = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                         cutoff_steepness=3.0,
+                                         block_frames=64,
+                                         multiple_occupancy_action="warn",
+                                         verbose=False)
+    out = sla_warn.run(seeds, traj, centers=centers)  # completes
+    assert out.n_sites > 0
+
+    sla_off = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                        cutoff_steepness=3.0,
+                                        block_frames=64,
+                                        max_mobile_per_site=None,
+                                        verbose=False)
+    out2 = sla_off.run(seeds, traj, centers=centers)
+    np.testing.assert_array_equal(out.n_ij, out2.n_ij)
+
+
+def test_landmark_analysis_multiple_occupancy_raise(md_system):
+    md, seeds = md_system
+    from sitator_tpu.landmark import LandmarkAnalysis
+    from sitator_tpu.util.errors import MultipleOccupancyError
+    traj = md.traj[:120].copy()
+    mob = np.flatnonzero(md.mobile_mask)
+    traj[:, mob[1]] = traj[:, mob[0]]
+    la = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                          multiple_occupancy_action="raise", verbose=False)
+    with pytest.raises(MultipleOccupancyError) as ei:
+        la.run(seeds, traj)
+    assert ei.value.count is not None and ei.value.count > 1
+
+
 def test_streaming_merge_network(md_system):
     """Stats-level post-merge collapses split sites; inter-group hop counts
     approach ground truth."""
