@@ -123,7 +123,7 @@ def tpu_fps(cell, verts, frames, centers, n_static, mode="fused"):
                     mobile, static, verts_j, vmask, cell_diag, centers_j,
                     midpoint=MIDPOINT, steepness=STEEPNESS,
                     threshold=ASSIGN_THR, s_tile=256, mxu_bf16=True,
-                    cutoff_shape=CUTOFF)
+                    cutoff_shape=CUTOFF, full_mask=True)
             else:
                 lv = lmops.landmark_vectors(
                     mobile, static, A, cell_j, cell_inv, MIDPOINT, STEEPNESS,

@@ -42,12 +42,12 @@ logger = logging.getLogger(__name__)
 @partial(jax.jit, static_argnames=("n_sites", "use_fused", "midpoint",
                                    "steepness", "threshold",
                                    "cutoff_shape", "mesh", "max_mobile",
-                                   "interpret"))
+                                   "interpret", "full_mask"))
 def _stream_block(mobile, static, verts, vmask, A, cell, cell_inv,
                   kcell, centers, active, carry, acc, *, n_sites,
                   use_fused, midpoint, steepness, threshold,
                   cutoff_shape="logistic", mesh=None, max_mobile=None,
-                  interpret=False):
+                  interpret=False, full_mask=False):
     """One streamed block: assign + accumulate.  ``carry`` = (last, res)
     from the previous block; ``acc`` = dict of device accumulators.
 
@@ -69,7 +69,7 @@ def _stream_block(mobile, static, verts, vmask, A, cell, cell_inv,
                     mobile, static, verts, vmask, kcell, centers,
                     midpoint=midpoint, steepness=steepness,
                     threshold=threshold, cutoff_shape=cutoff_shape,
-                    interpret=interpret)
+                    interpret=interpret, full_mask=full_mask)
 
             labels, confs = shard_map(
                 local, mesh=mesh,
@@ -80,7 +80,8 @@ def _stream_block(mobile, static, verts, vmask, A, cell, cell_inv,
             labels, confs = fused_assign_blocks(
                 mobile, static, verts, vmask, kcell, centers,
                 midpoint=midpoint, steepness=steepness, threshold=threshold,
-                cutoff_shape=cutoff_shape, interpret=interpret)
+                cutoff_shape=cutoff_shape, interpret=interpret,
+                full_mask=full_mask)
     else:
         lv = lmops.landmark_vectors(mobile, static, A, cell, cell_inv,
                                     midpoint, steepness,
@@ -234,6 +235,7 @@ class StreamingLandmarkAnalysis:
         # under shard_map inside _stream_block
         use_fused = (jax.default_backend() == "tpu"
                      if self.use_fused == "auto" else bool(self.use_fused))
+        full_mask = bool(np.asarray(vmask).all())
         centers_j = jnp.asarray(centers, jnp.float32)
         active = jnp.ones(K, bool)
         verts_j = jnp.asarray(verts)
@@ -340,7 +342,7 @@ class StreamingLandmarkAnalysis:
                 threshold=self.assignment_threshold,
                 cutoff_shape=self.cutoff_shape, mesh=self.mesh,
                 max_mobile=self.max_mobile_per_site,
-                interpret=self.interpret)
+                interpret=self.interpret, full_mask=full_mask)
             if nb < B:
                 # rerun carry/acc on the unpadded tail is wasteful; instead
                 # correct: padding repeats the final frame, adding no jumps

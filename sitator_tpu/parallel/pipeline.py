@@ -31,7 +31,7 @@ def fused_analysis_step(mesh, mobile, static, verts, vmask, cell,
                         centers, *, midpoint, steepness, threshold,
                         s_tile=256, cutoff_shape="logistic", mxu_bf16=True,
                         interpret=False, active_idx=None, n_sites=None,
-                        peak_evening="none"):
+                        peak_evening="none", full_mask=False):
     """Frame-sharded analysis step using the fused Pallas kernel.
 
     The kernel runs per shard under ``shard_map`` (a Pallas call cannot be
@@ -60,7 +60,8 @@ def fused_analysis_step(mesh, mobile, static, verts, vmask, cell,
             mobile, static, verts, vmask, cell, centers,
             midpoint=midpoint, steepness=steepness, threshold=threshold,
             s_tile=s_tile, mxu_bf16=mxu_bf16, interpret=interpret,
-            cutoff_shape=cutoff_shape, peak_evening=peak_evening)
+            cutoff_shape=cutoff_shape, peak_evening=peak_evening,
+            full_mask=full_mask)
 
     labels, confs = shard_map(
         local, mesh=mesh,
@@ -145,6 +146,7 @@ class SpmdLandmarkPipeline:
         self.mobile_idx = np.flatnonzero(seed_sn.mobile_mask)
         self.static_idx = np.flatnonzero(seed_sn.static_mask)
         verts, vmask = seed_sn.padded_vertices()
+        self._full_mask = bool(np.asarray(vmask).all())
         rep = replicated(self.mesh)
         self.verts = jax.device_put(jnp.asarray(verts), rep)
         self.vmask = jax.device_put(jnp.asarray(vmask), rep)
@@ -190,7 +192,7 @@ class SpmdLandmarkPipeline:
                 threshold=self.assignment_threshold,
                 cutoff_shape=self.cutoff_shape, interpret=self.interpret,
                 active_idx=self._active_idx_j, n_sites=self.n_sites,
-                peak_evening=self.peak_evening)
+                peak_evening=self.peak_evening, full_mask=self._full_mask)
             labels = np.asarray(labels)[:n_valid]
         else:
             labels, confs, stats = analysis_step(

@@ -10,10 +10,17 @@ spectrum
 
     p^{αβ}_{n n' l} = Σ_m c^α_{nlm} c^β_{n'lm},
 
-per species pair — the same invariance structure as GAP SOAP, with a
-simplified (density-sampling) radial integral.  The descriptor interface is
-pluggable (SURVEY.md §3.9), so an external SOAP can be swapped in where
-available.
+per species pair — the same invariance structure as GAP SOAP.
+
+**Deviation from GAP SOAP (deliberate redesign, not an oversight):** the
+radial channel samples the neighbor density with Gaussians on an equispaced
+grid instead of projecting onto GTO-orthonormalized radial functions, and
+the density is evaluated at neighbor positions (delta-density) rather than
+integrated against atom-centered Gaussians.  Both descriptors are smooth,
+rotation-invariant, and species-resolved; absolute values differ from
+quippy/dscribe, so compare descriptors only within one backend.  The
+descriptor interface is pluggable (SURVEY.md §3.9), so an external SOAP can
+be swapped in where available.
 """
 from __future__ import annotations
 
@@ -26,8 +33,8 @@ import numpy as np
 
 from sitator_tpu.ops.pbc import min_image_disp
 
-__all__ = ["soap_descriptors", "SOAPDescriptorAverages",
-           "SiteCentersDescriptor"]
+__all__ = ["soap_descriptors", "soap_descriptors_env",
+           "SOAPDescriptorAverages", "SiteCentersDescriptor"]
 
 
 def _real_sph_harm(unit_vecs, l_max):
@@ -135,6 +142,39 @@ def soap_descriptors(probes, positions, species, cell, r_cut=5.0,
     return np.concatenate(outs, axis=0)
 
 
+def _species_onehot(species, species_list):
+    onehot = np.zeros((len(species), len(species_list)), dtype=np.float32)
+    for i, s in enumerate(species_list):
+        onehot[np.asarray(species) == s, i] = 1.0
+    return onehot
+
+
+def soap_descriptors_env(probes, envs, species, cell, r_cut=5.0,
+                         sigma=0.5, n_max=8, l_max=6, species_list=None,
+                         batch=64):
+    """SOAP vectors for ``probes (P, 3)``, each in its OWN environment
+    ``envs (P, N, 3)`` (e.g. per-frame static lattices) with shared
+    ``species (N,)``.  One vmapped device dispatch per ``batch`` probes —
+    the sampling path of :class:`SOAPDescriptorAverages`."""
+    envs = np.asarray(envs, dtype=np.float32)
+    if species_list is None:
+        species_list = np.unique(species)
+    onehot = jnp.asarray(_species_onehot(species, species_list))
+    cell = np.asarray(cell, dtype=np.float32)
+    cell_inv = np.linalg.inv(cell).astype(np.float32)
+
+    fn = jax.vmap(_soap_one, in_axes=(0, 0) + (None,) * 7 + (None,))
+    outs = []
+    probes = np.asarray(probes, dtype=np.float32)
+    for lo in range(0, len(probes), batch):
+        outs.append(np.asarray(fn(
+            jnp.asarray(probes[lo:lo + batch]),
+            jnp.asarray(envs[lo:lo + batch]), onehot,
+            jnp.asarray(cell), jnp.asarray(cell_inv), r_cut, sigma,
+            n_max, l_max, len(species_list))))
+    return np.concatenate(outs, axis=0)
+
+
 class SOAPDescriptorAverages:
     """Per-site SOAP by averaging descriptors of sampled assigned positions
     (reference ``SOAPDescriptorAverages`` parity): probes are real mobile-ion
@@ -165,35 +205,55 @@ class SOAPDescriptorAverages:
         species_list = np.unique(species)
         cell = sn.structure.cell
 
-        descs = []
-        counts = []
+        # one pass over the assignment matrix: group samples by site, then
+        # draw up to averages_n per site
+        fr_all, io_all = np.nonzero(st.traj >= 0)
+        lab_all = st.traj[fr_all, io_all]
+        sel_f, sel_i, sel_s = [], [], []
+        counts = np.zeros(sn.n_sites, dtype=np.int64)
+        order = np.argsort(lab_all, kind="stable")
+        bounds = np.searchsorted(lab_all[order], np.arange(sn.n_sites + 1))
         for site in range(sn.n_sites):
-            frames, ions = np.nonzero(st.traj == site)
-            if len(frames) == 0:
-                descs.append(None)
-                counts.append(0)
+            grp = order[bounds[site]:bounds[site + 1]]
+            counts[site] = len(grp)
+            if len(grp) == 0:
                 continue
-            if len(frames) > self.averages_n:
-                sel = rng.choice(len(frames), self.averages_n, replace=False)
-                frames, ions = frames[sel], ions[sel]
-            site_descs = []
-            for f, ion in zip(frames, ions):
-                probe = st.real_trajectory[f, mobile_idx[ion]][None, :]
-                env = st.real_trajectory[f, static_idx]
-                site_descs.append(soap_descriptors(
-                    probe, env, species, cell, r_cut=self.r_cut,
-                    sigma=self.sigma, n_max=self.n_max, l_max=self.l_max,
-                    species_list=species_list))
-            d = np.mean(np.concatenate(site_descs, axis=0), axis=0)
-            d /= max(np.linalg.norm(d), 1e-12)
-            descs.append(d)
-            counts.append(len(frames))
-        D = next(len(d) for d in descs if d is not None)
-        out = np.zeros((sn.n_sites, D), dtype=np.float32)
-        for i, d in enumerate(descs):
-            if d is not None:
-                out[i] = d
-        return out, np.asarray(counts)
+            if len(grp) > self.averages_n:
+                grp = grp[rng.choice(len(grp), self.averages_n,
+                                     replace=False)]
+            sel_f.append(fr_all[grp])
+            sel_i.append(io_all[grp])
+            sel_s.append(np.full(len(grp), site, dtype=np.int64))
+        if not sel_f:
+            raise ValueError("SiteTrajectory has no assigned samples")
+        sel_f = np.concatenate(sel_f)
+        sel_i = np.concatenate(sel_i)
+        sel_s = np.concatenate(sel_s)
+
+        # every probe is a real ion position evaluated in ITS OWN frame's
+        # static environment — batched into vmapped device dispatches;
+        # environments are gathered chunkwise (T·N·3 all at once can be GBs)
+        probes = st.real_trajectory[sel_f, mobile_idx[sel_i]]
+        chunk = 512
+        d_parts = []
+        for lo in range(0, len(sel_f), chunk):
+            f_c = sel_f[lo:lo + chunk]
+            envs = st.real_trajectory[f_c][:, static_idx]
+            d_parts.append(soap_descriptors_env(
+                probes[lo:lo + chunk], envs, species, cell,
+                r_cut=self.r_cut, sigma=self.sigma, n_max=self.n_max,
+                l_max=self.l_max, species_list=species_list))
+        d_all = np.concatenate(d_parts, axis=0)
+
+        D = d_all.shape[1]
+        out = np.zeros((sn.n_sites, D), dtype=np.float64)
+        np.add.at(out, sel_s, d_all.astype(np.float64))
+        n_sel = np.bincount(sel_s, minlength=sn.n_sites)
+        occupied = n_sel > 0
+        out[occupied] /= n_sel[occupied, None]
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        out = np.where(norms > 1e-12, out / np.maximum(norms, 1e-12), out)
+        return out.astype(np.float32), counts
 
 
 class SiteCentersDescriptor:

@@ -87,6 +87,20 @@ class Zeopy:
 
     @staticmethod
     def _parse_nt2(path, structure):
+        """EXPERIMENTAL: best-effort .nt2 parser.
+
+        Written against the documented Zeo++ ``network -nt2`` layout but
+        never validated against real binary output (no Zeo++ in this
+        environment — SURVEY.md §0).  If you have Zeo++, verify one
+        decomposition against ``VoronoiSiteGenerator`` before trusting it,
+        and prefer the native generator in any case.
+        """
+        import warnings
+        warnings.warn(
+            "Zeopy._parse_nt2 is experimental (never validated against real "
+            "Zeo++ output); cross-check against "
+            "sitator_tpu.voronoi.VoronoiSiteGenerator",
+            stacklevel=2)
         nodes = []
         verts = []
         radii = []

@@ -35,8 +35,6 @@ def plotter(is3D=True, **fig_kwargs):
         @functools.wraps(func)
         def wrapped(*args, fig=None, ax=None, **kwargs):
             import matplotlib
-            if matplotlib.get_backend().lower() != "agg" and fig is None:
-                pass
             import matplotlib.pyplot as plt
             if ax is None:
                 if fig is None:

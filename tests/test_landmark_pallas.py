@@ -75,6 +75,27 @@ def test_supports_cell():
     assert not supports_cell(np.array([[3, 0.1, 0], [0, 4, 0], [0, 0, 5.0]]))
 
 
+def test_fused_kernel_full_mask_specialization(rng):
+    """full_mask=True (caller asserts vmask.all()) must be bit-compatible
+    with the masked path on an all-valid vertex basis."""
+    r = np.random.default_rng(7)
+    cell_diag, mobile, static, verts, vmask, centers = _system(r)
+    vmask = np.ones_like(vmask)
+    kw = dict(midpoint=3.0, steepness=4.0, threshold=0.35, s_tile=128,
+              mxu_bf16=False, interpret=True)
+    a = fused_assign_blocks(
+        jnp.asarray(mobile), jnp.asarray(static), jnp.asarray(verts),
+        jnp.asarray(vmask), jnp.asarray(cell_diag), jnp.asarray(centers),
+        full_mask=False, **kw)
+    b = fused_assign_blocks(
+        jnp.asarray(mobile), jnp.asarray(static), jnp.asarray(verts),
+        jnp.asarray(vmask), jnp.asarray(cell_diag), jnp.asarray(centers),
+        full_mask=True, **kw)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                               atol=1e-6)
+
+
 def test_kernel_cell_shapes():
     assert kernel_cell(np.diag([3.0, 4.0, 5.0])).shape == (3,)
     skew = np.array([[6, 0, 0], [1.2, 6, 0], [0.4, -0.8, 6.0]])
