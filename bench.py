@@ -92,18 +92,24 @@ def cpu_reference_fps(cell, verts, frames, centers, n_frames=2,
     return n_frames / dt
 
 
-def tpu_fps(cell, verts, frames, centers, n_static, mode="fused"):
+def tpu_fps(cell, verts, frames, centers, n_static, mode="mxu"):
     """Throughput of the full landmark+assign+jump step on device.
 
-    mode 'fused' uses the Pallas kernel (O(M·S·V) distances, landmark
-    vectors never leave VMEM); 'xla' uses the dense log-matmul formulation.
-    Timing is scan-batched — one dispatch covers N_BLOCKS blocks and returns
-    a scalar, so remote-dispatch latency cannot pollute the measurement.
+    mode 'mxu' uses the unique-atom MXU-product kernel (the production
+    path); 'fused' the per-vertex gather Pallas kernel; 'xla' the dense
+    log-matmul formulation.  Timing is scan-batched — one dispatch covers
+    N_BLOCKS blocks and returns a scalar, so remote-dispatch latency cannot
+    pollute the measurement.
     """
     import jax
     import jax.numpy as jnp
     from sitator_tpu.ops import landmark as lmops
     from sitator_tpu.ops.jumps import _jump_stats_parallel
+    from sitator_tpu.ops.landmark_mxu import (
+        mxu_assign_blocks,
+        permute_centers,
+        prepare_mxu_basis,
+    )
     from sitator_tpu.ops.landmark_pallas import fused_assign_blocks
 
     cell_j = jnp.asarray(cell)
@@ -112,13 +118,33 @@ def tpu_fps(cell, verts, frames, centers, n_static, mode="fused"):
     vmask = jnp.ones_like(verts, dtype=bool)
     active = jnp.ones(K_CENTERS, bool)
 
+    basis = None
+    centers_mxu = None
+    if mode == "mxu":
+        grid = np.stack(np.meshgrid(*[np.arange(N_CELLS)] * 3,
+                                    indexing="ij"), axis=-1).reshape(-1, 3)
+        site_pos = (grid + 0.5) * A_LAT
+        basis = prepare_mxu_basis(verts, np.ones_like(verts, bool),
+                                  site_pos, cell, s_tile=256)
+        centers_mxu = jnp.asarray(permute_centers(centers, basis))
+
     @jax.jit
-    def step(static_blocks, mobile_blocks, verts_j, centers_j, A):
+    def step(static_blocks, mobile_blocks, verts_j, centers_j, A,
+             uidx, Am, kill):
         # big arrays arrive as arguments (baking them into the HLO as
         # constants bloats the program past the remote-compile limit)
         def body(carry, xs):
             static, mobile = xs
-            if mode == "fused":
+            if mode == "mxu":
+                labels, confs = mxu_assign_blocks(
+                    mobile, static,
+                    dict(uidx=uidx, A=Am, kill=kill,
+                         s_tile=basis["s_tile"], n_st=basis["n_st"],
+                         UP=basis["UP"], cost_ratio=0.0, site_order=None),
+                    cell_diag, centers_j,
+                    midpoint=MIDPOINT, steepness=STEEPNESS,
+                    threshold=ASSIGN_THR, cutoff_shape=CUTOFF)
+            elif mode == "fused":
                 labels, confs = fused_assign_blocks(
                     mobile, static, verts_j, vmask, cell_diag, centers_j,
                     midpoint=MIDPOINT, steepness=STEEPNESS,
@@ -139,15 +165,22 @@ def tpu_fps(cell, verts, frames, centers, n_static, mode="fused"):
                                 (static_blocks, mobile_blocks))
         return total
 
-    if mode == "fused":
-        A = jnp.zeros((1, 1), jnp.float32)  # unused
-    else:
+    if mode == "xla":
         A = lmops.vertex_membership_matrix(verts, np.ones_like(verts, bool),
                                            n_static)
+    else:
+        A = jnp.zeros((1, 1), jnp.float32)  # unused
     static, mobile = frames(N_BLOCKS * BLOCK, seed2=7)
     sb = jnp.asarray(static.reshape(N_BLOCKS, BLOCK, n_static, 3))
     mb = jnp.asarray(mobile.reshape(N_BLOCKS, BLOCK, N_IONS, 3))
-    args = (sb, mb, jnp.asarray(verts), jnp.asarray(centers), A)
+    centers_arg = centers_mxu if mode == "mxu" else jnp.asarray(centers)
+    if basis is not None:
+        bargs = (basis["uidx"], basis["A"], basis["kill"])
+    else:
+        bargs = (jnp.zeros((1, 1), jnp.int32),
+                 jnp.zeros((1, 1, 1), jnp.float32),
+                 jnp.zeros((1, 1), jnp.float32))
+    args = (sb, mb, jnp.asarray(verts), centers_arg, A) + bargs
 
     np.asarray(step(*args))                    # compile + warm (full sync)
     best = np.inf

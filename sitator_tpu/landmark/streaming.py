@@ -39,23 +39,55 @@ from sitator_tpu.ops.landmark_pallas import fused_assign_blocks
 logger = logging.getLogger(__name__)
 
 
-@partial(jax.jit, static_argnames=("n_sites", "use_fused", "midpoint",
+@partial(jax.jit, static_argnames=("n_sites", "kernel", "midpoint",
                                    "steepness", "threshold",
                                    "cutoff_shape", "mesh", "max_mobile",
-                                   "interpret", "full_mask"))
+                                   "interpret", "full_mask", "mxu_s_tile",
+                                   "mxu_n_st"))
 def _stream_block(mobile, static, verts, vmask, A, cell, cell_inv,
-                  kcell, centers, active, carry, acc, *, n_sites,
-                  use_fused, midpoint, steepness, threshold,
+                  kcell, centers, active, carry, acc, uidx, Am, kill, *,
+                  n_sites, kernel, midpoint, steepness, threshold,
                   cutoff_shape="logistic", mesh=None, max_mobile=None,
-                  interpret=False, full_mask=False):
+                  interpret=False, full_mask=False, mxu_s_tile=0,
+                  mxu_n_st=0):
     """One streamed block: assign + accumulate.  ``carry`` = (last, res)
     from the previous block; ``acc`` = dict of device accumulators.
 
-    With ``mesh`` set (a 1-D frame mesh, hashable → static), the fused
-    Pallas kernel runs per shard under ``shard_map`` and every accumulator
-    update below auto-partitions over the frame-sharded labels — the same
-    route as ``parallel.pipeline.fused_analysis_step``."""
-    if use_fused:
+    ``kernel``: 'mxu' (unique-atom MXU-product kernel, fastest — centers
+    arrive column-permuted, uidx/Am/kill are its basis arrays), 'gather'
+    (per-vertex Pallas kernel), or 'xla' (dense log-matmul fallback).
+    With ``mesh`` set (a 1-D frame mesh, hashable → static), the Pallas
+    kernels run per shard under ``shard_map`` and every accumulator update
+    below auto-partitions over the frame-sharded labels."""
+    if kernel == "mxu":
+        from sitator_tpu.ops.landmark_mxu import mxu_assign_blocks
+
+        def assign_mxu(mobile, static, uidx, Am, kill, kcell, centers):
+            return mxu_assign_blocks(
+                mobile, static,
+                dict(uidx=uidx, A=Am, kill=kill, s_tile=mxu_s_tile,
+                     n_st=mxu_n_st, UP=uidx.shape[1], cost_ratio=0.0,
+                     site_order=None),
+                kcell, centers, midpoint=midpoint, steepness=steepness,
+                threshold=threshold, cutoff_shape=cutoff_shape,
+                interpret=interpret)
+
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from sitator_tpu.parallel.mesh import FRAME_AXIS
+
+            fs, rep = P(FRAME_AXIS), P()
+            labels, confs = shard_map(
+                assign_mxu, mesh=mesh,
+                in_specs=(fs, fs, rep, rep, rep, rep, rep),
+                out_specs=(fs, fs), check_vma=False,
+            )(mobile, static, uidx, Am, kill, kcell, centers)
+        else:
+            labels, confs = assign_mxu(mobile, static, uidx, Am, kill,
+                                       kcell, centers)
+    elif kernel == "gather":
         if mesh is not None:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
@@ -240,6 +272,31 @@ class StreamingLandmarkAnalysis:
         active = jnp.ones(K, bool)
         verts_j = jnp.asarray(verts)
         vmask_j = jnp.asarray(vmask)
+        # kernel plan: MXU-product when the basis shares vertices, else the
+        # per-vertex gather kernel; XLA fallback when fused is off
+        kernel = "xla"
+        mxu_s_tile = mxu_n_st = 0
+        uidx_j = jnp.zeros((1, 1), jnp.int32)
+        Am_j = jnp.zeros((1, 1, 1), jnp.float32)
+        kill_j = jnp.zeros((1, 1), jnp.float32)
+        if use_fused:
+            kernel = "gather"
+            from sitator_tpu.ops.landmark_mxu import (
+                mxu_supported,
+                permute_centers,
+                prepare_mxu_basis,
+            )
+            S_basis = verts.shape[0]
+            basis = prepare_mxu_basis(
+                verts, vmask, sn.centers, cell_np,
+                s_tile=256 if S_basis >= 256 else 128)
+            if mxu_supported(basis):
+                kernel = "mxu"
+                mxu_s_tile, mxu_n_st = basis["s_tile"], basis["n_st"]
+                uidx_j, Am_j, kill_j = (basis["uidx"], basis["A"],
+                                        basis["kill"])
+                centers_j = jnp.asarray(
+                    permute_centers(centers, basis), jnp.float32)
 
         start_lo = 0
         carry = (jnp.full((n_mobile,), -1, jnp.int32),
@@ -336,13 +393,15 @@ class StreamingLandmarkAnalysis:
                 static = jax.device_put(static, sharding)
             labels, confs, new_carry, new_acc = _stream_block(
                 mobile, static, verts_j, vmask_j, A, cell, cell_inv,
-                kcell, centers_j, active, carry, acc, n_sites=K,
-                use_fused=use_fused, midpoint=self.cutoff_midpoint,
+                kcell, centers_j, active, carry, acc, uidx_j, Am_j,
+                kill_j, n_sites=K, kernel=kernel,
+                midpoint=self.cutoff_midpoint,
                 steepness=self.cutoff_steepness,
                 threshold=self.assignment_threshold,
                 cutoff_shape=self.cutoff_shape, mesh=self.mesh,
                 max_mobile=self.max_mobile_per_site,
-                interpret=self.interpret, full_mask=full_mask)
+                interpret=self.interpret, full_mask=full_mask,
+                mxu_s_tile=mxu_s_tile, mxu_n_st=mxu_n_st)
             if nb < B:
                 # rerun carry/acc on the unpadded tail is wasteful; instead
                 # correct: padding repeats the final frame, adding no jumps

@@ -24,7 +24,52 @@ from sitator_tpu.parallel.mesh import (
     replicated,
 )
 
-__all__ = ["SpmdLandmarkPipeline", "analysis_step", "fused_analysis_step"]
+__all__ = ["SpmdLandmarkPipeline", "analysis_step", "fused_analysis_step",
+           "mxu_analysis_step"]
+
+
+def mxu_analysis_step(mesh, mobile, static, basis, cell, centers_perm, *,
+                      midpoint, steepness, threshold,
+                      cutoff_shape="logistic", mxu_bf16=True,
+                      interpret=False, active_idx=None, n_sites=None,
+                      peak_evening="none"):
+    """Frame-sharded analysis step on the MXU-product kernel
+    (:mod:`sitator_tpu.ops.landmark_mxu`) — same contract as
+    :func:`fused_analysis_step`, ~1.8x faster when the landmark basis
+    shares vertices (``mxu_supported``)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from sitator_tpu.ops.landmark_mxu import mxu_assign_blocks
+    from sitator_tpu.parallel.mesh import FRAME_AXIS
+
+    fs = P(FRAME_AXIS)
+    rep = P()
+
+    def local(mobile, static, uidx, A, kill, cell, centers_perm):
+        return mxu_assign_blocks(
+            mobile, static,
+            dict(uidx=uidx, A=A, kill=kill, s_tile=basis["s_tile"],
+                 n_st=basis["n_st"], UP=basis["UP"],
+                 cost_ratio=basis["cost_ratio"],
+                 site_order=basis["site_order"]),
+            cell, centers_perm, midpoint=midpoint, steepness=steepness,
+            threshold=threshold, mxu_bf16=mxu_bf16, interpret=interpret,
+            cutoff_shape=cutoff_shape, peak_evening=peak_evening)
+
+    labels, confs = shard_map(
+        local, mesh=mesh,
+        in_specs=(fs, fs, rep, rep, rep, rep, rep),
+        out_specs=(fs, fs),
+        check_vma=False,
+    )(mobile, static, basis["uidx"], basis["A"], basis["kill"], cell,
+      centers_perm)
+    if active_idx is not None:
+        labels = _remap_labels(labels, jnp.asarray(active_idx, jnp.int32))
+    stats = _jump_stats_parallel(
+        labels,
+        int(centers_perm.shape[0]) if n_sites is None else int(n_sites))
+    return labels, confs, stats
 
 
 def fused_analysis_step(mesh, mobile, static, verts, vmask, cell,
@@ -157,9 +202,28 @@ class SpmdLandmarkPipeline:
         self._active_idx = np.flatnonzero(np.asarray(active))
         self._active_idx_j = jax.device_put(
             jnp.asarray(self._active_idx, jnp.int32), rep)
+        centers_compact = np.asarray(centers)[self._active_idx]
         self._centers_compact = jax.device_put(
-            jnp.asarray(np.asarray(centers)[self._active_idx], jnp.float32),
-            rep)
+            jnp.asarray(centers_compact, jnp.float32), rep)
+        # MXU-product route: wins whenever the basis shares vertices
+        self._mxu_basis = None
+        if self.use_fused:
+            from sitator_tpu.ops.landmark_mxu import (
+                mxu_supported,
+                permute_centers,
+                prepare_mxu_basis,
+            )
+            S = verts.shape[0]
+            basis = prepare_mxu_basis(
+                verts, vmask, seed_sn.centers, seed_sn.structure.cell,
+                s_tile=256 if S >= 256 else 128)
+            if mxu_supported(basis):
+                for k in ("uidx", "A", "kill"):
+                    basis[k] = jax.device_put(basis[k], rep)
+                self._mxu_basis = basis
+                self._centers_mxu = jax.device_put(
+                    jnp.asarray(permute_centers(centers_compact, basis),
+                                jnp.float32), rep)
         self.A = jax.device_put(
             lmops.vertex_membership_matrix(verts, vmask,
                                            len(self.static_idx)), rep)
@@ -183,7 +247,17 @@ class SpmdLandmarkPipeline:
             padded[:, self.mobile_idx].astype(np.float32), sh)
         static = jax.device_put(
             padded[:, self.static_idx].astype(np.float32), sh)
-        if self.use_fused:
+        if self.use_fused and self._mxu_basis is not None:
+            labels, confs, stats = mxu_analysis_step(
+                self.mesh, mobile, static, self._mxu_basis, self.kcell,
+                self._centers_mxu, midpoint=self.cutoff_midpoint,
+                steepness=self.cutoff_steepness,
+                threshold=self.assignment_threshold,
+                cutoff_shape=self.cutoff_shape, interpret=self.interpret,
+                active_idx=self._active_idx_j, n_sites=self.n_sites,
+                peak_evening=self.peak_evening)
+            labels = np.asarray(labels)[:n_valid]
+        elif self.use_fused:
             labels, confs, stats = fused_analysis_step(
                 self.mesh, mobile, static, self.verts, self.vmask,
                 self.kcell, self._centers_compact,
