@@ -5,8 +5,12 @@ from sitator_tpu.io.formats import (
     H5Trajectory,
     NpyTrajectory,
     NpzTrajectory,
+    XDATCARTrajectory,
+    LammpsDumpTrajectory,
     XYZTrajectory,
     iread_xyz,
+    read_lammps_dump,
+    read_xdatcar,
     open_trajectory,
     read_xyz,
     write_xyz,
@@ -16,5 +20,6 @@ __all__ = [
     "SyntheticMD", "make_hopping_trajectory",
     "read_xyz", "write_xyz", "iread_xyz", "open_trajectory",
     "ArrayTrajectory", "NpyTrajectory", "NpzTrajectory", "H5Trajectory",
-    "XYZTrajectory", "ChunkedFeeder",
+    "XYZTrajectory", "XDATCARTrajectory", "LammpsDumpTrajectory",
+    "read_xdatcar", "read_lammps_dump", "ChunkedFeeder",
 ]

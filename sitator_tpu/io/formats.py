@@ -22,7 +22,9 @@ from sitator_tpu.core.structure import Structure, symbol_to_number
 
 __all__ = [
     "read_xyz", "write_xyz", "iread_xyz",
+    "read_xdatcar", "read_lammps_dump",
     "NpyTrajectory", "NpzTrajectory", "H5Trajectory", "XYZTrajectory",
+    "XDATCARTrajectory", "LammpsDumpTrajectory",
     "ArrayTrajectory", "open_trajectory", "ChunkedFeeder",
 ]
 
@@ -98,6 +100,151 @@ def write_xyz(path, structure, traj=None, mode="w"):
                 f.write(f"{s} {p[0]:.8f} {p[1]:.8f} {p[2]:.8f}\n")
 
 
+def read_xdatcar(path):
+    """Read a VASP XDATCAR (the reference's AIMD workhorse format, read via
+    ASE there — SURVEY.md §3.9 item 5).  Fixed-cell (NVT/NVE) variant:
+    one header, then ``Direct configuration= N`` blocks of fractional
+    coordinates.  Returns ``(Structure, traj (F, A, 3) cartesian)``.
+    Variable-cell (NPT) files, which repeat the header every frame, raise
+    with a pointer (per-frame cells don't fit the single-cell data model).
+    """
+    with open(path) as f:
+        f.readline()                                    # comment
+        scale = float(f.readline().split()[0])
+        cell = np.array([[float(x) for x in f.readline().split()]
+                         for _ in range(3)]) * scale
+        species_line = f.readline().split()
+        counts_line = f.readline().split()
+        v4 = all(t.lstrip("-").isdigit() for t in species_line)
+        if v4:
+            # old VASP4 style: no symbols line, species_line IS the counts
+            counts = [int(x) for x in species_line]
+            symbols = None
+            # counts_line is then the first "Direct configuration" line
+            first_cfg = " ".join(counts_line)
+        else:
+            symbols = species_line
+            counts = [int(x) for x in counts_line]
+            first_cfg = f.readline()
+        n_atoms = sum(counts)
+        species = np.concatenate([
+            np.full(c, i + 1 if v4 else symbol_to_number(symbols[i]),
+                    dtype=np.int32)
+            for i, c in enumerate(counts)])
+
+        frames = []
+        line = first_cfg
+        while line:
+            ls = line.strip()
+            if not ls:
+                line = f.readline()
+                continue
+            if not ls.lower().startswith("direct"):
+                raise ValueError(
+                    "variable-cell XDATCAR (repeated header) is not "
+                    "supported — the SiteNetwork data model assumes one "
+                    "cell; re-dump with a fixed cell or convert to .npy "
+                    f"(offending line: {ls[:40]!r})")
+            frac = np.empty((n_atoms, 3), dtype=np.float64)
+            for i in range(n_atoms):
+                frac[i] = [float(x) for x in f.readline().split()[:3]]
+            frames.append(frac @ cell)
+            line = f.readline()
+    traj = np.stack(frames)
+    return Structure(traj[0], species, cell), traj
+
+
+_LMP_COORD_SETS = (("x", "y", "z"), ("xu", "yu", "zu"), ("xs", "ys", "zs"),
+                   ("xsu", "ysu", "zsu"))
+
+
+def read_lammps_dump(path):
+    """Read a LAMMPS text dump (``dump atom``/``dump custom`` styles).
+
+    Handles orthogonal and triclinic ``BOX BOUNDS`` (tilt factors),
+    cartesian (``x y z``), unwrapped (``xu yu zu``) and scaled
+    (``xs ys zs`` / ``xsu ysu zsu``) coordinate columns, and sorts by atom
+    ``id`` when present.  Atom ``type`` becomes the species number.
+    Returns ``(Structure, traj (F, A, 3) cartesian)``; the cell is taken
+    from the first frame (variable-cell runs raise).
+    """
+    frames = []
+    species = None
+    cell = None
+    with open(path) as f:
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            if not line.startswith("ITEM: TIMESTEP"):
+                continue
+            f.readline()                               # timestep value
+            item = f.readline()
+            assert item.startswith("ITEM: NUMBER OF ATOMS"), item
+            n_atoms = int(f.readline())
+            item = f.readline()
+            assert item.startswith("ITEM: BOX BOUNDS"), item
+            triclinic = "xy" in item
+            rows = [np.array([float(x) for x in f.readline().split()])
+                    for _ in range(3)]
+            if triclinic:
+                (xlb, xhb, xy), (ylb, yhb, xz), (zlo, zhi, yz) = rows
+                xlo = xlb - min(0.0, xy, xz, xy + xz)
+                xhi = xhb - max(0.0, xy, xz, xy + xz)
+                ylo = ylb - min(0.0, yz)
+                yhi = yhb - max(0.0, yz)
+                this_cell = np.array([[xhi - xlo, 0, 0],
+                                      [xy, yhi - ylo, 0],
+                                      [xz, yz, zhi - zlo]])
+                origin = np.array([xlo, ylo, zlo])
+            else:
+                (xlo, xhi), (ylo, yhi), (zlo, zhi) = \
+                    (r[:2] for r in rows)
+                this_cell = np.diag([xhi - xlo, yhi - ylo, zhi - zlo])
+                origin = np.array([xlo, ylo, zlo])
+            if cell is None:
+                cell = this_cell
+            elif not np.allclose(cell, this_cell, atol=1e-8):
+                raise ValueError(
+                    "variable-cell LAMMPS dump is not supported — the "
+                    "SiteNetwork data model assumes one cell")
+            item = f.readline()
+            assert item.startswith("ITEM: ATOMS"), item
+            cols = item.split()[2:]
+            cidx = None
+            scaled = False
+            for cset in _LMP_COORD_SETS:
+                if all(c in cols for c in cset):
+                    cidx = [cols.index(c) for c in cset]
+                    scaled = cset[0].startswith("xs")
+                    break
+            if cidx is None:
+                raise ValueError(f"no coordinate columns in {cols}")
+            id_i = cols.index("id") if "id" in cols else None
+            ty_i = cols.index("type") if "type" in cols else None
+            pos = np.empty((n_atoms, 3), dtype=np.float64)
+            ids = np.arange(n_atoms)
+            typ = np.ones(n_atoms, dtype=np.int32)
+            for i in range(n_atoms):
+                parts = f.readline().split()
+                pos[i] = [float(parts[c]) for c in cidx]
+                if id_i is not None:
+                    ids[i] = int(parts[id_i])
+                if ty_i is not None:
+                    typ[i] = int(parts[ty_i])
+            order = np.argsort(ids, kind="stable")
+            pos, typ = pos[order], typ[order]
+            if scaled:
+                pos = pos @ cell + origin
+            if species is None:
+                species = typ
+            frames.append(pos)
+    if not frames:
+        raise ValueError(f"no frames found in {path}")
+    traj = np.stack(frames)
+    return Structure(traj[0], species, cell), traj
+
+
 # ---------------------------------------------------------------- readers --
 class TrajectoryReader:
     """Protocol: ``len(r)`` frames; ``r[lo:hi] -> (n, A, 3) float32``;
@@ -166,6 +313,18 @@ class XYZTrajectory(ArrayTrajectory):
         super().__init__(traj, structure)
 
 
+class XDATCARTrajectory(ArrayTrajectory):
+    def __init__(self, path):
+        structure, traj = read_xdatcar(path)
+        super().__init__(traj, structure)
+
+
+class LammpsDumpTrajectory(ArrayTrajectory):
+    def __init__(self, path):
+        structure, traj = read_lammps_dump(path)
+        super().__init__(traj, structure)
+
+
 def open_trajectory(path, **kwargs):
     p = str(path)
     if p.endswith(".npy"):
@@ -174,6 +333,11 @@ def open_trajectory(path, **kwargs):
         return NpzTrajectory(p, **kwargs)
     if p.endswith((".h5", ".hdf5")):
         return H5Trajectory(p, **kwargs)
+    name = p.rsplit("/", 1)[-1].upper()
+    if name.startswith("XDATCAR") or p.endswith(".xdatcar"):
+        return XDATCARTrajectory(p)
+    if p.endswith((".lammpstrj", ".dump")):
+        return LammpsDumpTrajectory(p)
     if p.endswith((".xyz", ".extxyz")):
         # prefer the native multithreaded decoder (random block access, no
         # whole-file materialization); fall back to the Python parser

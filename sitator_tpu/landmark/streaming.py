@@ -39,26 +39,25 @@ from sitator_tpu.ops.landmark_pallas import fused_assign_blocks
 logger = logging.getLogger(__name__)
 
 
-@partial(jax.jit, static_argnames=("n_sites", "kernel", "midpoint",
+@partial(jax.jit, static_argnames=("kernel", "midpoint",
                                    "steepness", "threshold",
-                                   "cutoff_shape", "mesh", "max_mobile",
+                                   "cutoff_shape", "mesh",
                                    "interpret", "full_mask", "mxu_s_tile",
                                    "mxu_n_st"))
-def _stream_block(mobile, static, verts, vmask, A, cell, cell_inv,
-                  kcell, centers, active, carry, acc, uidx, Am, kill, *,
-                  n_sites, kernel, midpoint, steepness, threshold,
-                  cutoff_shape="logistic", mesh=None, max_mobile=None,
+def _assign_block(mobile, static, verts, vmask, A, cell, cell_inv,
+                  kcell, centers, active, uidx, Am, kill, static_ref, *,
+                  kernel, midpoint, steepness, threshold,
+                  cutoff_shape="logistic", mesh=None,
                   interpret=False, full_mask=False, mxu_s_tile=0,
                   mxu_n_st=0):
-    """One streamed block: assign + accumulate.  ``carry`` = (last, res)
-    from the previous block; ``acc`` = dict of device accumulators.
+    """Assign one streamed block: (labels, confs, per-frame static drift).
 
     ``kernel``: 'mxu' (unique-atom MXU-product kernel, fastest — centers
     arrive column-permuted, uidx/Am/kill are its basis arrays), 'gather'
     (per-vertex Pallas kernel), or 'xla' (dense log-matmul fallback).
     With ``mesh`` set (a 1-D frame mesh, hashable → static), the Pallas
-    kernels run per shard under ``shard_map`` and every accumulator update
-    below auto-partitions over the frame-sharded labels."""
+    kernels run per shard under ``shard_map``; the drift reduction and the
+    downstream accumulators auto-partition over the frame-sharded data."""
     if kernel == "mxu":
         from sitator_tpu.ops.landmark_mxu import mxu_assign_blocks
 
@@ -122,10 +121,25 @@ def _stream_block(mobile, static, verts, vmask, A, cell, cell_inv,
         labels, confs = lmops.assign_to_centers(lv_n, centers, active,
                                                 threshold)
 
+    drift = lmops.static_drift_per_frame(static, static_ref, cell, cell_inv)
+    return labels, confs, drift
+
+
+@partial(jax.jit, static_argnames=("n_sites", "max_mobile"))
+def _accum_block(labels, confs, mobile, cell_inv, valid, carry, acc, *,
+                 n_sites, max_mobile=None):
+    """Fold one block's assignments into the device accumulators.
+
+    ``valid (B,)`` masks which frames count: invalid frames become
+    all-unknown (label −1) which, by the jump scan's unknown-frame policy,
+    neither emits jumps nor advances residences and keeps the carry — so
+    block padding and partial (re)processing are EXACT, with no host-side
+    correction arithmetic.  ``carry`` = (last, res) chains across calls."""
+    labels = jnp.where(valid[:, None], labels, -1)
     stats = _jump_stats(labels, n_sites, init_last=carry[0],
                         init_res=carry[1])
 
-    # per-site accumulators (dummy slot S for unassigned)
+    # per-site accumulators (dummy slot S for unassigned/invalid)
     S = n_sites
     flat = jnp.where(labels >= 0, labels, S).ravel()
     w = jnp.where(labels >= 0, confs, 0.0).ravel()
@@ -149,7 +163,7 @@ def _stream_block(mobile, static, verts, vmask, A, cell, cell_inv,
             jnp.where(labels >= 0, labels, S)].add(1)
         acc["mo_viol"] = acc["mo_viol"] + jnp.sum(
             (per_fs[:, :S] > max_mobile).astype(jnp.int32))
-    return labels, confs, (stats["last_sites"], stats["last_res"]), acc
+    return (stats["last_sites"], stats["last_res"]), acc
 
 
 class StreamingLandmarkAnalysis:
@@ -159,6 +173,11 @@ class StreamingLandmarkAnalysis:
     fit_frames : subsample size for the clustering pass.
     store_labels : optional path — labels spill to a memmapped ``.npy``
         of shape (n_frames, n_mobile).
+    static_movement_threshold : max per-frame static-atom drift (Å) before
+        :class:`StaticLatticeError` (None disables the on-device monitor).
+    dynamic_lattice_mapping : follow lattice-site exchanges of static
+        atoms mid-stream (slot→atom permutation rebuild, exactly as in
+        :class:`LandmarkAnalysis`); the permutation rides the checkpoint.
     """
 
     def __init__(self, cutoff_midpoint=3.0, cutoff_steepness=4.0,
@@ -167,7 +186,9 @@ class StreamingLandmarkAnalysis:
                  clustering_params=None, block_frames=1024, fit_frames=8192,
                  store_labels=None, mesh=None, checkpoint_path=None,
                  checkpoint_every=64, max_mobile_per_site=1,
-                 multiple_occupancy_action="warn", use_fused="auto",
+                 multiple_occupancy_action="warn",
+                 static_movement_threshold=1.0,
+                 dynamic_lattice_mapping=False, use_fused="auto",
                  interpret=False, verbose=True):
         self.cutoff_midpoint = float(cutoff_midpoint)
         self.cutoff_steepness = float(cutoff_steepness)
@@ -188,6 +209,18 @@ class StreamingLandmarkAnalysis:
             raise ValueError("multiple_occupancy_action must be "
                              "'warn' | 'raise' | 'ignore'")
         self.multiple_occupancy_action = multiple_occupancy_action
+        # static-lattice guards, mirroring LandmarkAnalysis: per-frame drift
+        # is monitored on device; None disables.  With
+        # dynamic_lattice_mapping the slot→atom permutation is rebuilt at
+        # detected lattice-site exchanges instead of raising.
+        self.static_movement_threshold = (
+            None if static_movement_threshold is None
+            else float(static_movement_threshold))
+        self.dynamic_lattice_mapping = bool(dynamic_lattice_mapping)
+        if self.dynamic_lattice_mapping and \
+                self.static_movement_threshold is None:
+            raise ValueError("dynamic_lattice_mapping needs a "
+                             "static_movement_threshold")
         self.mesh = mesh  # optional 1-D frame mesh: blocks shard over it
         self.use_fused = use_fused  # 'auto' | True | False
         self.interpret = bool(interpret)  # Pallas interpret mode (CPU tests)
@@ -301,6 +334,12 @@ class StreamingLandmarkAnalysis:
         start_lo = 0
         carry = (jnp.full((n_mobile,), -1, jnp.int32),
                  jnp.zeros((n_mobile,), jnp.int32))
+        # static-lattice reference (slot positions) + slot→atom permutation
+        static_ref_np = np.asarray(
+            sn.structure.positions[static_idx], np.float64)
+        static_ref_j = jnp.asarray(static_ref_np, jnp.float32)
+        perm = np.arange(len(static_idx))
+        n_remaps = 0
 
         def zero_acc():
             acc = {
@@ -349,6 +388,8 @@ class StreamingLandmarkAnalysis:
                 start_lo = int(d["next_lo"])
                 carry = (jnp.asarray(d["carry_last"]),
                          jnp.asarray(d["carry_res"]))
+                if "perm" in d.files:
+                    perm = d["perm"].copy()
                 host_acc = {k[5:]: d[k].copy() for k in d.files
                             if k.startswith("hacc/")}
                 if not host_acc:
@@ -380,66 +421,92 @@ class StreamingLandmarkAnalysis:
             ChunkedFeeder(reader, B, start=start_lo), enabled=self.verbose,
             total=-(-(n_frames - start_lo) // B), desc="streaming",
             unit="block")
+        thr_drift = self.static_movement_threshold
+        assign_kw = dict(
+            kernel=kernel, midpoint=self.cutoff_midpoint,
+            steepness=self.cutoff_steepness,
+            threshold=self.assignment_threshold,
+            cutoff_shape=self.cutoff_shape, mesh=self.mesh,
+            interpret=self.interpret, full_mask=full_mask,
+            mxu_s_tile=mxu_s_tile, mxu_n_st=mxu_n_st)
         for lo, block in feeder:
             nb = len(block)
-            if nb < B:  # pad to the compiled block shape
+            if nb < B:  # pad to the compiled block shape (frames masked out)
                 pad = np.broadcast_to(block[-1:],
                                       (B - nb,) + block.shape[1:])
                 block = np.concatenate([block, pad])
             mobile = jnp.asarray(block[:, mobile_idx], jnp.float32)
-            static = jnp.asarray(block[:, static_idx], jnp.float32)
             if sharding is not None:
                 mobile = jax.device_put(mobile, sharding)
-                static = jax.device_put(static, sharding)
-            labels, confs, new_carry, new_acc = _stream_block(
-                mobile, static, verts_j, vmask_j, A, cell, cell_inv,
-                kcell, centers_j, active, carry, acc, uidx_j, Am_j,
-                kill_j, n_sites=K, kernel=kernel,
-                midpoint=self.cutoff_midpoint,
-                steepness=self.cutoff_steepness,
-                threshold=self.assignment_threshold,
-                cutoff_shape=self.cutoff_shape, mesh=self.mesh,
-                max_mobile=self.max_mobile_per_site,
-                interpret=self.interpret, full_mask=full_mask,
-                mxu_s_tile=mxu_s_tile, mxu_n_st=mxu_n_st)
-            if nb < B:
-                # rerun carry/acc on the unpadded tail is wasteful; instead
-                # correct: padding repeats the final frame, adding no jumps
-                # but inflating occupancy-style accumulators — subtract.
-                lab_np = np.asarray(labels)[:nb]
-                tail = lab_np[-1]
-                pad_n = B - nb
-                sub = np.zeros(K + 1, np.int32)
-                np.add.at(sub, np.where(tail >= 0, tail, K), pad_n)
-                new_acc = dict(new_acc)
-                new_acc["occ"] = new_acc["occ"] - jnp.asarray(sub)
-                cf = np.asarray(confs)[nb - 1]
-                subc = np.zeros(K + 1, np.float32)
-                np.add.at(subc, np.where(tail >= 0, tail, K),
-                          pad_n * np.where(tail >= 0, cf, 0.0))
-                new_acc["conf"] = new_acc["conf"] - jnp.asarray(subc)
-                fr = (block[-1][mobile_idx] @ np.linalg.inv(cell_np)) \
-                    * 2 * np.pi
-                subcos = np.zeros((K + 1, 3), np.float32)
-                subsin = np.zeros((K + 1, 3), np.float32)
-                wpad = pad_n * np.where(tail >= 0, cf, 0.0)
-                np.add.at(subcos, np.where(tail >= 0, tail, K),
-                          wpad[:, None] * np.cos(fr))
-                np.add.at(subsin, np.where(tail >= 0, tail, K),
-                          wpad[:, None] * np.sin(fr))
-                new_acc["cos"] = new_acc["cos"] - jnp.asarray(subcos)
-                new_acc["sin"] = new_acc["sin"] - jnp.asarray(subsin)
-                if self.max_mobile_per_site is not None:
-                    cnt = np.bincount(tail[tail >= 0], minlength=K)
-                    viol_tail = int((cnt > self.max_mobile_per_site).sum())
-                    new_acc["mo_viol"] = (new_acc["mo_viol"]
-                                          - pad_n * viol_tail)
-                new_carry = (new_carry[0],
-                             new_carry[1] - jnp.where(
-                                 jnp.asarray(tail) >= 0, pad_n, 0))
-            carry, acc = new_carry, new_acc
-            if labels_out is not None:
-                labels_out[lo:lo + nb] = np.asarray(labels)[:nb]
+            processed = 0
+            remaps_here = 0
+            while processed < nb:
+                static_np = block[:, static_idx]
+                if self.dynamic_lattice_mapping:
+                    static_np = static_np[:, perm]
+                static = jnp.asarray(static_np, jnp.float32)
+                if sharding is not None:
+                    static = jax.device_put(static, sharding)
+                labels, confs, drift = _assign_block(
+                    mobile, static, verts_j, vmask_j, A, cell, cell_inv,
+                    kcell, centers_j, active, uidx_j, Am_j, kill_j,
+                    static_ref_j, **assign_kw)
+                stop = nb
+                if thr_drift is not None:
+                    drift_f = np.asarray(drift)[:nb]
+                    off = np.flatnonzero(drift_f[processed:] > thr_drift)
+                    if len(off):
+                        if not self.dynamic_lattice_mapping:
+                            from sitator_tpu.util.errors import \
+                                StaticLatticeError
+                            raise StaticLatticeError(
+                                f"a static-lattice atom drifted "
+                                f"{float(drift_f[processed + off[0]]):.3f} Å "
+                                f"(> threshold {thr_drift} Å) at frame "
+                                f"{lo + processed + int(off[0])}; see "
+                                "dynamic_lattice_mapping for "
+                                "site-exchanging lattices",
+                                frame=lo + processed + int(off[0]))
+                        stop = processed + int(off[0])
+                if stop > processed:
+                    valid = np.zeros(B, bool)
+                    valid[processed:stop] = True
+                    carry, acc = _accum_block(
+                        labels, confs, mobile, cell_inv,
+                        jnp.asarray(valid), carry, acc, n_sites=K,
+                        max_mobile=self.max_mobile_per_site)
+                    if labels_out is not None:
+                        labels_out[lo + processed:lo + stop] = \
+                            np.asarray(labels)[processed:stop]
+                if stop < nb:
+                    remaps_here += 1
+                    if remaps_here > n_mobile + 8:
+                        from sitator_tpu.util.errors import \
+                            StaticLatticeError
+                        raise StaticLatticeError(
+                            "lattice remapping did not converge in block "
+                            f"at frame {lo + stop}", frame=lo + stop)
+                    from sitator_tpu.landmark.analysis import \
+                        LandmarkAnalysis
+                    new_perm, worst = LandmarkAnalysis._find_lattice_mapping(
+                        block[stop, static_idx], perm, static_ref_np,
+                        cell_np, thr_drift)
+                    if new_perm is None:
+                        from sitator_tpu.util.errors import \
+                            StaticLatticeError
+                        raise StaticLatticeError(
+                            f"no consistent lattice mapping at frame "
+                            f"{lo + stop}: residual {worst:.3f} Å > "
+                            f"threshold {thr_drift} Å", frame=lo + stop,
+                            max_drift=worst)
+                    if self.verbose:
+                        logger.info(
+                            "frame %d: lattice site exchange — remapped %d "
+                            "slots (max residual %.3f Å)", lo + stop,
+                            int((new_perm != perm).sum()), worst)
+                    perm = new_perm
+                    n_remaps += 1
+                processed = stop
             blocks_done += 1
             do_ckpt = (ckpt is not None
                        and blocks_done % self.checkpoint_every == 0)
@@ -450,9 +517,13 @@ class StreamingLandmarkAnalysis:
                 acc = zero_acc()
             if do_ckpt:
                 self._save_checkpoint(ckpt, n_frames, K, lo + nb, carry,
-                                      host_acc)
+                                      host_acc, perm)
 
         host_acc = spill(host_acc, acc)
+        if n_remaps and self.verbose:
+            logger.info("dynamic lattice mapping: %d slot→atom remaps",
+                        n_remaps)
+        self.lattice_mapping_ = perm if self.dynamic_lattice_mapping else None
         if ckpt is not None and os.path.exists(ckpt):
             os.remove(ckpt)  # run completed; checkpoint no longer needed
         self._check_multiple_occupancy(host_acc, n_frames)
@@ -541,15 +612,18 @@ class StreamingLandmarkAnalysis:
         return out, remap
 
     @staticmethod
-    def _save_checkpoint(path, n_frames, K, next_lo, carry, host_acc):
-        """Snapshot fully-spilled state: exact int64/float64 host totals
-        plus the jump-scan carry.  Written atomically."""
+    def _save_checkpoint(path, n_frames, K, next_lo, carry, host_acc,
+                         perm=None):
+        """Snapshot fully-spilled state: exact int64/float64 host totals,
+        the jump-scan carry, and the lattice slot→atom permutation.
+        Written atomically."""
         import os
         tmp = path + ".tmp"
+        extra = {} if perm is None else {"perm": np.asarray(perm)}
         with open(tmp, "wb") as f:
             np.savez(f, n_frames=n_frames, K=K, next_lo=next_lo,
                      carry_last=np.asarray(carry[0]),
-                     carry_res=np.asarray(carry[1]),
+                     carry_res=np.asarray(carry[1]), **extra,
                      **{f"hacc/{k}": np.asarray(v)
                         for k, v in host_acc.items()})
         os.replace(tmp, path)  # atomic: a crash never corrupts the ckpt

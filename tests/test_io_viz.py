@@ -139,3 +139,87 @@ def test_plot_jump_lag(rng, tmp_path):
     fig.savefig(tmp_path / "lag.png")
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def test_read_xdatcar(tmp_path):
+    from sitator_tpu.io.formats import XDATCARTrajectory, read_xdatcar
+    rng = np.random.default_rng(4)
+    cell = np.array([[8.0, 0, 0], [0.5, 8.5, 0], [0, 0, 9.0]])
+    counts = {"S": 5, "Li": 3}
+    n = sum(counts.values())
+    frac = rng.random((4, n, 3))
+    f = tmp_path / "XDATCAR"
+    with open(f, "w") as fh:
+        fh.write("test system\n  1.0\n")
+        for row in cell:
+            fh.write("  %.8f %.8f %.8f\n" % tuple(row))
+        fh.write("  " + " ".join(counts) + "\n")
+        fh.write("  " + " ".join(str(c) for c in counts.values()) + "\n")
+        for t in range(4):
+            fh.write(f"Direct configuration=  {t + 1}\n")
+            for i in range(n):
+                fh.write("  %.8f %.8f %.8f\n" % tuple(frac[t, i]))
+    s, traj = read_xdatcar(f)
+    assert s.n_atoms == n and len(traj) == 4
+    np.testing.assert_allclose(s.cell, cell)
+    np.testing.assert_allclose(traj, frac @ cell, atol=1e-6)
+    assert (s.species[:5] == 16).all() and (s.species[5:] == 3).all()
+    # open_trajectory auto-detects the bare XDATCAR filename
+    from sitator_tpu.io import open_trajectory
+    r = open_trajectory(f)
+    assert isinstance(r, XDATCARTrajectory) and len(r) == 4
+
+
+def test_read_lammps_dump(tmp_path):
+    from sitator_tpu.io.formats import LammpsDumpTrajectory, read_lammps_dump
+    rng = np.random.default_rng(5)
+    L = (10.0, 11.0, 12.0)
+    n = 6
+    pos = rng.random((3, n, 3)) * np.array(L)
+    types = np.array([1, 1, 1, 2, 2, 2])
+    f = tmp_path / "run.lammpstrj"
+    with open(f, "w") as fh:
+        for t in range(3):
+            fh.write("ITEM: TIMESTEP\n%d\n" % (t * 100))
+            fh.write("ITEM: NUMBER OF ATOMS\n%d\n" % n)
+            fh.write("ITEM: BOX BOUNDS pp pp pp\n")
+            for ax in range(3):
+                fh.write("0.0 %.6f\n" % L[ax])
+            fh.write("ITEM: ATOMS id type x y z\n")
+            order = rng.permutation(n)  # ids out of order on purpose
+            for i in order:
+                fh.write("%d %d %.8f %.8f %.8f\n"
+                         % (i + 1, types[i], *pos[t, i]))
+    s, traj = read_lammps_dump(f)
+    assert s.n_atoms == n and len(traj) == 3
+    np.testing.assert_allclose(np.diag(s.cell), L)
+    np.testing.assert_allclose(traj, pos, atol=1e-6)  # sorted by id
+    np.testing.assert_array_equal(s.species, types)
+    from sitator_tpu.io import open_trajectory
+    assert isinstance(open_trajectory(f), LammpsDumpTrajectory)
+
+
+def test_read_lammps_dump_triclinic_scaled(tmp_path):
+    from sitator_tpu.io.formats import read_lammps_dump
+    rng = np.random.default_rng(6)
+    lx, ly, lz, xy, xz, yz = 10.0, 9.0, 8.0, 2.0, -1.0, 0.5
+    cell = np.array([[lx, 0, 0], [xy, ly, 0], [xz, yz, lz]])
+    n = 4
+    frac = rng.random((2, n, 3))
+    f = tmp_path / "tri.dump"
+    with open(f, "w") as fh:
+        for t in range(2):
+            fh.write("ITEM: TIMESTEP\n%d\n" % t)
+            fh.write("ITEM: NUMBER OF ATOMS\n%d\n" % n)
+            fh.write("ITEM: BOX BOUNDS xy xz yz pp pp pp\n")
+            fh.write("%.6f %.6f %.6f\n" % (0 + min(0, xy, xz, xy + xz),
+                                           lx + max(0, xy, xz, xy + xz), xy))
+            fh.write("%.6f %.6f %.6f\n" % (0 + min(0.0, yz),
+                                           ly + max(0.0, yz), xz))
+            fh.write("%.6f %.6f %.6f\n" % (0.0, lz, yz))
+            fh.write("ITEM: ATOMS id type xs ys zs\n")
+            for i in range(n):
+                fh.write("%d 1 %.8f %.8f %.8f\n" % (i + 1, *frac[t, i]))
+    s, traj = read_lammps_dump(f)
+    np.testing.assert_allclose(s.cell, cell, atol=1e-6)
+    np.testing.assert_allclose(traj, frac @ cell, atol=1e-5)

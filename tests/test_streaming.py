@@ -234,6 +234,70 @@ def test_landmark_analysis_multiple_occupancy_raise(md_system):
     assert ei.value.count is not None and ei.value.count > 1
 
 
+def test_streaming_static_drift_raises(md_system):
+    """Streaming now monitors static-lattice drift per frame on device."""
+    md, seeds = md_system
+    from sitator_tpu.util.errors import StaticLatticeError
+    bad = md.traj[:200].copy()
+    sa = np.flatnonzero(md.static_mask)
+    bad[120:, sa[0]] += 3.0
+    sla = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0,
+                                    block_frames=64, verbose=False)
+    centers = sla.fit_centers(seeds, ArrayTrajectory(md.traj))
+    with pytest.raises(StaticLatticeError):
+        sla.run(seeds, bad, centers=centers)
+    # disabling the guard lets the (invalid) run complete
+    sla_off = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                        cutoff_steepness=3.0,
+                                        block_frames=64,
+                                        static_movement_threshold=None,
+                                        verbose=False)
+    out = sla_off.run(seeds, bad, centers=centers)
+    assert out.n_sites > 0
+
+
+def test_streaming_dynamic_lattice_mapping(md_system):
+    """Two static atoms exchanging sites mid-stream: with
+    dynamic_lattice_mapping the streamed statistics equal the unswapped
+    run exactly; without it, StaticLatticeError."""
+    md, seeds = md_system
+    from sitator_tpu.util.errors import StaticLatticeError
+    T = 233  # inside a block (block_frames=100)
+    swapped = md.traj[:500].copy()
+    sa = np.flatnonzero(md.static_mask)
+    i, j = sa[2], sa[17]
+    swapped[T:, i], swapped[T:, j] = (md.traj[T:500, j].copy(),
+                                      md.traj[T:500, i].copy())
+
+    base = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=100, verbose=False)
+    centers = base.fit_centers(seeds, ArrayTrajectory(md.traj))
+    out_ref = base.run(seeds, md.traj[:500], centers=centers)
+
+    with pytest.raises(StaticLatticeError):
+        StreamingLandmarkAnalysis(
+            cutoff_midpoint=4.0, cutoff_steepness=3.0, block_frames=100,
+            verbose=False).run(seeds, swapped, centers=centers)
+
+    dyn = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0,
+                                    block_frames=100,
+                                    dynamic_lattice_mapping=True,
+                                    verbose=False)
+    out = dyn.run(seeds, swapped, centers=centers)
+    sidx = np.flatnonzero(seeds.static_mask)
+    si = np.flatnonzero(sidx == i)[0]
+    sj = np.flatnonzero(sidx == j)[0]
+    assert dyn.lattice_mapping_[si] == sj
+    assert dyn.lattice_mapping_[sj] == si
+    np.testing.assert_array_equal(out.n_ij, out_ref.n_ij)
+    np.testing.assert_allclose(out.occupancies, out_ref.occupancies,
+                               atol=1e-12)
+    np.testing.assert_allclose(out.centers, out_ref.centers, atol=1e-5)
+
+
 def test_streaming_merge_network(md_system):
     """Stats-level post-merge collapses split sites; inter-group hop counts
     approach ground truth."""
