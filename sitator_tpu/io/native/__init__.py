@@ -114,8 +114,10 @@ class FastXYZTrajectory:
                         and int(d["mtime_ns"]) == st.st_mtime_ns):
                     return (np.ascontiguousarray(d["offsets"]),
                             int(d["n_frames"]), int(d["n_atoms"]))
-        except (OSError, KeyError, ValueError):
-            pass
+        except Exception:
+            # any unreadable/corrupt sidecar (truncated zip, bad pickle,
+            # permissions) must degrade to a fresh index scan, never crash
+            return None
         return None
 
     def _save_index_cache(self):

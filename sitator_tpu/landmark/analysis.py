@@ -236,10 +236,25 @@ class LandmarkAnalysis:
                 if len(valid):
                     max_drift = max(max_drift, float(valid.max()))
             if n_ok < hi - pos:
-                perm = self._remap_lattice(
+                new_perm = self._remap_lattice(
                     frames[pos + n_ok, static_idx], perm, static_ref_np,
                     sn.structure.cell, pos + n_ok)
-                n_remaps += 1
+                if np.array_equal(new_perm, perm):
+                    # f32 device drift grazed the threshold but the f64
+                    # matching finds no offenders: the frame is valid —
+                    # accept it (prevents a no-progress remap loop)
+                    f = n_ok
+                    lv_all[pos + f] = np.asarray(lv_n)[f]
+                    zrow = np.asarray(norms)[f] == 0
+                    if zrow.any():
+                        n_zero += int(zrow.sum())
+                        if first_zero is None:
+                            first_zero = (int(pos + f),
+                                          int(np.argmax(zrow)))
+                    n_ok += 1
+                else:
+                    perm = new_perm
+                    n_remaps += 1
             pbar.update(n_ok)
             pos += n_ok
         pbar.close()

@@ -43,21 +43,25 @@ logger = logging.getLogger(__name__)
                                    "steepness", "threshold",
                                    "cutoff_shape", "mesh",
                                    "interpret", "full_mask", "mxu_s_tile",
-                                   "mxu_n_st"))
+                                   "mxu_n_st", "want_drift"))
 def _assign_block(mobile, static, verts, vmask, A, cell, cell_inv,
                   kcell, centers, active, uidx, Am, kill, static_ref, *,
                   kernel, midpoint, steepness, threshold,
                   cutoff_shape="logistic", mesh=None,
                   interpret=False, full_mask=False, mxu_s_tile=0,
-                  mxu_n_st=0):
+                  mxu_n_st=0, want_drift=True):
     """Assign one streamed block: (labels, confs, per-frame static drift).
 
     ``kernel``: 'mxu' (unique-atom MXU-product kernel, fastest — centers
     arrive column-permuted, uidx/Am/kill are its basis arrays), 'gather'
     (per-vertex Pallas kernel), or 'xla' (dense log-matmul fallback).
     With ``mesh`` set (a 1-D frame mesh, hashable → static), the Pallas
-    kernels run per shard under ``shard_map``; the drift reduction and the
-    downstream accumulators auto-partition over the frame-sharded data."""
+    kernels run per shard via :func:`shard_map_frames`; the drift
+    reduction and the downstream accumulators auto-partition over the
+    frame-sharded data.  ``want_drift=False`` (guard disabled) skips the
+    drift computation and returns None for it."""
+    from sitator_tpu.parallel.mesh import shard_map_frames
+
     if kernel == "mxu":
         from sitator_tpu.ops.landmark_mxu import mxu_assign_blocks
 
@@ -72,47 +76,27 @@ def _assign_block(mobile, static, verts, vmask, A, cell, cell_inv,
                 interpret=interpret)
 
         if mesh is not None:
-            from jax import shard_map
-            from jax.sharding import PartitionSpec as P
-
-            from sitator_tpu.parallel.mesh import FRAME_AXIS
-
-            fs, rep = P(FRAME_AXIS), P()
-            labels, confs = shard_map(
-                assign_mxu, mesh=mesh,
-                in_specs=(fs, fs, rep, rep, rep, rep, rep),
-                out_specs=(fs, fs), check_vma=False,
-            )(mobile, static, uidx, Am, kill, kcell, centers)
+            labels, confs = shard_map_frames(
+                assign_mxu, mesh, 2,
+                mobile, static, uidx, Am, kill, kcell, centers)
         else:
             labels, confs = assign_mxu(mobile, static, uidx, Am, kill,
                                        kcell, centers)
     elif kernel == "gather":
-        if mesh is not None:
-            from jax import shard_map
-            from jax.sharding import PartitionSpec as P
-
-            from sitator_tpu.parallel.mesh import FRAME_AXIS
-
-            fs, rep = P(FRAME_AXIS), P()
-
-            def local(mobile, static, verts, vmask, kcell, centers):
-                return fused_assign_blocks(
-                    mobile, static, verts, vmask, kcell, centers,
-                    midpoint=midpoint, steepness=steepness,
-                    threshold=threshold, cutoff_shape=cutoff_shape,
-                    interpret=interpret, full_mask=full_mask)
-
-            labels, confs = shard_map(
-                local, mesh=mesh,
-                in_specs=(fs, fs, rep, rep, rep, rep),
-                out_specs=(fs, fs), check_vma=False,
-            )(mobile, static, verts, vmask, kcell, centers)
-        else:
-            labels, confs = fused_assign_blocks(
+        def assign_gather(mobile, static, verts, vmask, kcell, centers):
+            return fused_assign_blocks(
                 mobile, static, verts, vmask, kcell, centers,
-                midpoint=midpoint, steepness=steepness, threshold=threshold,
-                cutoff_shape=cutoff_shape, interpret=interpret,
-                full_mask=full_mask)
+                midpoint=midpoint, steepness=steepness,
+                threshold=threshold, cutoff_shape=cutoff_shape,
+                interpret=interpret, full_mask=full_mask)
+
+        if mesh is not None:
+            labels, confs = shard_map_frames(
+                assign_gather, mesh, 2,
+                mobile, static, verts, vmask, kcell, centers)
+        else:
+            labels, confs = assign_gather(mobile, static, verts, vmask,
+                                          kcell, centers)
     else:
         lv = lmops.landmark_vectors(mobile, static, A, cell, cell_inv,
                                     midpoint, steepness,
@@ -121,7 +105,9 @@ def _assign_block(mobile, static, verts, vmask, A, cell, cell_inv,
         labels, confs = lmops.assign_to_centers(lv_n, centers, active,
                                                 threshold)
 
-    drift = lmops.static_drift_per_frame(static, static_ref, cell, cell_inv)
+    drift = (lmops.static_drift_per_frame(static, static_ref, cell,
+                                          cell_inv)
+             if want_drift else None)
     return labels, confs, drift
 
 
@@ -244,15 +230,47 @@ class StreamingLandmarkAnalysis:
         cell = jnp.asarray(sn.structure.cell, jnp.float32)
         cell_inv = jnp.asarray(np.linalg.inv(sn.structure.cell), jnp.float32)
 
+        # the fit pass must follow lattice-site exchanges too, or the
+        # cluster centers are fit on corrupted landmark vectors for exactly
+        # the trajectories dynamic_lattice_mapping targets
+        perm = np.arange(len(static_idx))
+        if self.dynamic_lattice_mapping:
+            from sitator_tpu.landmark.analysis import LandmarkAnalysis
+            from sitator_tpu.ops.pbc import PBCCalculator
+            calc = PBCCalculator(sn.structure.cell)
+            ref = np.asarray(sn.structure.positions[static_idx], np.float64)
+            thr = self.static_movement_threshold
+
         lvs = []
         B = 256
         sel = np.arange(0, n_frames, stride)
         for lo in range(0, len(sel), B):
             frames = np.stack([reader[int(i):int(i) + 1][0]
                                for i in sel[lo:lo + B]])
+            static_np = frames[:, static_idx]
+            if self.dynamic_lattice_mapping:
+                static_np = static_np.copy()
+                for b in range(len(static_np)):
+                    d = calc.paired_distances(static_np[b][perm], ref)
+                    if (d > thr).any():
+                        new_perm, worst = \
+                            LandmarkAnalysis._find_lattice_mapping(
+                                static_np[b], perm, ref,
+                                sn.structure.cell, thr)
+                        if new_perm is None:
+                            from sitator_tpu.util.errors import \
+                                StaticLatticeError
+                            raise StaticLatticeError(
+                                "no consistent lattice mapping at "
+                                f"subsampled frame {int(sel[lo + b])}: "
+                                f"residual {worst:.3f} Å > threshold "
+                                f"{thr} Å", frame=int(sel[lo + b]),
+                                max_drift=worst)
+                        perm = new_perm
+                    static_np[b] = static_np[b][perm]
             lv = lmops.landmark_vectors(
                 jnp.asarray(frames[:, mobile_idx], jnp.float32),
-                jnp.asarray(frames[:, static_idx], jnp.float32),
+                jnp.asarray(static_np, jnp.float32),
                 A, cell, cell_inv, self.cutoff_midpoint,
                 self.cutoff_steepness, cutoff_shape=self.cutoff_shape)
             lv_n, _ = lmops.normalize_landmark_vectors(lv)
@@ -412,7 +430,8 @@ class StreamingLandmarkAnalysis:
             from sitator_tpu.parallel.mesh import frame_sharding
             sharding = frame_sharding(self.mesh)
             if self.block_frames % self.mesh.devices.size:
-                raise ValueError("block_frames must divide the mesh size")
+                raise ValueError(
+                    "block_frames must be a multiple of the mesh size")
 
         B = self.block_frames
         blocks_done = 0
@@ -428,7 +447,8 @@ class StreamingLandmarkAnalysis:
             threshold=self.assignment_threshold,
             cutoff_shape=self.cutoff_shape, mesh=self.mesh,
             interpret=self.interpret, full_mask=full_mask,
-            mxu_s_tile=mxu_s_tile, mxu_n_st=mxu_n_st)
+            mxu_s_tile=mxu_s_tile, mxu_n_st=mxu_n_st,
+            want_drift=thr_drift is not None)
         for lo, block in feeder:
             nb = len(block)
             if nb < B:  # pad to the compiled block shape (frames masked out)
@@ -480,7 +500,7 @@ class StreamingLandmarkAnalysis:
                             np.asarray(labels)[processed:stop]
                 if stop < nb:
                     remaps_here += 1
-                    if remaps_here > n_mobile + 8:
+                    if remaps_here > len(static_idx) + 8:
                         from sitator_tpu.util.errors import \
                             StaticLatticeError
                         raise StaticLatticeError(
@@ -499,6 +519,22 @@ class StreamingLandmarkAnalysis:
                             f"{lo + stop}: residual {worst:.3f} Å > "
                             f"threshold {thr_drift} Å", frame=lo + stop,
                             max_drift=worst)
+                    if np.array_equal(new_perm, perm):
+                        # the device's f32 drift grazed the threshold but
+                        # the f64 check finds no offenders: the frame is
+                        # valid under the current mapping — accept it and
+                        # move on (prevents a no-progress remap loop)
+                        valid = np.zeros(B, bool)
+                        valid[stop] = True
+                        carry, acc = _accum_block(
+                            labels, confs, mobile, cell_inv,
+                            jnp.asarray(valid), carry, acc, n_sites=K,
+                            max_mobile=self.max_mobile_per_site)
+                        if labels_out is not None:
+                            labels_out[lo + stop:lo + stop + 1] = \
+                                np.asarray(labels)[stop:stop + 1]
+                        processed = stop + 1
+                        continue
                     if self.verbose:
                         logger.info(
                             "frame %d: lattice site exchange — remapped %d "

@@ -151,9 +151,14 @@ def _kernel(mob_ref, vp_ref, mask_ref, centers_ref, params_ref,
         if r2_cutoff:
             # slope-matched logistic in d^2 (see ops.landmark.log_cutoff_r2)
             k2 = steepness / (2.0 * midpoint)
-            e = jnp.exp(k2 * d2 - k2 * (midpoint * midpoint))
+            x = k2 * d2 - k2 * (midpoint * midpoint)
         else:
-            e = jnp.exp(steepness * (jnp.sqrt(d2) - midpoint))
+            x = steepness * (jnp.sqrt(d2) - midpoint)
+        # lower clamp: exp must never flush to exactly 0, or the fma below
+        # hits inf*0 = NaN when another vertex of the same site already
+        # overflowed q to inf (extreme-but-legal steepness*midpoint > 87);
+        # the 1e-35 perturbation of the factor (1+e) is far below fp32 eps
+        e = jnp.exp(jnp.maximum(x, -80.0))
         if full_mask:
             # every vertex slot of every real site is valid (vmask all-True
             # — asserted host-side): skip the mask select, keep the fma

@@ -15,7 +15,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 FRAME_AXIS = "frames"
 
 __all__ = ["FRAME_AXIS", "frame_mesh", "frame_sharding", "replicated",
-           "shard_frames", "pad_frames"]
+           "shard_frames", "pad_frames", "shard_map_frames"]
 
 
 def frame_mesh(n_devices=None, devices=None) -> Mesh:
@@ -50,3 +50,20 @@ def pad_frames(arr, multiple):
 def shard_frames(arr, mesh: Mesh):
     """Device-put a host array with its leading axis sharded over the mesh."""
     return jax.device_put(arr, frame_sharding(mesh))
+
+
+def shard_map_frames(fn, mesh: Mesh, n_frame_args: int, *args,
+                     n_outputs: int = 2):
+    """Run ``fn(*args)`` under ``shard_map`` on a 1-D frame mesh: the first
+    ``n_frame_args`` arguments are frame-sharded, the rest replicated, and
+    all outputs come back frame-sharded.  The single wrapper shared by the
+    SPMD pipeline and the streaming engine (Pallas calls cannot be
+    GSPMD-auto-partitioned; everything downstream of the returned arrays
+    partitions automatically).  ``check_vma=False``: Pallas outputs carry
+    no varying-mesh-axes info."""
+    from jax import shard_map
+
+    fs, rep = P(FRAME_AXIS), P()
+    in_specs = (fs,) * n_frame_args + (rep,) * (len(args) - n_frame_args)
+    return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                     out_specs=(fs,) * n_outputs, check_vma=False)(*args)

@@ -37,14 +37,8 @@ def mxu_analysis_step(mesh, mobile, static, basis, cell, centers_perm, *,
     (:mod:`sitator_tpu.ops.landmark_mxu`) — same contract as
     :func:`fused_analysis_step`, ~1.8x faster when the landmark basis
     shares vertices (``mxu_supported``)."""
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
     from sitator_tpu.ops.landmark_mxu import mxu_assign_blocks
-    from sitator_tpu.parallel.mesh import FRAME_AXIS
-
-    fs = P(FRAME_AXIS)
-    rep = P()
+    from sitator_tpu.parallel.mesh import shard_map_frames
 
     def local(mobile, static, uidx, A, kill, cell, centers_perm):
         return mxu_assign_blocks(
@@ -57,13 +51,9 @@ def mxu_analysis_step(mesh, mobile, static, basis, cell, centers_perm, *,
             threshold=threshold, mxu_bf16=mxu_bf16, interpret=interpret,
             cutoff_shape=cutoff_shape, peak_evening=peak_evening)
 
-    labels, confs = shard_map(
-        local, mesh=mesh,
-        in_specs=(fs, fs, rep, rep, rep, rep, rep),
-        out_specs=(fs, fs),
-        check_vma=False,
-    )(mobile, static, basis["uidx"], basis["A"], basis["kill"], cell,
-      centers_perm)
+    labels, confs = shard_map_frames(
+        local, mesh, 2, mobile, static, basis["uidx"], basis["A"],
+        basis["kill"], cell, centers_perm)
     if active_idx is not None:
         labels = _remap_labels(labels, jnp.asarray(active_idx, jnp.int32))
     stats = _jump_stats_parallel(
@@ -91,14 +81,8 @@ def fused_analysis_step(mesh, mobile, static, verts, vmask, cell,
     indexing on device (a static gather) before the jump scan; ``n_sites``
     sizes the statistics in that indexing.  Returns (labels, confs, stats).
     """
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
     from sitator_tpu.ops.landmark_pallas import fused_assign_blocks
-    from sitator_tpu.parallel.mesh import FRAME_AXIS
-
-    fs = P(FRAME_AXIS)
-    rep = P()
+    from sitator_tpu.parallel.mesh import shard_map_frames
 
     def local(mobile, static, verts, vmask, cell, centers):
         return fused_assign_blocks(
@@ -108,12 +92,8 @@ def fused_analysis_step(mesh, mobile, static, verts, vmask, cell,
             cutoff_shape=cutoff_shape, peak_evening=peak_evening,
             full_mask=full_mask)
 
-    labels, confs = shard_map(
-        local, mesh=mesh,
-        in_specs=(fs, fs, rep, rep, rep, rep),
-        out_specs=(fs, fs),
-        check_vma=False,  # Pallas outputs carry no varying-mesh-axes info
-    )(mobile, static, verts, vmask, cell, centers)
+    labels, confs = shard_map_frames(
+        local, mesh, 2, mobile, static, verts, vmask, cell, centers)
     if active_idx is not None:
         labels = _remap_labels(labels, jnp.asarray(active_idx, jnp.int32))
     stats = _jump_stats_parallel(

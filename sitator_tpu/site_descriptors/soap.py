@@ -215,12 +215,14 @@ class SOAPDescriptorAverages:
         bounds = np.searchsorted(lab_all[order], np.arange(sn.n_sites + 1))
         for site in range(sn.n_sites):
             grp = order[bounds[site]:bounds[site + 1]]
-            counts[site] = len(grp)
             if len(grp) == 0:
                 continue
             if len(grp) > self.averages_n:
                 grp = grp[rng.choice(len(grp), self.averages_n,
                                      replace=False)]
+            # convention (unchanged from round 1): counts = number of
+            # samples actually averaged, capped at averages_n
+            counts[site] = len(grp)
             sel_f.append(fr_all[grp])
             sel_i.append(io_all[grp])
             sel_s.append(np.full(len(grp), site, dtype=np.int64))

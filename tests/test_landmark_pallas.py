@@ -96,6 +96,30 @@ def test_fused_kernel_full_mask_specialization(rng):
                                atol=1e-6)
 
 
+def test_fused_kernel_sharp_cutoff_no_nan(rng):
+    """Extreme-but-legal steepness*midpoint > 87: one vertex's exp
+    overflows (far) while another's underflows (ion on top of it) — the
+    full_mask fma must not produce inf*0 = NaN (regression)."""
+    L = 20.0
+    cell_diag = np.array([L, L, L], np.float32)
+    # site 0: vertex A at the ion's position (x -> -150), vertex B far
+    static = np.array([[[1.0, 1.0, 1.0], [15.0, 15.0, 15.0]]], np.float32)
+    mobile = np.array([[[1.0, 1.0, 1.0]]], np.float32)
+    verts = np.array([[0, 1]], np.int32)
+    vmask = np.ones((1, 2), bool)
+    centers = np.ones((1, 1), np.float32)
+    for fm in (True, False):
+        lab, conf = fused_assign_blocks(
+            jnp.asarray(mobile), jnp.asarray(static), jnp.asarray(verts),
+            jnp.asarray(vmask), jnp.asarray(cell_diag),
+            jnp.asarray(centers), midpoint=3.0, steepness=50.0,
+            threshold=0.1, s_tile=128, mxu_bf16=False, interpret=True,
+            full_mask=fm)
+        assert np.isfinite(np.asarray(conf)).all(), f"full_mask={fm}"
+        # the site's lv is ~0 (far vertex kills it): unassigned, conf 0
+        assert np.asarray(lab)[0, 0] == -1
+
+
 def test_kernel_cell_shapes():
     assert kernel_cell(np.diag([3.0, 4.0, 5.0])).shape == (3,)
     skew = np.array([[6, 0, 0], [1.2, 6, 0], [0.4, -0.8, 6.0]])

@@ -298,6 +298,33 @@ def test_streaming_dynamic_lattice_mapping(md_system):
     np.testing.assert_allclose(out.centers, out_ref.centers, atol=1e-5)
 
 
+def test_streaming_dynamic_mapping_fit_pass(md_system):
+    """The fit pass (pass 1) must follow lattice-site exchanges too: a run
+    WITHOUT precomputed centers on a swapped trajectory reproduces the
+    unswapped run bit-exactly (the permutation restores the exact bits)."""
+    md, seeds = md_system
+    T = 310
+    swapped = md.traj.copy()
+    sa = np.flatnonzero(md.static_mask)
+    i, j = sa[4], sa[11]
+    swapped[T:, i], swapped[T:, j] = (md.traj[T:, j].copy(),
+                                      md.traj[T:, i].copy())
+    ref = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0,
+                                    block_frames=100,
+                                    verbose=False).run(seeds, md.traj)
+    dyn = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0,
+                                    block_frames=100,
+                                    dynamic_lattice_mapping=True,
+                                    verbose=False)
+    out = dyn.run(seeds, swapped)  # fit + stream, no precomputed centers
+    assert out.n_sites == ref.n_sites
+    np.testing.assert_array_equal(out.n_ij, ref.n_ij)
+    np.testing.assert_allclose(out.occupancies, ref.occupancies,
+                               atol=1e-12)
+
+
 def test_streaming_merge_network(md_system):
     """Stats-level post-merge collapses split sites; inter-group hop counts
     approach ground truth."""
