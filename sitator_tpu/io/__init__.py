@@ -8,6 +8,9 @@ from sitator_tpu.io.formats import (
     XDATCARTrajectory,
     LammpsDumpTrajectory,
     XYZTrajectory,
+    convert_to_npy,
+    iread_lammps_dump,
+    iread_xdatcar,
     iread_xyz,
     read_lammps_dump,
     read_xdatcar,
@@ -21,5 +24,6 @@ __all__ = [
     "read_xyz", "write_xyz", "iread_xyz", "open_trajectory",
     "ArrayTrajectory", "NpyTrajectory", "NpzTrajectory", "H5Trajectory",
     "XYZTrajectory", "XDATCARTrajectory", "LammpsDumpTrajectory",
-    "read_xdatcar", "read_lammps_dump", "ChunkedFeeder",
+    "read_xdatcar", "read_lammps_dump", "iread_xdatcar",
+    "iread_lammps_dump", "convert_to_npy", "ChunkedFeeder",
 ]

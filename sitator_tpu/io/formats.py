@@ -5,8 +5,12 @@ not available here, so sitator_tpu owns its formats:
 
 - extended XYZ (``Lattice=...`` comment convention) read/write for
   structures and multi-frame trajectories;
+- VASP XDATCAR and LAMMPS text dumps, each with a streaming O(1)-memory
+  generator (``iread_*``) and an eager reader;
 - ``.npy`` (memmapped), ``.npz`` and HDF5 trajectory readers behind one
   ``TrajectoryReader`` protocol: ``len()``, ``reader[lo:hi] -> (n, A, 3)``;
+- :func:`convert_to_npy` — stream any text format into the memmapped
+  ``.npy`` the streaming engine prefers (two passes, O(1) memory);
 - :class:`ChunkedFeeder`, a background-thread prefetcher that overlaps host
   IO/decode with device compute for the streaming pipeline.
 """
@@ -23,6 +27,7 @@ from sitator_tpu.core.structure import Structure, symbol_to_number
 __all__ = [
     "read_xyz", "write_xyz", "iread_xyz",
     "read_xdatcar", "read_lammps_dump",
+    "iread_xdatcar", "iread_lammps_dump", "convert_to_npy",
     "NpyTrajectory", "NpzTrajectory", "H5Trajectory", "XYZTrajectory",
     "XDATCARTrajectory", "LammpsDumpTrajectory",
     "ArrayTrajectory", "open_trajectory", "ChunkedFeeder",
@@ -100,13 +105,14 @@ def write_xyz(path, structure, traj=None, mode="w"):
                 f.write(f"{s} {p[0]:.8f} {p[1]:.8f} {p[2]:.8f}\n")
 
 
-def read_xdatcar(path):
-    """Read a VASP XDATCAR (the reference's AIMD workhorse format, read via
-    ASE there — SURVEY.md §3.9 item 5).  Fixed-cell (NVT/NVE) variant:
-    one header, then ``Direct configuration= N`` blocks of fractional
-    coordinates.  Returns ``(Structure, traj (F, A, 3) cartesian)``.
-    Variable-cell (NPT) files, which repeat the header every frame, raise
-    with a pointer (per-frame cells don't fit the single-cell data model).
+def iread_xdatcar(path):
+    """Stream a VASP XDATCAR (the reference's AIMD workhorse format, read
+    via ASE there — SURVEY.md §3.9 item 5): yields ``(Structure, pos)``
+    pairs where ``pos (A, 3)`` is the frame's cartesian positions and the
+    Structure (cell/species) is shared.  Fixed-cell (NVT/NVE) variant
+    only; variable-cell (NPT) files, which repeat the header every frame,
+    raise (per-frame cells don't fit the single-cell data model).
+    O(1) memory — feed :func:`convert_to_npy` for million-frame files.
     """
     with open(path) as f:
         f.readline()                                    # comment
@@ -131,8 +137,8 @@ def read_xdatcar(path):
             np.full(c, i + 1 if v4 else symbol_to_number(symbols[i]),
                     dtype=np.int32)
             for i, c in enumerate(counts)])
+        structure = None
 
-        frames = []
         line = first_cfg
         while line:
             ls = line.strip()
@@ -148,29 +154,42 @@ def read_xdatcar(path):
             frac = np.empty((n_atoms, 3), dtype=np.float64)
             for i in range(n_atoms):
                 frac[i] = [float(x) for x in f.readline().split()[:3]]
-            frames.append(frac @ cell)
+            pos = frac @ cell
+            if structure is None:
+                structure = Structure(pos, species, cell)
+            yield structure, pos
             line = f.readline()
-    traj = np.stack(frames)
-    return Structure(traj[0], species, cell), traj
+
+
+def read_xdatcar(path):
+    """Eager XDATCAR read: ``(Structure, traj (F, A, 3) cartesian)``.
+    See :func:`iread_xdatcar` for the streaming variant."""
+    structure = None
+    frames = []
+    for structure, pos in iread_xdatcar(path):
+        frames.append(pos)
+    if structure is None:
+        raise ValueError(f"no frames found in {path}")
+    return structure, np.stack(frames)
 
 
 _LMP_COORD_SETS = (("x", "y", "z"), ("xu", "yu", "zu"), ("xs", "ys", "zs"),
                    ("xsu", "ysu", "zsu"))
 
 
-def read_lammps_dump(path):
-    """Read a LAMMPS text dump (``dump atom``/``dump custom`` styles).
+def iread_lammps_dump(path):
+    """Stream a LAMMPS text dump (``dump atom``/``dump custom`` styles):
+    yields ``(Structure, pos (A, 3))`` per frame with O(1) memory.
 
     Handles orthogonal and triclinic ``BOX BOUNDS`` (tilt factors),
     cartesian (``x y z``), unwrapped (``xu yu zu``) and scaled
     (``xs ys zs`` / ``xsu ysu zsu``) coordinate columns, and sorts by atom
     ``id`` when present.  Atom ``type`` becomes the species number.
-    Returns ``(Structure, traj (F, A, 3) cartesian)``; the cell is taken
-    from the first frame (variable-cell runs raise).
+    The cell is taken from the first frame (variable-cell runs raise).
     """
-    frames = []
     species = None
     cell = None
+    structure = None
     with open(path) as f:
         while True:
             line = f.readline()
@@ -238,11 +257,75 @@ def read_lammps_dump(path):
                 pos = pos @ cell + origin
             if species is None:
                 species = typ
-            frames.append(pos)
-    if not frames:
+            if structure is None:
+                structure = Structure(pos, species, cell)
+            yield structure, pos
+
+
+def read_lammps_dump(path):
+    """Eager LAMMPS dump read: ``(Structure, traj (F, A, 3) cartesian)``.
+    See :func:`iread_lammps_dump` for the streaming variant."""
+    structure = None
+    frames = []
+    for structure, pos in iread_lammps_dump(path):
+        frames.append(pos)
+    if structure is None:
         raise ValueError(f"no frames found in {path}")
-    traj = np.stack(frames)
-    return Structure(traj[0], species, cell), traj
+    return structure, np.stack(frames)
+
+
+def convert_to_npy(src, out_path, dtype=np.float32, verbose=False):
+    """Convert any trajectory source to a memmapped ``.npy`` — the
+    preferred format for the streaming engine (zero-copy random block
+    reads).  ``src``: a path (extxyz / XDATCAR / LAMMPS dump, streamed
+    with O(1) memory in two passes) or any ``TrajectoryReader``.
+    Returns ``(Structure or None, out_path)``.
+    """
+
+    def frame_iter():
+        p = str(src)
+        name = p.rsplit("/", 1)[-1].upper()
+        if name.startswith("XDATCAR") or p.endswith(".xdatcar"):
+            for s, pos in iread_xdatcar(p):
+                yield s, pos
+        elif p.endswith((".lammpstrj", ".dump")):
+            for s, pos in iread_lammps_dump(p):
+                yield s, pos
+        elif p.endswith((".xyz", ".extxyz")):
+            for s in iread_xyz(p):
+                yield s, s.positions
+        else:
+            raise ValueError(f"unknown trajectory format: {p}")
+
+    if isinstance(src, (str,)) or hasattr(src, "__fspath__"):
+        # pass 1: count frames + shapes; pass 2: fill the memmap
+        n_frames = 0
+        structure = None
+        for structure, _ in frame_iter():
+            n_frames += 1
+        if n_frames == 0:
+            raise ValueError(f"no frames found in {src}")
+        out = np.lib.format.open_memmap(
+            out_path, mode="w+", dtype=dtype,
+            shape=(n_frames, structure.n_atoms, 3))
+        for i, (_, pos) in enumerate(frame_iter()):
+            out[i] = pos
+        out.flush()
+        if verbose:
+            print(f"wrote {n_frames} frames x {structure.n_atoms} atoms "
+                  f"to {out_path}")
+        return structure, out_path
+    # a TrajectoryReader: length known, stream blockwise
+    reader = src
+    n_frames = len(reader)
+    n_atoms = reader.n_atoms
+    out = np.lib.format.open_memmap(out_path, mode="w+", dtype=dtype,
+                                    shape=(n_frames, n_atoms, 3))
+    B = 1024
+    for lo in range(0, n_frames, B):
+        out[lo:lo + B] = reader[lo:min(lo + B, n_frames)]
+    out.flush()
+    return getattr(reader, "structure", None), out_path
 
 
 # ---------------------------------------------------------------- readers --
@@ -337,6 +420,14 @@ def open_trajectory(path, **kwargs):
     if name.startswith("XDATCAR") or p.endswith(".xdatcar"):
         return XDATCARTrajectory(p)
     if p.endswith((".lammpstrj", ".dump")):
+        # prefer the native multithreaded decoder (random block access, no
+        # whole-file materialization); fall back for scaled coords / no lib
+        try:
+            from sitator_tpu.io.native import FastLammpsTrajectory, get_lib
+            if get_lib() is not None:
+                return FastLammpsTrajectory(p, **kwargs)
+        except Exception:
+            pass
         return LammpsDumpTrajectory(p)
     if p.endswith((".xyz", ".extxyz")):
         # prefer the native multithreaded decoder (random block access, no

@@ -12,17 +12,18 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "fastxyz.cpp")
-_LIB = os.path.join(_HERE, "libfastxyz.so")
+_SRCS = [os.path.join(_HERE, "fastxyz.cpp"),
+         os.path.join(_HERE, "fastlmp.cpp")]
+_LIB = os.path.join(_HERE, "libfastio.so")
 _lock = threading.Lock()
 _lib = None
 
 
 def _build():
     # portable flag set (no -march=native: the .so may be shared across
-    # heterogeneous hosts); the parser is scalar, -O3 is all it needs
+    # heterogeneous hosts); the parsers are scalar, -O3 is all they need
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-pthread", _SRC, "-o", _LIB]
+           "-pthread"] + _SRCS + ["-o", _LIB]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -34,12 +35,13 @@ def get_lib():
             return _lib
         try:
             if (not os.path.exists(_LIB)
-                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                    or os.path.getmtime(_LIB) < max(os.path.getmtime(s)
+                                                    for s in _SRCS)):
                 _build()
             lib = ctypes.CDLL(_LIB)
         except (OSError, subprocess.CalledProcessError) as e:
-            logger.warning("fastxyz native build unavailable (%s); "
-                           "falling back to the Python parser", e)
+            logger.warning("fast-IO native build unavailable (%s); "
+                           "falling back to the Python parsers", e)
             return None
         lib.fxyz_index.restype = ctypes.c_int64
         lib.fxyz_index.argtypes = [
@@ -50,21 +52,33 @@ def get_lib():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.flmp_index.restype = ctypes.c_int64
+        lib.flmp_index.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+        lib.flmp_read_block.restype = ctypes.c_int
+        lib.flmp_read_block.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
         _lib = lib
         return _lib
 
 
-class FastXYZTrajectory:
-    """Random-access, multithreaded extxyz trajectory reader (native).
+class _IndexedNativeTrajectory:
+    """Shared machinery for natively-indexed text trajectories: the
+    cap-retry index scan, the per-(size, mtime) index cache, and the
+    ``TrajectoryReader`` protocol.  Subclasses set ``_index_name``,
+    ``_cache_suffix`` and implement ``_read_range``/``_load_structure``."""
 
-    Implements the ``TrajectoryReader`` protocol.  Index is built once
-    (single scan); block reads decode frames across ``n_threads``.
-    """
+    _index_name = None
+    _cache_suffix = None
 
     def __init__(self, path, n_threads=None, cache_index=True):
         lib = get_lib()
         if lib is None:
-            raise RuntimeError("native fastxyz library unavailable")
+            raise RuntimeError("native fast-IO library unavailable")
         self._lib = lib
         self.path = os.fspath(path)
         self.n_threads = n_threads or min(8, os.cpu_count() or 1)
@@ -74,17 +88,19 @@ class FastXYZTrajectory:
         if cached is not None:
             self._offsets, self._n_frames, self._n_atoms = cached
         else:
+            index_fn = getattr(lib, self._index_name)
             # first pass with a generous guess; retry bigger if needed
             cap = max(1024, self._file_size // 64)
             while True:
                 offsets = np.zeros(cap, dtype=np.int64)
                 n_atoms = ctypes.c_int64(0)
-                n = lib.fxyz_index(
+                n = index_fn(
                     self.path.encode(), offsets.ctypes.data_as(
                         ctypes.POINTER(ctypes.c_int64)), cap,
                     ctypes.byref(n_atoms))
                 if n < 0:
-                    raise IOError(f"fastxyz index failed with code {n}")
+                    raise IOError(
+                        f"{self._index_name} failed with code {n}")
                 if n_atoms.value == -2:
                     raise ValueError(
                         "inconsistent atom counts across frames")
@@ -97,13 +113,12 @@ class FastXYZTrajectory:
             if cache_index:
                 self._save_index_cache()
 
-        from sitator_tpu.io.formats import iread_xyz
-        self.structure = next(iread_xyz(self.path))
+        self.structure = self._load_structure()
 
     # index cache: one scan per (file, size, mtime) — amortizes the index
     # pass for repeated streaming runs over large (multi-GB) trajectories
     def _cache_path(self):
-        return self.path + ".fxyzidx.npz"
+        return self.path + self._cache_suffix
 
     def _load_index_cache(self):
         cp = self._cache_path()
@@ -154,12 +169,74 @@ class FastXYZTrajectory:
             lo, hi = key, key + 1
         n = hi - lo
         out = np.empty((n, self._n_atoms, 3), dtype=np.float32)
-        rc = self._lib.fxyz_read_block(
+        rc = self._read_range(lo, n, out)
+        if rc != 0:
+            raise IOError(f"{type(self).__name__} read failed "
+                          f"with code {rc}")
+        return out
+
+
+class FastXYZTrajectory(_IndexedNativeTrajectory):
+    """Random-access, multithreaded extxyz trajectory reader (native).
+
+    Implements the ``TrajectoryReader`` protocol.  Index is built once
+    (single scan); block reads decode frames across ``n_threads``.
+    """
+
+    _index_name = "fxyz_index"
+    _cache_suffix = ".fxyzidx.npz"
+
+    def _load_structure(self):
+        from sitator_tpu.io.formats import iread_xyz
+        return next(iread_xyz(self.path))
+
+    def _read_range(self, lo, n, out):
+        return self._lib.fxyz_read_block(
             self.path.encode(),
             self._offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             self._n_frames, self._file_size, lo, n, self._n_atoms,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             self.n_threads)
-        if rc != 0:
-            raise IOError(f"fastxyz read failed with code {rc}")
-        return out
+
+
+class FastLammpsTrajectory(_IndexedNativeTrajectory):
+    """Random-access, multithreaded LAMMPS text-dump reader (native).
+
+    Cartesian coordinate columns only (``x y z`` / ``xu yu zu``); raises
+    ValueError for scaled-coordinate dumps so callers fall back to the
+    Python parser (which converts through the box).
+    """
+
+    _index_name = "flmp_index"
+    _cache_suffix = ".flmpidx.npz"
+
+    def _load_structure(self):
+        from sitator_tpu.io.formats import iread_lammps_dump
+        structure, _ = next(iread_lammps_dump(self.path))
+        # column layout from the first frame's ATOMS header
+        with open(self.path) as f:
+            cols = None
+            for line in f:
+                if line.startswith("ITEM: ATOMS"):
+                    cols = line.split()[2:]
+                    break
+        for cset in (("x", "y", "z"), ("xu", "yu", "zu")):
+            if all(c in cols for c in cset):
+                self._col_xyz = (ctypes.c_int * 3)(
+                    *[cols.index(c) for c in cset])
+                break
+        else:
+            raise ValueError(
+                "native LAMMPS decoder handles cartesian columns only "
+                f"(got {cols}); use the Python reader for scaled dumps")
+        self._col_id = cols.index("id") if "id" in cols else -1
+        return structure
+
+    def _read_range(self, lo, n, out):
+        return self._lib.flmp_read_block(
+            self.path.encode(),
+            self._offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self._n_frames, self._file_size, lo, n, self._n_atoms,
+            self._col_id, self._col_xyz,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.n_threads)

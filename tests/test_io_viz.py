@@ -196,7 +196,19 @@ def test_read_lammps_dump(tmp_path):
     np.testing.assert_allclose(traj, pos, atol=1e-6)  # sorted by id
     np.testing.assert_array_equal(s.species, types)
     from sitator_tpu.io import open_trajectory
-    assert isinstance(open_trajectory(f), LammpsDumpTrajectory)
+    r = open_trajectory(f)  # native decoder preferred, Python fallback
+    assert len(r) == 3 and r.n_atoms == n
+    np.testing.assert_allclose(r[0:3], pos, atol=2e-4)
+    np.testing.assert_array_equal(r.structure.species, types)
+    # native decoder (if available) agrees with the Python parser exactly
+    try:
+        from sitator_tpu.io.native import FastLammpsTrajectory, get_lib
+    except Exception:
+        get_lib = lambda: None  # noqa: E731
+    if get_lib() is not None:
+        rn = FastLammpsTrajectory(f, cache_index=False)
+        np.testing.assert_allclose(rn[0:3], traj, atol=2e-4)
+        np.testing.assert_allclose(rn[-1][0], traj[-1], atol=2e-4)
 
 
 def test_read_lammps_dump_triclinic_scaled(tmp_path):
@@ -223,3 +235,44 @@ def test_read_lammps_dump_triclinic_scaled(tmp_path):
     s, traj = read_lammps_dump(f)
     np.testing.assert_allclose(s.cell, cell, atol=1e-6)
     np.testing.assert_allclose(traj, frac @ cell, atol=1e-5)
+
+
+def test_convert_to_npy(tmp_path):
+    from sitator_tpu.io import convert_to_npy, open_trajectory
+    rng = np.random.default_rng(7)
+    cell = np.eye(3) * 9.0
+    s = Structure(rng.uniform(0, 9, (5, 3)), ["S"] * 5, cell)
+    traj = rng.uniform(0, 9, size=(11, 5, 3)).astype(np.float32)
+    # from an extxyz path (two-pass streaming)
+    from sitator_tpu.io import write_xyz
+    src = tmp_path / "t.extxyz"
+    write_xyz(src, s, traj=traj)
+    st, out = convert_to_npy(str(src), str(tmp_path / "t.npy"))
+    r = open_trajectory(out)
+    assert len(r) == 11
+    np.testing.assert_allclose(r[0:11], traj, atol=2e-4)
+    # from a reader
+    from sitator_tpu.io import ArrayTrajectory
+    st2, out2 = convert_to_npy(ArrayTrajectory(traj, s),
+                               str(tmp_path / "t2.npy"))
+    np.testing.assert_allclose(open_trajectory(out2)[0:11], traj, atol=1e-6)
+
+
+def test_iread_lammps_dump_streaming(tmp_path):
+    from sitator_tpu.io import convert_to_npy, iread_lammps_dump
+    rng = np.random.default_rng(8)
+    n = 4
+    pos = rng.random((5, n, 3)) * 7.0
+    f = tmp_path / "s.lammpstrj"
+    with open(f, "w") as fh:
+        for t in range(5):
+            fh.write("ITEM: TIMESTEP\n%d\nITEM: NUMBER OF ATOMS\n%d\n"
+                     % (t, n))
+            fh.write("ITEM: BOX BOUNDS pp pp pp\n0 7\n0 7\n0 7\n")
+            fh.write("ITEM: ATOMS id type x y z\n")
+            for i in range(n):
+                fh.write("%d 1 %.8f %.8f %.8f\n" % (i + 1, *pos[t, i]))
+    got = [p for _, p in iread_lammps_dump(f)]
+    np.testing.assert_allclose(np.stack(got), pos, atol=1e-6)
+    st, out = convert_to_npy(str(f), str(tmp_path / "s.npy"))
+    np.testing.assert_allclose(np.load(out), pos, atol=1e-6)
