@@ -143,3 +143,71 @@ def test_triclinic_end_to_end():
     assert (mapped == md.true_assignments).mean() > 0.95
     n_true = md.true_n_ij.sum()
     assert abs(ja.n_jumps - n_true) <= max(3, 0.15 * n_true)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_kernel_trio_fuzz(seed):
+    """Fuzz: random ragged bases / cells / params — the three assignment
+    paths (XLA, gather Pallas, MXU-product) must agree exactly on labels
+    (all f32, interpret mode)."""
+    import jax.numpy as jnp
+    from sitator_tpu.ops import landmark as lmops
+    from sitator_tpu.ops.landmark_mxu import (mxu_assign_blocks,
+                                              permute_centers,
+                                              prepare_mxu_basis)
+    from sitator_tpu.ops.landmark_pallas import (fused_assign_blocks,
+                                                 kernel_cell)
+    r = np.random.default_rng(100 + seed)
+    B = int(r.integers(1, 4))
+    M = int(r.integers(2, 12))
+    N = int(r.integers(15, 60))
+    S = int(r.integers(5, 200))
+    V = int(r.integers(2, 9))
+    K = int(r.integers(2, 12))
+    L = float(r.uniform(8, 16))
+    cell = np.diag([L, L * 1.1, L * 0.9]).astype(np.float32)
+    if seed % 2:
+        cell[1, 0] = 0.2 * L  # triclinic
+    frac = r.random((B, M + N, 3)).astype(np.float32)
+    pos = frac @ cell
+    mobile, static = pos[:, :M], pos[:, M:]
+    verts = np.stack([r.choice(N, V, replace=False)
+                      for _ in range(S)]).astype(np.int32)
+    vmask = r.random((S, V)) < 0.85
+    vmask[:, 0] = True
+    centers = r.random((K, S)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    midpoint = float(r.uniform(2.0, 4.5))
+    steepness = float(r.uniform(2.0, 8.0))
+    thr = float(r.uniform(0.1, 0.5))
+    shape = "logistic_r2" if seed % 3 else "logistic"
+
+    A = lmops.vertex_membership_matrix(verts, vmask, N)
+    lv = lmops.landmark_vectors(
+        jnp.asarray(mobile), jnp.asarray(static), A, jnp.asarray(cell),
+        jnp.asarray(np.linalg.inv(cell), np.float32), midpoint, steepness,
+        cutoff_shape=shape)
+    lvn, _ = lmops.normalize_landmark_vectors(lv)
+    lab_x, conf_x = lmops.assign_to_centers(
+        lvn, jnp.asarray(centers), jnp.ones(K, bool), thr)
+
+    kc = kernel_cell(cell)
+    lab_g, conf_g = fused_assign_blocks(
+        jnp.asarray(mobile), jnp.asarray(static), jnp.asarray(verts),
+        jnp.asarray(vmask), kc, jnp.asarray(centers), midpoint=midpoint,
+        steepness=steepness, threshold=thr, s_tile=128, mxu_bf16=False,
+        interpret=True, cutoff_shape=shape)
+    np.testing.assert_array_equal(np.asarray(lab_x), np.asarray(lab_g))
+    np.testing.assert_allclose(np.asarray(conf_x), np.asarray(conf_g),
+                               atol=3e-5)
+
+    site_pos = static[0][verts].mean(axis=1)
+    basis = prepare_mxu_basis(verts, vmask, site_pos, cell, s_tile=128)
+    lab_m, conf_m = mxu_assign_blocks(
+        jnp.asarray(mobile), jnp.asarray(static), basis, kc,
+        permute_centers(centers, basis), midpoint=midpoint,
+        steepness=steepness, threshold=thr, mxu_bf16=False,
+        interpret=True, cutoff_shape=shape)
+    np.testing.assert_array_equal(np.asarray(lab_x), np.asarray(lab_m))
+    np.testing.assert_allclose(np.asarray(conf_x), np.asarray(conf_m),
+                               atol=3e-5)
