@@ -156,7 +156,10 @@ class StreamingLandmarkAnalysis:
     """Parameters mirror :class:`LandmarkAnalysis` plus streaming controls:
 
     block_frames : frames per streamed device block.
-    fit_frames : subsample size for the clustering pass.
+    fit_frames : max frames subsampled for the clustering pass.
+    fit_max_samples : cap on total (frame, ion) samples in the fit — the
+        binding limit for many-ion systems (the landmark-vector matrix is
+        ``samples x n_landmarks`` floats; 65536 x 9472 ≈ 2.5 GB).
     store_labels : optional path — labels spill to a memmapped ``.npy``
         of shape (n_frames, n_mobile).
     static_movement_threshold : max per-frame static-atom drift (Å) before
@@ -170,6 +173,7 @@ class StreamingLandmarkAnalysis:
                  cutoff_shape="logistic",
                  minimum_site_occupancy=0.01, assignment_threshold=None,
                  clustering_params=None, block_frames=1024, fit_frames=8192,
+                 fit_max_samples=65536,
                  store_labels=None, mesh=None, checkpoint_path=None,
                  checkpoint_every=64, max_mobile_per_site=1,
                  multiple_occupancy_action="warn",
@@ -186,6 +190,7 @@ class StreamingLandmarkAnalysis:
             if assignment_threshold is None else float(assignment_threshold))
         self.block_frames = int(block_frames)
         self.fit_frames = int(fit_frames)
+        self.fit_max_samples = int(fit_max_samples)
         self.store_labels = store_labels
         # multiple-occupancy guard (reference max_mobile_per_site semantics,
         # SURVEY §3.2): 'warn' | 'raise' (MultipleOccupancyError) | 'ignore'
@@ -222,8 +227,12 @@ class StreamingLandmarkAnalysis:
     # -- pass 1 --------------------------------------------------------
     def fit_centers(self, sn: SiteNetwork, reader):
         n_frames = len(reader)
-        stride = max(1, n_frames // self.fit_frames)
         mobile_idx = np.flatnonzero(sn.mobile_mask)
+        # the SAMPLE budget binds for many-ion systems: every fit frame
+        # contributes n_mobile landmark vectors of n_landmarks floats
+        n_fit = min(self.fit_frames,
+                    max(1, self.fit_max_samples // max(1, len(mobile_idx))))
+        stride = max(1, n_frames // n_fit)
         static_idx = np.flatnonzero(sn.static_mask)
         verts, vmask = sn.padded_vertices()
         A = lmops.vertex_membership_matrix(verts, vmask, len(static_idx))
