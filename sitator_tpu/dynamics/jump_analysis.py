@@ -27,14 +27,21 @@ logger = logging.getLogger(__name__)
 
 
 class JumpAnalysis:
-    def __init__(self, verbose=True):
+    """``unknown_policy``: 'persist' (reference default — an ion's site
+    survives unassigned frames; no spurious jumps across gaps) or 'break'
+    (an unknown frame ends the residence; re-assignment starts fresh and
+    records no jump across the gap) — SURVEY.md §3.4's policy knob."""
+
+    def __init__(self, unknown_policy="persist", verbose=True):
+        self.unknown_policy = unknown_policy
         self.verbose = verbose
         self._stats = None
 
     def run(self, st: SiteTrajectory) -> SiteTrajectory:
         sn = st.site_network
         S = sn.n_sites
-        stats = jump_stats(jnp.asarray(st.traj), S)
+        stats = jump_stats(jnp.asarray(st.traj), S,
+                           unknown_policy=self.unknown_policy)
         self._stats = {k: np.asarray(v) for k, v in stats.items()}
 
         n_ij = self._stats["n_ij"].astype(np.float64)

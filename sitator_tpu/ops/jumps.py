@@ -8,9 +8,12 @@ masked scatter-add into dense ``(S+1, S+1)`` accumulators carried through the
 scan — no Python loop, no host sync, shardable over the frame axis with a
 final ``psum`` (SURVEY.md §3.10).
 
-Unknown-site frames (``-1``) follow the reference's default policy: they
-neither emit jumps nor advance residence; an ion's previous site persists
-across unknown gaps.
+Unknown-site frames (``-1``) follow the reference's default policy
+(``unknown_policy='persist'``): they neither emit jumps nor advance
+residence, and an ion's previous site persists across unknown gaps.  The
+alternative ``'break'`` policy (SURVEY.md §3.4 ⚠) forgets the previous
+site at an unknown frame — a later assignment starts a fresh residence
+and records no jump across the gap.
 """
 from __future__ import annotations
 
@@ -33,20 +36,28 @@ class JumpStats(dict):
             raise AttributeError(name) from None
 
 
-def jump_stats(traj, n_sites, init_last=None, init_res=None):
+def jump_stats(traj, n_sites, init_last=None, init_res=None,
+               unknown_policy="persist"):
     """Scan a ``(F, M)`` site trajectory into dense jump statistics.
 
     ``init_last``/``init_res`` allow chaining across trajectory blocks (the
     streaming pipeline feeds the carry of one block into the next).
+    ``unknown_policy``: 'persist' (default — unknown frames keep the
+    previous site) or 'break' (an unknown frame forgets it: no jump is
+    recorded across the gap and the next assignment starts fresh).
 
     Returns a :class:`JumpStats` whose matrices use true site indices
     (row/col ``n_sites`` is the internal dummy slot, already stripped).
     """
-    return JumpStats(_jump_stats(traj, n_sites, init_last, init_res))
+    return JumpStats(_jump_stats(traj, n_sites, init_last, init_res,
+                                 unknown_policy=unknown_policy))
 
 
-@partial(jax.jit, static_argnames=("n_sites",))
-def _jump_stats(traj, n_sites, init_last=None, init_res=None):
+@partial(jax.jit, static_argnames=("n_sites", "unknown_policy"))
+def _jump_stats(traj, n_sites, init_last=None, init_res=None,
+                unknown_policy="persist"):
+    if unknown_policy not in ("persist", "break"):
+        raise ValueError("unknown_policy must be 'persist' or 'break'")
     F, M = traj.shape
     S = n_sites
     if init_last is None:
@@ -77,7 +88,11 @@ def _jump_stats(traj, n_sites, init_last=None, init_res=None):
         res_cnt = res_cnt.at[i_from].add(one)
 
         res = jnp.where(jump | first, 1, jnp.where(stay, res + 1, res))
-        last = jnp.where(known, s_f, last)
+        if unknown_policy == "break":
+            last = jnp.where(known, s_f, -1)
+            res = jnp.where(known, res, 0)  # carry is void after a gap
+        else:
+            last = jnp.where(known, s_f, last)
         return (last, res, n_ij, lag, res_sum, res_cnt), None
 
     (last, res, n_ij, lag, res_sum, res_cnt), _ = jax.lax.scan(
@@ -100,7 +115,7 @@ def _jump_stats(traj, n_sites, init_last=None, init_res=None):
     )
 
 
-def jump_stats_parallel(traj, n_sites):
+def jump_stats_parallel(traj, n_sites, unknown_policy="persist"):
     """Order-dependent jump statistics WITHOUT a sequential frame scan —
     exact, and partitionable over a frame-sharded mesh (SURVEY.md §6.7).
 
@@ -116,17 +131,63 @@ def jump_stats_parallel(traj, n_sites):
     XLA partitions prefix scans across shards with log-depth collectives,
     so under ``pjit`` on a frame-sharded array this runs without any
     host-side stitching.  Returns the same :class:`JumpStats` as
-    :func:`jump_stats` (bitwise-identical statistics).
+    :func:`jump_stats` (bitwise-identical statistics for either
+    ``unknown_policy``).
     """
-    return JumpStats(_jump_stats_parallel(traj, n_sites))
+    return JumpStats(_jump_stats_parallel(traj, n_sites,
+                                          unknown_policy=unknown_policy))
 
 
-@partial(jax.jit, static_argnames=("n_sites",))
-def _jump_stats_parallel(traj, n_sites):
+@partial(jax.jit, static_argnames=("n_sites", "unknown_policy"))
+def _jump_stats_parallel(traj, n_sites, unknown_policy="persist"):
+    if unknown_policy not in ("persist", "break"):
+        raise ValueError("unknown_policy must be 'persist' or 'break'")
     traj = traj.astype(jnp.int32)
     F, M = traj.shape
     S = n_sites
     known = traj >= 0
+
+    if unknown_policy == "break":
+        # the break policy is LOCAL: a jump needs two consecutive known
+        # frames; a run ends at any unknown frame or site change
+        prev_raw = jnp.concatenate(
+            [jnp.full((1, M), -1, jnp.int32), traj[:-1]], axis=0)
+        jump = known & (prev_raw >= 0) & (traj != prev_raw)
+        start = known & ((prev_raw < 0) | (traj != prev_raw))
+        idx = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[:, None],
+                               (F, M))
+        start_idx = jnp.where(start, idx, -1)
+        run_base = jax.lax.cummax(start_idx, axis=0)   # frame of run start
+        prev_base = jnp.concatenate(
+            [jnp.full((1, M), -1, jnp.int32), run_base[:-1]], axis=0)
+        # residence closed by a jump at frame f = length of the run that
+        # ended at f-1
+        res = (idx - 1) - prev_base + 1
+
+        i_from = jnp.where(jump, prev_raw, S).ravel()
+        i_to = jnp.where(jump, traj, S).ravel()
+        one = jump.astype(jnp.int32).ravel()
+        resv = jnp.where(jump, res, 0).ravel()
+
+        n_ij = jnp.zeros((S + 1, S + 1), jnp.int32).at[
+            i_from, i_to].add(one)
+        lag = jnp.zeros((S + 1, S + 1), jnp.int32).at[
+            i_from, i_to].add(resv)
+        res_sum = jnp.zeros((S + 1,), jnp.int32).at[i_from].add(resv)
+        res_cnt = jnp.zeros((S + 1,), jnp.int32).at[i_from].add(one)
+        occ = jnp.zeros((S + 1,), jnp.int32).at[
+            jnp.where(known, traj, S).ravel()].add(1)
+        last_known = known[-1]
+        return dict(
+            n_ij=n_ij[:S, :S],
+            lag_sum=lag[:S, :S],
+            res_sum=res_sum[:S],
+            res_cnt=res_cnt[:S],
+            occ_counts=occ[:S],
+            last_sites=jnp.where(last_known, traj[-1], -1),
+            last_res=jnp.where(last_known,
+                               (F - 1) - run_base[-1] + 1, 0),
+        )
 
     filled = jax.lax.associative_scan(
         lambda a, b: jnp.where(b >= 0, b, a), traj, axis=0)

@@ -88,6 +88,67 @@ def test_jump_analysis_unknown_gap_policy():
     assert sn.jump_lag[1, 2] == 3
 
 
+def oracle_jump_stats_break(traj, S):
+    """Oracle for unknown_policy='break': an unknown frame forgets the
+    previous site (no jump across the gap)."""
+    F, M = traj.shape
+    n_ij = np.zeros((S, S), dtype=int)
+    lag = np.zeros((S, S), dtype=int)
+    res_sum = np.zeros(S, dtype=int)
+    res_cnt = np.zeros(S, dtype=int)
+    last = -np.ones(M, dtype=int)
+    res = np.zeros(M, dtype=int)
+    for f in range(F):
+        for m in range(M):
+            s = traj[f, m]
+            if s < 0:
+                last[m] = -1
+                continue
+            if last[m] < 0:
+                last[m], res[m] = s, 1
+            elif s == last[m]:
+                res[m] += 1
+            else:
+                n_ij[last[m], s] += 1
+                lag[last[m], s] += res[m]
+                res_sum[last[m]] += res[m]
+                res_cnt[last[m]] += 1
+                last[m], res[m] = s, 1
+    return n_ij, lag, res_sum, res_cnt
+
+
+def test_jump_analysis_break_policy():
+    """unknown_policy='break': gaps split residences and record no jump."""
+    import jax.numpy as jnp
+    from sitator_tpu.ops.jumps import jump_stats, jump_stats_parallel
+    sn = make_network(3, n_mobile=1)
+    traj = np.array([[0], [0], [-1], [-1], [1], [1], [1], [2]])
+    st = SiteTrajectory(sn, traj)
+    JumpAnalysis(unknown_policy="break", verbose=False).run(st)
+    assert sn.n_ij[0, 1] == 0          # no jump across the gap
+    assert sn.n_ij[1, 2] == 1
+    assert sn.n_ij.sum() == 1
+    assert sn.jump_lag[1, 2] == 3
+
+    # scan and parallel formulations agree with the oracle on random data
+    rng2 = np.random.default_rng(77)
+    big = rng2.integers(-1, 6, size=(300, 7)).astype(np.int32)
+    want = oracle_jump_stats_break(big, 6)
+    for fn in (jump_stats, jump_stats_parallel):
+        got = fn(jnp.asarray(big), 6, unknown_policy="break")
+        np.testing.assert_array_equal(np.asarray(got["n_ij"]), want[0])
+        np.testing.assert_array_equal(np.asarray(got["lag_sum"]), want[1])
+        np.testing.assert_array_equal(np.asarray(got["res_sum"]), want[2])
+        np.testing.assert_array_equal(np.asarray(got["res_cnt"]), want[3])
+    # the two device formulations agree bit-for-bit on carries too
+    a = jump_stats(jnp.asarray(big), 6, unknown_policy="break")
+    b = jump_stats_parallel(jnp.asarray(big), 6, unknown_policy="break")
+    np.testing.assert_array_equal(np.asarray(a["last_sites"]),
+                                  np.asarray(b["last_sites"]))
+    np.testing.assert_array_equal(np.asarray(a["last_res"]),
+                                  np.asarray(b["last_res"]))
+
+
 def test_mcl_two_blocks():
     """Two 3-cliques weakly connected → two MCL clusters."""
     A = np.zeros((6, 6))
