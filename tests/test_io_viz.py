@@ -276,3 +276,23 @@ def test_iread_lammps_dump_streaming(tmp_path):
     np.testing.assert_allclose(np.stack(got), pos, atol=1e-6)
     st, out = convert_to_npy(str(f), str(tmp_path / "s.npy"))
     np.testing.assert_allclose(np.load(out), pos, atol=1e-6)
+
+
+def test_ase_adapter_gated():
+    """The ASE adapter imports without ase and raises a clear ImportError
+    at call time (or works if ase happens to be installed)."""
+    from sitator_tpu.io import ase_adapter
+    try:
+        import ase  # noqa: F401
+        have_ase = True
+    except ImportError:
+        have_ase = False
+    s = Structure(np.zeros((2, 3)), ["S", "Li"], np.eye(3) * 5.0)
+    if not have_ase:
+        with pytest.raises(ImportError, match="ASE is not installed"):
+            ase_adapter.to_ase(s)
+    else:  # pragma: no cover - env-dependent
+        atoms = ase_adapter.to_ase(s)
+        s2 = ase_adapter.from_ase(atoms)
+        np.testing.assert_allclose(s2.positions, s.positions)
+        np.testing.assert_array_equal(s2.species, s.species)
