@@ -298,6 +298,35 @@ def test_streaming_dynamic_lattice_mapping(md_system):
     np.testing.assert_allclose(out.centers, out_ref.centers, atol=1e-5)
 
 
+def test_streaming_dynamic_mapping_under_mesh(md_system):
+    """Lattice remapping composes with the 8-device mesh: permutation is
+    applied host-side before upload, shard_map sees ordinary blocks."""
+    md, seeds = md_system
+    from sitator_tpu.parallel.mesh import frame_mesh
+    T = 210
+    swapped = md.traj[:400].copy()
+    sa = np.flatnonzero(md.static_mask)
+    i, j = sa[3], sa[9]
+    swapped[T:, i], swapped[T:, j] = (md.traj[T:400, j].copy(),
+                                      md.traj[T:400, i].copy())
+    base = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=80, verbose=False)
+    centers = base.fit_centers(seeds, ArrayTrajectory(md.traj))
+    out_ref = base.run(seeds, md.traj[:400], centers=centers)
+    mesh = frame_mesh(n_devices=8)
+    dyn = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0,
+                                    block_frames=80, mesh=mesh,
+                                    use_fused=True, interpret=True,
+                                    dynamic_lattice_mapping=True,
+                                    verbose=False)
+    out = dyn.run(seeds, swapped, centers=centers)
+    np.testing.assert_array_equal(out.n_ij, out_ref.n_ij)
+    np.testing.assert_allclose(out.occupancies, out_ref.occupancies,
+                               atol=1e-12)
+
+
 def test_streaming_dynamic_mapping_fit_pass(md_system):
     """The fit pass (pass 1) must follow lattice-site exchanges too: a run
     WITHOUT precomputed centers on a swapped trajectory reproduces the
