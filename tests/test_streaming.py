@@ -354,6 +354,62 @@ def test_streaming_dynamic_mapping_fit_pass(md_system):
                                atol=1e-12)
 
 
+def test_streaming_checkpoint_resume_across_lattice_swap(md_system,
+                                                         tmp_path):
+    """A run interrupted AFTER a lattice-site exchange must resume with the
+    checkpointed slot->atom permutation and still match the uninterrupted
+    swapped run exactly."""
+    md, seeds = md_system
+    T = 150  # swap in block 2 (block_frames=100); interrupt after block 3
+    swapped = md.traj[:600].copy()
+    sa = np.flatnonzero(md.static_mask)
+    i, j = sa[6], sa[20]
+    swapped[T:, i], swapped[T:, j] = (md.traj[T:600, j].copy(),
+                                      md.traj[T:600, i].copy())
+    base = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=100,
+                                     dynamic_lattice_mapping=True,
+                                     verbose=False)
+    centers = base.fit_centers(seeds, ArrayTrajectory(md.traj))
+    out_ref = base.run(seeds, swapped, centers=centers)
+
+    class Interrupt(Exception):
+        pass
+
+    class FlakyReader(ArrayTrajectory):
+        def __init__(self, arr, die_after):
+            super().__init__(arr)
+            self.served = 0
+            self.die_after = die_after
+
+        def __getitem__(self, key):
+            self.served += 1
+            if self.die_after is not None and self.served > self.die_after:
+                raise Interrupt()
+            return super().__getitem__(key)
+
+    ckpt = str(tmp_path / "swap.ckpt")
+    sla = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0, block_frames=100,
+                                    dynamic_lattice_mapping=True,
+                                    checkpoint_path=ckpt,
+                                    checkpoint_every=1, verbose=False)
+    with pytest.raises(Interrupt):
+        sla.run(seeds, FlakyReader(swapped, die_after=3), centers=centers)
+    import os
+    assert os.path.exists(ckpt)
+    with np.load(ckpt) as d:  # the permutation rode the checkpoint
+        assert "perm" in d.files
+        assert (d["perm"] != np.arange(len(d["perm"]))).sum() == 2
+    out = sla.run(seeds, FlakyReader(swapped, die_after=None),
+                  centers=centers)
+    np.testing.assert_array_equal(out.n_ij, out_ref.n_ij)
+    np.testing.assert_allclose(out.occupancies, out_ref.occupancies,
+                               atol=1e-12)
+    np.testing.assert_allclose(out.centers, out_ref.centers, atol=1e-5)
+
+
 def test_streaming_merge_network(md_system):
     """Stats-level post-merge collapses split sites; inter-group hop counts
     approach ground truth."""
