@@ -274,6 +274,27 @@ def read_lammps_dump(path):
     return structure, np.stack(frames)
 
 
+def sniff_format(path):
+    """Classify a trajectory file by name: 'xdatcar' | 'lammps' | 'xyz' |
+    'npy' | 'npz' | 'h5' | None — the single dispatch table shared by
+    :func:`open_trajectory` and :func:`convert_to_npy`."""
+    p = str(path)
+    name = p.rsplit("/", 1)[-1].upper()
+    if name.startswith("XDATCAR") or p.endswith(".xdatcar"):
+        return "xdatcar"
+    if p.endswith((".lammpstrj", ".dump")):
+        return "lammps"
+    if p.endswith((".xyz", ".extxyz")):
+        return "xyz"
+    if p.endswith(".npy"):
+        return "npy"
+    if p.endswith(".npz"):
+        return "npz"
+    if p.endswith((".h5", ".hdf5")):
+        return "h5"
+    return None
+
+
 def convert_to_npy(src, out_path, dtype=np.float32, verbose=False):
     """Convert any trajectory source to a memmapped ``.npy`` — the
     preferred format for the streaming engine (zero-copy random block
@@ -284,18 +305,20 @@ def convert_to_npy(src, out_path, dtype=np.float32, verbose=False):
 
     def frame_iter():
         p = str(src)
-        name = p.rsplit("/", 1)[-1].upper()
-        if name.startswith("XDATCAR") or p.endswith(".xdatcar"):
+        fmt = sniff_format(p)
+        if fmt == "xdatcar":
             for s, pos in iread_xdatcar(p):
                 yield s, pos
-        elif p.endswith((".lammpstrj", ".dump")):
+        elif fmt == "lammps":
             for s, pos in iread_lammps_dump(p):
                 yield s, pos
-        elif p.endswith((".xyz", ".extxyz")):
+        elif fmt == "xyz":
             for s in iread_xyz(p):
                 yield s, s.positions
         else:
-            raise ValueError(f"unknown trajectory format: {p}")
+            raise ValueError(
+                f"convert_to_npy streams text formats only, got {p}; "
+                "open binary formats with open_trajectory instead")
 
     if isinstance(src, (str,)) or hasattr(src, "__fspath__"):
         # pass 1: count frames + shapes; pass 2: fill the memmap
@@ -410,18 +433,19 @@ class LammpsDumpTrajectory(ArrayTrajectory):
 
 def open_trajectory(path, **kwargs):
     p = str(path)
-    if p.endswith(".npy"):
+    fmt = sniff_format(p)
+    if fmt == "npy":
         return NpyTrajectory(p, **kwargs)
-    if p.endswith(".npz"):
+    if fmt == "npz":
         return NpzTrajectory(p, **kwargs)
-    if p.endswith((".h5", ".hdf5")):
+    if fmt == "h5":
         return H5Trajectory(p, **kwargs)
-    name = p.rsplit("/", 1)[-1].upper()
-    if name.startswith("XDATCAR") or p.endswith(".xdatcar"):
+    if fmt == "xdatcar":
         return XDATCARTrajectory(p)
-    if p.endswith((".lammpstrj", ".dump")):
+    if fmt == "lammps":
         # prefer the native multithreaded decoder (random block access, no
-        # whole-file materialization); fall back for scaled coords / no lib
+        # whole-file materialization); its precheck rejects scaled-coord
+        # and non-contiguous-id dumps cheaply -> Python fallback
         try:
             from sitator_tpu.io.native import FastLammpsTrajectory, get_lib
             if get_lib() is not None:
@@ -429,7 +453,7 @@ def open_trajectory(path, **kwargs):
         except Exception:
             pass
         return LammpsDumpTrajectory(p)
-    if p.endswith((".xyz", ".extxyz")):
+    if fmt == "xyz":
         # prefer the native multithreaded decoder (random block access, no
         # whole-file materialization); fall back to the Python parser
         try:

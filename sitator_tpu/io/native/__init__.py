@@ -75,6 +75,9 @@ class _IndexedNativeTrajectory:
     _index_name = None
     _cache_suffix = None
 
+    def _precheck(self):
+        pass
+
     def __init__(self, path, n_threads=None, cache_index=True):
         lib = get_lib()
         if lib is None:
@@ -83,6 +86,9 @@ class _IndexedNativeTrajectory:
         self.path = os.fspath(path)
         self.n_threads = n_threads or min(8, os.cpu_count() or 1)
         self._file_size = os.path.getsize(self.path)
+        # cheap format preconditions run BEFORE the (potentially multi-GB)
+        # index scan, so unsupported files fall back without paying for it
+        self._precheck()
 
         cached = self._load_index_cache() if cache_index else None
         if cached is not None:
@@ -210,16 +216,30 @@ class FastLammpsTrajectory(_IndexedNativeTrajectory):
     _index_name = "flmp_index"
     _cache_suffix = ".flmpidx.npz"
 
-    def _load_structure(self):
-        from sitator_tpu.io.formats import iread_lammps_dump
-        structure, _ = next(iread_lammps_dump(self.path))
-        # column layout from the first frame's ATOMS header
+    def _precheck(self):
+        """Column layout + id contiguity from frame 0 — cheap text reads
+        that reject unsupported dumps (scaled coords, group dumps with
+        non-contiguous global ids) BEFORE the native index scan, so
+        ``open_trajectory`` falls back to the Python parser for them."""
+        cols = None
+        n_atoms = None
         with open(self.path) as f:
-            cols = None
             for line in f:
-                if line.startswith("ITEM: ATOMS"):
+                if line.startswith("ITEM: NUMBER OF ATOMS"):
+                    n_atoms = int(next(f))
+                elif line.startswith("ITEM: ATOMS"):
                     cols = line.split()[2:]
+                    if n_atoms is None:
+                        raise ValueError("malformed LAMMPS dump header")
+                    ids = None
+                    if "id" in cols:
+                        idc = cols.index("id")
+                        ids = np.empty(n_atoms, np.int64)
+                        for i in range(n_atoms):
+                            ids[i] = int(next(f).split()[idc])
                     break
+            else:
+                raise ValueError(f"no ITEM: ATOMS header in {self.path}")
         for cset in (("x", "y", "z"), ("xu", "yu", "zu")):
             if all(c in cols for c in cset):
                 self._col_xyz = (ctypes.c_int * 3)(
@@ -229,7 +249,19 @@ class FastLammpsTrajectory(_IndexedNativeTrajectory):
             raise ValueError(
                 "native LAMMPS decoder handles cartesian columns only "
                 f"(got {cols}); use the Python reader for scaled dumps")
-        self._col_id = cols.index("id") if "id" in cols else -1
+        if "id" in cols:
+            if not np.array_equal(np.sort(ids),
+                                  np.arange(1, n_atoms + 1)):
+                raise ValueError(
+                    "native LAMMPS decoder needs atom ids 1..n_atoms "
+                    "(group dumps keep global ids); use the Python reader")
+            self._col_id = cols.index("id")
+        else:
+            self._col_id = -1
+
+    def _load_structure(self):
+        from sitator_tpu.io.formats import iread_lammps_dump
+        structure, _ = next(iread_lammps_dump(self.path))
         return structure
 
     def _read_range(self, lo, n, out):

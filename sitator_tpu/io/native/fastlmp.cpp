@@ -32,21 +32,27 @@ inline const char* next_line(const char* p, const char* end) {
     return p < end ? p + 1 : end;
 }
 
-inline const char* parse_float(const char* p, const char* end, float* out) {
+// Parses a decimal float; *ok is cleared when the token contains no
+// digits (nan/inf/corrupt text) so callers can fail loudly instead of
+// silently writing 0.0 where the Python parser would surface the value.
+inline const char* parse_float(const char* p, const char* end, float* out,
+                               bool* ok) {
     p = skip_ws(p, end);
     bool neg = false;
+    bool any = false;
     if (p < end && (*p == '-' || *p == '+')) { neg = (*p == '-'); ++p; }
     double v = 0.0;
     while (p < end && (unsigned)(*p - '0') < 10u) {
-        v = v * 10.0 + (*p - '0'); ++p;
+        v = v * 10.0 + (*p - '0'); ++p; any = true;
     }
     if (p < end && *p == '.') {
         ++p;
         double scale = 0.1;
         while (p < end && (unsigned)(*p - '0') < 10u) {
-            v += (*p - '0') * scale; scale *= 0.1; ++p;
+            v += (*p - '0') * scale; scale *= 0.1; ++p; any = true;
         }
     }
+    if (!any) *ok = false;
     if (p < end && (*p == 'e' || *p == 'E')) {
         ++p;
         bool eneg = false;
@@ -169,7 +175,9 @@ int64_t flmp_index(const char* path, int64_t* offsets, int64_t max_frames,
 // Decode frames [first, first+n_frames) into out (n_frames*n_atoms*3 f32).
 // col_id: 0-based index of the atom-id column (-1 = file order);
 // col_xyz: 0-based indices of the three cartesian coordinate columns.
-// Atom ids must be a permutation of 1..n_atoms (LAMMPS convention).
+// Atom ids must be a permutation of 1..n_atoms per frame (the Python
+// wrapper verifies this on frame 0 and falls back otherwise); duplicates
+// and out-of-range ids return an error, never silent garbage.
 int flmp_read_block(const char* path, const int64_t* offsets,
                     int64_t n_total_frames, int64_t file_size,
                     int64_t first, int64_t n_frames, int64_t n_atoms,
@@ -196,6 +204,7 @@ int flmp_read_block(const char* path, const int64_t* offsets,
     std::atomic<int> err{0};
     auto work = [&](int t) {
         std::vector<float> vals((size_t)cmax + 1);
+        std::vector<uint8_t> seen((size_t)n_atoms);
         for (int64_t i = t; i < n_frames; i += n_threads) {
             const char* p = buf.data() + (offsets[first + i] - begin_off);
             const char* e = (first + i + 1 < n_total_frames)
@@ -203,25 +212,33 @@ int flmp_read_block(const char* path, const int64_t* offsets,
                 : buf.data() + span;
             for (int h = 0; h < 9; ++h) p = next_line(p, e);  // header
             float* fo = out + i * n_atoms * 3;
+            if (col_id >= 0)
+                std::memset(seen.data(), 0, (size_t)n_atoms);
             for (int64_t a = 0; a < n_atoms; ++a) {
                 // parse tokens up to the max needed column
                 const char* q = p;
+                long id = 0;
                 for (int c = 0; c <= cmax; ++c) {
                     q = skip_ws(q, e);
                     const char* tok = q;
                     q = skip_token(q, e);
                     if (tok == q) { err.store(-4); return; }
-                    if (c == col_id || c == col_xyz[0] || c == col_xyz[1]
-                        || c == col_xyz[2]) {
+                    if (c == col_id) {
+                        id = parse_long(tok, q);   // exact integer parse
+                    } else if (c == col_xyz[0] || c == col_xyz[1]
+                               || c == col_xyz[2]) {
                         float v;
-                        parse_float(tok, q, &v);
+                        bool ok = true;
+                        parse_float(tok, q, &v, &ok);
+                        if (!ok) { err.store(-7); return; }  // nan/corrupt
                         vals[(size_t)c] = v;
                     }
                 }
                 int64_t row = a;
                 if (col_id >= 0) {
-                    long id = (long)vals[(size_t)col_id];
                     if (id < 1 || id > n_atoms) { err.store(-5); return; }
+                    if (seen[(size_t)(id - 1)]) { err.store(-5); return; }
+                    seen[(size_t)(id - 1)] = 1;
                     row = id - 1;
                 }
                 fo[row * 3 + 0] = vals[(size_t)col_xyz[0]];

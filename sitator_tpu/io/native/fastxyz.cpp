@@ -121,23 +121,26 @@ static inline const char* next_line(const char* p, const char* end) {
 }
 
 // Fast float scan: sign, integer, fraction, exponent.  Positions in MD
-// files are plain decimals; falls back to strtod on exponent forms.
+// files are plain decimals.  *ok is cleared when the token has no digits
+// (nan/inf/corrupt text) so the decoder errors instead of writing 0.0.
 static inline const char* parse_float(const char* p, const char* end,
-                                      float* out) {
+                                      float* out, bool* ok) {
     p = skip_ws(p, end);
     bool neg = false;
+    bool any = false;
     if (p < end && (*p == '-' || *p == '+')) { neg = (*p == '-'); ++p; }
     double v = 0.0;
     while (p < end && (unsigned)(*p - '0') < 10u) {
-        v = v * 10.0 + (*p - '0'); ++p;
+        v = v * 10.0 + (*p - '0'); ++p; any = true;
     }
     if (p < end && *p == '.') {
         ++p;
         double scale = 0.1;
         while (p < end && (unsigned)(*p - '0') < 10u) {
-            v += (*p - '0') * scale; scale *= 0.1; ++p;
+            v += (*p - '0') * scale; scale *= 0.1; ++p; any = true;
         }
     }
+    if (!any) *ok = false;
     if (p < end && (*p == 'e' || *p == 'E')) {
         ++p;
         bool eneg = false;
@@ -164,8 +167,10 @@ static int parse_frame(const char* begin, const char* end, int64_t n_atoms,
     for (int64_t i = 0; i < n_atoms; ++i) {
         p = skip_ws(p, end);
         p = skip_token(p, end);               // species symbol
+        bool ok = true;
         for (int c = 0; c < 3; ++c)
-            p = parse_float(p, end, out + i * 3 + c);
+            p = parse_float(p, end, out + i * 3 + c, &ok);
+        if (!ok) return -7;                   // nan/inf/corrupt coordinate
         p = next_line(p, end);
         if (p >= end && i + 1 < n_atoms) return -1;
     }

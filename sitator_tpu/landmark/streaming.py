@@ -232,7 +232,7 @@ class StreamingLandmarkAnalysis:
         # contributes n_mobile landmark vectors of n_landmarks floats
         n_fit = min(self.fit_frames,
                     max(1, self.fit_max_samples // max(1, len(mobile_idx))))
-        stride = max(1, n_frames // n_fit)
+        stride = max(1, -(-n_frames // n_fit))  # ceil: a HARD sample cap
         static_idx = np.flatnonzero(sn.static_mask)
         verts, vmask = sn.padded_vertices()
         A = lmops.vertex_membership_matrix(verts, vmask, len(static_idx))

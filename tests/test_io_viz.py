@@ -296,3 +296,58 @@ def test_ase_adapter_gated():
         s2 = ase_adapter.from_ase(atoms)
         np.testing.assert_allclose(s2.positions, s.positions)
         np.testing.assert_array_equal(s2.species, s.species)
+
+
+def test_lammps_group_dump_non_contiguous_ids(tmp_path):
+    """A group dump keeps global atom ids (e.g. 9262..10000); the native
+    decoder's precheck must reject it cheaply so open_trajectory falls
+    back to the Python parser — which reads it fine (regression)."""
+    from sitator_tpu.io import open_trajectory
+    from sitator_tpu.io.formats import LammpsDumpTrajectory
+    rng = np.random.default_rng(9)
+    n = 5
+    ids = np.array([101, 103, 105, 107, 109])  # non-contiguous
+    pos = rng.random((3, n, 3)) * 8.0
+    f = tmp_path / "group.lammpstrj"
+    with open(f, "w") as fh:
+        for t in range(3):
+            fh.write("ITEM: TIMESTEP\n%d\nITEM: NUMBER OF ATOMS\n%d\n"
+                     % (t, n))
+            fh.write("ITEM: BOX BOUNDS pp pp pp\n0 8\n0 8\n0 8\n")
+            fh.write("ITEM: ATOMS id type x y z\n")
+            for i in range(n):
+                fh.write("%d 1 %.8f %.8f %.8f\n" % (ids[i], *pos[t, i]))
+    r = open_trajectory(f)
+    assert isinstance(r, LammpsDumpTrajectory)  # fell back, didn't crash
+    np.testing.assert_allclose(r[0:3], pos, atol=1e-6)
+    # and no stale native index sidecar was written by the precheck
+    import os
+    assert not os.path.exists(str(f) + ".flmpidx.npz")
+
+
+def test_native_decoders_reject_nan(tmp_path):
+    """nan coordinates error loudly in the native decoders instead of
+    silently becoming 0.0."""
+    try:
+        from sitator_tpu.io.native import (FastLammpsTrajectory,
+                                           FastXYZTrajectory, get_lib)
+    except Exception:
+        pytest.skip("native lib unavailable")
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    f = tmp_path / "bad.lammpstrj"
+    with open(f, "w") as fh:
+        fh.write("ITEM: TIMESTEP\n0\nITEM: NUMBER OF ATOMS\n2\n")
+        fh.write("ITEM: BOX BOUNDS pp pp pp\n0 8\n0 8\n0 8\n")
+        fh.write("ITEM: ATOMS id type x y z\n")
+        fh.write("1 1 1.0 2.0 3.0\n2 1 nan nan nan\n")
+    r = FastLammpsTrajectory(f, cache_index=False)
+    with pytest.raises(IOError):
+        r[0:1]
+    g = tmp_path / "bad.extxyz"
+    with open(g, "w") as fh:
+        fh.write('2\nLattice="8 0 0 0 8 0 0 0 8"\n')
+        fh.write("S 1.0 2.0 3.0\nS nan nan nan\n")
+    r2 = FastXYZTrajectory(g, cache_index=False)
+    with pytest.raises(IOError):
+        r2[0:1]
