@@ -441,6 +441,15 @@ def open_trajectory(path, **kwargs):
     if fmt == "h5":
         return H5Trajectory(p, **kwargs)
     if fmt == "xdatcar":
+        # prefer the native decoder; variable-cell / malformed files fall
+        # back to the Python reader's clearer errors
+        try:
+            from sitator_tpu.io.native import (FastXDATCARTrajectory,
+                                               get_lib)
+            if get_lib() is not None:
+                return FastXDATCARTrajectory(p, **kwargs)
+        except Exception:
+            pass
         return XDATCARTrajectory(p)
     if fmt == "lammps":
         # prefer the native multithreaded decoder (random block access, no

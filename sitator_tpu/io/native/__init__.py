@@ -13,7 +13,8 @@ logger = logging.getLogger(__name__)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "fastxyz.cpp"),
-         os.path.join(_HERE, "fastlmp.cpp")]
+         os.path.join(_HERE, "fastlmp.cpp"),
+         os.path.join(_HERE, "fastxd.cpp")]
 _LIB = os.path.join(_HERE, "libfastio.so")
 _lock = threading.Lock()
 _lib = None
@@ -62,6 +63,15 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.fxd_index.restype = ctypes.c_int64
+        lib.fxd_index.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+        lib.fxd_read_block.restype = ctypes.c_int
+        lib.fxd_read_block.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -94,20 +104,15 @@ class _IndexedNativeTrajectory:
         if cached is not None:
             self._offsets, self._n_frames, self._n_atoms = cached
         else:
-            index_fn = getattr(lib, self._index_name)
             # first pass with a generous guess; retry bigger if needed
             cap = max(1024, self._file_size // 64)
             while True:
                 offsets = np.zeros(cap, dtype=np.int64)
-                n_atoms = ctypes.c_int64(0)
-                n = index_fn(
-                    self.path.encode(), offsets.ctypes.data_as(
-                        ctypes.POINTER(ctypes.c_int64)), cap,
-                    ctypes.byref(n_atoms))
+                n, n_atoms = self._index_call(offsets, cap)
                 if n < 0:
                     raise IOError(
                         f"{self._index_name} failed with code {n}")
-                if n_atoms.value == -2:
+                if n_atoms == -2:
                     raise ValueError(
                         "inconsistent atom counts across frames")
                 if n <= cap:
@@ -115,11 +120,20 @@ class _IndexedNativeTrajectory:
                 cap = n
             self._offsets = np.ascontiguousarray(offsets[:n])
             self._n_frames = int(n)
-            self._n_atoms = int(n_atoms.value)
+            self._n_atoms = int(n_atoms)
             if cache_index:
                 self._save_index_cache()
 
         self.structure = self._load_structure()
+
+    def _index_call(self, offsets, cap):
+        """One native index invocation: returns (n_frames, n_atoms)."""
+        n_atoms = ctypes.c_int64(0)
+        n = getattr(self._lib, self._index_name)(
+            self.path.encode(),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
+            ctypes.byref(n_atoms))
+        return n, n_atoms.value
 
     # index cache: one scan per (file, size, mtime) — amortizes the index
     # pass for repeated streaming runs over large (multi-GB) trajectories
@@ -272,3 +286,53 @@ class FastLammpsTrajectory(_IndexedNativeTrajectory):
             self._col_id, self._col_xyz,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             self.n_threads)
+
+
+class FastXDATCARTrajectory(_IndexedNativeTrajectory):
+    """Random-access, multithreaded VASP XDATCAR reader (native).
+
+    Fixed-cell variant only (a repeated header mid-file fails the index,
+    and ``open_trajectory`` falls back to the Python reader's clear
+    variable-cell error).  The native pass decodes fractional coordinates;
+    the cell product happens vectorized in numpy per block.
+    """
+
+    _index_name = "fxd_index"
+    _cache_suffix = ".fxdidx.npz"
+
+    def _precheck(self):
+        with open(self.path) as f:
+            f.readline()                                  # comment
+            scale = float(f.readline().split()[0])
+            cell = np.array([[float(x) for x in f.readline().split()]
+                             for _ in range(3)]) * scale
+            species_line = f.readline().split()
+            if all(t.lstrip("-").isdigit() for t in species_line):
+                counts = [int(x) for x in species_line]   # VASP4 style
+            else:
+                counts = [int(x) for x in f.readline().split()]
+            self._header_end = f.tell()
+        self._cell32 = cell.astype(np.float32)
+        self._n_atoms_expected = sum(counts)
+
+    def _index_call(self, offsets, cap):
+        n = self._lib.fxd_index(
+            self.path.encode(), self._header_end, self._n_atoms_expected,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap)
+        return n, self._n_atoms_expected
+
+    def _load_structure(self):
+        from sitator_tpu.io.formats import iread_xdatcar
+        structure, _ = next(iread_xdatcar(self.path))
+        return structure
+
+    def _read_range(self, lo, n, out):
+        rc = self._lib.fxd_read_block(
+            self.path.encode(),
+            self._offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self._n_frames, self._file_size, lo, n, self._n_atoms,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.n_threads)
+        if rc == 0:
+            out[:] = out @ self._cell32   # fractional -> cartesian
+        return rc

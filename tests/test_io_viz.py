@@ -164,10 +164,17 @@ def test_read_xdatcar(tmp_path):
     np.testing.assert_allclose(s.cell, cell)
     np.testing.assert_allclose(traj, frac @ cell, atol=1e-6)
     assert (s.species[:5] == 16).all() and (s.species[5:] == 3).all()
-    # open_trajectory auto-detects the bare XDATCAR filename
+    # open_trajectory auto-detects the bare XDATCAR filename (native
+    # decoder when available, Python fallback otherwise)
     from sitator_tpu.io import open_trajectory
     r = open_trajectory(f)
-    assert isinstance(r, XDATCARTrajectory) and len(r) == 4
+    assert len(r) == 4 and r.n_atoms == n
+    np.testing.assert_allclose(r[0:4], frac @ cell, atol=2e-4)
+    np.testing.assert_allclose(r[-1][0], frac[-1] @ cell, atol=2e-4)
+    assert np.array_equal(r.structure.species, s.species)
+    # eager Python reader still importable/equal
+    rp = XDATCARTrajectory(f)
+    np.testing.assert_allclose(r[1:3], rp[1:3], atol=2e-4)
 
 
 def test_read_lammps_dump(tmp_path):
