@@ -15,7 +15,9 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "fastxyz.cpp"),
          os.path.join(_HERE, "fastlmp.cpp"),
          os.path.join(_HERE, "fastxd.cpp")]
-_LIB = os.path.join(_HERE, "libfastio.so")
+# no ".so" suffix: module walkers (pkgutil, doc tools) must not mistake
+# the artifact for an importable extension module; dlopen doesn't care
+_LIB = os.path.join(_HERE, "libfastio.bin")
 _lock = threading.Lock()
 _lib = None
 
