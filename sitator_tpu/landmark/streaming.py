@@ -12,9 +12,12 @@ positions — far beyond HBM.  This pipeline streams it (SURVEY.md §6.7):
   counts, confidence sums, toroidal (circular-mean) center accumulators,
   the multiple-occupancy violation counter, and the jump scan whose
   (last-site, residence) carry chains exactly across blocks.  Device
-  epochs spill into exact int64/float64 host totals, so arbitrarily long
-  runs neither wrap int32 nor stall fp32 accumulation.  Labels can
-  optionally spill to a memmapped ``.npy``.
+  epochs spill into exact int64/float64 host totals, so long runs neither
+  wrap int32 nor stall fp32 accumulation (exact up to 2^31-frame runs;
+  the only residual int32 exposure is a residence-weighted sum whose
+  per-epoch increment exceeds 2^31 — physically absurd geometry, and
+  guarded by a spill-time warning).  Labels can optionally spill to a
+  memmapped ``.npy``.
 
 Result: an annotated :class:`SiteNetwork` (centers, occupancies, n_ij,
 p_ij, jump_lag, residence_times) without the trajectory or the label
@@ -398,6 +401,18 @@ class StreamingLandmarkAnalysis:
             if host is None:
                 host = {}
             for k, v in dev.items():
+                if (v.dtype.kind in "iu"
+                        and np.abs(v.astype(np.int64)).max(initial=0)
+                        > (1 << 30)):
+                    # per-epoch counts are bounded ≤ 2^26 by spill_every;
+                    # only residence-WEIGHTED sums (lag_sum/res_sum) can get
+                    # here, via carried residences — pathological geometry
+                    # (many ions sharing one edge with multi-million-frame
+                    # residences).  Warn before int32 wraps.
+                    logger.warning(
+                        "device accumulator %r neared int32 range within "
+                        "one spill epoch; lower spill_every (set "
+                        ".spill_every) for exactness", k)
                 if k not in host:  # also covers legacy checkpoints
                     host[k] = np.zeros(v.shape,
                                        np.int64 if v.dtype.kind in "iu"
