@@ -105,6 +105,34 @@ def write_xyz(path, structure, traj=None, mode="w"):
                 f.write(f"{s} {p[0]:.8f} {p[1]:.8f} {p[2]:.8f}\n")
 
 
+def parse_xdatcar_header(f):
+    """Parse an XDATCAR's fixed header from an open text file: handles
+    both VASP5 (symbols + counts lines) and VASP4 (counts only) styles.
+    Leaves the file positioned at the first ``Direct configuration`` line
+    and returns ``(cell, species, counts, header_end_byte_offset)`` — the
+    single header-format authority shared by the Python reader and the
+    native decoder's precheck."""
+    f.readline()                                    # comment
+    scale = float(f.readline().split()[0])
+    cell = np.array([[float(x) for x in f.readline().split()]
+                     for _ in range(3)]) * scale
+    species_line = f.readline().split()
+    v4 = all(t.lstrip("-").isdigit() for t in species_line)
+    if v4:
+        # old VASP4 style: no symbols line, species_line IS the counts
+        counts = [int(x) for x in species_line]
+        symbols = None
+    else:
+        symbols = species_line
+        counts = [int(x) for x in f.readline().split()]
+    header_end = f.tell()
+    species = np.concatenate([
+        np.full(c, i + 1 if v4 else symbol_to_number(symbols[i]),
+                dtype=np.int32)
+        for i, c in enumerate(counts)])
+    return cell, species, counts, header_end
+
+
 def iread_xdatcar(path):
     """Stream a VASP XDATCAR (the reference's AIMD workhorse format, read
     via ASE there — SURVEY.md §3.9 item 5): yields ``(Structure, pos)``
@@ -115,31 +143,11 @@ def iread_xdatcar(path):
     O(1) memory — feed :func:`convert_to_npy` for million-frame files.
     """
     with open(path) as f:
-        f.readline()                                    # comment
-        scale = float(f.readline().split()[0])
-        cell = np.array([[float(x) for x in f.readline().split()]
-                         for _ in range(3)]) * scale
-        species_line = f.readline().split()
-        counts_line = f.readline().split()
-        v4 = all(t.lstrip("-").isdigit() for t in species_line)
-        if v4:
-            # old VASP4 style: no symbols line, species_line IS the counts
-            counts = [int(x) for x in species_line]
-            symbols = None
-            # counts_line is then the first "Direct configuration" line
-            first_cfg = " ".join(counts_line)
-        else:
-            symbols = species_line
-            counts = [int(x) for x in counts_line]
-            first_cfg = f.readline()
+        cell, species, counts, _ = parse_xdatcar_header(f)
         n_atoms = sum(counts)
-        species = np.concatenate([
-            np.full(c, i + 1 if v4 else symbol_to_number(symbols[i]),
-                    dtype=np.int32)
-            for i, c in enumerate(counts)])
         structure = None
 
-        line = first_cfg
+        line = f.readline()
         while line:
             ls = line.strip()
             if not ls:

@@ -177,11 +177,8 @@ class _IndexedNativeTrajectory:
         return self._n_atoms
 
     def __getitem__(self, key):
-        if isinstance(key, slice):
-            lo, hi, step = key.indices(self._n_frames)
-            if step != 1:
-                raise ValueError("only contiguous slices supported")
-        else:
+        scalar = not isinstance(key, slice)
+        if scalar:
             key = int(key)
             if key < 0:
                 key += self._n_frames
@@ -189,13 +186,20 @@ class _IndexedNativeTrajectory:
                 raise IndexError(
                     f"frame {key} out of range [0, {self._n_frames})")
             lo, hi = key, key + 1
+        else:
+            lo, hi, step = key.indices(self._n_frames)
+            if step != 1:
+                raise ValueError("only contiguous slices supported")
         n = hi - lo
         out = np.empty((n, self._n_atoms, 3), dtype=np.float32)
-        rc = self._read_range(lo, n, out)
-        if rc != 0:
-            raise IOError(f"{type(self).__name__} read failed "
-                          f"with code {rc}")
-        return out
+        if n > 0:
+            rc = self._read_range(lo, n, out)
+            if rc != 0:
+                raise IOError(f"{type(self).__name__} read failed "
+                              f"with code {rc}")
+        # numpy indexing semantics, matching ArrayTrajectory: an int key
+        # returns one (A, 3) frame, a slice returns (n, A, 3)
+        return out[0] if scalar else out
 
 
 class FastXYZTrajectory(_IndexedNativeTrajectory):
@@ -303,17 +307,9 @@ class FastXDATCARTrajectory(_IndexedNativeTrajectory):
     _cache_suffix = ".fxdidx.npz"
 
     def _precheck(self):
+        from sitator_tpu.io.formats import parse_xdatcar_header
         with open(self.path) as f:
-            f.readline()                                  # comment
-            scale = float(f.readline().split()[0])
-            cell = np.array([[float(x) for x in f.readline().split()]
-                             for _ in range(3)]) * scale
-            species_line = f.readline().split()
-            if all(t.lstrip("-").isdigit() for t in species_line):
-                counts = [int(x) for x in species_line]   # VASP4 style
-            else:
-                counts = [int(x) for x in f.readline().split()]
-            self._header_end = f.tell()
+            cell, _, counts, self._header_end = parse_xdatcar_header(f)
         self._cell32 = cell.astype(np.float32)
         self._n_atoms_expected = sum(counts)
 

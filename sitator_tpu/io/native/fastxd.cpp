@@ -9,6 +9,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <string>
 #include <vector>
 #include <thread>
 #include <atomic>
@@ -64,11 +65,13 @@ inline const char* parse_float(const char* p, const char* end, float* out,
 
 extern "C" {
 
-// Scan frames starting at header_end: each frame is one "Direct ..." line
-// (first non-ws char 'D'/'d') followed by n_atoms coordinate lines.
-// Records the byte offset of every Direct line.  Returns the frame count
-// (may exceed max_frames), or <0 on error (-3: unexpected line — e.g. a
-// variable-cell XDATCAR repeating its header).
+// Scan frames starting at header_end: each frame is one
+// "Direct configuration=" line followed by n_atoms coordinate lines.
+// Header lines are materialized (carried across chunk boundaries) and the
+// full "Direct"/"direct" token is matched, so a variable-cell XDATCAR —
+// which repeats its comment/cell header mid-file — fails the index with
+// -3 and the Python side falls back to the clearer eager reader.
+// Returns the frame count (may exceed max_frames), or <0 on error.
 int64_t fxd_index(const char* path, int64_t header_end, int64_t n_atoms,
                   int64_t* offsets, int64_t max_frames) {
     FILE* f = std::fopen(path, "rb");
@@ -77,10 +80,11 @@ int64_t fxd_index(const char* path, int64_t header_end, int64_t n_atoms,
                                                           return -2; }
     const size_t CHUNK = (size_t)1 << 22;
     std::vector<char> buf(CHUNK);
+    std::string hline;            // header line carried across chunks
     int64_t n_frames = 0;
     int64_t skip = 0;
-    bool at_line_start = true;
-    bool expecting_header = true;   // next counted line must be "Direct"
+    bool in_hline = false;
+    int64_t line_start = 0;
     int64_t base = header_end;
     for (;;) {
         size_t got = std::fread(buf.data(), 1, CHUNK, f);
@@ -96,35 +100,43 @@ int64_t fxd_index(const char* path, int64_t header_end, int64_t n_atoms,
                 --skip;
                 continue;
             }
-            // at a header line start (possibly mid-line after a chunk
-            // boundary — only the first char matters and 'Direct' lines
-            // never begin with whitespace-then-chunk-split issues because
-            // we only test when at_line_start)
-            if (!at_line_start) {
-                const char* nl = (const char*)memchr(p, '\n',
-                                                     (size_t)(end - p));
-                if (!nl) { p = end; break; }
-                p = nl + 1;
-                at_line_start = true;
-                continue;
+            if (!in_hline) {
+                in_hline = true;
+                hline.clear();
+                line_start = base + (p - buf.data());
             }
-            const char* q = skip_ws(p, end);
-            if (q >= end) { p = end; break; }
-            char c = *q;
-            if (c == '\n') { p = q + 1; continue; }   // blank line
-            if (c != 'D' && c != 'd') { std::fclose(f); return -3; }
+            const char* nl = (const char*)memchr(p, '\n',
+                                                 (size_t)(end - p));
+            const char* stop = nl ? nl : end;
+            if (hline.size() + (size_t)(stop - p) > (size_t)1 << 20) {
+                std::fclose(f); return -3;
+            }
+            hline.append(p, stop);
+            if (!nl) { p = end; break; }
+            p = nl + 1;
+            in_hline = false;
+            const char* h = hline.c_str();
+            while (*h == ' ' || *h == '\t' || *h == '\r') ++h;
+            if (*h == '\0') continue;                 // blank line
+            if (std::strncmp(h, "Direct", 6) != 0
+                && std::strncmp(h, "direct", 6) != 0) {
+                std::fclose(f); return -3;            // e.g. NPT header
+            }
             if (n_frames < max_frames)
-                offsets[n_frames] = base + (p - buf.data());
+                offsets[n_frames] = line_start;
             ++n_frames;
-            // swallow the Direct line + n_atoms coordinate lines
-            skip = 1 + n_atoms;
-            (void)expecting_header;
+            skip = n_atoms;                           // coordinate lines
         }
         base += (int64_t)got;
         if (got < CHUNK) break;
     }
     std::fclose(f);
     if (skip > 1) return -4;   // truncated final frame
+    if (in_hline) {
+        const char* h = hline.c_str();
+        while (*h == ' ' || *h == '\t' || *h == '\r') ++h;
+        if (*h != '\0') return -4;
+    }
     return n_frames;
 }
 
@@ -134,6 +146,7 @@ int fxd_read_block(const char* path, const int64_t* offsets,
                    int64_t n_total_frames, int64_t file_size,
                    int64_t first, int64_t n_frames, int64_t n_atoms,
                    float* out, int n_threads) {
+    if (n_frames <= 0) return 0;   // empty slice: never touch offsets
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
     int64_t begin_off = offsets[first];

@@ -15,9 +15,11 @@ positions — far beyond HBM.  This pipeline streams it (SURVEY.md §6.7):
   epochs spill into exact int64/float64 host totals, so long runs neither
   wrap int32 nor stall fp32 accumulation (exact up to 2^31-frame runs;
   the only residual int32 exposure is a residence-weighted sum whose
-  per-epoch increment exceeds 2^31 — physically absurd geometry, and
-  guarded by a spill-time warning).  Labels can optionally spill to a
-  memmapped ``.npy``.
+  per-epoch increment exceeds 2^31 — physically absurd geometry; a
+  spill-time warning fires as such a sum APPROACHES the range, though an
+  increment that jumps past it within a single epoch would evade the
+  check — lower ``spill_every`` in that regime).  Labels can optionally
+  spill to a memmapped ``.npy``.
 
 Result: an annotated :class:`SiteNetwork` (centers, occupancies, n_ij,
 p_ij, jump_lag, residence_times) without the trajectory or the label

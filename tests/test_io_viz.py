@@ -170,7 +170,7 @@ def test_read_xdatcar(tmp_path):
     r = open_trajectory(f)
     assert len(r) == 4 and r.n_atoms == n
     np.testing.assert_allclose(r[0:4], frac @ cell, atol=2e-4)
-    np.testing.assert_allclose(r[-1][0], frac[-1] @ cell, atol=2e-4)
+    np.testing.assert_allclose(r[-1], frac[-1] @ cell, atol=2e-4)
     assert np.array_equal(r.structure.species, s.species)
     # eager Python reader still importable/equal
     rp = XDATCARTrajectory(f)
@@ -215,7 +215,7 @@ def test_read_lammps_dump(tmp_path):
     if get_lib() is not None:
         rn = FastLammpsTrajectory(f, cache_index=False)
         np.testing.assert_allclose(rn[0:3], traj, atol=2e-4)
-        np.testing.assert_allclose(rn[-1][0], traj[-1], atol=2e-4)
+        np.testing.assert_allclose(rn[-1], traj[-1], atol=2e-4)
 
 
 def test_read_lammps_dump_triclinic_scaled(tmp_path):
@@ -358,3 +358,51 @@ def test_native_decoders_reject_nan(tmp_path):
     r2 = FastXYZTrajectory(g, cache_index=False)
     with pytest.raises(IOError):
         r2[0:1]
+
+
+def test_xdatcar_variable_cell_d_comment(tmp_path):
+    """A variable-cell XDATCAR whose comment starts with 'D' must NOT be
+    mis-indexed by the native decoder: open_trajectory falls back to the
+    Python reader, which raises the clear variable-cell error."""
+    rng = np.random.default_rng(11)
+    n = 3
+    f = tmp_path / "XDATCAR"
+
+    def header(fh):
+        fh.write("Diamond-like\n1.0\n")
+        for row in np.eye(3) * 7.0:
+            fh.write("%.6f %.6f %.6f\n" % tuple(row))
+        fh.write("C\n%d\n" % n)
+
+    with open(f, "w") as fh:
+        for t in range(3):
+            header(fh)  # repeated header every frame = variable cell
+            fh.write("Direct configuration= %d\n" % (t + 1))
+            for i in range(n):
+                fh.write("%.6f %.6f %.6f\n" % tuple(rng.random(3)))
+    from sitator_tpu.io import open_trajectory
+    with pytest.raises(ValueError, match="variable-cell"):
+        open_trajectory(f)
+
+
+def test_xdatcar_vasp4_header(tmp_path):
+    """VASP4-style XDATCAR (no symbols line) parses in both readers."""
+    rng = np.random.default_rng(12)
+    frac = rng.random((2, 4, 3))
+    f = tmp_path / "old.xdatcar"
+    with open(f, "w") as fh:
+        fh.write("old style\n1.0\n")
+        for row in np.eye(3) * 6.0:
+            fh.write("%.6f %.6f %.6f\n" % tuple(row))
+        fh.write("3 1\n")  # counts only
+        for t in range(2):
+            fh.write("Direct configuration= %d\n" % (t + 1))
+            for i in range(4):
+                fh.write("%.8f %.8f %.8f\n" % tuple(frac[t, i]))
+    from sitator_tpu.io import open_trajectory
+    r = open_trajectory(f)
+    assert len(r) == 2 and r.n_atoms == 4
+    np.testing.assert_allclose(r[0:2], frac * 6.0, atol=2e-4)
+    np.testing.assert_array_equal(r.structure.species, [1, 1, 1, 2])
+    # empty slice at the end never touches the native offsets buffer
+    assert r[2:2].shape == (0, 4, 3)

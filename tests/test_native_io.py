@@ -43,7 +43,7 @@ def test_native_matches_python(xyz_file):
     # random block
     np.testing.assert_allclose(r[37:40], traj[37:40], atol=2e-4)
     # single frame indexing
-    np.testing.assert_allclose(r[3][0], traj[3], atol=2e-4)
+    np.testing.assert_allclose(r[3], traj[3], atol=2e-4)
     # structure recovered from frame 0
     assert np.array_equal(r.structure.species, s.species)
 
@@ -82,8 +82,8 @@ def _timed(fn):
 def test_negative_and_out_of_range_indexing(xyz_file):
     f, s, traj = xyz_file
     r = FastXYZTrajectory(f)
-    np.testing.assert_allclose(r[-1][0], traj[-1], atol=2e-4)
-    np.testing.assert_allclose(r[-len(traj)][0], traj[0], atol=2e-4)
+    np.testing.assert_allclose(r[-1], traj[-1], atol=2e-4)
+    np.testing.assert_allclose(r[-len(traj)], traj[0], atol=2e-4)
     with pytest.raises(IndexError):
         r[len(traj)]
     with pytest.raises(IndexError):
