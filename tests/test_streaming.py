@@ -410,6 +410,28 @@ def test_streaming_checkpoint_resume_across_lattice_swap(md_system,
     np.testing.assert_allclose(out.centers, out_ref.centers, atol=1e-5)
 
 
+def test_streaming_agrees_with_spmd_pipeline(md_system, tmp_path):
+    """Cross-engine consistency: with the same fitted centers, the
+    streaming engine's spilled labels equal SpmdLandmarkPipeline's labels
+    (both through their respective XLA paths on CPU)."""
+    md, seeds = md_system
+    from sitator_tpu.parallel.pipeline import SpmdLandmarkPipeline
+    base = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=100,
+                                     store_labels=str(tmp_path / "l.npy"),
+                                     verbose=False)
+    centers = base.fit_centers(seeds, ArrayTrajectory(md.traj))
+    base.run(seeds, md.traj[:300], centers=centers)
+    lab_stream = np.load(tmp_path / "l.npy")[:300]
+
+    pipe = SpmdLandmarkPipeline(
+        seeds, centers, np.ones(len(centers), bool),
+        cutoff_midpoint=4.0, cutoff_steepness=3.0, use_fused=False)
+    lab_pipe, _, _ = pipe.run_block(md.traj[:300])
+    np.testing.assert_array_equal(lab_stream, lab_pipe)
+
+
 def test_streaming_merge_network(md_system):
     """Stats-level post-merge collapses split sites; inter-group hop counts
     approach ground truth."""
