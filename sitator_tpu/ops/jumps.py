@@ -146,6 +146,9 @@ def _jump_stats_parallel(traj, n_sites, unknown_policy="persist"):
     F, M = traj.shape
     S = n_sites
     known = traj >= 0
+    # occupancy tallies are policy-independent (raw labels, dummy slot S)
+    occ = jnp.zeros((S + 1,), jnp.int32).at[
+        jnp.where(known, traj, S).ravel()].add(1)
 
     if unknown_policy == "break":
         # the break policy is LOCAL: a jump needs two consecutive known
@@ -175,8 +178,6 @@ def _jump_stats_parallel(traj, n_sites, unknown_policy="persist"):
             i_from, i_to].add(resv)
         res_sum = jnp.zeros((S + 1,), jnp.int32).at[i_from].add(resv)
         res_cnt = jnp.zeros((S + 1,), jnp.int32).at[i_from].add(one)
-        occ = jnp.zeros((S + 1,), jnp.int32).at[
-            jnp.where(known, traj, S).ravel()].add(1)
         last_known = known[-1]
         return dict(
             n_ij=n_ij[:S, :S],
@@ -217,8 +218,6 @@ def _jump_stats_parallel(traj, n_sites, unknown_policy="persist"):
     lag = jnp.zeros((S + 1, S + 1), jnp.int32).at[i_from, i_to].add(resv)
     res_sum = jnp.zeros((S + 1,), jnp.int32).at[i_from].add(resv)
     res_cnt = jnp.zeros((S + 1,), jnp.int32).at[i_from].add(one)
-    occ = jnp.zeros((S + 1,), jnp.int32).at[
-        jnp.where(known, traj, S).ravel()].add(1)
 
     return dict(
         n_ij=n_ij[:S, :S],

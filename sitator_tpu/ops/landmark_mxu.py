@@ -42,12 +42,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sitator_tpu.ops.kernel_common import (load_cell_params, merge_top2,
+                                           min_image_xyz, pack_cell_params,
+                                           round_up as _round_up)
+
 __all__ = ["prepare_mxu_basis", "mxu_assign_blocks", "mxu_supported",
            "permute_centers"]
-
-
-def _round_up(x, m):
-    return (x + m - 1) // m * m
 
 
 def _morton3(q, bits):
@@ -160,17 +160,8 @@ def _kernel(mob_ref, vpu_ref, A_ref, kill_ref, centers_ref, params_ref,
         def _():
             top2_acc[:] = jnp.zeros_like(top2_acc)
 
-    if triclinic:
-        c = [params_ref[k] for k in range(9)]
-        ci = [params_ref[9 + k] for k in range(9)]
-        midpoint = params_ref[18]
-        steepness = params_ref[19]
-        threshold = params_ref[20]
-    else:
-        lx, ly, lz = params_ref[0], params_ref[1], params_ref[2]
-        midpoint = params_ref[3]
-        steepness = params_ref[4]
-        threshold = params_ref[5]
+    cell, midpoint, steepness, threshold = load_cell_params(
+        params_ref, triclinic)
 
     mx = mob_ref[0, 0, :]
     my = mob_ref[0, 1, :]
@@ -178,20 +169,7 @@ def _kernel(mob_ref, vpu_ref, A_ref, kill_ref, centers_ref, params_ref,
     dx = mx[:, None] - vpu_ref[0, 0, 0, :][None, :]      # (M, UP)
     dy = my[:, None] - vpu_ref[0, 0, 1, :][None, :]
     dz = mz[:, None] - vpu_ref[0, 0, 2, :][None, :]
-    if triclinic:
-        fx = dx * ci[0] + dy * ci[3] + dz * ci[6]
-        fy = dx * ci[1] + dy * ci[4] + dz * ci[7]
-        fz = dx * ci[2] + dy * ci[5] + dz * ci[8]
-        fx = fx - jnp.round(fx)
-        fy = fy - jnp.round(fy)
-        fz = fz - jnp.round(fz)
-        dx = fx * c[0] + fy * c[3] + fz * c[6]
-        dy = fx * c[1] + fy * c[4] + fz * c[7]
-        dz = fx * c[2] + fy * c[5] + fz * c[8]
-    else:
-        dx = dx - jnp.round(dx * (1.0 / lx)) * lx
-        dy = dy - jnp.round(dy * (1.0 / ly)) * ly
-        dz = dz - jnp.round(dz * (1.0 / lz)) * lz
+    dx, dy, dz = min_image_xyz(dx, dy, dz, cell, triclinic)
     d2 = dx * dx + dy * dy + dz * dz
     if r2_cutoff:
         k2 = steepness / (2.0 * midpoint)
@@ -210,16 +188,7 @@ def _kernel(mob_ref, vpu_ref, A_ref, kill_ref, centers_ref, params_ref,
     if peak_clip:
         @pl.when(p == 0)
         def _():
-            m1 = jnp.max(lv, axis=1)
-            is_max = lv >= m1[:, None]
-            n_max = jnp.sum(is_max.astype(jnp.float32), axis=1)
-            m2 = jnp.where(n_max > 1.0, m1,
-                           jnp.max(jnp.where(is_max, -1.0, lv), axis=1))
-            r1 = top2_acc[:, 0]
-            r2 = top2_acc[:, 1]
-            top2_acc[:, 0] = jnp.maximum(r1, m1)
-            top2_acc[:, 1] = jnp.maximum(jnp.minimum(r1, m1),
-                                         jnp.maximum(r2, m2))
+            merge_top2(top2_acc, lv)
 
     @pl.when(p == acc_pass)
     def _():
@@ -248,8 +217,6 @@ def _mxu_call(mobile, static, uidx, A, kill, cell, centers_perm, *,
               midpoint, steepness, threshold, s_tile, n_st, a_bf16=False,
               mxu_bf16=True, interpret=False, cutoff_shape="logistic",
               peak_evening="none"):
-    cell = jnp.asarray(cell, jnp.float32)
-    triclinic = cell.ndim == 2
     peak_clip = peak_evening == "clip"
     n_passes = 2 if peak_clip else 1
     B, M, _ = mobile.shape
@@ -268,11 +235,7 @@ def _mxu_call(mobile, static, uidx, A, kill, cell, centers_perm, *,
                    ((0, SP - centers_perm.shape[1]), (0, KP - K)))
 
     consts = jnp.asarray([midpoint, steepness, threshold], jnp.float32)
-    if triclinic:
-        cell_inv = jnp.linalg.inv(cell).astype(jnp.float32)
-        params = jnp.concatenate([cell.ravel(), cell_inv.ravel(), consts])
-    else:
-        params = jnp.concatenate([cell, consts])
+    params, triclinic = pack_cell_params(cell, consts)
 
     kernel = partial(_kernel, n_st=n_st,
                      a_dtype=jnp.bfloat16 if a_bf16 else jnp.float32,

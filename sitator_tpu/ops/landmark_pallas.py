@@ -40,12 +40,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sitator_tpu.ops.kernel_common import (load_cell_params, merge_top2,
+                                           min_image_xyz, pack_cell_params,
+                                           round_up as _round_up)
+
 __all__ = ["fused_assign_blocks", "prepare_vertex_planes", "supports_cell",
            "kernel_cell"]
-
-
-def _round_up(x, m):
-    return (x + m - 1) // m * m
 
 
 def supports_cell(cell, tol=1e-8) -> bool:
@@ -98,21 +98,8 @@ def _kernel(mob_ref, vp_ref, mask_ref, centers_ref, params_ref,
         def _():
             top2_acc[:] = jnp.zeros_like(top2_acc)
 
-    if triclinic:
-        # params: cell (9, row-major; rows are lattice vectors), cell_inv
-        # (9), midpoint, steepness, threshold
-        c = [params_ref[k] for k in range(9)]
-        ci = [params_ref[9 + k] for k in range(9)]
-        midpoint = params_ref[18]
-        steepness = params_ref[19]
-        threshold = params_ref[20]
-    else:
-        lx = params_ref[0]
-        ly = params_ref[1]
-        lz = params_ref[2]
-        midpoint = params_ref[3]
-        steepness = params_ref[4]
-        threshold = params_ref[5]
+    cell, midpoint, steepness, threshold = load_cell_params(
+        params_ref, triclinic)
 
     mx = mob_ref[0, 0, :]                        # (M,)
     my = mob_ref[0, 1, :]
@@ -130,23 +117,7 @@ def _kernel(mob_ref, vp_ref, mask_ref, centers_ref, params_ref,
         dx = mx[:, None] - vp_ref[0, 0, v, :][None, :]
         dy = my[:, None] - vp_ref[0, 1, v, :][None, :]
         dz = mz[:, None] - vp_ref[0, 2, v, :][None, :]
-        if triclinic:
-            # minimum image via the fractional round-trip (frac = d @ Cinv,
-            # frac -= round(frac), d = frac @ C) — ops.pbc.min_image_disp
-            fx = dx * ci[0] + dy * ci[3] + dz * ci[6]
-            fy = dx * ci[1] + dy * ci[4] + dz * ci[7]
-            fz = dx * ci[2] + dy * ci[5] + dz * ci[8]
-            fx = fx - jnp.round(fx)
-            fy = fy - jnp.round(fy)
-            fz = fz - jnp.round(fz)
-            dx = fx * c[0] + fy * c[3] + fz * c[6]
-            dy = fx * c[1] + fy * c[4] + fz * c[7]
-            dz = fx * c[2] + fy * c[5] + fz * c[8]
-        else:
-            # orthorhombic minimum image, per axis
-            dx = dx - jnp.round(dx * (1.0 / lx)) * lx
-            dy = dy - jnp.round(dy * (1.0 / ly)) * ly
-            dz = dz - jnp.round(dz * (1.0 / lz)) * lz
+        dx, dy, dz = min_image_xyz(dx, dy, dz, cell, triclinic)
         d2 = dx * dx + dy * dy + dz * dz
         if r2_cutoff:
             # slope-matched logistic in d^2 (see ops.landmark.log_cutoff_r2)
@@ -173,20 +144,7 @@ def _kernel(mob_ref, vp_ref, mask_ref, centers_ref, params_ref,
     if peak_clip:
         @pl.when(p == 0)
         def _():
-            # per-row top-2 of this tile, merged into the running top-2.
-            # Ties: if the max occurs more than once, the 2nd-largest IS
-            # the max (matches lax.top_k semantics in ops.landmark.peak_even)
-            m1 = jnp.max(lv, axis=1)
-            is_max = lv >= m1[:, None]
-            n_max = jnp.sum(is_max.astype(jnp.float32), axis=1)
-            m2 = jnp.where(n_max > 1.0, m1,
-                           jnp.max(jnp.where(is_max, -1.0, lv), axis=1))
-            r1 = top2_acc[:, 0]
-            r2 = top2_acc[:, 1]
-            # top-2 of the union of two top-2 summaries
-            top2_acc[:, 0] = jnp.maximum(r1, m1)
-            top2_acc[:, 1] = jnp.maximum(jnp.minimum(r1, m1),
-                                         jnp.maximum(r2, m2))
+            merge_top2(top2_acc, lv)
 
     @pl.when(p == acc_pass)
     def _():
@@ -230,8 +188,6 @@ def fused_assign_blocks(mobile, static, verts, vmask, cell, centers,
     per-vertex mask select from the hot loop (~3%).
     Returns (labels (B, M) int32 with −1 below threshold, confs (B, M)).
     """
-    cell = jnp.asarray(cell, jnp.float32)
-    triclinic = cell.ndim == 2
     if peak_evening not in ("none", "clip"):
         raise ValueError(f"unknown peak_evening mode {peak_evening!r}")
     peak_clip = peak_evening == "clip"
@@ -245,14 +201,15 @@ def fused_assign_blocks(mobile, static, verts, vmask, cell, centers,
     KP = _round_up(K, 128)
     n_s_tiles = SP // s_tile
 
-    # pad mobile ions (repeat ion 0) and transpose to coordinate planes
+    # pad mobile ions (edge mode repeats the last ion) and transpose to
+    # coordinate planes
     mob = jnp.transpose(mobile, (0, 2, 1))                   # (B, 3, M)
     mob = jnp.pad(mob, ((0, 0), (0, 0), (0, MP - M)), mode="edge")
 
     # pad the site axis; a padded site has mask 0 for every vertex slot, so
-    # its loglv would be 0 → lv = 1, polluting norms and sims.  Row V of the
-    # mask marks padding-only sites; the kernel turns it into a −1e4 log
-    # bias, zeroing them exactly.
+    # its q would stay 1 → lv = 1, polluting norms and sims.  Row V of the
+    # mask marks padding-only sites; the kernel selects lv = 0 for them
+    # exactly.
     vp, mask = prepare_vertex_planes(static, verts, vmask)   # (B,3,V,S),(V,S)
     vp = jnp.pad(vp, ((0, 0), (0, 0), (0, 0), (0, SP - S)))
     mask = jnp.pad(mask, ((0, 0), (0, SP - S)))
@@ -263,12 +220,7 @@ def fused_assign_blocks(mobile, static, verts, vmask, cell, centers,
                    ((0, SP - S), (0, KP - K)))               # (SP, KP)
 
     consts = jnp.asarray([midpoint, steepness, threshold], jnp.float32)
-    if triclinic:
-        cell_inv = jnp.linalg.inv(cell).astype(jnp.float32)
-        params = jnp.concatenate(
-            [cell.ravel(), cell_inv.ravel(), consts])
-    else:
-        params = jnp.concatenate([cell, consts])
+    params, triclinic = pack_cell_params(cell, consts)
 
     grid = (B, n_passes, n_s_tiles)
     kernel = partial(_kernel, V=V, n_s_tiles=n_s_tiles,

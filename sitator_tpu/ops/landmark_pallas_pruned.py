@@ -34,15 +34,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sitator_tpu.ops.kernel_common import (load_cell_params, min_image_xyz,
+                                           round_up as _round_up)
 from sitator_tpu.ops.landmark_pallas import prepare_vertex_planes
 
 __all__ = ["prepare_pruned_sites", "pruned_assign_blocks", "LOGC_CUT"]
 
 LOGC_CUT = 16.0
-
-
-def _round_up(x, m):
-    return (x + m - 1) // m * m
 
 
 def prepare_pruned_sites(verts, vmask, centers, site_pos, site_rad,
@@ -123,12 +121,8 @@ def _kernel(rel_ref, mob_ref, vp_ref, mask_ref, centers_ref, params_ref,
         norm_acc[pl.ds(row0, m_tile), :] = jnp.zeros(
             (m_tile, 1), norm_acc.dtype)
 
-    lx = params_ref[0]
-    ly = params_ref[1]
-    lz = params_ref[2]
-    midpoint = params_ref[3]
-    steepness = params_ref[4]
-    threshold = params_ref[5]
+    cell, midpoint, steepness, threshold = load_cell_params(
+        params_ref, triclinic=False)
 
     @pl.when(rel_ref[b, st, mt] != 0)
     def _():
@@ -140,9 +134,7 @@ def _kernel(rel_ref, mob_ref, vp_ref, mask_ref, centers_ref, params_ref,
             dx = mx[:, None] - vp_ref[0, 0, v, :][None, :]
             dy = my[:, None] - vp_ref[0, 1, v, :][None, :]
             dz = mz[:, None] - vp_ref[0, 2, v, :][None, :]
-            dx = dx - jnp.round(dx * (1.0 / lx)) * lx
-            dy = dy - jnp.round(dy * (1.0 / ly)) * ly
-            dz = dz - jnp.round(dz * (1.0 / lz)) * lz
+            dx, dy, dz = min_image_xyz(dx, dy, dz, cell, triclinic=False)
             d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
             logc = -jax.nn.softplus(steepness * (d - midpoint))
             loglv = loglv + mask_ref[v, :][None, :] * logc
@@ -212,11 +204,14 @@ def _pruned_call(mob_sorted, vp, vmask_kill, centers_pad, rel, params,
 
 def pruned_assign_blocks(mobile, static, prep, cell_diag, *, midpoint,
                          steepness, threshold, m_tile=256, bins_per_axis=8,
-                         interpret=False, prune=True):
+                         interpret=False, prune=True, margin=1.0):
     """Pruned fused landmark + assign for a block of frames.
 
     mobile (B, M, 3), static (B, N, 3); ``prep`` from
-    :func:`prepare_pruned_sites`; cell_diag (3,).  Returns (labels (B, M),
+    :func:`prepare_pruned_sites`; cell_diag (3,).  ``margin`` widens the
+    tile-relevance radius (same length units as the positions) to cover
+    static-lattice thermal drift of the vertex atoms away from the ideal
+    site geometry the tile bounds were built from.  Returns (labels (B, M),
     confs (B, M)) in the ORIGINAL ion order, labels indexing the centers'
     cluster rows (−1 below threshold).
     """
@@ -225,17 +220,18 @@ def pruned_assign_blocks(mobile, static, prep, cell_diag, *, midpoint,
         prep["tile_center"], prep["tile_rad"], jnp.asarray(cell_diag),
         midpoint=midpoint, steepness=steepness, threshold=threshold,
         s_tile=prep["s_tile"], n_st=prep["n_st"], m_tile=m_tile,
-        bins_per_axis=bins_per_axis, interpret=interpret, prune=prune)
+        bins_per_axis=bins_per_axis, interpret=interpret, prune=prune,
+        margin=float(margin))
 
 
 @partial(jax.jit,
          static_argnames=("midpoint", "steepness", "threshold", "s_tile",
                           "n_st", "m_tile", "bins_per_axis", "interpret",
-                          "prune"))
+                          "prune", "margin"))
 def _pruned_assign_impl(mobile, static, verts, vmask, centers, tile_center,
                         tile_rad, cell_diag, *, midpoint, steepness,
                         threshold, s_tile, n_st, m_tile, bins_per_axis,
-                        interpret, prune):
+                        interpret, prune, margin=1.0):
     B, M, _ = mobile.shape
     S, V = verts.shape
     K = centers.shape[0]
@@ -271,7 +267,7 @@ def _pruned_assign_impl(mobile, static, verts, vmask, centers, tile_center,
         dc = dc - jnp.round(dc / cell_diag) * cell_diag
         dist = jnp.sqrt(jnp.sum(dc * dc, axis=-1))            # (B,n_st,n_mt)
         r_trunc = midpoint + LOGC_CUT / steepness
-        margin = 1.0  # static-lattice thermal jitter allowance (Å)
+        # margin: static-lattice thermal jitter allowance (caller units)
         rel = (dist - mt_rad[:, None, :] - tile_rad[None, :, None]
                < r_trunc + margin)
         rel = rel & (tile_rad > -1e8)[None, :, None]

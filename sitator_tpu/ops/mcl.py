@@ -38,8 +38,10 @@ def mcl_iterate(T, inflation, expansion=2, max_iters=100, prune=1e-6,
     def body(carry):
         m, _, i = carry
         prev = m
+        # expansion = matrix power m**expansion (NOT repeated squaring,
+        # which would give m**(2**(expansion-1)) for expansion > 2)
         for _ in range(expansion - 1):
-            m = jnp.dot(m, m, preferred_element_type=jnp.float32)
+            m = jnp.dot(m, prev, preferred_element_type=jnp.float32)
         m = jnp.power(jnp.maximum(m, 0.0), inflation)
         m = jnp.where(m < prune, 0.0, m)
         m = _normalize_cols(m)

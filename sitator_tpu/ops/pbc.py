@@ -36,6 +36,7 @@ __all__ = [
     "pbc_distance",
     "pairwise_pbc_distances",
     "pbc_average",
+    "masked_pbc_average",
     "PBCCalculator",
 ]
 
