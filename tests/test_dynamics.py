@@ -299,3 +299,19 @@ def test_full_pipeline_jump_rate_parity():
     big = np.argwhere(md.true_n_ij >= 3)
     for a, b in big:
         assert abs(got[a, b] - md.true_n_ij[a, b]) <= 2
+
+
+def test_mcl_expansion_is_matrix_power():
+    """Regression: expansion=e must compute m^e per iteration, not the
+    repeated-squaring m^(2^(e-1)).  One iteration with huge prune-off and
+    inflation=1 reduces MCL to exactly one expansion step."""
+    import jax.numpy as jnp
+    from sitator_tpu.ops.mcl import mcl_iterate
+    rng2 = np.random.default_rng(3)
+    T = rng2.random((5, 5))
+    T = T / T.sum(0, keepdims=True)
+    got = np.asarray(mcl_iterate(jnp.asarray(T, jnp.float32), 1.0,
+                                 expansion=3, max_iters=1, prune=0.0))
+    want = np.linalg.matrix_power(T, 3)
+    want = want / want.sum(0, keepdims=True)
+    np.testing.assert_allclose(got, want, atol=1e-5)
