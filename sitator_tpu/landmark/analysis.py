@@ -197,9 +197,8 @@ class LandmarkAnalysis:
             hi = min(pos + B, n_frames)
             blk = frames[pos:hi]
             if hi - pos < B:  # pad to the jitted block shape
-                pad = np.broadcast_to(blk[-1:], (B - (hi - pos),) +
-                                      blk.shape[1:])
-                blk = np.concatenate([blk, pad], axis=0)
+                from sitator_tpu.parallel.mesh import pad_frames
+                blk, _ = pad_frames(blk, B)
             static_np = blk[:, static_idx]
             if self.dynamic_lattice_mapping:
                 static_np = static_np[:, perm]

@@ -478,28 +478,35 @@ class StreamingLandmarkAnalysis:
         for lo, block in feeder:
             nb = len(block)
             if nb < B:  # pad to the compiled block shape (frames masked out)
-                pad = np.broadcast_to(block[-1:],
-                                      (B - nb,) + block.shape[1:])
-                block = np.concatenate([block, pad])
+                from sitator_tpu.parallel.mesh import pad_frames
+                block, _ = pad_frames(block, B)
             mobile = jnp.asarray(block[:, mobile_idx], jnp.float32)
             if sharding is not None:
                 mobile = jax.device_put(mobile, sharding)
             processed = 0
-            remaps_here = 0
+            last_remap = (-1, 0)
+            need_assign = True
+            drift_f = None
             while processed < nb:
-                static_np = block[:, static_idx]
-                if self.dynamic_lattice_mapping:
-                    static_np = static_np[:, perm]
-                static = jnp.asarray(static_np, jnp.float32)
-                if sharding is not None:
-                    static = jax.device_put(static, sharding)
-                labels, confs, drift = _assign_block(
-                    mobile, static, verts_j, vmask_j, A, cell, cell_inv,
-                    kcell, centers_j, active, uidx_j, Am_j, kill_j,
-                    static_ref_j, **assign_kw)
+                if need_assign:
+                    # (re)assign the whole block — only needed on entry and
+                    # after a slot→atom permutation change; grazed-frame
+                    # accepts reuse the existing assignment
+                    static_np = block[:, static_idx]
+                    if self.dynamic_lattice_mapping:
+                        static_np = static_np[:, perm]
+                    static = jnp.asarray(static_np, jnp.float32)
+                    if sharding is not None:
+                        static = jax.device_put(static, sharding)
+                    labels, confs, drift = _assign_block(
+                        mobile, static, verts_j, vmask_j, A, cell, cell_inv,
+                        kcell, centers_j, active, uidx_j, Am_j, kill_j,
+                        static_ref_j, **assign_kw)
+                    if thr_drift is not None:
+                        drift_f = np.asarray(drift)[:nb]
+                    need_assign = False
                 stop = nb
                 if thr_drift is not None:
-                    drift_f = np.asarray(drift)[:nb]
                     off = np.flatnonzero(drift_f[processed:] > thr_drift)
                     if len(off):
                         if not self.dynamic_lattice_mapping:
@@ -525,13 +532,20 @@ class StreamingLandmarkAnalysis:
                         labels_out[lo + processed:lo + stop] = \
                             np.asarray(labels)[processed:stop]
                 if stop < nb:
-                    remaps_here += 1
-                    if remaps_here > len(static_idx) + 8:
-                        from sitator_tpu.util.errors import \
-                            StaticLatticeError
-                        raise StaticLatticeError(
-                            "lattice remapping did not converge in block "
-                            f"at frame {lo + stop}", frame=lo + stop)
+                    # per-frame retry guard (mirrors LandmarkAnalysis): a
+                    # few remap attempts are allowed at one frame, but any
+                    # progress resets the count — a block may legitimately
+                    # contain many distinct exchange events
+                    if lo + stop == last_remap[0]:
+                        if last_remap[1] >= 3:
+                            from sitator_tpu.util.errors import \
+                                StaticLatticeError
+                            raise StaticLatticeError(
+                                "lattice remapping did not converge at "
+                                f"frame {lo + stop}", frame=lo + stop)
+                        last_remap = (lo + stop, last_remap[1] + 1)
+                    else:
+                        last_remap = (lo + stop, 1)
                     from sitator_tpu.landmark.analysis import \
                         LandmarkAnalysis
                     new_perm, worst = LandmarkAnalysis._find_lattice_mapping(
@@ -549,7 +563,9 @@ class StreamingLandmarkAnalysis:
                         # the device's f32 drift grazed the threshold but
                         # the f64 check finds no offenders: the frame is
                         # valid under the current mapping — accept it and
-                        # move on (prevents a no-progress remap loop)
+                        # move on (prevents a no-progress remap loop); the
+                        # block's assignment stays valid (perm unchanged),
+                        # so no recompute happens on the next iteration
                         valid = np.zeros(B, bool)
                         valid[stop] = True
                         carry, acc = _accum_block(
@@ -568,6 +584,7 @@ class StreamingLandmarkAnalysis:
                             int((new_perm != perm).sum()), worst)
                     perm = new_perm
                     n_remaps += 1
+                    need_assign = True
                 processed = stop
             blocks_done += 1
             do_ckpt = (ckpt is not None

@@ -32,7 +32,7 @@ def mxu_analysis_step(mesh, mobile, static, basis, cell, centers_perm, *,
                       midpoint, steepness, threshold,
                       cutoff_shape="logistic", mxu_bf16=True,
                       interpret=False, active_idx=None, n_sites=None,
-                      peak_evening="none"):
+                      peak_evening="none", valid=None, carry=None):
     """Frame-sharded analysis step on the MXU-product kernel
     (:mod:`sitator_tpu.ops.landmark_mxu`) — same contract as
     :func:`fused_analysis_step`, ~1.8x faster when the landmark basis
@@ -56,9 +56,9 @@ def mxu_analysis_step(mesh, mobile, static, basis, cell, centers_perm, *,
         basis["kill"], cell, centers_perm)
     if active_idx is not None:
         labels = _remap_labels(labels, jnp.asarray(active_idx, jnp.int32))
-    stats = _jump_stats_parallel(
-        labels,
-        int(centers_perm.shape[0]) if n_sites is None else int(n_sites))
+    if n_sites is None:
+        n_sites = _default_n_sites(centers_perm, active_idx)
+    labels, stats = _block_stats(labels, int(n_sites), valid, carry)
     return labels, confs, stats
 
 
@@ -66,7 +66,8 @@ def fused_analysis_step(mesh, mobile, static, verts, vmask, cell,
                         centers, *, midpoint, steepness, threshold,
                         s_tile=256, cutoff_shape="logistic", mxu_bf16=True,
                         interpret=False, active_idx=None, n_sites=None,
-                        peak_evening="none", full_mask=False):
+                        peak_evening="none", full_mask=False, valid=None,
+                        carry=None):
     """Frame-sharded analysis step using the fused Pallas kernel.
 
     The kernel runs per shard under ``shard_map`` (a Pallas call cannot be
@@ -96,9 +97,40 @@ def fused_analysis_step(mesh, mobile, static, verts, vmask, cell,
         local, mesh, 2, mobile, static, verts, vmask, cell, centers)
     if active_idx is not None:
         labels = _remap_labels(labels, jnp.asarray(active_idx, jnp.int32))
-    stats = _jump_stats_parallel(
-        labels, int(centers.shape[0]) if n_sites is None else int(n_sites))
+    if n_sites is None:
+        n_sites = _default_n_sites(centers, active_idx)
+    labels, stats = _block_stats(labels, int(n_sites), valid, carry)
     return labels, confs, stats
+
+
+def _default_n_sites(centers, active_idx):
+    """Statistics sizing when the caller omits ``n_sites``: with an
+    ``active_idx`` remap the labels live in the caller's indexing (up to
+    ``max(active_idx)``), not the kernel's compact 0..K-1 — sizing by the
+    compact center count would silently clamp scatter indices."""
+    if active_idx is not None and np.size(active_idx):
+        return int(np.asarray(active_idx).max()) + 1
+    return int(centers.shape[0])
+
+
+def _block_stats(labels, n_sites, valid, carry):
+    """Jump statistics for one block.
+
+    ``valid (F,)`` masks padding frames to label −1 (the unknown-frame
+    policy makes them exact no-ops — same trick as the streaming engine).
+    ``carry = (last_sites, last_res)`` chains residences across blocks via
+    the sequential scan; without it the associative-prefix formulation is
+    used (partitions over a frame mesh)."""
+    from sitator_tpu.ops.jumps import _jump_stats
+
+    if valid is not None:
+        labels = jnp.where(jnp.asarray(valid)[:, None], labels, -1)
+    if carry is not None:
+        stats = _jump_stats(labels, n_sites, init_last=jnp.asarray(carry[0]),
+                            init_res=jnp.asarray(carry[1]))
+    else:
+        stats = _jump_stats_parallel(labels, n_sites)
+    return labels, stats
 
 
 @jax.jit
@@ -115,7 +147,7 @@ def _remap_labels(labels, active_idx):
 def analysis_step(mobile, static, A, cell, cell_inv, centers, active,
                   cutoff_midpoint, cutoff_steepness, assignment_threshold,
                   n_sites, peak_evening="none", matmul_dtype=None,
-                  cutoff_shape="logistic"):
+                  cutoff_shape="logistic", valid=None, carry=None):
     """Pure jittable analysis step (single- or multi-chip; sharding comes
     from the argument placements).
 
@@ -132,7 +164,7 @@ def analysis_step(mobile, static, A, cell, cell_inv, centers, active,
     labels, confs = lmops.assign_to_centers(lv_n, centers, active,
                                             assignment_threshold,
                                             matmul_dtype=matmul_dtype)
-    stats = _jump_stats_parallel(labels, n_sites)
+    labels, stats = _block_stats(labels, n_sites, valid, carry)
     return labels, confs, stats
 
 
@@ -216,12 +248,20 @@ class SpmdLandmarkPipeline:
         self.active = jax.device_put(jnp.asarray(active, bool), rep)
         self.n_sites = int(centers.shape[0])
 
-    def run_block(self, frames):
+    def run_block(self, frames, carry=None):
         """Run one frame block (host array (B, n_atoms, 3)); B is padded to a
-        multiple of the mesh size.  Returns (labels, confs, JumpStats) as
-        host arrays covering the original B frames."""
+        multiple of the mesh size (padding frames are masked out of the
+        statistics exactly).  Returns (labels, confs, JumpStats) as host
+        arrays covering the original B frames.
+
+        To chain jump statistics across consecutive blocks, pass
+        ``carry=(prev_stats["last_sites"], prev_stats["last_res"])`` from
+        the previous block — boundary jumps and residences then connect
+        exactly, as in the streaming engine."""
         frames = np.asarray(frames)
         padded, n_valid = pad_frames(frames, self.n_devices)
+        valid = (None if n_valid == len(padded)
+                 else jnp.asarray(np.arange(len(padded)) < n_valid))
         sh = frame_sharding(self.mesh)
         mobile = jax.device_put(
             padded[:, self.mobile_idx].astype(np.float32), sh)
@@ -235,8 +275,7 @@ class SpmdLandmarkPipeline:
                 threshold=self.assignment_threshold,
                 cutoff_shape=self.cutoff_shape, interpret=self.interpret,
                 active_idx=self._active_idx_j, n_sites=self.n_sites,
-                peak_evening=self.peak_evening)
-            labels = np.asarray(labels)[:n_valid]
+                peak_evening=self.peak_evening, valid=valid, carry=carry)
         elif self.use_fused:
             labels, confs, stats = fused_analysis_step(
                 self.mesh, mobile, static, self.verts, self.vmask,
@@ -246,32 +285,16 @@ class SpmdLandmarkPipeline:
                 threshold=self.assignment_threshold,
                 cutoff_shape=self.cutoff_shape, interpret=self.interpret,
                 active_idx=self._active_idx_j, n_sites=self.n_sites,
-                peak_evening=self.peak_evening, full_mask=self._full_mask)
-            labels = np.asarray(labels)[:n_valid]
+                peak_evening=self.peak_evening, full_mask=self._full_mask,
+                valid=valid, carry=carry)
         else:
             labels, confs, stats = analysis_step(
                 mobile, static, self.A, self.cell, self.cell_inv,
                 self.centers, self.active, self.cutoff_midpoint,
                 self.cutoff_steepness, self.assignment_threshold,
                 self.n_sites, self.peak_evening,
-                cutoff_shape=self.cutoff_shape)
-            labels = np.asarray(labels)[:n_valid]
+                cutoff_shape=self.cutoff_shape, valid=valid, carry=carry)
+        labels = np.asarray(labels)[:n_valid]
         confs = np.asarray(confs)[:n_valid]
-        if n_valid != len(padded):
-            # recompute stats minus the padding tail: cheapest exact fix is
-            # host-side subtraction of the padded frames' (no-op) occupancy;
-            # padded frames repeat the last frame so they add no jumps but do
-            # add occupancy counts
-            stats = dict(stats)
-            occ_extra = np.zeros(self.n_sites + 1, dtype=np.int64)
-            tail = labels[-1]
-            pad_n = len(padded) - n_valid
-            lab = np.where(tail >= 0, tail, self.n_sites)
-            np.add.at(occ_extra, lab, pad_n)
-            stats["occ_counts"] = (np.asarray(stats["occ_counts"])
-                                   - occ_extra[:self.n_sites])
-            # padding also extends the final residence of known ions
-            stats["last_res"] = np.asarray(stats["last_res"]) - np.where(
-                tail >= 0, pad_n, 0)
         return labels, confs, JumpStats(
             {k: np.asarray(v) for k, v in stats.items()})

@@ -184,3 +184,28 @@ def test_pipeline_fused_mode_matches_xla_mode(fitted_system):
     lab_f, conf_f, stats_f = pipe_f.run_block(block)
     np.testing.assert_array_equal(lab_x, lab_f)
     np.testing.assert_array_equal(stats_x["n_ij"], stats_f["n_ij"])
+
+
+def test_run_block_carry_chains_across_blocks(fitted_system):
+    """Passing carry=(last_sites, last_res) between consecutive run_block
+    calls connects boundary jumps and residences exactly: per-block stats
+    sum to the single-shot stats."""
+    md, seeds, res = fitted_system
+    kw = dict(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+              assignment_threshold=0.35)
+    pipe = SpmdLandmarkPipeline(seeds, res["centers"], res["active"],
+                                mesh=frame_mesh(), **kw)
+    lab_all, _, s_all = pipe.run_block(md.traj)
+
+    l1, _, s1 = pipe.run_block(md.traj[:179])   # odd split + padding
+    l2, _, s2 = pipe.run_block(
+        md.traj[179:], carry=(s1["last_sites"], s1["last_res"]))
+    np.testing.assert_array_equal(np.concatenate([l1, l2]), lab_all)
+    for k in ("n_ij", "lag_sum", "res_sum", "res_cnt", "occ_counts"):
+        np.testing.assert_array_equal(s1[k] + s2[k], s_all[k], err_msg=k)
+    np.testing.assert_array_equal(s2["last_sites"], s_all["last_sites"])
+    np.testing.assert_array_equal(s2["last_res"], s_all["last_res"])
+
+    # without the carry, a boundary jump is (correctly) uncounted
+    _, _, s2n = pipe.run_block(md.traj[179:])
+    assert (s1["n_ij"] + s2n["n_ij"]).sum() <= s_all["n_ij"].sum()
