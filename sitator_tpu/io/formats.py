@@ -36,6 +36,29 @@ __all__ = [
 
 _LATTICE_RE = re.compile(r'Lattice\s*=\s*"([^"]+)"', re.IGNORECASE)
 
+# Variable-cell (NPT) policy, shared by all text readers.  The SiteNetwork
+# data model assumes ONE cell per analysis (as the reference does —
+# SURVEY.md §3.1/§3.7); per-frame cells are bridged to it by
+# ``ops.pbc.rescale_to_cell``: an affine, fractional-preserving map into
+# the first frame's cell.  Exact for homogeneous cell fluctuations — sites
+# live in fractional space, so they become stationary in the reference
+# cell; no wrapping is applied, so unwrapped coordinates stay continuous.
+_VC_POLICIES = ("error", "rescale")
+
+
+def _check_vc(variable_cell):
+    if variable_cell not in _VC_POLICIES:
+        raise ValueError(f"variable_cell must be one of {_VC_POLICIES}, "
+                         f"got {variable_cell!r}")
+
+
+def _vc_error(fmt, detail=""):
+    return ValueError(
+        f"variable-cell {fmt} with variable_cell='error' — the SiteNetwork "
+        "data model assumes one cell; pass variable_cell='rescale' to map "
+        "every frame into the first frame's cell (exact for homogeneous "
+        f"NPT fluctuations){detail}")
+
 
 def _parse_comment(comment):
     m = _LATTICE_RE.search(comment)
@@ -48,7 +71,15 @@ def _parse_comment(comment):
 
 
 def iread_xyz(path):
-    """Yield ``Structure`` per frame from an (ext)xyz file."""
+    """Yield ``Structure`` per frame from an (ext)xyz file.
+
+    Each frame carries its own ``Lattice=`` cell (extxyz allows per-frame
+    cells); single-cell consumers go through :func:`_iread_xyz_fixedcell`.
+    Cell-less (non-periodic) files get one synthetic bounding box computed
+    from the first frame and shared by all frames, so downstream PBC math
+    sees a consistent cell.
+    """
+    synth_cell = None
     with open(path) as f:
         while True:
             line = f.readline()
@@ -69,23 +100,47 @@ def iread_xyz(path):
                               else symbol_to_number(s))
                 pos[i] = [float(x) for x in parts[1:4]]
             if cell is None:
-                # non-periodic xyz: bounding box with margin
-                span = pos.max(0) - pos.min(0) + 10.0
-                cell = np.diag(span)
+                if synth_cell is None:
+                    # non-periodic xyz: bounding box with margin
+                    span = pos.max(0) - pos.min(0) + 10.0
+                    synth_cell = np.diag(span)
+                cell = synth_cell
             yield Structure(pos, species, cell)
 
 
-def read_xyz(path, index=None):
+def _iread_xyz_fixedcell(path, variable_cell="error"):
+    """Bridge :func:`iread_xyz` to the single-cell data model: yields
+    ``(shared_structure, pos (A, 3))`` pairs, handling per-frame ``Lattice=``
+    changes per the ``variable_cell`` policy (see module note above)."""
+    _check_vc(variable_cell)
+    ref = None
+    for s in iread_xyz(path):
+        if ref is None:
+            ref = s
+            yield ref, s.positions
+        elif np.allclose(s.cell, ref.cell, atol=1e-8):
+            yield ref, s.positions
+        elif variable_cell == "error":
+            raise _vc_error("extxyz (per-frame Lattice=)")
+        else:
+            from sitator_tpu.ops.pbc import rescale_to_cell
+            yield ref, rescale_to_cell(s.positions, s.cell, ref.cell)
+
+
+def read_xyz(path, index=None, variable_cell="error"):
     """Read an (ext)xyz file.  ``index=None`` → first frame as a
-    ``Structure``; ``index='all'`` → (structure0, traj (F, A, 3))."""
-    frames = iread_xyz(path)
-    first = next(frames)
+    ``Structure``; ``index='all'`` → (structure0, traj (F, A, 3)).
+    ``variable_cell``: 'error' (default) raises if frames carry differing
+    ``Lattice=`` cells; 'rescale' maps them into the first frame's cell."""
     if index is None:
-        return first
+        return next(iread_xyz(path))
     if index == "all":
-        traj = [first.positions]
-        for s in frames:
-            traj.append(s.positions)
+        first = None
+        traj = []
+        for first, pos in _iread_xyz_fixedcell(path, variable_cell):
+            traj.append(pos)
+        if first is None:
+            raise ValueError(f"no frames found in {path}")
         return first, np.stack(traj)
     raise ValueError("index must be None or 'all'")
 
@@ -113,6 +168,12 @@ def parse_xdatcar_header(f):
     single header-format authority shared by the Python reader and the
     native decoder's precheck."""
     f.readline()                                    # comment
+    return _parse_xdatcar_header_body(f)
+
+
+def _parse_xdatcar_header_body(f):
+    """Header parse with the comment line already consumed — also used for
+    the repeated mid-file headers of variable-cell (NPT) XDATCARs."""
     scale = float(f.readline().split()[0])
     cell = np.array([[float(x) for x in f.readline().split()]
                      for _ in range(3)]) * scale
@@ -133,17 +194,22 @@ def parse_xdatcar_header(f):
     return cell, species, counts, header_end
 
 
-def iread_xdatcar(path):
+def iread_xdatcar(path, variable_cell="error"):
     """Stream a VASP XDATCAR (the reference's AIMD workhorse format, read
     via ASE there — SURVEY.md §3.9 item 5): yields ``(Structure, pos)``
     pairs where ``pos (A, 3)`` is the frame's cartesian positions and the
-    Structure (cell/species) is shared.  Fixed-cell (NVT/NVE) variant
-    only; variable-cell (NPT) files, which repeat the header every frame,
-    raise (per-frame cells don't fit the single-cell data model).
-    O(1) memory — feed :func:`convert_to_npy` for million-frame files.
+    Structure (cell/species) is shared.  O(1) memory — feed
+    :func:`convert_to_npy` for million-frame files.
+
+    Variable-cell (NPT) files repeat the whole header before each frame;
+    ``variable_cell='rescale'`` maps every frame into the FIRST header's
+    cell (XDATCAR stores fractional coordinates, so the map is exactly
+    ``frac @ ref_cell`` — no inverse needed); the default 'error' raises.
     """
+    _check_vc(variable_cell)
     with open(path) as f:
         cell, species, counts, _ = parse_xdatcar_header(f)
+        ref_cell = cell
         n_atoms = sum(counts)
         structure = None
 
@@ -154,27 +220,34 @@ def iread_xdatcar(path):
                 line = f.readline()
                 continue
             if not ls.lower().startswith("direct"):
-                raise ValueError(
-                    "variable-cell XDATCAR (repeated header) is not "
-                    "supported — the SiteNetwork data model assumes one "
-                    "cell; re-dump with a fixed cell or convert to .npy "
-                    f"(offending line: {ls[:40]!r})")
+                # a repeated header: `line` is its comment line
+                if variable_cell == "error":
+                    raise _vc_error(
+                        "XDATCAR (repeated header)",
+                        f"; offending line: {ls[:40]!r}")
+                cell, _, counts2, _ = _parse_xdatcar_header_body(f)
+                if counts2 != counts:
+                    raise ValueError(
+                        "atom counts changed mid-XDATCAR "
+                        f"({counts} -> {counts2}); cannot continue")
+                line = f.readline()
+                continue
             frac = np.empty((n_atoms, 3), dtype=np.float64)
             for i in range(n_atoms):
                 frac[i] = [float(x) for x in f.readline().split()[:3]]
-            pos = frac @ cell
+            pos = frac @ (ref_cell if variable_cell == "rescale" else cell)
             if structure is None:
-                structure = Structure(pos, species, cell)
+                structure = Structure(pos, species, ref_cell)
             yield structure, pos
             line = f.readline()
 
 
-def read_xdatcar(path):
+def read_xdatcar(path, variable_cell="error"):
     """Eager XDATCAR read: ``(Structure, traj (F, A, 3) cartesian)``.
     See :func:`iread_xdatcar` for the streaming variant."""
     structure = None
     frames = []
-    for structure, pos in iread_xdatcar(path):
+    for structure, pos in iread_xdatcar(path, variable_cell=variable_cell):
         frames.append(pos)
     if structure is None:
         raise ValueError(f"no frames found in {path}")
@@ -185,7 +258,7 @@ _LMP_COORD_SETS = (("x", "y", "z"), ("xu", "yu", "zu"), ("xs", "ys", "zs"),
                    ("xsu", "ysu", "zsu"))
 
 
-def iread_lammps_dump(path):
+def iread_lammps_dump(path, variable_cell="error"):
     """Stream a LAMMPS text dump (``dump atom``/``dump custom`` styles):
     yields ``(Structure, pos (A, 3))`` per frame with O(1) memory.
 
@@ -193,10 +266,14 @@ def iread_lammps_dump(path):
     cartesian (``x y z``), unwrapped (``xu yu zu``) and scaled
     (``xs ys zs`` / ``xsu ysu zsu``) coordinate columns, and sorts by atom
     ``id`` when present.  Atom ``type`` becomes the species number.
-    The cell is taken from the first frame (variable-cell runs raise).
+    The cell is taken from the first frame; NPT runs with per-frame box
+    bounds need ``variable_cell='rescale'`` (affine map into the first
+    frame's box — see the module note), else they raise.
     """
+    _check_vc(variable_cell)
     species = None
     cell = None
+    ref_origin = None
     structure = None
     with open(path) as f:
         while True:
@@ -231,10 +308,10 @@ def iread_lammps_dump(path):
                 origin = np.array([xlo, ylo, zlo])
             if cell is None:
                 cell = this_cell
-            elif not np.allclose(cell, this_cell, atol=1e-8):
-                raise ValueError(
-                    "variable-cell LAMMPS dump is not supported — the "
-                    "SiteNetwork data model assumes one cell")
+                ref_origin = origin
+            elif (variable_cell == "error"
+                  and not np.allclose(cell, this_cell, atol=1e-8)):
+                raise _vc_error("LAMMPS dump (per-frame box bounds)")
             item = f.readline()
             assert item.startswith("ITEM: ATOMS"), item
             cols = item.split()[2:]
@@ -261,7 +338,12 @@ def iread_lammps_dump(path):
                     typ[i] = int(parts[ty_i])
             order = np.argsort(ids, kind="stable")
             pos, typ = pos[order], typ[order]
-            if scaled:
+            if variable_cell == "rescale":
+                # fractional coords in THIS frame's box -> reference box
+                frac = (pos if scaled
+                        else (pos - origin) @ np.linalg.inv(this_cell))
+                pos = frac @ cell + ref_origin
+            elif scaled:
                 pos = pos @ cell + origin
             if species is None:
                 species = typ
@@ -270,12 +352,13 @@ def iread_lammps_dump(path):
             yield structure, pos
 
 
-def read_lammps_dump(path):
+def read_lammps_dump(path, variable_cell="error"):
     """Eager LAMMPS dump read: ``(Structure, traj (F, A, 3) cartesian)``.
     See :func:`iread_lammps_dump` for the streaming variant."""
     structure = None
     frames = []
-    for structure, pos in iread_lammps_dump(path):
+    for structure, pos in iread_lammps_dump(
+            path, variable_cell=variable_cell):
         frames.append(pos)
     if structure is None:
         raise ValueError(f"no frames found in {path}")
@@ -303,26 +386,29 @@ def sniff_format(path):
     return None
 
 
-def convert_to_npy(src, out_path, dtype=np.float32, verbose=False):
+def convert_to_npy(src, out_path, dtype=np.float32, verbose=False,
+                   variable_cell="error"):
     """Convert any trajectory source to a memmapped ``.npy`` — the
     preferred format for the streaming engine (zero-copy random block
     reads).  ``src``: a path (extxyz / XDATCAR / LAMMPS dump, streamed
     with O(1) memory in two passes) or any ``TrajectoryReader``.
-    Returns ``(Structure or None, out_path)``.
+    ``variable_cell='rescale'`` bakes the NPT → fixed-cell affine bridge
+    into the converted file, so the streaming engine never sees per-frame
+    cells.  Returns ``(Structure or None, out_path)``.
     """
 
     def frame_iter():
         p = str(src)
         fmt = sniff_format(p)
         if fmt == "xdatcar":
-            for s, pos in iread_xdatcar(p):
+            for s, pos in iread_xdatcar(p, variable_cell=variable_cell):
                 yield s, pos
         elif fmt == "lammps":
-            for s, pos in iread_lammps_dump(p):
+            for s, pos in iread_lammps_dump(p, variable_cell=variable_cell):
                 yield s, pos
         elif fmt == "xyz":
-            for s in iread_xyz(p):
-                yield s, s.positions
+            for s, pos in _iread_xyz_fixedcell(p, variable_cell):
+                yield s, pos
         else:
             raise ValueError(
                 f"convert_to_npy streams text formats only, got {p}; "
@@ -422,24 +508,31 @@ class H5Trajectory(TrajectoryReader):
 
 
 class XYZTrajectory(ArrayTrajectory):
-    def __init__(self, path):
-        structure, traj = read_xyz(path, index="all")
+    def __init__(self, path, variable_cell="error"):
+        structure, traj = read_xyz(path, index="all",
+                                   variable_cell=variable_cell)
         super().__init__(traj, structure)
 
 
 class XDATCARTrajectory(ArrayTrajectory):
-    def __init__(self, path):
-        structure, traj = read_xdatcar(path)
+    def __init__(self, path, variable_cell="error"):
+        structure, traj = read_xdatcar(path, variable_cell=variable_cell)
         super().__init__(traj, structure)
 
 
 class LammpsDumpTrajectory(ArrayTrajectory):
-    def __init__(self, path):
-        structure, traj = read_lammps_dump(path)
+    def __init__(self, path, variable_cell="error"):
+        structure, traj = read_lammps_dump(path,
+                                           variable_cell=variable_cell)
         super().__init__(traj, structure)
 
 
 def open_trajectory(path, **kwargs):
+    """Open any supported trajectory behind the ``TrajectoryReader``
+    protocol, preferring the native multithreaded decoders for text
+    formats.  ``variable_cell='rescale'`` (text formats only) routes NPT
+    files through the Python readers' affine cell bridge — the native
+    decoders are fixed-cell by design."""
     p = str(path)
     fmt = sniff_format(p)
     if fmt == "npy":
@@ -451,35 +544,42 @@ def open_trajectory(path, **kwargs):
     if fmt == "xdatcar":
         # prefer the native decoder; variable-cell / malformed files fall
         # back to the Python reader's clearer errors
-        try:
-            from sitator_tpu.io.native import (FastXDATCARTrajectory,
-                                               get_lib)
-            if get_lib() is not None:
-                return FastXDATCARTrajectory(p, **kwargs)
-        except Exception:
-            pass
-        return XDATCARTrajectory(p)
+        vc = kwargs.pop("variable_cell", "error")
+        if vc == "error":
+            try:
+                from sitator_tpu.io.native import (FastXDATCARTrajectory,
+                                                   get_lib)
+                if get_lib() is not None:
+                    return FastXDATCARTrajectory(p, **kwargs)
+            except Exception:
+                pass
+        return XDATCARTrajectory(p, variable_cell=vc)
     if fmt == "lammps":
         # prefer the native multithreaded decoder (random block access, no
         # whole-file materialization); its precheck rejects scaled-coord
         # and non-contiguous-id dumps cheaply -> Python fallback
-        try:
-            from sitator_tpu.io.native import FastLammpsTrajectory, get_lib
-            if get_lib() is not None:
-                return FastLammpsTrajectory(p, **kwargs)
-        except Exception:
-            pass
-        return LammpsDumpTrajectory(p)
+        vc = kwargs.pop("variable_cell", "error")
+        if vc == "error":
+            try:
+                from sitator_tpu.io.native import (FastLammpsTrajectory,
+                                                   get_lib)
+                if get_lib() is not None:
+                    return FastLammpsTrajectory(p, **kwargs)
+            except Exception:
+                pass
+        return LammpsDumpTrajectory(p, variable_cell=vc)
     if fmt == "xyz":
         # prefer the native multithreaded decoder (random block access, no
         # whole-file materialization); fall back to the Python parser
-        try:
-            from sitator_tpu.io.native import FastXYZTrajectory, get_lib
-            if get_lib() is not None:
-                return FastXYZTrajectory(p, **kwargs)
-        except Exception:
-            pass
-        return XYZTrajectory(p)
+        vc = kwargs.pop("variable_cell", "error")
+        if vc == "error":
+            try:
+                from sitator_tpu.io.native import FastXYZTrajectory, get_lib
+                if get_lib() is not None:
+                    return FastXYZTrajectory(p, **kwargs)
+            except Exception:
+                pass
+        return XYZTrajectory(p, variable_cell=vc)
     raise ValueError(f"unknown trajectory format: {p}")
 
 

@@ -207,6 +207,9 @@ class FastXYZTrajectory(_IndexedNativeTrajectory):
 
     Implements the ``TrajectoryReader`` protocol.  Index is built once
     (single scan); block reads decode frames across ``n_threads``.
+    Fixed-cell by design: per-frame ``Lattice=`` entries are NOT verified
+    (frame 0's cell is taken as the cell); use the Python reader with
+    ``variable_cell='rescale'`` for NPT extxyz files.
     """
 
     _index_name = "fxyz_index"

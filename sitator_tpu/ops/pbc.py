@@ -37,6 +37,7 @@ __all__ = [
     "pairwise_pbc_distances",
     "pbc_average",
     "masked_pbc_average",
+    "rescale_to_cell",
     "PBCCalculator",
 ]
 
@@ -149,6 +150,44 @@ def masked_pbc_average(points, mask, cell, cell_inv, weights=None):
     wsum = jnp.sum(w)
     mean = ref + jnp.sum(disp * w[..., None], axis=0) / jnp.maximum(wsum, 1e-30)
     return wrap(mean, cell, cell_inv)
+
+
+def rescale_to_cell(positions, cells, ref_cell, origins=None, ref_origin=None):
+    """Affine, fractional-preserving map of per-frame positions into one
+    reference cell — the variable-cell (NPT) → fixed-cell data-model bridge.
+
+    The reference library (like its ``PBCCalculator.pyx``, SURVEY.md §3.7)
+    assumes one cell per analysis; NPT trajectories carry a cell per frame.
+    This maps frame ``t`` through ``frac = (pos_t - origin_t) @ inv(cell_t)``
+    and back out through ``frac @ ref_cell + ref_origin``: fractional
+    coordinates are preserved exactly, so sites (which live in fractional
+    space for homogeneous cell fluctuations) become stationary in the
+    reference cell.  **No wrapping** is applied — unwrapped (continuous)
+    coordinates stay continuous, which downstream min-image math handles.
+
+    Host-side NumPy float64 by design: this runs at the IO boundary, once
+    per frame, on data that is about to be staged to the device anyway.
+
+    positions: (F, A, 3) (or (A, 3)); cells: (F, 3, 3) (or (3, 3));
+    ref_cell: (3, 3); origins: optional (F, 3) per-frame box origins;
+    ref_origin: optional (3,).  Returns positions mapped into ``ref_cell``,
+    same shape, float64.
+    """
+    pos = np.asarray(positions, dtype=np.float64)
+    cells = np.asarray(cells, dtype=np.float64)
+    ref_cell = np.asarray(ref_cell, dtype=np.float64)
+    squeeze = pos.ndim == 2
+    if squeeze:
+        pos = pos[None]
+    if cells.ndim == 2:
+        cells = np.broadcast_to(cells, (pos.shape[0], 3, 3))
+    if origins is not None:
+        pos = pos - np.asarray(origins, dtype=np.float64)[:, None, :]
+    frac = np.einsum("fai,fij->faj", pos, np.linalg.inv(cells))
+    out = frac @ ref_cell
+    if ref_origin is not None:
+        out = out + np.asarray(ref_origin, dtype=np.float64)
+    return out[0] if squeeze else out
 
 
 class PBCCalculator:
