@@ -87,13 +87,20 @@ class Zeopy:
 
     @staticmethod
     def _parse_nt2(path, structure):
-        """EXPERIMENTAL: best-effort .nt2 parser.
+        """EXPERIMENTAL: .nt2 Voronoi-network parser.
 
-        Written against the documented Zeo++ ``network -nt2`` layout but
-        never validated against real binary output (no Zeo++ in this
-        environment — SURVEY.md §0).  If you have Zeo++, verify one
-        decomposition against ``VoronoiSiteGenerator`` before trusting it,
-        and prefer the native generator in any case.
+        Written against the documented Zeo++ ``network -nt2`` layout —
+        a ``Vertex table:`` section of ``<id> <x> <y> <z> <radius>
+        <atom ids...>`` lines followed by an ``Edge table:`` section —
+        but never validated against real binary output (no Zeo++ in this
+        environment — SURVEY.md §0).  Files without the section markers
+        fall back to sniffing vertex-shaped lines.  The atom-id base
+        (Zeo++ builds vary between 0- and 1-based) is auto-detected from
+        coverage of ``structure``: in a full Voronoi decomposition every
+        atom anchors some node, so the min/max id over the whole file
+        identify the convention.  If you have Zeo++, verify one
+        decomposition against ``VoronoiSiteGenerator`` before trusting
+        this, and prefer the native generator in any case.
         """
         import warnings
         warnings.warn(
@@ -102,28 +109,68 @@ class Zeopy:
             "sitator_tpu.voronoi.VoronoiSiteGenerator",
             stacklevel=2)
         nodes = []
-        verts = []
+        verts_raw = []
         radii = []
         with open(path) as f:
             lines = f.readlines()
-        in_nodes = False
-        for line in lines:
-            parts = line.split()
-            if not parts:
-                continue
-            if parts[0] == "Vertex" or (parts[0].isdigit()
-                                        and len(parts) >= 5):
-                if parts[0] == "Vertex":
-                    parts = parts[1:]
-                try:
-                    nodes.append([float(parts[1]), float(parts[2]),
-                                  float(parts[3])])
-                    radii.append(float(parts[4]))
-                    verts.append(np.array(
-                        [int(x) - 1 for x in parts[5:] if x.isdigit()],
-                        dtype=np.int32))
+
+        def try_vertex(parts):
+            """Parse one `<id> <x> <y> <z> <r> <atom ids...>` line."""
+            if parts and parts[0] == "Vertex":   # tolerated variant prefix
+                parts = parts[1:]
+            if len(parts) < 5 or not parts[0].lstrip("-").isdigit():
+                return False
+            try:
+                xyz = [float(parts[1]), float(parts[2]), float(parts[3])]
+                rad = float(parts[4])
+            except ValueError:
+                return False
+            nodes.append(xyz)
+            radii.append(rad)
+            verts_raw.append([int(x) for x in parts[5:] if x.isdigit()])
+            return True
+
+        # primary: the documented section markers
+        low = [ln.strip().lower() for ln in lines]
+        if any(ln.startswith("vertex table") for ln in low):
+            in_vertices = False
+            for ln, lo in zip(lines, low):
+                if lo.startswith("vertex table"):
+                    in_vertices = True
+                    continue
+                if lo.startswith("edge table"):
+                    break
+                if in_vertices and ln.split():
+                    try_vertex(ln.split())
+        else:
+            # fallback: sniff contiguous vertex-shaped lines
+            in_nodes = False
+            for ln in lines:
+                parts = ln.split()
+                if not parts:
+                    continue
+                if try_vertex(parts):
                     in_nodes = True
-                except (ValueError, IndexError):
-                    if in_nodes:
-                        break
+                elif in_nodes:
+                    break
+
+        # atom-id base detection: 1-based files cover [1, n_atoms],
+        # 0-based ones [0, n_atoms - 1]
+        all_ids = [i for v in verts_raw for i in v]
+        offset = 0
+        if all_ids:
+            lo_id, hi_id = min(all_ids), max(all_ids)
+            if lo_id >= 1 and hi_id == structure.n_atoms:
+                offset = 1
+            elif lo_id == 0 and hi_id < structure.n_atoms:
+                offset = 0
+            elif hi_id >= structure.n_atoms:
+                raise ValueError(
+                    f"nt2 atom ids reach {hi_id} but the structure has "
+                    f"{structure.n_atoms} atoms — not a decomposition of "
+                    "this structure?")
+            # ambiguous (ids within [1, n_atoms - 1] only): keep 0-based,
+            # matching Zeo++'s internal indexing
+        verts = [np.array([i - offset for i in v], dtype=np.int32)
+                 for v in verts_raw]
         return (np.asarray(nodes), verts, np.asarray(radii))

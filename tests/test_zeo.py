@@ -1,0 +1,113 @@
+"""Zeopy — the optional Zeo++ wrapper (SURVEY.md §3.7).
+
+No Zeo++ binary exists in this environment, so these tests pin the two
+halves we own outright: the CSSR writer (cell conversion + fractional
+coords) and the ``.nt2`` parser against synthetic files in the documented
+``network -nt2`` layout (``Vertex table:`` / ``Edge table:`` sections),
+including the atom-id base auto-detection and the marker-less fallback.
+"""
+import numpy as np
+import pytest
+
+from sitator_tpu.core.structure import Structure
+from sitator_tpu.util.zeo import Zeopy, ZeoppNotFoundError
+
+
+@pytest.fixture
+def structure():
+    cell = np.array([[6.0, 0, 0], [0, 7.0, 0], [0, 0, 8.0]])
+    pos = np.array([[0.5, 0.5, 0.5], [3.0, 3.5, 4.0], [1.0, 6.0, 2.0],
+                    [5.0, 1.0, 7.0]])
+    return Structure(pos, np.array([16, 16, 16, 3], np.int32), cell)
+
+
+NT2_SECTIONED = """\
+Vertex table:
+0 1.25 2.5 3.75 0.92 1 2 3 4
+1 4.0 5.0 6.0 0.55 2 3 4 1
+
+Edge table:
+0 -> 1 0.4 0 0 0 2.75
+1 -> 0 0.4 0 0 0 2.75
+"""
+
+
+def test_parse_nt2_sectioned_one_based(tmp_path, structure):
+    f = tmp_path / "net.nt2"
+    f.write_text(NT2_SECTIONED)
+    with pytest.warns(UserWarning, match="experimental"):
+        nodes, verts, radii = Zeopy._parse_nt2(str(f), structure)
+    np.testing.assert_allclose(nodes, [[1.25, 2.5, 3.75], [4.0, 5.0, 6.0]])
+    np.testing.assert_allclose(radii, [0.92, 0.55])
+    # ids covered [1, 4] with n_atoms=4 -> detected 1-based, shifted down
+    np.testing.assert_array_equal(verts[0], [0, 1, 2, 3])
+    np.testing.assert_array_equal(verts[1], [1, 2, 3, 0])
+
+
+def test_parse_nt2_sectioned_zero_based(tmp_path, structure):
+    text = ("Vertex table:\n"
+            "0 1.0 1.0 1.0 0.7 0 1 2 3\n"
+            "1 2.0 2.0 2.0 0.6 3 2 1 0\n"
+            "\nEdge table:\n0 -> 1 0.3 0 0 0 1.7\n")
+    f = tmp_path / "net.nt2"
+    f.write_text(text)
+    with pytest.warns(UserWarning):
+        nodes, verts, radii = Zeopy._parse_nt2(str(f), structure)
+    assert len(nodes) == 2
+    # min id 0 -> 0-based, used as-is
+    np.testing.assert_array_equal(verts[0], [0, 1, 2, 3])
+    np.testing.assert_array_equal(verts[1], [3, 2, 1, 0])
+
+
+def test_parse_nt2_edge_lines_not_swallowed(tmp_path, structure):
+    """Edge-table rows (`a -> b ...`) must never be parsed as vertices."""
+    f = tmp_path / "net.nt2"
+    f.write_text(NT2_SECTIONED)
+    with pytest.warns(UserWarning):
+        nodes, _, _ = Zeopy._parse_nt2(str(f), structure)
+    assert len(nodes) == 2
+
+
+def test_parse_nt2_fallback_without_markers(tmp_path, structure):
+    """Marker-less files (older/variant builds) sniff vertex-shaped lines."""
+    text = ("some header\n"
+            "0 1.0 2.0 3.0 0.8 1 2 3 4\n"
+            "1 2.0 3.0 4.0 0.7 4 3 2 1\n"
+            "unrelated trailing text\n")
+    f = tmp_path / "net.nt2"
+    f.write_text(text)
+    with pytest.warns(UserWarning):
+        nodes, verts, radii = Zeopy._parse_nt2(str(f), structure)
+    assert len(nodes) == 2 and len(verts[0]) == 4
+    np.testing.assert_array_equal(verts[0], [0, 1, 2, 3])
+
+
+def test_parse_nt2_out_of_range_ids_raise(tmp_path, structure):
+    text = "Vertex table:\n0 1.0 1.0 1.0 0.5 7 8\n\nEdge table:\n"
+    f = tmp_path / "net.nt2"
+    f.write_text(text)
+    with pytest.warns(UserWarning):
+        with pytest.raises(ValueError, match="not a decomposition"):
+            Zeopy._parse_nt2(str(f), structure)
+
+
+def test_write_cssr_roundtrip_values(tmp_path, structure):
+    path = tmp_path / "s.cssr"
+    Zeopy._write_cssr(structure, str(path))
+    lines = path.read_text().splitlines()
+    a, b, c = (float(x) for x in lines[0].split())
+    np.testing.assert_allclose([a, b, c], [6.0, 7.0, 8.0], atol=1e-6)
+    angles = [float(x) for x in lines[1].split()[:3]]
+    np.testing.assert_allclose(angles, [90.0, 90.0, 90.0], atol=1e-4)
+    assert lines[2].split()[0] == "4"
+    # fractional coords of atom 1 (row index 4): pos / diag(cell)
+    parts = lines[5].split()
+    np.testing.assert_allclose([float(parts[2]), float(parts[3]),
+                                float(parts[4])],
+                               [0.5, 0.5, 0.5], atol=1e-6)
+
+
+def test_missing_binary_raises():
+    with pytest.raises(ZeoppNotFoundError, match="native periodic"):
+        with Zeopy(executable="definitely-not-a-real-binary-xyz"):
+            pass
