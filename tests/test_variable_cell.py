@@ -307,3 +307,44 @@ def test_landmark_analysis_on_rescaled_npt(tmp_path):
     # borderline-assignment flips but require essential identity
     agree = np.mean(st_a.traj == st_b.traj)
     assert agree > 0.99, agree
+
+
+def test_streaming_on_npt_bridge(tmp_path):
+    """NPT file -> convert_to_npy(variable_cell='rescale') -> streaming
+    engine: the bridge feeds the out-of-core path and reproduces the
+    fixed-cell streaming run exactly (positions differ only by the text
+    round-trip)."""
+    from sitator_tpu import SiteNetwork
+    from sitator_tpu.io import convert_to_npy, make_hopping_trajectory
+    from sitator_tpu.io.formats import NpyTrajectory
+    from sitator_tpu.landmark import StreamingLandmarkAnalysis
+    from sitator_tpu.voronoi import VoronoiSiteGenerator
+
+    md = make_hopping_trajectory(n_cells=3, a=4.0, n_ions=4, n_frames=300,
+                                 jump_rate=0.03, seed=13)
+    cell0 = md.structure.cell
+    F = md.traj.shape[0]
+    cells = _breathing_cells(cell0, F, amp=0.02, seed=14)
+    cells[0] = cell0
+    frac = md.traj @ np.linalg.inv(cell0)
+    f = tmp_path / "XDATCAR"
+    ns, nm = int(md.static_mask.sum()), int(md.mobile_mask.sum())
+    _write_npt_xdatcar(f, cells, frac, symbols=("S", "Li"),
+                       counts=(ns, nm))
+    _, npy = convert_to_npy(f, tmp_path / "bridged.npy",
+                            variable_cell="rescale")
+
+    sn0 = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+    seeds = VoronoiSiteGenerator(merge_tol=0.05).run(sn0)
+
+    def stream(reader):
+        sla = StreamingLandmarkAnalysis(
+            cutoff_midpoint=4.0, cutoff_steepness=3.0, block_frames=64,
+            fit_frames=300, verbose=False)
+        return sla.run(seeds, reader)
+
+    out_npt = stream(NpyTrajectory(npy))
+    out_fix = stream(md.traj.astype(np.float32))
+    assert out_npt.n_sites == out_fix.n_sites
+    np.testing.assert_array_equal(np.asarray(out_npt.n_ij),
+                                  np.asarray(out_fix.n_ij))
