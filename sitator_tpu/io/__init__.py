@@ -17,6 +17,8 @@ from sitator_tpu.io.formats import (
     open_trajectory,
     read_xyz,
     write_xyz,
+    write_xdatcar,
+    write_lammps_dump,
 )
 
 __all__ = [
@@ -25,5 +27,6 @@ __all__ = [
     "ArrayTrajectory", "NpyTrajectory", "NpzTrajectory", "H5Trajectory",
     "XYZTrajectory", "XDATCARTrajectory", "LammpsDumpTrajectory",
     "read_xdatcar", "read_lammps_dump", "iread_xdatcar",
+    "write_xdatcar", "write_lammps_dump",
     "iread_lammps_dump", "convert_to_npy", "ChunkedFeeder",
 ]

@@ -22,11 +22,13 @@ import queue as _queue
 
 import numpy as np
 
-from sitator_tpu.core.structure import Structure, symbol_to_number
+from sitator_tpu.core.structure import (Structure, number_to_symbol,
+                                        symbol_to_number)
 
 __all__ = [
     "read_xyz", "write_xyz", "iread_xyz",
     "read_xdatcar", "read_lammps_dump",
+    "write_xdatcar", "write_lammps_dump",
     "iread_xdatcar", "iread_lammps_dump", "convert_to_npy",
     "NpyTrajectory", "NpzTrajectory", "H5Trajectory", "XYZTrajectory",
     "XDATCARTrajectory", "LammpsDumpTrajectory",
@@ -158,6 +160,91 @@ def write_xyz(path, structure, traj=None, mode="w"):
             f.write(f'Lattice="{cellstr}" Properties=species:S:1:pos:R:3\n')
             for s, p in zip(syms, pos):
                 f.write(f"{s} {p[0]:.8f} {p[1]:.8f} {p[2]:.8f}\n")
+
+
+def write_xdatcar(path, structure, traj=None, comment="sitator_tpu"):
+    """Write a ``Structure`` (plus optional trajectory ``(F, A, 3)``
+    cartesian) as a fixed-cell VASP5 XDATCAR.
+
+    The format requires atoms grouped into contiguous same-species blocks;
+    structures with interleaved species raise (reorder first — a silent
+    permutation here would desynchronize the written file from every
+    index-based mask/attribute the caller holds).  Positions are written
+    fractional without wrapping, so the round-trip through
+    :func:`read_xdatcar` is exact up to the text precision.
+    """
+    species = structure.species
+    # contiguous species runs -> (symbol, count) blocks
+    change = np.flatnonzero(np.diff(species)) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(species)]])
+    blocks = [(number_to_symbol(species[s]), int(e - s))
+              for s, e in zip(starts, ends)]
+    if len({sym for sym, _ in blocks}) != len(blocks):
+        raise ValueError(
+            "XDATCAR needs contiguous same-species blocks; this structure "
+            "interleaves species — reorder atoms (and masks) first")
+    frames = (traj if traj is not None
+              else structure.positions[None, :, :])
+    inv = structure.cell_inv
+    with open(path, "w") as f:
+        f.write(f"{comment}\n  1.0\n")
+        for row in structure.cell:
+            f.write("  %.16f %.16f %.16f\n" % tuple(row))
+        f.write("  " + " ".join(sym for sym, _ in blocks) + "\n")
+        f.write("  " + " ".join(str(c) for _, c in blocks) + "\n")
+        for t, pos in enumerate(frames):
+            f.write(f"Direct configuration= {t + 1:5d}\n")
+            for x in np.asarray(pos) @ inv:
+                f.write("  %.16f %.16f %.16f\n" % tuple(x))
+
+
+def write_lammps_dump(path, structure, traj=None, timestep_stride=1):
+    """Write a ``Structure`` (plus optional trajectory ``(F, A, 3)``
+    cartesian) as a LAMMPS text dump (``id type x y z`` columns, atom
+    ``type`` = atomic number so species round-trip through
+    :func:`read_lammps_dump`).
+
+    The cell must be in the LAMMPS convention — diagonal, or lower
+    triangular (rows ``[lx,0,0], [xy,ly,0], [xz,yz,lz]``); general rotated
+    cells raise (rotating them into convention would silently rotate the
+    coordinates too).
+    """
+    cell = structure.cell
+    if not np.allclose([cell[0, 1], cell[0, 2], cell[1, 2]], 0.0,
+                       atol=1e-10):
+        raise ValueError(
+            "LAMMPS dumps need a diagonal or lower-triangular cell "
+            "(rows [lx,0,0],[xy,ly,0],[xz,yz,lz]); rotate the structure "
+            "into that convention first")
+    triclinic = not np.allclose([cell[1, 0], cell[2, 0], cell[2, 1]], 0.0,
+                                atol=1e-10)
+    lx, ly, lz = cell[0, 0], cell[1, 1], cell[2, 2]
+    xy, xz, yz = cell[1, 0], cell[2, 0], cell[2, 1]
+    frames = (traj if traj is not None
+              else structure.positions[None, :, :])
+    species = structure.species
+    with open(path, "w") as f:
+        for t, pos in enumerate(frames):
+            f.write("ITEM: TIMESTEP\n%d\n" % (t * timestep_stride))
+            f.write("ITEM: NUMBER OF ATOMS\n%d\n" % structure.n_atoms)
+            if triclinic:
+                # bounding-box form: readers undo these exact shifts
+                f.write("ITEM: BOX BOUNDS xy xz yz pp pp pp\n")
+                f.write("%.16f %.16f %.16f\n"
+                        % (min(0.0, xy, xz, xy + xz),
+                           lx + max(0.0, xy, xz, xy + xz), xy))
+                f.write("%.16f %.16f %.16f\n"
+                        % (min(0.0, yz), ly + max(0.0, yz), xz))
+                f.write("%.16f %.16f %.16f\n" % (0.0, lz, yz))
+            else:
+                f.write("ITEM: BOX BOUNDS pp pp pp\n")
+                for L in (lx, ly, lz):
+                    f.write("0.0 %.16f\n" % L)
+            f.write("ITEM: ATOMS id type x y z\n")
+            for i in range(structure.n_atoms):
+                f.write("%d %d %.16f %.16f %.16f\n"
+                        % (i + 1, species[i], *np.asarray(pos)[i]))
 
 
 def parse_xdatcar_header(f):
