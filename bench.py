@@ -125,12 +125,15 @@ def tpu_fps(cell, verts, frames, centers, n_static, mode="mxu"):
                                     indexing="ij"), axis=-1).reshape(-1, 3)
         site_pos = (grid + 0.5) * A_LAT
         basis = prepare_mxu_basis(verts, np.ones_like(verts, bool),
-                                  site_pos, cell, s_tile=256)
+                                  site_pos, cell, s_tile=256,
+                                  static_ref=grid * A_LAT,
+                                  midpoint=MIDPOINT, steepness=STEEPNESS,
+                                  cutoff_shape=CUTOFF)
         centers_mxu = jnp.asarray(permute_centers(centers, basis))
 
     @jax.jit
     def step(static_blocks, mobile_blocks, verts_j, centers_j, A,
-             uidx, Am, kill):
+             uidx, Am, kill, ref_u, anchors):
         # big arrays arrive as arguments (baking them into the HLO as
         # constants bloats the program past the remote-compile limit)
         def body(carry, xs):
@@ -140,7 +143,9 @@ def tpu_fps(cell, verts, frames, centers, n_static, mode="mxu"):
                     mobile, static,
                     dict(uidx=uidx, A=Am, kill=kill,
                          s_tile=basis["s_tile"], n_st=basis["n_st"],
-                         UP=basis["UP"], cost_ratio=0.0, site_order=None),
+                         UP=basis["UP"], cost_ratio=0.0, site_order=None,
+                         preshift=basis["preshift"], ref_u=ref_u,
+                         anchors=anchors),
                     cell_diag, centers_j,
                     midpoint=MIDPOINT, steepness=STEEPNESS,
                     threshold=ASSIGN_THR, cutoff_shape=CUTOFF)
@@ -175,11 +180,18 @@ def tpu_fps(cell, verts, frames, centers, n_static, mode="mxu"):
     mb = jnp.asarray(mobile.reshape(N_BLOCKS, BLOCK, N_IONS, 3))
     centers_arg = centers_mxu if mode == "mxu" else jnp.asarray(centers)
     if basis is not None:
-        bargs = (basis["uidx"], basis["A"], basis["kill"])
+        ps = basis["preshift"]
+        bargs = (basis["uidx"], basis["A"], basis["kill"],
+                 basis["ref_u"] if ps else jnp.zeros(
+                     (basis["n_st"], basis["UP"], 3), jnp.float32),
+                 basis["anchors"] if ps else jnp.zeros(
+                     (basis["n_st"], 3), jnp.float32))
     else:
         bargs = (jnp.zeros((1, 1), jnp.int32),
                  jnp.zeros((1, 1, 1), jnp.float32),
-                 jnp.zeros((1, 1), jnp.float32))
+                 jnp.zeros((1, 1), jnp.float32),
+                 jnp.zeros((1, 1, 3), jnp.float32),
+                 jnp.zeros((1, 3), jnp.float32))
     args = (sb, mb, jnp.asarray(verts), centers_arg, A) + bargs
 
     np.asarray(step(*args))                    # compile + warm (full sync)

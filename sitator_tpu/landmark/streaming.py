@@ -48,13 +48,15 @@ logger = logging.getLogger(__name__)
                                    "steepness", "threshold",
                                    "cutoff_shape", "mesh",
                                    "interpret", "full_mask", "mxu_s_tile",
-                                   "mxu_n_st", "want_drift"))
+                                   "mxu_n_st", "mxu_preshift",
+                                   "want_drift"))
 def _assign_block(mobile, static, verts, vmask, A, cell, cell_inv,
-                  kcell, centers, active, uidx, Am, kill, static_ref, *,
+                  kcell, centers, active, uidx, Am, kill, mxu_ref_u,
+                  mxu_anchors, static_ref, *,
                   kernel, midpoint, steepness, threshold,
                   cutoff_shape="logistic", mesh=None,
                   interpret=False, full_mask=False, mxu_s_tile=0,
-                  mxu_n_st=0, want_drift=True):
+                  mxu_n_st=0, mxu_preshift=False, want_drift=True):
     """Assign one streamed block: (labels, confs, per-frame static drift).
 
     ``kernel``: 'mxu' (unique-atom MXU-product kernel, fastest — centers
@@ -70,12 +72,14 @@ def _assign_block(mobile, static, verts, vmask, A, cell, cell_inv,
     if kernel == "mxu":
         from sitator_tpu.ops.landmark_mxu import mxu_assign_blocks
 
-        def assign_mxu(mobile, static, uidx, Am, kill, kcell, centers):
+        def assign_mxu(mobile, static, uidx, Am, kill, ref_u, anchors,
+                       kcell, centers):
             return mxu_assign_blocks(
                 mobile, static,
                 dict(uidx=uidx, A=Am, kill=kill, s_tile=mxu_s_tile,
                      n_st=mxu_n_st, UP=uidx.shape[1], cost_ratio=0.0,
-                     site_order=None),
+                     site_order=None, preshift=mxu_preshift,
+                     ref_u=ref_u, anchors=anchors),
                 kcell, centers, midpoint=midpoint, steepness=steepness,
                 threshold=threshold, cutoff_shape=cutoff_shape,
                 interpret=interpret)
@@ -83,9 +87,11 @@ def _assign_block(mobile, static, verts, vmask, A, cell, cell_inv,
         if mesh is not None:
             labels, confs = shard_map_frames(
                 assign_mxu, mesh, 2,
-                mobile, static, uidx, Am, kill, kcell, centers)
+                mobile, static, uidx, Am, kill, mxu_ref_u, mxu_anchors,
+                kcell, centers)
         else:
             labels, confs = assign_mxu(mobile, static, uidx, Am, kill,
+                                       mxu_ref_u, mxu_anchors,
                                        kcell, centers)
     elif kernel == "gather":
         def assign_gather(mobile, static, verts, vmask, kcell, centers):
@@ -341,6 +347,9 @@ class StreamingLandmarkAnalysis:
         # per-vertex gather kernel; XLA fallback when fused is off
         kernel = "xla"
         mxu_s_tile = mxu_n_st = 0
+        mxu_preshift = False
+        ref_u_j = jnp.zeros((1, 1, 3), jnp.float32)
+        anchors_j = jnp.zeros((1, 3), jnp.float32)
         uidx_j = jnp.zeros((1, 1), jnp.int32)
         Am_j = jnp.zeros((1, 1, 1), jnp.float32)
         kill_j = jnp.zeros((1, 1), jnp.float32)
@@ -354,12 +363,20 @@ class StreamingLandmarkAnalysis:
             S_basis = verts.shape[0]
             basis = prepare_mxu_basis(
                 verts, vmask, sn.centers, cell_np,
-                s_tile=256 if S_basis >= 256 else 128)
+                s_tile=256 if S_basis >= 256 else 128,
+                static_ref=sn.structure.positions[static_idx],
+                midpoint=self.cutoff_midpoint,
+                steepness=self.cutoff_steepness,
+                cutoff_shape=self.cutoff_shape)
             if mxu_supported(basis):
                 kernel = "mxu"
                 mxu_s_tile, mxu_n_st = basis["s_tile"], basis["n_st"]
                 uidx_j, Am_j, kill_j = (basis["uidx"], basis["A"],
                                         basis["kill"])
+                mxu_preshift = bool(basis["preshift"])
+                if mxu_preshift:
+                    ref_u_j = basis["ref_u"]
+                    anchors_j = basis["anchors"]
                 centers_j = jnp.asarray(
                     permute_centers(centers, basis), jnp.float32)
 
@@ -474,6 +491,7 @@ class StreamingLandmarkAnalysis:
             cutoff_shape=self.cutoff_shape, mesh=self.mesh,
             interpret=self.interpret, full_mask=full_mask,
             mxu_s_tile=mxu_s_tile, mxu_n_st=mxu_n_st,
+            mxu_preshift=mxu_preshift,
             want_drift=thr_drift is not None)
         for lo, block in feeder:
             nb = len(block)
@@ -501,7 +519,7 @@ class StreamingLandmarkAnalysis:
                     labels, confs, drift = _assign_block(
                         mobile, static, verts_j, vmask_j, A, cell, cell_inv,
                         kcell, centers_j, active, uidx_j, Am_j, kill_j,
-                        static_ref_j, **assign_kw)
+                        ref_u_j, anchors_j, static_ref_j, **assign_kw)
                     if thr_drift is not None:
                         drift_f = np.asarray(drift)[:nb]
                     need_assign = False

@@ -19,9 +19,9 @@ Per (frame, site-tile) grid step, entirely in VMEM:
 3. ``lv = exp(loglv)`` → running norm² and ``lv @ centersᵀ`` as in the
    gather kernel; labels/confidences leave the chip, nothing else.
 
-Host-side prep (once per landmark basis): Morton-order the sites by
-spatial bin so tiles are compact, extract each tile's unique-atom list,
-and build the padded per-tile ``A``.  :func:`mxu_supported` reports when
+Host-side prep (once per landmark basis): order the sites by a balanced
+kd split so every tile is a compact axis-aligned box, extract each tile's
+unique-atom list, and build the padded per-tile ``A``.  :func:`mxu_supported` reports when
 the basis shares enough vertices for this formulation to win; callers fall
 back to the gather kernel otherwise.
 
@@ -50,21 +50,43 @@ __all__ = ["prepare_mxu_basis", "mxu_assign_blocks", "mxu_supported",
            "permute_centers"]
 
 
-def _morton3(q, bits):
-    out = np.zeros(len(q), dtype=np.int64)
-    for b in range(bits):
-        for ax in range(3):
-            out |= ((q[:, ax] >> b) & 1).astype(np.int64) << (3 * b + ax)
-    return out
+def _kd_order(frac, s_tile):
+    """Balanced kd-split site ordering: recursively split the site set
+    along its widest fractional axis at exact ``s_tile`` multiples, so
+    every consecutive ``s_tile`` slice of the returned permutation is a
+    compact axis-aligned box.  (A Morton curve sliced at arbitrary tile
+    offsets straddles octant jumps — tiles spanning half the cell — which
+    both inflates per-tile unique-atom counts and breaks the preshift
+    bound; the kd split bounds every tile's extent by construction.)"""
+    S = len(frac)
+    n_tiles = -(-S // s_tile)
+    out = []
+
+    def rec(ids, k):
+        if k == 1:
+            out.append(ids)
+            return
+        f = frac[ids]
+        ax = int(np.argmax(f.max(axis=0) - f.min(axis=0)))
+        k1 = k // 2
+        n_left = min(k1 * s_tile, len(ids))
+        o = ids[np.argsort(f[:, ax], kind="stable")]
+        rec(o[:n_left], k1)
+        rec(o[n_left:], k - k1)
+
+    rec(np.arange(S), n_tiles)
+    return np.concatenate(out)
 
 
 def prepare_mxu_basis(verts, vmask, site_pos, cell, *, s_tile=256,
-                      bins_per_axis=16):
+                      static_ref=None, midpoint=None,
+                      steepness=None, cutoff_shape="logistic",
+                      vibration_margin=3.0):
     """Host-side, once per landmark basis.
 
     verts (S, V) int32 indices into the static substructure, vmask (S, V),
     site_pos (S, 3) landmark node positions (used only for the spatial
-    Morton ordering — any representative per-site point works),
+    kd tiling — any representative per-site point works),
     cell (3, 3).  Returns a dict with device arrays:
 
     - ``uidx (n_st, UP)``: per-tile unique static-atom indices (0-padded);
@@ -73,6 +95,23 @@ def prepare_mxu_basis(verts, vmask, site_pos, cell, *, s_tile=256,
     - ``site_order (S,)``: permutation applied to the site axis — apply to
       cluster-center COLUMNS via :func:`permute_centers`;
     plus static metadata (``s_tile``, ``n_st``, ``UP``, cost ratio).
+
+    **Tile-preshift route** (enabled when ``static_ref`` — the reference
+    (n_static, 3) positions — and the cutoff parameters are given, and the
+    cell is big enough): each tile's atoms are unwrapped once to the image
+    nearest the tile anchor, so the kernel replaces the per-(ion, atom)
+    minimum image (3·M·U rounds per tile) with ONE shift per (ion, tile).
+    Exact by the underflow argument: a pair for which the single shift is
+    not the minimum image has BOTH its raw and true min-image distances
+    ≥ ``d_far = min_ax (0.5 − r_frac − vib_frac) · w_ax`` (inscribed cell
+    widths ``w``); if ``log cutoff(d_far) ≤ −75``, the entry is ≤ 2.7e−33
+    in either formulation — orders of magnitude below anything that can
+    move an f32 assignment (see the bound's in-code note) — so labels are
+    unchanged.  ``vibration_margin`` (Å) budgets per-frame
+    static-atom drift on top of the reference geometry (the engines'
+    ``static_movement_threshold`` guard keeps real drift far below it).
+    Small cells fail the bound and fall back to the per-pair path
+    (``preshift=False``).
     """
     verts = np.asarray(verts)
     vmask = np.asarray(vmask).astype(bool)
@@ -81,11 +120,7 @@ def prepare_mxu_basis(verts, vmask, site_pos, cell, *, s_tile=256,
     S, V = verts.shape
 
     frac = (site_pos @ np.linalg.inv(cell)) % 1.0
-    q = np.minimum((frac * bins_per_axis).astype(np.int64),
-                   bins_per_axis - 1)
-    q = np.maximum(q, 0)
-    order = np.argsort(_morton3(q, max(1, int(np.ceil(
-        np.log2(bins_per_axis))))), kind="stable")
+    order = _kd_order(frac, s_tile)
     verts_s = verts[order]
     vmask_s = vmask[order]
 
@@ -116,7 +151,7 @@ def prepare_mxu_basis(verts, vmask, site_pos, cell, *, s_tile=256,
     kill = np.zeros((1, SP), np.float32)
     kill[0, S:] = 1.0
 
-    return dict(
+    basis = dict(
         uidx=jnp.asarray(uidx),
         A=jnp.asarray(A),
         kill=jnp.asarray(kill),
@@ -126,7 +161,58 @@ def prepare_mxu_basis(verts, vmask, site_pos, cell, *, s_tile=256,
         UP=int(UP),
         # elementwise-pair cost vs the gather kernel (lower = MXU path wins)
         cost_ratio=float(n_st * UP) / float(max(S * V, 1)),
+        preshift=False,
     )
+
+    if static_ref is None or midpoint is None or steepness is None:
+        return basis
+    static_ref = np.asarray(static_ref, np.float64)
+    inv = np.linalg.inv(cell)
+    w = 1.0 / np.linalg.norm(inv, axis=0)        # inscribed width per axis
+    site_frac = site_pos @ inv                   # NOT wrapped
+    ref_frac = static_ref @ inv
+    ref_u = np.zeros((n_st, UP, 3), np.float64)
+    anchors = np.zeros((n_st, 3), np.float64)
+    rfrac = np.zeros(3)
+    for t in range(n_st):
+        lo, hi = t * s_tile, min((t + 1) * s_tile, S)
+        u = uniq[t]
+        if lo >= S or len(u) == 0:
+            continue
+        # anchor: fractional centroid of the tile's sites, each unwrapped
+        # to the first site's image (kd tiles are compact boxes, but may
+        # still touch a face)
+        sf = site_frac[order[lo:hi]]
+        sf = sf - np.round(sf - sf[0])
+        anchor_f = sf.mean(axis=0)
+        af = ref_frac[u]
+        af = af - np.round(af - anchor_f)        # unwrap atoms to anchor
+        rfrac = np.maximum(rfrac, np.abs(af - anchor_f).max(axis=0))
+        ref_u[t, :len(u)] = af @ cell
+        # padded slots replay atom 0's coords; A never references them
+        ref_u[t, len(u):] = ref_u[t, 0]
+        anchors[t] = anchor_f @ cell
+    vib_frac = vibration_margin / w
+    half_gap = 0.5 - rfrac - vib_frac
+    if (half_gap > 0.0).all():
+        d_far = float(np.min(half_gap * w))
+        if cutoff_shape == "logistic_r2":
+            k2 = steepness / (2.0 * midpoint)
+            log_bound = -(k2 * (d_far * d_far - midpoint * midpoint))
+        else:
+            log_bound = -(steepness * (d_far - midpoint))
+        # −75: a disagreeing pair contributes lv ≤ exp(−75) ≈ 2.7e−33 in
+        # EITHER formulation, perturbing any similarity by < S·2.7e−33
+        # ≈ 1e−28 total — an f32 argmax between values above ~1e−21 cannot
+        # be flipped by that (ulp(1e−21) ≈ 1e−28), and confidences at
+        # 1e−21 are unassignable noise in any real configuration.  Agreeing
+        # pairs are the same minimum image computed either way (ulp-level
+        # arithmetic reordering only, exactly like the gather↔MXU pairing).
+        if log_bound <= -75.0:
+            basis["preshift"] = True
+            basis["ref_u"] = jnp.asarray(ref_u, jnp.float32)
+            basis["anchors"] = jnp.asarray(anchors, jnp.float32)
+    return basis
 
 
 def mxu_supported(basis, max_cost_ratio=0.75) -> bool:
@@ -143,8 +229,9 @@ def permute_centers(centers, basis):
 
 
 def _kernel(mob_ref, vpu_ref, A_ref, kill_ref, centers_ref, params_ref,
-            labels_ref, confs_ref, sims_acc, norm_acc, top2_acc, *, n_st,
-            a_dtype, mxu_dtype, r2_cutoff, triclinic, peak_clip):
+            anchors_ref, labels_ref, confs_ref, sims_acc, norm_acc,
+            top2_acc, *, n_st, a_dtype, mxu_dtype, r2_cutoff, triclinic,
+            peak_clip, preshift):
     b = pl.program_id(0)
     p = pl.program_id(1)
     st = pl.program_id(2)
@@ -166,10 +253,25 @@ def _kernel(mob_ref, vpu_ref, A_ref, kill_ref, centers_ref, params_ref,
     mx = mob_ref[0, 0, :]
     my = mob_ref[0, 1, :]
     mz = mob_ref[0, 2, :]
-    dx = mx[:, None] - vpu_ref[0, 0, 0, :][None, :]      # (M, UP)
-    dy = my[:, None] - vpu_ref[0, 0, 1, :][None, :]
-    dz = mz[:, None] - vpu_ref[0, 0, 2, :][None, :]
-    dx, dy, dz = min_image_xyz(dx, dy, dz, cell, triclinic)
+    if preshift:
+        # ONE min-image per (ion, tile): shift each ion to the image
+        # nearest the tile anchor; the tile's atoms were unwrapped to that
+        # anchor at trace time, so the raw differences below are exact
+        # minimum images for every pair that matters (far pairs underflow
+        # exp to 0.0 either way — see prepare_mxu_basis)
+        ax_ = anchors_ref[st, 0]
+        ay_ = anchors_ref[st, 1]
+        az_ = anchors_ref[st, 2]
+        sx, sy, sz = min_image_xyz(mx - ax_, my - ay_, mz - az_,
+                                   cell, triclinic)
+        dx = (ax_ + sx)[:, None] - vpu_ref[0, 0, 0, :][None, :]  # (M, UP)
+        dy = (ay_ + sy)[:, None] - vpu_ref[0, 0, 1, :][None, :]
+        dz = (az_ + sz)[:, None] - vpu_ref[0, 0, 2, :][None, :]
+    else:
+        dx = mx[:, None] - vpu_ref[0, 0, 0, :][None, :]          # (M, UP)
+        dy = my[:, None] - vpu_ref[0, 0, 1, :][None, :]
+        dz = mz[:, None] - vpu_ref[0, 0, 2, :][None, :]
+        dx, dy, dz = min_image_xyz(dx, dy, dz, cell, triclinic)
     d2 = dx * dx + dy * dy + dz * dz
     if r2_cutoff:
         k2 = steepness / (2.0 * midpoint)
@@ -212,11 +314,11 @@ def _kernel(mob_ref, vpu_ref, A_ref, kill_ref, centers_ref, params_ref,
 @partial(jax.jit,
          static_argnames=("midpoint", "steepness", "threshold", "s_tile",
                           "n_st", "a_bf16", "mxu_bf16", "interpret",
-                          "cutoff_shape", "peak_evening"))
-def _mxu_call(mobile, static, uidx, A, kill, cell, centers_perm, *,
-              midpoint, steepness, threshold, s_tile, n_st, a_bf16=False,
-              mxu_bf16=True, interpret=False, cutoff_shape="logistic",
-              peak_evening="none"):
+                          "cutoff_shape", "peak_evening", "preshift"))
+def _mxu_call(mobile, static, uidx, A, kill, cell, centers_perm, ref_u,
+              anchors, *, midpoint, steepness, threshold, s_tile, n_st,
+              a_bf16=False, mxu_bf16=True, interpret=False,
+              cutoff_shape="logistic", peak_evening="none", preshift=False):
     peak_clip = peak_evening == "clip"
     n_passes = 2 if peak_clip else 1
     B, M, _ = mobile.shape
@@ -230,6 +332,15 @@ def _mxu_call(mobile, static, uidx, A, kill, cell, centers_perm, *,
     mob = jnp.pad(mob, ((0, 0), (0, 0), (0, MP - M)), mode="edge")
     # per-tile unique-atom coordinate planes: one cheap XLA gather per block
     vpu = jnp.take(static, uidx.reshape(-1), axis=1).reshape(B, n_st, UP, 3)
+    if preshift:
+        # unwrap the per-frame atoms to the image nearest their unwrapped
+        # reference (robust to arbitrary wrapping + drift in the input):
+        # O(B·n_st·UP) elementwise, fused into the gather by XLA — the
+        # kernel then skips per-(ion, atom) imaging entirely
+        cm = jnp.diag(cell) if cell.ndim == 1 else cell
+        d = vpu - ref_u[None]
+        f = d @ jnp.linalg.inv(cm)
+        vpu = ref_u[None] + (f - jnp.round(f)) @ cm
     vpu = jnp.transpose(vpu, (0, 1, 3, 2))                 # (B, n_st, 3, UP)
     cpad = jnp.pad(centers_perm.astype(jnp.float32).T,
                    ((0, SP - centers_perm.shape[1]), (0, KP - K)))
@@ -241,7 +352,8 @@ def _mxu_call(mobile, static, uidx, A, kill, cell, centers_perm, *,
                      a_dtype=jnp.bfloat16 if a_bf16 else jnp.float32,
                      mxu_dtype=jnp.bfloat16 if mxu_bf16 else jnp.float32,
                      r2_cutoff=(cutoff_shape == "logistic_r2"),
-                     triclinic=triclinic, peak_clip=peak_clip)
+                     triclinic=triclinic, peak_clip=peak_clip,
+                     preshift=preshift)
     labels, confs = pl.pallas_call(
         kernel,
         grid=(B, n_passes, n_st),
@@ -256,6 +368,7 @@ def _mxu_call(mobile, static, uidx, A, kill, cell, centers_perm, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((s_tile, KP), lambda b, p, st: (st, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -274,7 +387,7 @@ def _mxu_call(mobile, static, uidx, A, kill, cell, centers_perm, *,
             pltpu.VMEM((MP, 2), jnp.float32),
         ],
         interpret=interpret,
-    )(mob, vpu, A, kill, cpad, params)
+    )(mob, vpu, A, kill, cpad, params, anchors)
     return labels[:, :M], confs[:, :M]
 
 
@@ -290,10 +403,17 @@ def mxu_assign_blocks(mobile, static, basis, cell, centers_perm, *,
     (labels (B, M) int32 with −1 below threshold, confs (B, M)) — labels
     index center rows, identical to ``fused_assign_blocks``.
     """
+    preshift = bool(basis.get("preshift", False))
+    n_st = basis["n_st"]
+    ref_u = (basis["ref_u"] if preshift
+             else jnp.zeros((n_st, basis["UP"], 3), jnp.float32))
+    anchors = (basis["anchors"] if preshift
+               else jnp.zeros((n_st, 3), jnp.float32))
     return _mxu_call(
         mobile, static, basis["uidx"], basis["A"], basis["kill"], cell,
-        jnp.asarray(centers_perm, jnp.float32), midpoint=float(midpoint),
+        jnp.asarray(centers_perm, jnp.float32), ref_u, anchors,
+        midpoint=float(midpoint),
         steepness=float(steepness), threshold=float(threshold),
-        s_tile=basis["s_tile"], n_st=basis["n_st"], a_bf16=a_bf16,
+        s_tile=basis["s_tile"], n_st=n_st, a_bf16=a_bf16,
         mxu_bf16=mxu_bf16, interpret=interpret, cutoff_shape=cutoff_shape,
-        peak_evening=peak_evening)
+        peak_evening=peak_evening, preshift=preshift)

@@ -40,20 +40,28 @@ def mxu_analysis_step(mesh, mobile, static, basis, cell, centers_perm, *,
     from sitator_tpu.ops.landmark_mxu import mxu_assign_blocks
     from sitator_tpu.parallel.mesh import shard_map_frames
 
-    def local(mobile, static, uidx, A, kill, cell, centers_perm):
+    preshift = bool(basis.get("preshift", False))
+    n_st, UP = basis["n_st"], basis["UP"]
+    ref_u = (basis["ref_u"] if preshift
+             else jnp.zeros((n_st, UP, 3), jnp.float32))
+    anchors = (basis["anchors"] if preshift
+               else jnp.zeros((n_st, 3), jnp.float32))
+
+    def local(mobile, static, uidx, A, kill, ref_u, anchors, cell,
+              centers_perm):
         return mxu_assign_blocks(
             mobile, static,
             dict(uidx=uidx, A=A, kill=kill, s_tile=basis["s_tile"],
-                 n_st=basis["n_st"], UP=basis["UP"],
-                 cost_ratio=basis["cost_ratio"],
-                 site_order=basis["site_order"]),
+                 n_st=n_st, UP=UP, cost_ratio=basis["cost_ratio"],
+                 site_order=basis["site_order"], preshift=preshift,
+                 ref_u=ref_u, anchors=anchors),
             cell, centers_perm, midpoint=midpoint, steepness=steepness,
             threshold=threshold, mxu_bf16=mxu_bf16, interpret=interpret,
             cutoff_shape=cutoff_shape, peak_evening=peak_evening)
 
     labels, confs = shard_map_frames(
         local, mesh, 2, mobile, static, basis["uidx"], basis["A"],
-        basis["kill"], cell, centers_perm)
+        basis["kill"], ref_u, anchors, cell, centers_perm)
     if active_idx is not None:
         labels = _remap_labels(labels, jnp.asarray(active_idx, jnp.int32))
     if n_sites is None:
@@ -228,9 +236,16 @@ class SpmdLandmarkPipeline:
             S = verts.shape[0]
             basis = prepare_mxu_basis(
                 verts, vmask, seed_sn.centers, seed_sn.structure.cell,
-                s_tile=256 if S >= 256 else 128)
+                s_tile=256 if S >= 256 else 128,
+                static_ref=seed_sn.structure.positions[self.static_idx],
+                midpoint=self.cutoff_midpoint,
+                steepness=self.cutoff_steepness,
+                cutoff_shape=self.cutoff_shape)
             if mxu_supported(basis):
-                for k in ("uidx", "A", "kill"):
+                keys = ["uidx", "A", "kill"]
+                if basis["preshift"]:
+                    keys += ["ref_u", "anchors"]
+                for k in keys:
                     basis[k] = jax.device_put(basis[k], rep)
                 self._mxu_basis = basis
                 self._centers_mxu = jax.device_put(

@@ -161,3 +161,102 @@ def test_mxu_supported_cost_gate():
     basis2 = prepare_mxu_basis(verts2, vmask, site_pos, np.eye(3) * 10,
                                s_tile=64)
     assert not mxu_supported(basis2)
+
+
+def _sc_system(n_c=20, a=4.0, M=6, B=2, K=8, seed=23):
+    """Structured simple-cubic lattice: sites at cell centers, verts = the
+    8 surrounding lattice atoms — the geometry the MXU kernel is built
+    for (spatially compact kd tiles)."""
+    r = np.random.default_rng(seed)
+    L = n_c * a
+    cell = np.eye(3, dtype=np.float32) * L
+    g = np.arange(n_c)
+    grid = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    static0 = grid * a + r.normal(scale=0.05, size=(len(grid), 3))
+    site_pos = (grid + 0.5) * a
+
+    def idx(v):
+        v = v % n_c
+        return v[:, 0] * n_c * n_c + v[:, 1] * n_c + v[:, 2]
+
+    verts = np.stack([idx(grid + d) for d in
+                      np.stack(np.meshgrid([0, 1], [0, 1], [0, 1],
+                                           indexing="ij"), -1).reshape(-1, 3)
+                      ], axis=1).astype(np.int32)
+    vmask = np.ones_like(verts, dtype=bool)
+    static = np.broadcast_to(static0, (B,) + static0.shape).copy()
+    static += r.normal(scale=0.03, size=static.shape)
+    mobile = r.random((B, M, 3)) * L
+    centers = r.random((K, len(site_pos))).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    return (cell, mobile.astype(np.float32), static.astype(np.float32),
+            verts, vmask, centers, site_pos)
+
+
+def test_mxu_preshift_activates_and_matches(rng):
+    """Tile-preshift route: activates on a large structured cell
+    (logistic_r2 underflow bound met) and reproduces the per-pair path's
+    labels; confidences agree to fp tolerance."""
+    cell, mobile, static, verts, vmask, centers, site_pos = _sc_system()
+    kw = dict(midpoint=3.0, steepness=4.0, threshold=0.3, mxu_bf16=False,
+              interpret=True, cutoff_shape="logistic_r2")
+    basis_ps = prepare_mxu_basis(
+        verts, vmask, site_pos, cell, s_tile=256,
+        static_ref=np.asarray(static[0], np.float64),
+        midpoint=3.0, steepness=4.0, cutoff_shape="logistic_r2")
+    assert basis_ps["preshift"], "bound must hold on this geometry"
+    basis_pp = prepare_mxu_basis(verts, vmask, site_pos, cell, s_tile=256)
+    assert not basis_pp["preshift"]
+
+    cdiag = jnp.asarray(np.diag(cell).astype(np.float32))
+    lab_ps, conf_ps = mxu_assign_blocks(
+        jnp.asarray(mobile), jnp.asarray(static), basis_ps, cdiag,
+        permute_centers(centers, basis_ps), **kw)
+    lab_pp, conf_pp = mxu_assign_blocks(
+        jnp.asarray(mobile), jnp.asarray(static), basis_pp, cdiag,
+        permute_centers(centers, basis_pp), **kw)
+    np.testing.assert_array_equal(np.asarray(lab_ps), np.asarray(lab_pp))
+    np.testing.assert_allclose(np.asarray(conf_ps), np.asarray(conf_pp),
+                               atol=2e-5)
+    # and against the dense XLA oracle
+    want_lab, want_conf = _xla_reference(cell, mobile, static, verts,
+                                         vmask, centers, 0.3,
+                                         cutoff_shape="logistic_r2")
+    np.testing.assert_array_equal(np.asarray(want_lab), np.asarray(lab_ps))
+    np.testing.assert_allclose(np.asarray(want_conf), np.asarray(conf_ps),
+                               atol=2e-5)
+
+
+def test_mxu_preshift_handles_wrapped_atoms(rng):
+    """Per-frame atoms wrapped into a different image than the reference
+    must be re-unwrapped at trace time (the shift is constant only modulo
+    the cell)."""
+    cell, mobile, static, verts, vmask, centers, site_pos = _sc_system(B=1)
+    L = float(cell[0, 0])
+    static_wrapped = np.mod(static + 0.5 * L, L) - 0.5 * L  # shift images
+    kw = dict(midpoint=3.0, steepness=4.0, threshold=0.3, mxu_bf16=False,
+              interpret=True, cutoff_shape="logistic_r2")
+    basis_ps = prepare_mxu_basis(
+        verts, vmask, site_pos, cell, s_tile=256,
+        static_ref=np.asarray(static[0], np.float64),
+        midpoint=3.0, steepness=4.0, cutoff_shape="logistic_r2")
+    assert basis_ps["preshift"]
+    cdiag = jnp.asarray(np.diag(cell).astype(np.float32))
+    lab_w, _ = mxu_assign_blocks(
+        jnp.asarray(mobile), jnp.asarray(static_wrapped), basis_ps, cdiag,
+        permute_centers(centers, basis_ps), **kw)
+    lab_r, _ = mxu_assign_blocks(
+        jnp.asarray(mobile), jnp.asarray(static), basis_ps, cdiag,
+        permute_centers(centers, basis_ps), **kw)
+    np.testing.assert_array_equal(np.asarray(lab_w), np.asarray(lab_r))
+
+
+def test_mxu_preshift_rejects_small_cells():
+    """The underflow bound fails on a small cell -> per-pair fallback."""
+    r = np.random.default_rng(29)
+    cell, mobile, static, verts, vmask, centers, site_pos = _system(r)
+    basis = prepare_mxu_basis(
+        verts, vmask, site_pos, cell, s_tile=256,
+        static_ref=np.asarray(static[0], np.float64),
+        midpoint=3.0, steepness=4.0, cutoff_shape="logistic")
+    assert not basis["preshift"]
