@@ -125,7 +125,7 @@ def tpu_fps(cell, verts, frames, centers, n_static, mode="mxu"):
                                     indexing="ij"), axis=-1).reshape(-1, 3)
         site_pos = (grid + 0.5) * A_LAT
         basis = prepare_mxu_basis(verts, np.ones_like(verts, bool),
-                                  site_pos, cell, s_tile=256,
+                                  site_pos, cell, s_tile=128,
                                   static_ref=grid * A_LAT,
                                   midpoint=MIDPOINT, steepness=STEEPNESS,
                                   cutoff_shape=CUTOFF)

@@ -360,10 +360,9 @@ class StreamingLandmarkAnalysis:
                 permute_centers,
                 prepare_mxu_basis,
             )
-            S_basis = verts.shape[0]
             basis = prepare_mxu_basis(
                 verts, vmask, sn.centers, cell_np,
-                s_tile=256 if S_basis >= 256 else 128,
+                s_tile=128,  # post-preshift sweep winner (PERFORMANCE.md)
                 static_ref=sn.structure.positions[static_idx],
                 midpoint=self.cutoff_midpoint,
                 steepness=self.cutoff_steepness,

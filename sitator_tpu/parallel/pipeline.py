@@ -233,10 +233,12 @@ class SpmdLandmarkPipeline:
                 permute_centers,
                 prepare_mxu_basis,
             )
-            S = verts.shape[0]
             basis = prepare_mxu_basis(
                 verts, vmask, seed_sn.centers, seed_sn.structure.cell,
-                s_tile=256 if S >= 256 else 128,
+                # 128 beats 256 by ~2% post-preshift and keeps the
+                # preshift bound satisfiable on smaller cells (kd tiles
+                # twice as compact) — PERFORMANCE.md s_tile sweep
+                s_tile=128,
                 static_ref=seed_sn.structure.positions[self.static_idx],
                 midpoint=self.cutoff_midpoint,
                 steepness=self.cutoff_steepness,
