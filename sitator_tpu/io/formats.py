@@ -619,7 +619,11 @@ def open_trajectory(path, **kwargs):
     protocol, preferring the native multithreaded decoders for text
     formats.  ``variable_cell='rescale'`` (text formats only) routes NPT
     files through the Python readers' affine cell bridge — the native
-    decoders are fixed-cell by design."""
+    decoders are fixed-cell by design.  NOTE: the rescale route is an
+    EAGER whole-file load (random access over rescaled text needs the
+    materialized array); for large NPT files use
+    ``convert_to_npy(path, out, variable_cell='rescale')`` once — O(1)
+    memory — and stream the resulting ``.npy``."""
     p = str(path)
     fmt = sniff_format(p)
     if fmt == "npy":

@@ -126,7 +126,24 @@ class _IndexedNativeTrajectory:
             if cache_index:
                 self._save_index_cache()
 
+        self._check_fixed_cell()
         self.structure = self._load_structure()
+
+    # the native decoders are fixed-cell by design; subclasses override
+    # this with a cheap sampled check so NPT files raise (and
+    # open_trajectory falls back to the Python readers' full-scan error)
+    # instead of being silently read with frame 0's cell
+    def _check_fixed_cell(self):
+        pass
+
+    def _sample_frames(self, k=8):
+        n = self._n_frames
+        if n <= 1:
+            return []
+        idx = {0, n - 1}
+        idx.update(int(i) for i in
+                   np.linspace(0, n - 1, num=min(k, n), dtype=np.int64))
+        return sorted(idx)
 
     def _index_call(self, offsets, cap):
         """One native index invocation: returns (n_frames, n_atoms)."""
@@ -207,13 +224,32 @@ class FastXYZTrajectory(_IndexedNativeTrajectory):
 
     Implements the ``TrajectoryReader`` protocol.  Index is built once
     (single scan); block reads decode frames across ``n_threads``.
-    Fixed-cell by design: per-frame ``Lattice=`` entries are NOT verified
-    (frame 0's cell is taken as the cell); use the Python reader with
+    Fixed-cell by design: per-frame ``Lattice=`` consistency is verified
+    on a frame SAMPLE (first/last + evenly spaced — catches real NPT
+    runs, not a proof); mismatches raise so ``open_trajectory`` falls
+    back to the Python reader's full-scan error.  Use
     ``variable_cell='rescale'`` for NPT extxyz files.
     """
 
     _index_name = "fxyz_index"
     _cache_suffix = ".fxyzidx.npz"
+
+    def _check_fixed_cell(self):
+        from sitator_tpu.io.formats import _parse_comment
+        ref = None
+        with open(self.path) as f:
+            for i in self._sample_frames():
+                f.seek(int(self._offsets[i]))
+                f.readline()                       # atom-count line
+                cell = _parse_comment(f.readline())
+                if i == 0:
+                    ref = cell
+                elif (cell is None) != (ref is None) or (
+                        cell is not None
+                        and not np.allclose(cell, ref, atol=1e-8)):
+                    raise ValueError(
+                        "variable-cell extxyz (per-frame Lattice=): the "
+                        "native decoder is fixed-cell; falling back")
 
     def _load_structure(self):
         from sitator_tpu.io.formats import iread_xyz
@@ -281,6 +317,30 @@ class FastLammpsTrajectory(_IndexedNativeTrajectory):
             self._col_id = cols.index("id")
         else:
             self._col_id = -1
+
+    def _check_fixed_cell(self):
+        ref = None
+        with open(self.path) as f:
+            for i in self._sample_frames():
+                f.seek(int(self._offsets[i]))
+                rows = None
+                for _ in range(12):
+                    line = f.readline()
+                    if line.startswith("ITEM: BOX BOUNDS"):
+                        rows = np.array(
+                            [[float(x) for x in f.readline().split()]
+                             for _ in range(3)])
+                        break
+                if rows is None:
+                    raise ValueError("malformed LAMMPS frame header")
+                if i == 0:
+                    ref = rows
+                elif rows.shape != ref.shape or not np.allclose(
+                        rows, ref, atol=1e-8):
+                    raise ValueError(
+                        "variable-cell LAMMPS dump (per-frame box "
+                        "bounds): the native decoder is fixed-cell; "
+                        "falling back")
 
     def _load_structure(self):
         from sitator_tpu.io.formats import iread_lammps_dump

@@ -360,13 +360,20 @@ class StreamingLandmarkAnalysis:
                 permute_centers,
                 prepare_mxu_basis,
             )
+            # preshift exactness needs bounded static drift: tie its
+            # budget to the engine's own drift guard, and disable it
+            # outright when the guard is off (unbounded drift)
+            thr = self.static_movement_threshold
             basis = prepare_mxu_basis(
                 verts, vmask, sn.centers, cell_np,
                 s_tile=128,  # post-preshift sweep winner (PERFORMANCE.md)
-                static_ref=sn.structure.positions[static_idx],
+                static_ref=(sn.structure.positions[static_idx]
+                            if thr is not None else None),
                 midpoint=self.cutoff_midpoint,
                 steepness=self.cutoff_steepness,
-                cutoff_shape=self.cutoff_shape)
+                cutoff_shape=self.cutoff_shape,
+                vibration_margin=max(3.0, 2.0 * thr)
+                if thr is not None else 3.0)
             if mxu_supported(basis):
                 kernel = "mxu"
                 mxu_s_tile, mxu_n_st = basis["s_tile"], basis["n_st"]

@@ -223,7 +223,7 @@ def mxu_supported(basis, max_cost_ratio=0.75) -> bool:
 
 
 def permute_centers(centers, basis):
-    """Permute cluster-center COLUMNS into the basis's Morton site order
+    """Permute cluster-center COLUMNS into the basis's kd-tile site order
     (labels index center ROWS and need no remapping)."""
     return np.asarray(centers)[:, basis["site_order"]]
 

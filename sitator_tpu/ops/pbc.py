@@ -182,7 +182,8 @@ def rescale_to_cell(positions, cells, ref_cell, origins=None, ref_origin=None):
     if cells.ndim == 2:
         cells = np.broadcast_to(cells, (pos.shape[0], 3, 3))
     if origins is not None:
-        pos = pos - np.asarray(origins, dtype=np.float64)[:, None, :]
+        org = np.atleast_2d(np.asarray(origins, dtype=np.float64))
+        pos = pos - org[:, None, :]
     frac = np.einsum("fai,fij->faj", pos, np.linalg.inv(cells))
     out = frac @ ref_cell
     if ref_origin is not None:

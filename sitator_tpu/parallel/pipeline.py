@@ -192,7 +192,14 @@ class SpmdLandmarkPipeline:
     def __init__(self, seed_sn, centers, active, *, cutoff_midpoint,
                  cutoff_steepness, assignment_threshold=0.35,
                  peak_evening="none", mesh=None, use_fused="auto",
-                 cutoff_shape="logistic", interpret=False):
+                 cutoff_shape="logistic", interpret=False,
+                 static_drift_budget=3.0):
+        # static_drift_budget (Å): how far static atoms may drift from the
+        # seed structure — the tile-preshift exactness bound budgets for
+        # it (prepare_mxu_basis vibration_margin); None disables preshift
+        # for unbounded-drift inputs (this pipeline has no drift guard of
+        # its own — the streaming engine's guard enforces its threshold)
+        self.static_drift_budget = static_drift_budget
         self.mesh = mesh if mesh is not None else frame_mesh()
         self.n_devices = self.mesh.devices.size
         self.peak_evening = peak_evening
@@ -233,16 +240,20 @@ class SpmdLandmarkPipeline:
                 permute_centers,
                 prepare_mxu_basis,
             )
+            budget = self.static_drift_budget
             basis = prepare_mxu_basis(
                 verts, vmask, seed_sn.centers, seed_sn.structure.cell,
                 # 128 beats 256 by ~2% post-preshift and keeps the
                 # preshift bound satisfiable on smaller cells (kd tiles
                 # twice as compact) — PERFORMANCE.md s_tile sweep
                 s_tile=128,
-                static_ref=seed_sn.structure.positions[self.static_idx],
+                static_ref=(seed_sn.structure.positions[self.static_idx]
+                            if budget is not None else None),
                 midpoint=self.cutoff_midpoint,
                 steepness=self.cutoff_steepness,
-                cutoff_shape=self.cutoff_shape)
+                cutoff_shape=self.cutoff_shape,
+                vibration_margin=max(3.0, float(budget))
+                if budget is not None else 3.0)
             if mxu_supported(basis):
                 keys = ["uidx", "A", "kill"]
                 if basis["preshift"]:

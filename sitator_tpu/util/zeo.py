@@ -154,23 +154,26 @@ class Zeopy:
                 elif in_nodes:
                     break
 
-        # atom-id base detection: 1-based files cover [1, n_atoms],
-        # 0-based ones [0, n_atoms - 1]
+        # atom-id base detection: an id of 0 proves 0-based; an id equal
+        # to n_atoms proves 1-based (0-based tops out at n_atoms - 1)
         all_ids = [i for v in verts_raw for i in v]
-        offset = 0
+        offset = 1
         if all_ids:
             lo_id, hi_id = min(all_ids), max(all_ids)
-            if lo_id >= 1 and hi_id == structure.n_atoms:
-                offset = 1
-            elif lo_id == 0 and hi_id < structure.n_atoms:
-                offset = 0
-            elif hi_id >= structure.n_atoms:
+            if hi_id > structure.n_atoms:
                 raise ValueError(
                     f"nt2 atom ids reach {hi_id} but the structure has "
                     f"{structure.n_atoms} atoms — not a decomposition of "
                     "this structure?")
-            # ambiguous (ids within [1, n_atoms - 1] only): keep 0-based,
-            # matching Zeo++'s internal indexing
+            if lo_id == 0:
+                offset = 0
+            elif hi_id < structure.n_atoms:
+                # ambiguous (ids within [1, n_atoms - 1] only — e.g. a
+                # partial decomposition): keep the historical 1-based
+                # assumption, but say so
+                warnings.warn(
+                    "nt2 atom-id base is ambiguous (no id 0, none equal "
+                    "to n_atoms); assuming 1-based ids", stacklevel=2)
         verts = [np.array([i - offset for i in v], dtype=np.int32)
                  for v in verts_raw]
         return (np.asarray(nodes), verts, np.asarray(radii))

@@ -64,6 +64,14 @@ def test_rescale_no_wrapping():
     np.testing.assert_allclose(out, [[21.0, -3.6, 6.0]], atol=1e-12)
 
 
+def test_rescale_origins_single_frame():
+    """(A, 3) positions with a single (3,) origin must not crash."""
+    out = rescale_to_cell(np.array([[6.0, 6.0, 6.0]]), np.eye(3) * 10.0,
+                          np.eye(3) * 20.0, origins=np.array([1.0, 1.0, 1.0]),
+                          ref_origin=np.array([1.0, 1.0, 1.0]))
+    np.testing.assert_allclose(out, [[11.0, 11.0, 11.0]], atol=1e-12)
+
+
 def test_rescale_origins():
     cell = np.eye(3)[None] * np.array([10.0, 12.0])[:, None, None]
     pos = np.array([[[6.0, 6.0, 6.0]], [[7.0, 7.0, 7.0]]])
@@ -170,6 +178,9 @@ def test_lammps_npt_rescale_cartesian(tmp_path, rng):
 
     with pytest.raises(ValueError, match="variable-cell"):
         read_lammps_dump(f)
+    # the native decoder's sampled box-bounds check must catch it too
+    with pytest.raises(ValueError, match="variable-cell"):
+        open_trajectory(f)
 
     s, traj = read_lammps_dump(f, variable_cell="rescale")
     np.testing.assert_allclose(s.cell, np.diag(L[0]), atol=1e-8)
@@ -211,10 +222,13 @@ def test_xyz_per_frame_lattice(tmp_path, rng):
             for p in frac0 @ cells[t]:
                 fh.write("Li %.10f %.10f %.10f\n" % tuple(p))
 
-    # the Python reader enforces per-frame Lattice= consistency (the
-    # native decoder is documented fixed-cell and takes frame 0's cell)
     with pytest.raises(ValueError, match="variable-cell"):
         read_xyz(f, index="all")
+    # open_trajectory's native decoder detects the varying Lattice= on
+    # its frame sample and falls back to the Python reader's full-scan
+    # error
+    with pytest.raises(ValueError, match="variable-cell"):
+        open_trajectory(f)
 
     s, traj = read_xyz(f, index="all", variable_cell="rescale")
     np.testing.assert_allclose(s.cell, cells[0], atol=1e-9)
