@@ -82,7 +82,16 @@ class LandmarkAnalysis:
                  clustering_params=None,
                  batch_frames=256,
                  mesh=None,
+                 use_fused="auto",
+                 interpret=False,
                  verbose=True):
+        # use_fused: 'auto' (MXU landmark-vector kernel on TPU when the
+        # basis shares vertices) | True | False (dense XLA path).  The
+        # reference contract exposes .landmark_vectors, so this engine uses
+        # the lv-EMITTING kernel (ops.landmark_mxu.mxu_landmark_blocks),
+        # not the labels-only assign kernels.
+        self.use_fused = use_fused
+        self.interpret = bool(interpret)
         # dynamic_lattice_mapping (reference ⚠ feature, SURVEY.md §3.2):
         # vertex indices address lattice SLOTS; a slot→atom permutation is
         # rebuilt whenever static atoms exchange lattice sites, so the
@@ -150,12 +159,49 @@ class LandmarkAnalysis:
 
         mode = self.peak_evening
 
+        # fast path: the lv-emitting MXU kernel (vertex-sharing bases on
+        # TPU); the dense XLA contraction otherwise
+        use_fused = self.use_fused
+        if use_fused == "auto":
+            use_fused = jax.default_backend() == "tpu"
+        if self.mesh is not None:
+            # a Pallas call cannot be GSPMD-auto-partitioned; the meshed
+            # production paths (SpmdLandmarkPipeline / streaming) run it
+            # under shard_map — this engine keeps the XLA path on a mesh
+            use_fused = False
+        mxu_basis = None
+        kcell = None
+        if use_fused:
+            from sitator_tpu.ops.landmark_mxu import (mxu_supported,
+                                                      prepare_mxu_basis)
+            from sitator_tpu.ops.landmark_pallas import kernel_cell
+            thr_b = self.static_movement_threshold
+            cand = prepare_mxu_basis(
+                verts, vmask, sn.centers, sn.structure.cell, s_tile=128,
+                static_ref=sn.structure.positions[static_idx],
+                midpoint=self.cutoff_midpoint,
+                steepness=self.cutoff_steepness,
+                cutoff_shape=self.cutoff_shape,
+                vibration_margin=max(3.0, 2.0 * thr_b))
+            if mxu_supported(cand):
+                mxu_basis = cand
+                kcell = jnp.asarray(kernel_cell(sn.structure.cell))
+
         @jax.jit
         def block_fn(mobile, static):
-            lv = lmops.landmark_vectors(
-                mobile, static, A, cell_j, cell_inv_j,
-                self.cutoff_midpoint, self.cutoff_steepness,
-                cutoff_shape=self.cutoff_shape)
+            if mxu_basis is not None:
+                from sitator_tpu.ops.landmark_mxu import mxu_landmark_blocks
+                lv = mxu_landmark_blocks(
+                    mobile, static, mxu_basis, kcell,
+                    midpoint=self.cutoff_midpoint,
+                    steepness=self.cutoff_steepness,
+                    cutoff_shape=self.cutoff_shape,
+                    interpret=self.interpret)
+            else:
+                lv = lmops.landmark_vectors(
+                    mobile, static, A, cell_j, cell_inv_j,
+                    self.cutoff_midpoint, self.cutoff_steepness,
+                    cutoff_shape=self.cutoff_shape)
             lv = lmops.peak_even(lv, mode)
             lv_n, norms = lmops.normalize_landmark_vectors(lv)
             drift = lmops.static_drift_per_frame(static, static_ref, cell_j,

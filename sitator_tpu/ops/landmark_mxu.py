@@ -47,7 +47,7 @@ from sitator_tpu.ops.kernel_common import (load_cell_params, merge_top2,
                                            round_up as _round_up)
 
 __all__ = ["prepare_mxu_basis", "mxu_assign_blocks", "mxu_supported",
-           "permute_centers"]
+           "permute_centers", "mxu_landmark_blocks"]
 
 
 def _kd_order(frac, s_tile):
@@ -389,6 +389,125 @@ def _mxu_call(mobile, static, uidx, A, kill, cell, centers_perm, ref_u,
         interpret=interpret,
     )(mob, vpu, A, kill, cpad, params, anchors)
     return labels[:, :M], confs[:, :M]
+
+
+def _lv_kernel(mob_ref, vpu_ref, A_ref, kill_ref, params_ref, anchors_ref,
+               lv_ref, *, a_dtype, r2_cutoff, triclinic, preshift):
+    """Landmark-VECTOR variant of :func:`_kernel`: same distance core and
+    log-space membership matmul, but the lv tile is the OUTPUT (no
+    centers/assignment) — serves ``LandmarkAnalysis``, whose reference
+    contract exposes ``.landmark_vectors`` and therefore cannot use the
+    labels-only kernels."""
+    st = pl.program_id(1)
+    cell, midpoint, steepness, _thr = load_cell_params(params_ref,
+                                                       triclinic)
+    mx = mob_ref[0, 0, :]
+    my = mob_ref[0, 1, :]
+    mz = mob_ref[0, 2, :]
+    if preshift:
+        ax_ = anchors_ref[st, 0]
+        ay_ = anchors_ref[st, 1]
+        az_ = anchors_ref[st, 2]
+        sx, sy, sz = min_image_xyz(mx - ax_, my - ay_, mz - az_,
+                                   cell, triclinic)
+        dx = (ax_ + sx)[:, None] - vpu_ref[0, 0, 0, :][None, :]
+        dy = (ay_ + sy)[:, None] - vpu_ref[0, 0, 1, :][None, :]
+        dz = (az_ + sz)[:, None] - vpu_ref[0, 0, 2, :][None, :]
+    else:
+        dx = mx[:, None] - vpu_ref[0, 0, 0, :][None, :]
+        dy = my[:, None] - vpu_ref[0, 0, 1, :][None, :]
+        dz = mz[:, None] - vpu_ref[0, 0, 2, :][None, :]
+        dx, dy, dz = min_image_xyz(dx, dy, dz, cell, triclinic)
+    d2 = dx * dx + dy * dy + dz * dz
+    if r2_cutoff:
+        k2 = steepness / (2.0 * midpoint)
+        logc = -jax.nn.softplus(k2 * d2 - k2 * (midpoint * midpoint))
+    else:
+        logc = -jax.nn.softplus(steepness * (jnp.sqrt(d2) - midpoint))
+    loglv = jax.lax.dot_general(
+        logc.astype(a_dtype), A_ref[0].astype(a_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    lv = jnp.exp(loglv)
+    lv_ref[0, :, :] = jnp.where(kill_ref[0, :][None, :] > 0.0, 0.0, lv)
+
+
+@partial(jax.jit,
+         static_argnames=("midpoint", "steepness", "s_tile", "n_st",
+                          "a_bf16", "interpret", "cutoff_shape",
+                          "preshift"))
+def _mxu_lv_call(mobile, static, uidx, A, kill, cell, ref_u, anchors,
+                 inv_order, *, midpoint, steepness, s_tile, n_st,
+                 a_bf16=False, interpret=False, cutoff_shape="logistic",
+                 preshift=False):
+    B, M, _ = mobile.shape
+    UP = uidx.shape[1]
+    SP = n_st * s_tile
+    MP = _round_up(M, 128)
+    S = inv_order.shape[0]
+
+    mob = jnp.transpose(mobile, (0, 2, 1))
+    mob = jnp.pad(mob, ((0, 0), (0, 0), (0, MP - M)), mode="edge")
+    vpu = jnp.take(static, uidx.reshape(-1), axis=1).reshape(B, n_st, UP, 3)
+    if preshift:
+        cm = jnp.diag(cell) if cell.ndim == 1 else cell
+        d = vpu - ref_u[None]
+        f = d @ jnp.linalg.inv(cm)
+        vpu = ref_u[None] + (f - jnp.round(f)) @ cm
+    vpu = jnp.transpose(vpu, (0, 1, 3, 2))
+
+    consts = jnp.asarray([midpoint, steepness, 0.0], jnp.float32)
+    params, triclinic = pack_cell_params(cell, consts)
+    kernel = partial(_lv_kernel,
+                     a_dtype=jnp.bfloat16 if a_bf16 else jnp.float32,
+                     r2_cutoff=(cutoff_shape == "logistic_r2"),
+                     triclinic=triclinic, preshift=preshift)
+    lv = pl.pallas_call(
+        kernel,
+        grid=(B, n_st),
+        in_specs=[
+            pl.BlockSpec((1, 3, MP), lambda b, st: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, UP), lambda b, st: (b, st, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, UP, s_tile), lambda b, st: (st, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile), lambda b, st: (0, st),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, MP, s_tile), lambda b, st: (b, 0, st),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, MP, SP), jnp.float32),
+        interpret=interpret,
+    )(mob, vpu, A, kill, params, anchors)
+    # back to the caller's site order (columns are in kd-tile order)
+    return lv[:, :M, :][:, :, inv_order]
+
+
+def mxu_landmark_blocks(mobile, static, basis, cell, *, midpoint,
+                        steepness, a_bf16=False, interpret=False,
+                        cutoff_shape="logistic"):
+    """Landmark vectors ``(B, M, S)`` in the CALLER's site order via the
+    MXU-product (+ preshift) kernel — the fast path for
+    ``LandmarkAnalysis``'s reference-parity ``.landmark_vectors`` contract.
+    Unlike :func:`mxu_assign_blocks` the full lv matrix leaves the chip,
+    so normalization / peak evening / clustering stay in XLA on top."""
+    preshift = bool(basis.get("preshift", False))
+    n_st = basis["n_st"]
+    ref_u = (basis["ref_u"] if preshift
+             else jnp.zeros((n_st, basis["UP"], 3), jnp.float32))
+    anchors = (basis["anchors"] if preshift
+               else jnp.zeros((n_st, 3), jnp.float32))
+    order = np.asarray(basis["site_order"])
+    inv_order = jnp.asarray(np.argsort(order), jnp.int32)
+    return _mxu_lv_call(
+        mobile, static, basis["uidx"], basis["A"], basis["kill"], cell,
+        ref_u, anchors, inv_order, midpoint=float(midpoint),
+        steepness=float(steepness), s_tile=basis["s_tile"], n_st=n_st,
+        a_bf16=a_bf16, interpret=interpret, cutoff_shape=cutoff_shape,
+        preshift=preshift)
 
 
 def mxu_assign_blocks(mobile, static, basis, cell, centers_perm, *,

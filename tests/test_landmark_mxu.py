@@ -260,3 +260,70 @@ def test_mxu_preshift_rejects_small_cells():
         static_ref=np.asarray(static[0], np.float64),
         midpoint=3.0, steepness=4.0, cutoff_shape="logistic")
     assert not basis["preshift"]
+
+
+@pytest.mark.parametrize("cutoff_shape", ["logistic", "logistic_r2"])
+def test_mxu_landmark_blocks_matches_xla(rng, cutoff_shape):
+    """The lv-emitting kernel reproduces the dense XLA landmark vectors
+    in the caller's site order (both preshift and per-pair routes)."""
+    from sitator_tpu.ops.landmark_mxu import mxu_landmark_blocks
+    cell, mobile, static, verts, vmask, centers, site_pos = _sc_system(
+        n_c=8)  # small cell: per-pair route
+    A = lmops.vertex_membership_matrix(verts, vmask, static.shape[1])
+    want = lmops.landmark_vectors(
+        jnp.asarray(mobile), jnp.asarray(static), A, jnp.asarray(cell),
+        jnp.asarray(np.linalg.inv(cell), jnp.float32), 3.0, 4.0,
+        cutoff_shape=cutoff_shape)
+    basis = prepare_mxu_basis(verts, vmask, site_pos, cell, s_tile=128)
+    got = mxu_landmark_blocks(
+        jnp.asarray(mobile), jnp.asarray(static), basis,
+        jnp.asarray(np.diag(cell).astype(np.float32)),
+        midpoint=3.0, steepness=4.0, interpret=True,
+        cutoff_shape=cutoff_shape)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                               atol=2e-6)
+
+
+def test_mxu_landmark_blocks_preshift(rng):
+    from sitator_tpu.ops.landmark_mxu import mxu_landmark_blocks
+    cell, mobile, static, verts, vmask, centers, site_pos = _sc_system()
+    basis = prepare_mxu_basis(
+        verts, vmask, site_pos, cell, s_tile=256,
+        static_ref=np.asarray(static[0], np.float64),
+        midpoint=3.0, steepness=4.0, cutoff_shape="logistic_r2")
+    assert basis["preshift"]
+    basis_pp = prepare_mxu_basis(verts, vmask, site_pos, cell, s_tile=256)
+    kw = dict(midpoint=3.0, steepness=4.0, interpret=True,
+              cutoff_shape="logistic_r2")
+    cdiag = jnp.asarray(np.diag(cell).astype(np.float32))
+    lv_ps = mxu_landmark_blocks(jnp.asarray(mobile), jnp.asarray(static),
+                                basis, cdiag, **kw)
+    lv_pp = mxu_landmark_blocks(jnp.asarray(mobile), jnp.asarray(static),
+                                basis_pp, cdiag, **kw)
+    np.testing.assert_allclose(np.asarray(lv_ps), np.asarray(lv_pp),
+                               atol=1e-6)
+
+
+def test_landmark_analysis_fused_path(rng):
+    """LandmarkAnalysis(use_fused=True) reproduces the dense-path result
+    end-to-end (sites, labels, exposed landmark_vectors)."""
+    from sitator_tpu import SiteNetwork
+    from sitator_tpu.io.synthetic import make_hopping_trajectory
+    from sitator_tpu.landmark import LandmarkAnalysis
+    from sitator_tpu.voronoi import VoronoiSiteGenerator
+
+    md = make_hopping_trajectory(n_cells=3, a=4.0, n_ions=4, n_frames=150,
+                                 jump_rate=0.02, seed=31)
+    sn0 = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+    seeds = VoronoiSiteGenerator(merge_tol=0.05).run(sn0)
+    kw = dict(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+              minimum_site_occupancy=0.01, verbose=False)
+    la_x = LandmarkAnalysis(use_fused=False, **kw)
+    la_m = LandmarkAnalysis(use_fused=True, interpret=True, **kw)
+    st_x = la_x.run(seeds, md.traj.astype(np.float32))
+    st_m = la_m.run(seeds, md.traj.astype(np.float32))
+    assert st_x.site_network.n_sites == st_m.site_network.n_sites
+    agree = np.mean(st_x.traj == st_m.traj)
+    assert agree > 0.995, agree
+    np.testing.assert_allclose(la_x.landmark_vectors,
+                               la_m.landmark_vectors, atol=5e-5)
