@@ -261,6 +261,31 @@ class StreamingLandmarkAnalysis:
             ref = np.asarray(sn.structure.positions[static_idx], np.float64)
             thr = self.static_movement_threshold
 
+        # the fit pass needs landmark VECTORS (to cluster), which the
+        # labels-only kernels can't provide — the lv-emitting MXU kernel
+        # can (same gating as pass 2)
+        use_fused = (jax.default_backend() == "tpu"
+                     if self.use_fused == "auto" else bool(self.use_fused))
+        fit_basis = None
+        kcell_fit = None
+        if use_fused:
+            from sitator_tpu.ops.landmark_mxu import (mxu_supported,
+                                                      prepare_mxu_basis)
+            from sitator_tpu.ops.landmark_pallas import kernel_cell
+            thr_b = self.static_movement_threshold
+            cand = prepare_mxu_basis(
+                verts, vmask, sn.centers, sn.structure.cell, s_tile=128,
+                static_ref=(sn.structure.positions[static_idx]
+                            if thr_b is not None else None),
+                midpoint=self.cutoff_midpoint,
+                steepness=self.cutoff_steepness,
+                cutoff_shape=self.cutoff_shape,
+                vibration_margin=max(3.0, 2.0 * thr_b)
+                if thr_b is not None else 3.0)
+            if mxu_supported(cand):
+                fit_basis = cand
+                kcell_fit = jnp.asarray(kernel_cell(sn.structure.cell))
+
         lvs = []
         B = 256
         sel = np.arange(0, n_frames, stride)
@@ -288,11 +313,20 @@ class StreamingLandmarkAnalysis:
                                 max_drift=worst)
                         perm = new_perm
                     static_np[b] = static_np[b][perm]
-            lv = lmops.landmark_vectors(
-                jnp.asarray(frames[:, mobile_idx], jnp.float32),
-                jnp.asarray(static_np, jnp.float32),
-                A, cell, cell_inv, self.cutoff_midpoint,
-                self.cutoff_steepness, cutoff_shape=self.cutoff_shape)
+            mob_j = jnp.asarray(frames[:, mobile_idx], jnp.float32)
+            stat_j = jnp.asarray(static_np, jnp.float32)
+            if fit_basis is not None:
+                from sitator_tpu.ops.landmark_mxu import mxu_landmark_blocks
+                lv = mxu_landmark_blocks(
+                    mob_j, stat_j, fit_basis, kcell_fit,
+                    midpoint=self.cutoff_midpoint,
+                    steepness=self.cutoff_steepness,
+                    cutoff_shape=self.cutoff_shape,
+                    interpret=self.interpret)
+            else:
+                lv = lmops.landmark_vectors(
+                    mob_j, stat_j, A, cell, cell_inv, self.cutoff_midpoint,
+                    self.cutoff_steepness, cutoff_shape=self.cutoff_shape)
             lv_n, _ = lmops.normalize_landmark_vectors(lv)
             lvs.append(np.asarray(lv_n.reshape(-1, lv_n.shape[-1])))
         X = np.concatenate(lvs)

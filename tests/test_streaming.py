@@ -457,3 +457,20 @@ def test_streaming_merge_network(md_system):
     merged_err = abs(int(merged.n_ij.sum()) - n_true)
     assert merged_err <= raw_err
     assert merged_err <= max(5, 0.15 * n_true)
+
+
+def test_streaming_fit_fused_matches_dense(md_system):
+    """The fit pass through the lv-emitting MXU kernel reproduces the
+    dense XLA fit (same clusters, centers to fp tolerance)."""
+    md, seeds = md_system
+
+    def fit(use_fused):
+        sla = StreamingLandmarkAnalysis(
+            cutoff_midpoint=4.0, cutoff_steepness=3.0,
+            use_fused=use_fused, interpret=True, verbose=False)
+        return sla.fit_centers(seeds, ArrayTrajectory(md.traj))
+
+    c_dense = fit(False)
+    c_fused = fit(True)
+    assert c_dense.shape == c_fused.shape
+    np.testing.assert_allclose(c_dense, c_fused, atol=2e-5)
