@@ -327,3 +327,23 @@ def test_landmark_analysis_fused_path(rng):
     assert agree > 0.995, agree
     np.testing.assert_allclose(la_x.landmark_vectors,
                                la_m.landmark_vectors, atol=5e-5)
+
+
+def test_mxu_landmark_blocks_triclinic(rng):
+    from sitator_tpu.ops.landmark_mxu import mxu_landmark_blocks
+    r = np.random.default_rng(37)
+    L = 11.0
+    cell = np.array([[L, 0, 0],
+                     [0.25 * L, L + 1, 0],
+                     [-0.15 * L, 0.2 * L, L + 2]], np.float32)
+    cell, mobile, static, verts, vmask, centers, site_pos = _system(
+        r, cell=cell)
+    A = lmops.vertex_membership_matrix(verts, vmask, static.shape[1])
+    want = lmops.landmark_vectors(
+        jnp.asarray(mobile), jnp.asarray(static), A, jnp.asarray(cell),
+        jnp.asarray(np.linalg.inv(cell), jnp.float32), 3.0, 4.0)
+    basis = prepare_mxu_basis(verts, vmask, site_pos, cell, s_tile=128)
+    got = mxu_landmark_blocks(
+        jnp.asarray(mobile), jnp.asarray(static), basis, jnp.asarray(cell),
+        midpoint=3.0, steepness=4.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), atol=2e-6)
