@@ -153,7 +153,6 @@ class LandmarkAnalysis:
         cell_inv_j = jnp.asarray(np.linalg.inv(sn.structure.cell),
                                  dtype=jnp.float32)
         verts, vmask = sn.padded_vertices()
-        A = lmops.vertex_membership_matrix(verts, vmask, n_static)
         static_ref = jnp.asarray(
             sn.structure.positions[static_idx], dtype=jnp.float32)
 
@@ -172,34 +171,52 @@ class LandmarkAnalysis:
         mxu_basis = None
         kcell = None
         if use_fused:
-            from sitator_tpu.ops.landmark_mxu import (mxu_supported,
-                                                      prepare_mxu_basis)
+            from sitator_tpu.ops.landmark_mxu import prepare_engine_basis
             from sitator_tpu.ops.landmark_pallas import kernel_cell
-            thr_b = self.static_movement_threshold
-            cand = prepare_mxu_basis(
-                verts, vmask, sn.centers, sn.structure.cell, s_tile=128,
-                static_ref=sn.structure.positions[static_idx],
+            mxu_basis = prepare_engine_basis(
+                verts, vmask, sn.centers, sn.structure.cell,
                 midpoint=self.cutoff_midpoint,
                 steepness=self.cutoff_steepness,
                 cutoff_shape=self.cutoff_shape,
-                vibration_margin=max(3.0, 2.0 * thr_b))
-            if mxu_supported(cand):
-                mxu_basis = cand
+                static_ref=sn.structure.positions[static_idx],
+                drift_budget=self.static_movement_threshold)
+            if mxu_basis is not None:
                 kcell = jnp.asarray(kernel_cell(sn.structure.cell))
+        if mxu_basis is not None:
+            # big arrays travel as jit ARGUMENTS, never closure constants
+            # (the axon remote_compile request-size limit — CLAUDE.md)
+            barrs = (mxu_basis["uidx"], mxu_basis["A"], mxu_basis["kill"],
+                     mxu_basis["ref_u"] if mxu_basis["preshift"]
+                     else jnp.zeros((mxu_basis["n_st"], mxu_basis["UP"], 3),
+                                    jnp.float32),
+                     mxu_basis["anchors"] if mxu_basis["preshift"]
+                     else jnp.zeros((mxu_basis["n_st"], 3), jnp.float32),
+                     mxu_basis["inv_order"], kcell)
+            bstat = {k: mxu_basis[k] for k in
+                     ("s_tile", "n_st", "UP", "preshift")}
+        else:
+            # dense membership matrix only when the dense branch runs
+            barrs = (lmops.vertex_membership_matrix(verts, vmask, n_static),)
+            bstat = None
 
         @jax.jit
-        def block_fn(mobile, static):
+        def block_fn(mobile, static, *barrs):
             if mxu_basis is not None:
                 from sitator_tpu.ops.landmark_mxu import mxu_landmark_blocks
+                uidx, Am, kill, ref_u, anchors, inv_order, kcell_a = barrs
                 lv = mxu_landmark_blocks(
-                    mobile, static, mxu_basis, kcell,
+                    mobile, static,
+                    dict(uidx=uidx, A=Am, kill=kill, ref_u=ref_u,
+                         anchors=anchors, inv_order=inv_order,
+                         cost_ratio=0.0, site_order=None, **bstat),
+                    kcell_a,
                     midpoint=self.cutoff_midpoint,
                     steepness=self.cutoff_steepness,
                     cutoff_shape=self.cutoff_shape,
                     interpret=self.interpret)
             else:
                 lv = lmops.landmark_vectors(
-                    mobile, static, A, cell_j, cell_inv_j,
+                    mobile, static, barrs[0], cell_j, cell_inv_j,
                     self.cutoff_midpoint, self.cutoff_steepness,
                     cutoff_shape=self.cutoff_shape)
             lv = lmops.peak_even(lv, mode)
@@ -253,7 +270,7 @@ class LandmarkAnalysis:
             if sharding is not None:
                 mobile = jax.device_put(mobile, sharding)
                 static = jax.device_put(static, sharding)
-            lv_n, norms, drift = block_fn(mobile, static)
+            lv_n, norms, drift = block_fn(mobile, static, *barrs)
             drift_f = np.asarray(drift)[: hi - pos]
             n_ok = hi - pos
             if self.dynamic_lattice_mapping and (drift_f > thr).any():

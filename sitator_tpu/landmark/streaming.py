@@ -246,7 +246,6 @@ class StreamingLandmarkAnalysis:
         stride = max(1, -(-n_frames // n_fit))  # ceil: a HARD sample cap
         static_idx = np.flatnonzero(sn.static_mask)
         verts, vmask = sn.padded_vertices()
-        A = lmops.vertex_membership_matrix(verts, vmask, len(static_idx))
         cell = jnp.asarray(sn.structure.cell, jnp.float32)
         cell_inv = jnp.asarray(np.linalg.inv(sn.structure.cell), jnp.float32)
 
@@ -268,23 +267,23 @@ class StreamingLandmarkAnalysis:
                      if self.use_fused == "auto" else bool(self.use_fused))
         fit_basis = None
         kcell_fit = None
+        A = None
         if use_fused:
-            from sitator_tpu.ops.landmark_mxu import (mxu_supported,
-                                                      prepare_mxu_basis)
+            from sitator_tpu.ops.landmark_mxu import prepare_engine_basis
             from sitator_tpu.ops.landmark_pallas import kernel_cell
-            thr_b = self.static_movement_threshold
-            cand = prepare_mxu_basis(
-                verts, vmask, sn.centers, sn.structure.cell, s_tile=128,
-                static_ref=(sn.structure.positions[static_idx]
-                            if thr_b is not None else None),
+            fit_basis = prepare_engine_basis(
+                verts, vmask, sn.centers, sn.structure.cell,
                 midpoint=self.cutoff_midpoint,
                 steepness=self.cutoff_steepness,
                 cutoff_shape=self.cutoff_shape,
-                vibration_margin=max(3.0, 2.0 * thr_b)
-                if thr_b is not None else 3.0)
-            if mxu_supported(cand):
-                fit_basis = cand
+                static_ref=sn.structure.positions[static_idx],
+                drift_budget=self.static_movement_threshold)
+            if fit_basis is not None:
                 kcell_fit = jnp.asarray(kernel_cell(sn.structure.cell))
+        if fit_basis is None:
+            # dense membership matrix only when the dense branch runs
+            A = lmops.vertex_membership_matrix(verts, vmask,
+                                               len(static_idx))
 
         lvs = []
         B = 256
@@ -389,26 +388,19 @@ class StreamingLandmarkAnalysis:
         kill_j = jnp.zeros((1, 1), jnp.float32)
         if use_fused:
             kernel = "gather"
-            from sitator_tpu.ops.landmark_mxu import (
-                mxu_supported,
-                permute_centers,
-                prepare_mxu_basis,
-            )
-            # preshift exactness needs bounded static drift: tie its
-            # budget to the engine's own drift guard, and disable it
-            # outright when the guard is off (unbounded drift)
-            thr = self.static_movement_threshold
-            basis = prepare_mxu_basis(
+            from sitator_tpu.ops.landmark_mxu import (permute_centers,
+                                                      prepare_engine_basis)
+            # preshift exactness needs bounded static drift: the shared
+            # gate ties its budget to the engine's own drift guard (and
+            # disables it outright when the guard is off)
+            basis = prepare_engine_basis(
                 verts, vmask, sn.centers, cell_np,
-                s_tile=128,  # post-preshift sweep winner (PERFORMANCE.md)
-                static_ref=(sn.structure.positions[static_idx]
-                            if thr is not None else None),
                 midpoint=self.cutoff_midpoint,
                 steepness=self.cutoff_steepness,
                 cutoff_shape=self.cutoff_shape,
-                vibration_margin=max(3.0, 2.0 * thr)
-                if thr is not None else 3.0)
-            if mxu_supported(basis):
+                static_ref=sn.structure.positions[static_idx],
+                drift_budget=self.static_movement_threshold)
+            if basis is not None:
                 kernel = "mxu"
                 mxu_s_tile, mxu_n_st = basis["s_tile"], basis["n_st"]
                 uidx_j, Am_j, kill_j = (basis["uidx"], basis["A"],

@@ -46,7 +46,8 @@ from sitator_tpu.ops.kernel_common import (load_cell_params, merge_top2,
                                            min_image_xyz, pack_cell_params,
                                            round_up as _round_up)
 
-__all__ = ["prepare_mxu_basis", "mxu_assign_blocks", "mxu_supported",
+__all__ = ["prepare_mxu_basis", "prepare_engine_basis",
+           "mxu_assign_blocks", "mxu_supported",
            "permute_centers", "mxu_landmark_blocks"]
 
 
@@ -156,6 +157,7 @@ def prepare_mxu_basis(verts, vmask, site_pos, cell, *, s_tile=256,
         A=jnp.asarray(A),
         kill=jnp.asarray(kill),
         site_order=order,
+        inv_order=jnp.asarray(np.argsort(order), jnp.int32),
         s_tile=int(s_tile),
         n_st=int(n_st),
         UP=int(UP),
@@ -215,6 +217,27 @@ def prepare_mxu_basis(verts, vmask, site_pos, cell, *, s_tile=256,
     return basis
 
 
+def prepare_engine_basis(verts, vmask, site_pos, cell, *, midpoint,
+                         steepness, cutoff_shape, static_ref=None,
+                         drift_budget=None, s_tile=128):
+    """One-stop fused-route gate shared by every engine
+    (``LandmarkAnalysis``, streaming fit + stream passes,
+    ``SpmdLandmarkPipeline``): builds the kd basis with the preshift
+    drift budget tied to the caller's drift guard
+    (``vibration_margin = max(3, 2·budget)``; ``drift_budget=None`` ⇒
+    preshift disabled, since nothing bounds static-atom drift), and
+    returns None when the basis does not share enough vertices for the
+    MXU route (:func:`mxu_supported`).  Keeping this policy in ONE place
+    is what stops the four engines' budgets from drifting apart."""
+    basis = prepare_mxu_basis(
+        verts, vmask, site_pos, cell, s_tile=s_tile,
+        static_ref=static_ref if drift_budget is not None else None,
+        midpoint=midpoint, steepness=steepness, cutoff_shape=cutoff_shape,
+        vibration_margin=(max(3.0, 2.0 * float(drift_budget))
+                          if drift_budget is not None else 3.0))
+    return basis if mxu_supported(basis) else None
+
+
 def mxu_supported(basis, max_cost_ratio=0.75) -> bool:
     """True when the unique-atom formulation does less elementwise work
     than the gather kernel (vertex sharing is high enough).  Bases with no
@@ -226,6 +249,70 @@ def permute_centers(centers, basis):
     """Permute cluster-center COLUMNS into the basis's kd-tile site order
     (labels index center ROWS and need no remapping)."""
     return np.asarray(centers)[:, basis["site_order"]]
+
+
+def _tile_lv(mx, my, mz, vpu_ref, A_ref, kill_ref, anchors_ref, st, cell,
+             midpoint, steepness, *, a_dtype, r2_cutoff, triclinic,
+             preshift):
+    """One tile's landmark vectors ``(M, S_t)`` — the distance core,
+    log-cutoff, membership matmul and pad-kill shared VERBATIM by the
+    assign kernel (:func:`_kernel`) and the lv-emitting kernel
+    (:func:`_lv_kernel`), so the two can never drift apart."""
+    if preshift:
+        # ONE min-image per (ion, tile): shift each ion to the image
+        # nearest the tile anchor; the tile's atoms were unwrapped to that
+        # anchor at trace time, so the raw differences below are exact
+        # minimum images for every pair that matters (far pairs underflow
+        # exp to 0.0 either way — see prepare_mxu_basis)
+        ax_ = anchors_ref[st, 0]
+        ay_ = anchors_ref[st, 1]
+        az_ = anchors_ref[st, 2]
+        sx, sy, sz = min_image_xyz(mx - ax_, my - ay_, mz - az_,
+                                   cell, triclinic)
+        dx = (ax_ + sx)[:, None] - vpu_ref[0, 0, 0, :][None, :]  # (M, UP)
+        dy = (ay_ + sy)[:, None] - vpu_ref[0, 0, 1, :][None, :]
+        dz = (az_ + sz)[:, None] - vpu_ref[0, 0, 2, :][None, :]
+    else:
+        dx = mx[:, None] - vpu_ref[0, 0, 0, :][None, :]          # (M, UP)
+        dy = my[:, None] - vpu_ref[0, 0, 1, :][None, :]
+        dz = mz[:, None] - vpu_ref[0, 0, 2, :][None, :]
+        dx, dy, dz = min_image_xyz(dx, dy, dz, cell, triclinic)
+    d2 = dx * dx + dy * dy + dz * dz
+    if r2_cutoff:
+        k2 = steepness / (2.0 * midpoint)
+        logc = -jax.nn.softplus(k2 * d2 - k2 * (midpoint * midpoint))
+    else:
+        logc = -jax.nn.softplus(steepness * (jnp.sqrt(d2) - midpoint))
+    # product over vertices == matmul with the tile-local membership matrix
+    loglv = jax.lax.dot_general(
+        logc.astype(a_dtype), A_ref[0].astype(a_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (M, S_t)
+    lv = jnp.exp(loglv)
+    return jnp.where(kill_ref[0, :][None, :] > 0.0, 0.0, lv)
+
+
+def _prep_mob_vpu(mobile, static, uidx, ref_u, cell, n_st, UP, MP,
+                  preshift):
+    """Trace-side input prep shared by both kernel entry points: pad the
+    ion planes and gather (+ re-unwrap, when preshifting) each tile's
+    unique-atom coordinate planes."""
+    B = mobile.shape[0]
+    mob = jnp.transpose(mobile, (0, 2, 1))
+    mob = jnp.pad(mob, ((0, 0), (0, 0), (0, MP - mobile.shape[1])),
+                  mode="edge")
+    # per-tile unique-atom coordinate planes: one cheap XLA gather per block
+    vpu = jnp.take(static, uidx.reshape(-1), axis=1).reshape(B, n_st, UP, 3)
+    if preshift:
+        # unwrap the per-frame atoms to the image nearest their unwrapped
+        # reference (robust to arbitrary wrapping + drift in the input):
+        # O(B·n_st·UP) elementwise, fused into the gather by XLA — the
+        # kernel then skips per-(ion, atom) imaging entirely
+        cm = jnp.diag(cell) if cell.ndim == 1 else cell
+        d = vpu - ref_u[None]
+        f = d @ jnp.linalg.inv(cm)
+        vpu = ref_u[None] + (f - jnp.round(f)) @ cm
+    return mob, jnp.transpose(vpu, (0, 1, 3, 2))           # (B, n_st, 3, UP)
 
 
 def _kernel(mob_ref, vpu_ref, A_ref, kill_ref, centers_ref, params_ref,
@@ -253,39 +340,10 @@ def _kernel(mob_ref, vpu_ref, A_ref, kill_ref, centers_ref, params_ref,
     mx = mob_ref[0, 0, :]
     my = mob_ref[0, 1, :]
     mz = mob_ref[0, 2, :]
-    if preshift:
-        # ONE min-image per (ion, tile): shift each ion to the image
-        # nearest the tile anchor; the tile's atoms were unwrapped to that
-        # anchor at trace time, so the raw differences below are exact
-        # minimum images for every pair that matters (far pairs underflow
-        # exp to 0.0 either way — see prepare_mxu_basis)
-        ax_ = anchors_ref[st, 0]
-        ay_ = anchors_ref[st, 1]
-        az_ = anchors_ref[st, 2]
-        sx, sy, sz = min_image_xyz(mx - ax_, my - ay_, mz - az_,
-                                   cell, triclinic)
-        dx = (ax_ + sx)[:, None] - vpu_ref[0, 0, 0, :][None, :]  # (M, UP)
-        dy = (ay_ + sy)[:, None] - vpu_ref[0, 0, 1, :][None, :]
-        dz = (az_ + sz)[:, None] - vpu_ref[0, 0, 2, :][None, :]
-    else:
-        dx = mx[:, None] - vpu_ref[0, 0, 0, :][None, :]          # (M, UP)
-        dy = my[:, None] - vpu_ref[0, 0, 1, :][None, :]
-        dz = mz[:, None] - vpu_ref[0, 0, 2, :][None, :]
-        dx, dy, dz = min_image_xyz(dx, dy, dz, cell, triclinic)
-    d2 = dx * dx + dy * dy + dz * dz
-    if r2_cutoff:
-        k2 = steepness / (2.0 * midpoint)
-        logc = -jax.nn.softplus(k2 * d2 - k2 * (midpoint * midpoint))
-    else:
-        logc = -jax.nn.softplus(steepness * (jnp.sqrt(d2) - midpoint))
-
-    # product over vertices == matmul with the tile-local membership matrix
-    loglv = jax.lax.dot_general(
-        logc.astype(a_dtype), A_ref[0].astype(a_dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # (M, S_t)
-    lv = jnp.exp(loglv)
-    lv = jnp.where(kill_ref[0, :][None, :] > 0.0, 0.0, lv)
+    lv = _tile_lv(mx, my, mz, vpu_ref, A_ref, kill_ref, anchors_ref, st,
+                  cell, midpoint, steepness, a_dtype=a_dtype,
+                  r2_cutoff=r2_cutoff, triclinic=triclinic,
+                  preshift=preshift)
 
     if peak_clip:
         @pl.when(p == 0)
@@ -328,20 +386,8 @@ def _mxu_call(mobile, static, uidx, A, kill, cell, centers_perm, ref_u,
     MP = _round_up(M, 128)
     KP = _round_up(K, 128)
 
-    mob = jnp.transpose(mobile, (0, 2, 1))
-    mob = jnp.pad(mob, ((0, 0), (0, 0), (0, MP - M)), mode="edge")
-    # per-tile unique-atom coordinate planes: one cheap XLA gather per block
-    vpu = jnp.take(static, uidx.reshape(-1), axis=1).reshape(B, n_st, UP, 3)
-    if preshift:
-        # unwrap the per-frame atoms to the image nearest their unwrapped
-        # reference (robust to arbitrary wrapping + drift in the input):
-        # O(B·n_st·UP) elementwise, fused into the gather by XLA — the
-        # kernel then skips per-(ion, atom) imaging entirely
-        cm = jnp.diag(cell) if cell.ndim == 1 else cell
-        d = vpu - ref_u[None]
-        f = d @ jnp.linalg.inv(cm)
-        vpu = ref_u[None] + (f - jnp.round(f)) @ cm
-    vpu = jnp.transpose(vpu, (0, 1, 3, 2))                 # (B, n_st, 3, UP)
+    mob, vpu = _prep_mob_vpu(mobile, static, uidx, ref_u, cell, n_st, UP,
+                             MP, preshift)
     cpad = jnp.pad(centers_perm.astype(jnp.float32).T,
                    ((0, SP - centers_perm.shape[1]), (0, KP - K)))
 
@@ -404,32 +450,10 @@ def _lv_kernel(mob_ref, vpu_ref, A_ref, kill_ref, params_ref, anchors_ref,
     mx = mob_ref[0, 0, :]
     my = mob_ref[0, 1, :]
     mz = mob_ref[0, 2, :]
-    if preshift:
-        ax_ = anchors_ref[st, 0]
-        ay_ = anchors_ref[st, 1]
-        az_ = anchors_ref[st, 2]
-        sx, sy, sz = min_image_xyz(mx - ax_, my - ay_, mz - az_,
-                                   cell, triclinic)
-        dx = (ax_ + sx)[:, None] - vpu_ref[0, 0, 0, :][None, :]
-        dy = (ay_ + sy)[:, None] - vpu_ref[0, 0, 1, :][None, :]
-        dz = (az_ + sz)[:, None] - vpu_ref[0, 0, 2, :][None, :]
-    else:
-        dx = mx[:, None] - vpu_ref[0, 0, 0, :][None, :]
-        dy = my[:, None] - vpu_ref[0, 0, 1, :][None, :]
-        dz = mz[:, None] - vpu_ref[0, 0, 2, :][None, :]
-        dx, dy, dz = min_image_xyz(dx, dy, dz, cell, triclinic)
-    d2 = dx * dx + dy * dy + dz * dz
-    if r2_cutoff:
-        k2 = steepness / (2.0 * midpoint)
-        logc = -jax.nn.softplus(k2 * d2 - k2 * (midpoint * midpoint))
-    else:
-        logc = -jax.nn.softplus(steepness * (jnp.sqrt(d2) - midpoint))
-    loglv = jax.lax.dot_general(
-        logc.astype(a_dtype), A_ref[0].astype(a_dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    lv = jnp.exp(loglv)
-    lv_ref[0, :, :] = jnp.where(kill_ref[0, :][None, :] > 0.0, 0.0, lv)
+    lv_ref[0, :, :] = _tile_lv(
+        mx, my, mz, vpu_ref, A_ref, kill_ref, anchors_ref, st, cell,
+        midpoint, steepness, a_dtype=a_dtype, r2_cutoff=r2_cutoff,
+        triclinic=triclinic, preshift=preshift)
 
 
 @partial(jax.jit,
@@ -444,18 +468,9 @@ def _mxu_lv_call(mobile, static, uidx, A, kill, cell, ref_u, anchors,
     UP = uidx.shape[1]
     SP = n_st * s_tile
     MP = _round_up(M, 128)
-    S = inv_order.shape[0]
 
-    mob = jnp.transpose(mobile, (0, 2, 1))
-    mob = jnp.pad(mob, ((0, 0), (0, 0), (0, MP - M)), mode="edge")
-    vpu = jnp.take(static, uidx.reshape(-1), axis=1).reshape(B, n_st, UP, 3)
-    if preshift:
-        cm = jnp.diag(cell) if cell.ndim == 1 else cell
-        d = vpu - ref_u[None]
-        f = d @ jnp.linalg.inv(cm)
-        vpu = ref_u[None] + (f - jnp.round(f)) @ cm
-    vpu = jnp.transpose(vpu, (0, 1, 3, 2))
-
+    mob, vpu = _prep_mob_vpu(mobile, static, uidx, ref_u, cell, n_st, UP,
+                             MP, preshift)
     consts = jnp.asarray([midpoint, steepness, 0.0], jnp.float32)
     params, triclinic = pack_cell_params(cell, consts)
     kernel = partial(_lv_kernel,
@@ -500,8 +515,10 @@ def mxu_landmark_blocks(mobile, static, basis, cell, *, midpoint,
              else jnp.zeros((n_st, basis["UP"], 3), jnp.float32))
     anchors = (basis["anchors"] if preshift
                else jnp.zeros((n_st, 3), jnp.float32))
-    order = np.asarray(basis["site_order"])
-    inv_order = jnp.asarray(np.argsort(order), jnp.int32)
+    inv_order = basis.get("inv_order")
+    if inv_order is None:   # hand-built basis dicts (tests/bench harnesses)
+        inv_order = jnp.asarray(
+            np.argsort(np.asarray(basis["site_order"])), jnp.int32)
     return _mxu_lv_call(
         mobile, static, basis["uidx"], basis["A"], basis["kill"], cell,
         ref_u, anchors, inv_order, midpoint=float(midpoint),

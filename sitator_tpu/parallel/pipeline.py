@@ -235,26 +235,16 @@ class SpmdLandmarkPipeline:
         # MXU-product route: wins whenever the basis shares vertices
         self._mxu_basis = None
         if self.use_fused:
-            from sitator_tpu.ops.landmark_mxu import (
-                mxu_supported,
-                permute_centers,
-                prepare_mxu_basis,
-            )
-            budget = self.static_drift_budget
-            basis = prepare_mxu_basis(
+            from sitator_tpu.ops.landmark_mxu import (permute_centers,
+                                                      prepare_engine_basis)
+            basis = prepare_engine_basis(
                 verts, vmask, seed_sn.centers, seed_sn.structure.cell,
-                # 128 beats 256 by ~2% post-preshift and keeps the
-                # preshift bound satisfiable on smaller cells (kd tiles
-                # twice as compact) — PERFORMANCE.md s_tile sweep
-                s_tile=128,
-                static_ref=(seed_sn.structure.positions[self.static_idx]
-                            if budget is not None else None),
                 midpoint=self.cutoff_midpoint,
                 steepness=self.cutoff_steepness,
                 cutoff_shape=self.cutoff_shape,
-                vibration_margin=max(3.0, float(budget))
-                if budget is not None else 3.0)
-            if mxu_supported(basis):
+                static_ref=seed_sn.structure.positions[self.static_idx],
+                drift_budget=self.static_drift_budget)
+            if basis is not None:
                 keys = ["uidx", "A", "kill"]
                 if basis["preshift"]:
                     keys += ["ref_u", "anchors"]

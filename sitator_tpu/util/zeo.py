@@ -160,17 +160,21 @@ class Zeopy:
         offset = 1
         if all_ids:
             lo_id, hi_id = min(all_ids), max(all_ids)
-            if hi_id > structure.n_atoms:
+            if hi_id > structure.n_atoms or (lo_id == 0
+                                             and hi_id == structure.n_atoms):
+                # ids past n_atoms, or a file claiming BOTH 0-based (id 0)
+                # and 1-based (id n_atoms) conventions at once
                 raise ValueError(
-                    f"nt2 atom ids reach {hi_id} but the structure has "
-                    f"{structure.n_atoms} atoms — not a decomposition of "
-                    "this structure?")
+                    f"nt2 atom ids span [{lo_id}, {hi_id}] but the "
+                    f"structure has {structure.n_atoms} atoms — not a "
+                    "decomposition of this structure?")
             if lo_id == 0:
                 offset = 0
             elif hi_id < structure.n_atoms:
                 # ambiguous (ids within [1, n_atoms - 1] only — e.g. a
-                # partial decomposition): keep the historical 1-based
-                # assumption, but say so
+                # partial decomposition): keep the 1-based assumption of
+                # the released 0.2.0 parser (which always subtracted 1),
+                # but say so
                 warnings.warn(
                     "nt2 atom-id base is ambiguous (no id 0, none equal "
                     "to n_atoms); assuming 1-based ids", stacklevel=2)
