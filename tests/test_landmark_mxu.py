@@ -347,3 +347,33 @@ def test_mxu_landmark_blocks_triclinic(rng):
         jnp.asarray(mobile), jnp.asarray(static), basis, jnp.asarray(cell),
         midpoint=3.0, steepness=4.0, interpret=True)
     np.testing.assert_allclose(np.asarray(want), np.asarray(got), atol=2e-6)
+
+
+def test_mxu_preshift_robust_to_drift_within_budget(rng):
+    """Static atoms drifted up to the guard threshold (inside the
+    preshift vibration budget) must not change labels vs per-pair."""
+    cell, mobile, static, verts, vmask, centers, site_pos = _sc_system(B=1)
+    r = np.random.default_rng(41)
+    # drift every atom by up to 1.0 A in a random direction (threshold
+    # regime), on top of the thermal noise already present
+    drift = r.normal(size=static.shape)
+    drift *= 1.0 / np.linalg.norm(drift, axis=-1, keepdims=True)
+    static_d = (static + drift * r.uniform(0, 1.0, size=static.shape[:-1]
+                                           )[..., None]).astype(np.float32)
+    kw = dict(midpoint=3.0, steepness=4.0, threshold=0.3, mxu_bf16=False,
+              interpret=True, cutoff_shape="logistic_r2")
+    basis_ps = prepare_mxu_basis(
+        verts, vmask, site_pos, cell, s_tile=256,
+        static_ref=np.asarray(static[0], np.float64),
+        midpoint=3.0, steepness=4.0, cutoff_shape="logistic_r2",
+        vibration_margin=2.0)
+    assert basis_ps["preshift"]
+    basis_pp = prepare_mxu_basis(verts, vmask, site_pos, cell, s_tile=256)
+    cdiag = jnp.asarray(np.diag(cell).astype(np.float32))
+    lab_ps, _ = mxu_assign_blocks(
+        jnp.asarray(mobile), jnp.asarray(static_d), basis_ps, cdiag,
+        permute_centers(centers, basis_ps), **kw)
+    lab_pp, _ = mxu_assign_blocks(
+        jnp.asarray(mobile), jnp.asarray(static_d), basis_pp, cdiag,
+        permute_centers(centers, basis_pp), **kw)
+    np.testing.assert_array_equal(np.asarray(lab_ps), np.asarray(lab_pp))
