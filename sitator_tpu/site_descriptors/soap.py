@@ -12,15 +12,25 @@ spectrum
 
 per species pair — the same invariance structure as GAP SOAP.
 
-**Deviation from GAP SOAP (deliberate redesign, not an oversight):** the
-radial channel samples the neighbor density with Gaussians on an equispaced
-grid instead of projecting onto GTO-orthonormalized radial functions, and
-the density is evaluated at neighbor positions (delta-density) rather than
-integrated against atom-centered Gaussians.  Both descriptors are smooth,
-rotation-invariant, and species-resolved; absolute values differ from
-quippy/dscribe, so compare descriptors only within one backend.  The
-descriptor interface is pluggable (SURVEY.md §3.9), so an external SOAP can
-be swapped in where available.
+**Radial basis.**  Two orthonormalized radial bases are provided, selected
+by ``radial_basis``:
+
+- ``'gauss'`` (default): Gaussians on an equispaced grid in ``[0, r_cut]``,
+  orthonormalized by the inverse square root of their overlap matrix
+  ``S_{nn'} = ∫ φ_n φ_{n'} r² dr`` — the same Löwdin treatment dscribe
+  applies to its GTO primitives, so coefficients are true projections onto
+  an orthonormal set rather than raw samples of overlapping Gaussians;
+- ``'poly'``: the dscribe-style polynomial basis ``φ_n(r) ∝ (r_cut − r)^{n+2}``,
+  likewise Löwdin-orthonormalized.
+
+**Remaining deviation from GAP SOAP (deliberate):** the neighbor density is
+a delta density (evaluated at atom positions) rather than a sum of
+atom-centered Gaussians — radial smearing is folded into the basis width,
+angular smearing is absent.  Descriptors are smooth, rotation-invariant and
+species-resolved; absolute values still differ from quippy/dscribe, so
+compare descriptors only within one backend.  The descriptor interface is
+pluggable (SURVEY.md §3.9), so an external SOAP can be swapped in where
+available.
 """
 from __future__ import annotations
 
@@ -34,6 +44,7 @@ import numpy as np
 from sitator_tpu.ops.pbc import min_image_disp
 
 __all__ = ["soap_descriptors", "soap_descriptors_env",
+           "radial_orthonormalizer",
            "SOAPDescriptorAverages", "SiteCentersDescriptor"]
 
 
@@ -76,11 +87,74 @@ def _real_sph_harm(unit_vecs, l_max):
     return jnp.stack(feats, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("n_max", "l_max", "n_species"))
+def radial_orthonormalizer(r_cut, sigma, n_max, radial_basis="gauss",
+                           n_quad=2048, drop_tol=1e-7):
+    """Canonical orthogonalization ``W`` of the radial basis:
+    ``u = φ @ W`` satisfies ``∫ u_n u_{n'} r² dr = δ_{nn'}`` on the kept
+    channels.
+
+    ``S_{nn'} = ∫_0^{r_cut} φ_n φ_{n'} r² dr`` by quadrature (host-side,
+    once per configuration).  Primitives are norm-scaled first, then
+    eigen-directions of the normalized overlap below ``drop_tol · λ_max``
+    are DROPPED (their columns of ``W`` zeroed) — the quantum-chemistry
+    canonical-orthogonalization treatment for near-linearly-dependent
+    bases, which the dscribe-style polynomial primitives are (their raw
+    overlap spans ~15 decades at n_max=8; symmetric Löwdin would either
+    blow up in f32 or silently de-orthonormalize under eigenvalue
+    clamping).  Dropped channels carry no independent radial information;
+    the descriptor layout keeps its static shape.  Projecting a delta
+    density onto the orthonormal set is exactly ``c_raw @ W``.
+    """
+    r = np.linspace(0.0, r_cut, n_quad)
+    phi = _radial_raw_np(r, r_cut, sigma, n_max, radial_basis)  # (Q, n)
+    S = np.trapezoid(phi[:, :, None] * phi[:, None, :]
+                     * (r ** 2)[:, None, None], r, axis=0)
+    norms = np.sqrt(np.diag(S))
+    Sn = S / norms[:, None] / norms[None, :]
+    lam, V = np.linalg.eigh(Sn)
+    keep = lam > drop_tol * lam.max()
+    W = np.zeros((n_max, n_max))
+    W[:, keep] = (V[:, keep] / np.sqrt(lam[keep])) / norms[:, None]
+    return W
+
+
+def _radial_raw_np(r, r_cut, sigma, n_max, radial_basis):
+    """Raw (pre-orthonormalization) radial basis, NumPy: (len(r), n_max)."""
+    r = np.asarray(r, np.float64)
+    if radial_basis == "gauss":
+        centers = np.linspace(0.0, r_cut, n_max)
+        return np.exp(-((r[:, None] - centers[None, :]) ** 2)
+                      / (2.0 * sigma ** 2))
+    if radial_basis == "poly":
+        # dscribe's polynomial basis: (r_cut - r)^(n+2), zero-valued and
+        # zero-sloped at the cutoff for every n
+        powers = np.arange(n_max) + 2
+        return np.where(r[:, None] < r_cut,
+                        (r_cut - np.minimum(r, r_cut))[:, None] ** powers,
+                        0.0)
+    raise ValueError("radial_basis must be 'gauss' or 'poly'")
+
+
+def _radial_raw(r, r_cut, sigma, n_max, radial_basis):
+    """Raw radial basis, jnp (traced in-kernel): (N, n_max)."""
+    if radial_basis == "gauss":
+        centers = jnp.linspace(0.0, r_cut, n_max)
+        return jnp.exp(-((r[:, None] - centers[None, :]) ** 2)
+                       / (2.0 * sigma ** 2))
+    powers = jnp.arange(n_max) + 2
+    base = jnp.maximum(r_cut - r, 0.0)
+    return base[:, None] ** powers[None, :]
+
+
+@partial(jax.jit, static_argnames=("n_max", "l_max", "n_species",
+                                   "radial_basis"))
 def _soap_one(probe, positions, species_onehot, cell, cell_inv, r_cut,
-              sigma, n_max, l_max, n_species):
+              sigma, n_max, l_max, n_species, W=None,
+              radial_basis="gauss"):
     """SOAP vector for one probe.  positions (N, 3); species_onehot
-    (N, n_species) with zero rows for atoms to ignore."""
+    (N, n_species) with zero rows for atoms to ignore; ``W`` the radial
+    orthonormalizer from :func:`radial_orthonormalizer` (None = raw
+    basis, the pre-0.3 behavior)."""
     disp = min_image_disp(positions - probe, cell, cell_inv)   # (N, 3)
     r = jnp.sqrt(jnp.sum(disp * disp, axis=-1))
     safe_r = jnp.maximum(r, 1e-9)
@@ -89,10 +163,9 @@ def _soap_one(probe, positions, species_onehot, cell, cell_inv, r_cut,
     # smooth cosine cutoff; excludes atoms beyond r_cut
     fcut = jnp.where(r < r_cut, 0.5 * (jnp.cos(jnp.pi * r / r_cut) + 1.0),
                      0.0)                                      # (N,)
-    # Gaussian radial basis centered on an equispaced grid in [0, r_cut]
-    centers = jnp.linspace(0.0, r_cut, n_max)
-    g = jnp.exp(-((r[:, None] - centers[None, :]) ** 2)
-                / (2.0 * sigma ** 2))                          # (N, n_max)
+    g = _radial_raw(r, r_cut, sigma, n_max, radial_basis)      # (N, n_max)
+    if W is not None:
+        g = g @ W                 # project onto the ORTHONORMAL basis
     Y = _real_sph_harm(unit, l_max)                            # (N, L2)
 
     # c[s, n, lm] = sum_j onehot[j, s] fcut[j] g[j, n] Y[j, lm]
@@ -115,7 +188,7 @@ def _soap_one(probe, positions, species_onehot, cell, cell_inv, r_cut,
 
 def soap_descriptors(probes, positions, species, cell, r_cut=5.0,
                      sigma=0.5, n_max=8, l_max=6, species_list=None,
-                     batch=256):
+                     batch=256, radial_basis="gauss"):
     """SOAP vectors for ``probes (P, 3)`` in the environment of
     ``positions (N, 3)`` with ``species (N,)``.  Returns (P, D) float32.
     """
@@ -129,8 +202,11 @@ def soap_descriptors(probes, positions, species, cell, r_cut=5.0,
         onehot[species == s, i] = 1.0
     cell = np.asarray(cell, dtype=np.float32)
     cell_inv = np.linalg.inv(cell).astype(np.float32)
+    W = jnp.asarray(radial_orthonormalizer(r_cut, sigma, n_max,
+                                           radial_basis))
 
-    fn = jax.vmap(_soap_one, in_axes=(0,) + (None,) * 8 + (None,))
+    fn = jax.vmap(partial(_soap_one, W=W, radial_basis=radial_basis),
+                  in_axes=(0,) + (None,) * 8 + (None,))
     outs = []
     probes = np.asarray(probes, dtype=np.float32)
     for lo in range(0, len(probes), batch):
@@ -151,7 +227,7 @@ def _species_onehot(species, species_list):
 
 def soap_descriptors_env(probes, envs, species, cell, r_cut=5.0,
                          sigma=0.5, n_max=8, l_max=6, species_list=None,
-                         batch=64):
+                         batch=64, radial_basis="gauss"):
     """SOAP vectors for ``probes (P, 3)``, each in its OWN environment
     ``envs (P, N, 3)`` (e.g. per-frame static lattices) with shared
     ``species (N,)``.  One vmapped device dispatch per ``batch`` probes —
@@ -162,8 +238,11 @@ def soap_descriptors_env(probes, envs, species, cell, r_cut=5.0,
     onehot = jnp.asarray(_species_onehot(species, species_list))
     cell = np.asarray(cell, dtype=np.float32)
     cell_inv = np.linalg.inv(cell).astype(np.float32)
+    W = jnp.asarray(radial_orthonormalizer(r_cut, sigma, n_max,
+                                           radial_basis))
 
-    fn = jax.vmap(_soap_one, in_axes=(0, 0) + (None,) * 7 + (None,))
+    fn = jax.vmap(partial(_soap_one, W=W, radial_basis=radial_basis),
+                  in_axes=(0, 0) + (None,) * 7 + (None,))
     outs = []
     probes = np.asarray(probes, dtype=np.float32)
     for lo in range(0, len(probes), batch):
@@ -185,13 +264,15 @@ class SOAPDescriptorAverages:
     """
 
     def __init__(self, r_cut=5.0, sigma=0.5, n_max=8, l_max=6,
-                 averages_n=16, seed=0, verbose=True):
+                 averages_n=16, seed=0, radial_basis="gauss",
+                 verbose=True):
         self.r_cut = float(r_cut)
         self.sigma = float(sigma)
         self.n_max = int(n_max)
         self.l_max = int(l_max)
         self.averages_n = int(averages_n)
         self.seed = seed
+        self.radial_basis = radial_basis
         self.verbose = verbose
 
     def get_descriptors(self, st):
@@ -244,7 +325,8 @@ class SOAPDescriptorAverages:
             d_parts.append(soap_descriptors_env(
                 probes[lo:lo + chunk], envs, species, cell,
                 r_cut=self.r_cut, sigma=self.sigma, n_max=self.n_max,
-                l_max=self.l_max, species_list=species_list))
+                l_max=self.l_max, species_list=species_list,
+                radial_basis=self.radial_basis))
         d_all = np.concatenate(d_parts, axis=0)
 
         D = d_all.shape[1]
@@ -263,11 +345,13 @@ class SiteCentersDescriptor:
     probes at the site centers, environment = the static reference
     structure."""
 
-    def __init__(self, r_cut=5.0, sigma=0.5, n_max=8, l_max=6):
+    def __init__(self, r_cut=5.0, sigma=0.5, n_max=8, l_max=6,
+                 radial_basis="gauss"):
         self.r_cut = float(r_cut)
         self.sigma = float(sigma)
         self.n_max = int(n_max)
         self.l_max = int(l_max)
+        self.radial_basis = radial_basis
 
     def get_descriptors(self, st_or_sn):
         sn = getattr(st_or_sn, "site_network", st_or_sn)
@@ -275,5 +359,6 @@ class SiteCentersDescriptor:
         d = soap_descriptors(sn.centers, static.positions, static.species,
                              sn.structure.cell, r_cut=self.r_cut,
                              sigma=self.sigma, n_max=self.n_max,
-                             l_max=self.l_max)
+                             l_max=self.l_max,
+                             radial_basis=self.radial_basis)
         return d, np.full(sn.n_sites, 1)

@@ -309,3 +309,69 @@ def test_site_volumes_insufficient_points():
     import pytest as _p
     with _p.raises(ValueError):
         SiteVolumes(error_on_insufficient=True, verbose=False).run(st)
+
+
+def test_radial_orthonormalizer_orthonormality():
+    """u = phi @ W must satisfy ∫ u_n u_n' r² dr = δ_nn' on the kept
+    channels (canonical orthogonalization zeroes near-null directions of
+    ill-conditioned bases — identically-zero u columns are allowed)."""
+    from sitator_tpu.site_descriptors.soap import (_radial_raw_np,
+                                                   radial_orthonormalizer)
+    r_cut, sigma, n_max = 5.0, 0.5, 8
+    r = np.linspace(0.0, r_cut, 4096)
+    for basis, min_rank in (("gauss", 8), ("poly", 5)):
+        W = radial_orthonormalizer(r_cut, sigma, n_max, basis)
+        u = _radial_raw_np(r, r_cut, sigma, n_max, basis) @ W
+        S = np.trapezoid(u[:, :, None] * u[:, None, :]
+                         * (r ** 2)[:, None, None], r, axis=0)
+        kept = np.flatnonzero(np.abs(W).sum(axis=0) > 0)
+        assert len(kept) >= min_rank, (basis, len(kept))
+        np.testing.assert_allclose(S[np.ix_(kept, kept)],
+                                   np.eye(len(kept)), atol=5e-3)
+        dropped = np.setdiff1d(np.arange(n_max), kept)
+        assert np.abs(S[dropped]).max(initial=0.0) < 1e-12
+
+
+def test_soap_poly_basis_invariances(rng):
+    """The polynomial radial basis keeps rotation + species invariances."""
+    from scipy.spatial.transform import Rotation
+    cell = np.eye(3) * 12.0
+    r = np.random.default_rng(7)
+    pos = r.random((20, 3)) * 6.0 + 3.0
+    species = np.array([16] * 14 + [3] * 6)
+    probe = np.array([[6.0, 6.0, 6.0]])
+    d0 = soap_descriptors(probe, pos, species, cell, r_cut=4.0,
+                          radial_basis="poly")
+    R = Rotation.from_euler("zyx", [0.4, -0.9, 1.3]).as_matrix()
+    ctr = probe[0]
+    d1 = soap_descriptors(probe, (pos - ctr) @ R.T + ctr, species, cell,
+                          r_cut=4.0, radial_basis="poly")
+    np.testing.assert_allclose(d0, d1, atol=2e-4)
+    # distinguishes species layouts
+    d2 = soap_descriptors(probe, pos, species[::-1], cell, r_cut=4.0,
+                          radial_basis="poly")
+    assert np.abs(d0 - d2).max() > 1e-3
+
+
+def test_soap_gauss_orthonormalized_differs_from_raw():
+    """The Löwdin transform is not a no-op: descriptors change vs the raw
+    overlapping-Gaussian projection (pre-0.3 behavior) but stay unit-norm."""
+    from functools import partial as _p
+    import jax
+    import jax.numpy as jnp
+    from sitator_tpu.site_descriptors.soap import _soap_one
+    cell = np.eye(3, dtype=np.float32) * 12.0
+    r = np.random.default_rng(8)
+    pos = (r.random((15, 3)) * 6.0 + 3.0).astype(np.float32)
+    onehot = np.ones((15, 1), np.float32)
+    probe = jnp.asarray(np.array([6.0, 6.0, 6.0], np.float32))
+    args = (probe, jnp.asarray(pos), jnp.asarray(onehot),
+            jnp.asarray(cell), jnp.asarray(np.linalg.inv(cell),
+                                           np.float32),
+            4.0, 0.5, 8, 4, 1)
+    d_raw = np.asarray(_soap_one(*args, W=None))
+    from sitator_tpu.site_descriptors.soap import radial_orthonormalizer
+    W = jnp.asarray(radial_orthonormalizer(4.0, 0.5, 8))
+    d_ortho = np.asarray(_soap_one(*args, W=W))
+    assert np.abs(d_raw - d_ortho).max() > 1e-3
+    np.testing.assert_allclose(np.linalg.norm(d_ortho), 1.0, atol=1e-5)
