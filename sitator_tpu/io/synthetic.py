@@ -27,7 +27,8 @@ class SyntheticMD:
     true_sites: np.ndarray          # (S, 3) ground-truth site centers
     true_assignments: np.ndarray    # (n_frames, n_ions) site index per frame
     true_n_ij: np.ndarray           # (S, S) ground-truth hop counts
-    site_neighbors: np.ndarray = field(default=None)  # (S, 6) grid adjacency
+    site_neighbors: np.ndarray = field(default=None)  # (S, k) adjacency, -1 pad
+    true_site_types: np.ndarray = field(default=None)  # (S,) e.g. oct/tet
 
     @property
     def n_frames(self):
@@ -91,7 +92,20 @@ def make_hopping_trajectory(
                 neighbors[i, k] = idx3[tuple(gg)]
                 k += 1
 
-    # Poisson hopping with exclusion
+    return _hopping_md(rng, cell, host, sites, neighbors, n_ions, n_frames,
+                       jump_rate, sigma_mobile, sigma_static, host_species,
+                       mobile_species, dtype)
+
+
+def _hopping_md(rng, cell, host, sites, neighbors, n_ions, n_frames,
+                jump_rate, sigma_mobile, sigma_static, host_species,
+                mobile_species, dtype, site_types=None):
+    """Shared hopping dynamics + trajectory assembly: Poisson jumps on the
+    (possibly ragged, −1-padded) ``neighbors`` adjacency with single
+    occupancy, harmonic wells, per-frame thermal jitter."""
+    n_host = len(host)
+    n_sites = len(sites)
+    n_nb = neighbors.shape[1]
     occ_site = rng.choice(n_sites, size=n_ions, replace=False)
     occupied = np.zeros(n_sites, dtype=bool)
     occupied[occ_site] = True
@@ -100,8 +114,8 @@ def make_hopping_trajectory(
     for f in range(n_frames):
         for ion in range(n_ions):
             if rng.random() < jump_rate:
-                target = neighbors[occ_site[ion], rng.integers(6)]
-                if not occupied[target]:
+                target = neighbors[occ_site[ion], rng.integers(n_nb)]
+                if target >= 0 and not occupied[target]:
                     occupied[occ_site[ion]] = False
                     if f > 0:
                         n_ij[occ_site[ion], target] += 1
@@ -137,4 +151,71 @@ def make_hopping_trajectory(
         true_assignments=assignments,
         true_n_ij=n_ij,
         site_neighbors=neighbors,
+        true_site_types=site_types,
     )
+
+
+def make_fcc_hopping_trajectory(
+    n_cells: int = 2,
+    a: float = 5.0,
+    n_ions: int = 4,
+    n_frames: int = 2000,
+    jump_rate: float = 0.01,
+    sigma_mobile: float = 0.18,
+    sigma_static: float = 0.04,
+    frozen_disorder: float = 0.08,
+    host_species: int = 16,
+    mobile_species: int = 3,
+    seed: int = 0,
+    dtype=np.float32,
+) -> SyntheticMD:
+    """FCC host lattice; ions hop on the tetrahedral/octahedral
+    interstitial network — the close-packed geometry of real solid
+    electrolytes (the reference paper's headline systems), and the
+    textbook case of RAGGED landmark polyhedra: tetrahedral holes have 4
+    vertex atoms, octahedral holes 6.
+
+    Sites per conventional cube: 4 octahedral (type 0) + 8 tetrahedral
+    (type 1); jumps follow the physical tet↔oct face-sharing network
+    (nearest-neighbor pairs at ``a·√3/4``).  ``true_site_types`` carries
+    the oct/tet ground truth for typing tests.
+    """
+    rng = np.random.default_rng(seed)
+    L = a * n_cells
+    cell = np.eye(3) * L
+
+    cube = np.stack(np.meshgrid(*[np.arange(n_cells)] * 3, indexing="ij"),
+                    axis=-1).reshape(-1, 3).astype(np.float64)
+    fcc_basis = np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.0],
+                          [0.5, 0.0, 0.5], [0.0, 0.5, 0.5]])
+    host = ((cube[:, None, :] + fcc_basis[None, :, :]).reshape(-1, 3)) * a
+    host += rng.normal(scale=frozen_disorder, size=host.shape)
+
+    oct_basis = np.array([[0.5, 0.0, 0.0], [0.0, 0.5, 0.0],
+                          [0.0, 0.0, 0.5], [0.5, 0.5, 0.5]])
+    tet_basis = np.array([[x, y, z] for x in (0.25, 0.75)
+                          for y in (0.25, 0.75) for z in (0.25, 0.75)])
+    octs = ((cube[:, None, :] + oct_basis[None, :, :]).reshape(-1, 3)) * a
+    tets = ((cube[:, None, :] + tet_basis[None, :, :]).reshape(-1, 3)) * a
+    sites = np.concatenate([octs, tets])
+    site_types = np.concatenate([np.zeros(len(octs), np.int32),
+                                 np.ones(len(tets), np.int32)])
+    n_sites = len(sites)
+    if n_ions >= n_sites:
+        raise ValueError("need n_ions < number of sites for single occupancy")
+
+    # tet↔oct face-sharing adjacency: min-image pairs at a*sqrt(3)/4
+    d = sites[:, None, :] - sites[None, :, :]
+    d -= np.round(d / L) * L
+    dist = np.linalg.norm(d, axis=-1)
+    r_nn = a * np.sqrt(3.0) / 4.0
+    adj = (dist < 1.1 * r_nn) & (dist > 1e-9)
+    max_nb = int(adj.sum(axis=1).max())
+    neighbors = np.full((n_sites, max_nb), -1, dtype=np.int64)
+    for i in range(n_sites):
+        nb = np.flatnonzero(adj[i])
+        neighbors[i, :len(nb)] = nb
+
+    return _hopping_md(rng, cell, host, sites, neighbors, n_ions, n_frames,
+                       jump_rate, sigma_mobile, sigma_static, host_species,
+                       mobile_species, dtype, site_types=site_types)

@@ -1,0 +1,92 @@
+"""End-to-end validation on the FCC interstitial network — the
+close-packed geometry of the reference paper's headline systems
+(Li in an anion framework) and the textbook RAGGED-polyhedra case:
+tetrahedral holes have 4 vertex atoms, octahedral holes 6.
+
+Covers: Voronoi seeding recovering tet+oct holes, landmark analysis on a
+mixed-coordination basis (site recovery + jump parity), and SOAP typing
+separating the two coordination environments.
+"""
+import numpy as np
+import pytest
+
+from sitator_tpu import SiteNetwork
+from sitator_tpu.io import make_fcc_hopping_trajectory
+from sitator_tpu.landmark import LandmarkAnalysis
+from sitator_tpu.ops.pbc import PBCCalculator
+from sitator_tpu.voronoi import VoronoiSiteGenerator
+
+
+@pytest.fixture(scope="module")
+def fcc_run():
+    md = make_fcc_hopping_trajectory(n_cells=2, a=5.0, n_ions=5,
+                                     n_frames=1200, jump_rate=0.02,
+                                     sigma_mobile=0.18, seed=3)
+    sn0 = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+    seeds = VoronoiSiteGenerator(merge_tol=0.05, verbose=False).run(sn0)
+    la = LandmarkAnalysis(cutoff_midpoint=3.2, cutoff_steepness=3.0,
+                          minimum_site_occupancy=0.01, verbose=False)
+    st = la.run(seeds, md.traj)
+    return md, seeds, la, st
+
+
+def test_fcc_voronoi_finds_tet_and_oct_holes(fcc_run):
+    """Every interstitial hole gets a Voronoi seed nearby, and the seed
+    polyhedra include BOTH 4-vertex (tet) and >=6-vertex (oct) cages."""
+    md, seeds, _, _ = fcc_run
+    calc = PBCCalculator(md.structure.cell)
+    d = calc.pairwise_distances(seeds.centers, md.true_sites)
+    assert d.min(axis=0).max() < 0.8   # all 96 holes seeded
+    vert_counts = np.array([len(v) for v in seeds.vertices])
+    assert (vert_counts <= 4).any() and (vert_counts >= 6).any(), \
+        sorted(set(vert_counts.tolist()))
+
+
+def test_fcc_site_recovery(fcc_run):
+    """Well-visited true sites are discovered; discovered sites sit on
+    truly visited ones (no phantoms) — mixed tet/oct basis."""
+    md, _, _, st = fcc_run
+    sn = st.site_network
+    calc = PBCCalculator(md.structure.cell)
+    visited, visits = np.unique(md.true_assignments, return_counts=True)
+    well = visited[visits >= 24]       # 2x the occupancy threshold
+    d_wv = calc.pairwise_distances(sn.centers, md.true_sites[well])
+    assert d_wv.min(axis=0).max() < 0.5
+    d_v = calc.pairwise_distances(sn.centers, md.true_sites[visited])
+    assert d_v.min(axis=1).max() < 0.5
+
+
+def test_fcc_jump_parity(fcc_run):
+    """Detected jump count matches the Poisson ground truth (flickers
+    between adjacent tet/oct wells are debounced by distance: matched
+    sites within 0.5 A)."""
+    from sitator_tpu.dynamics import JumpAnalysis, RemoveShortJumps
+    md, _, _, st = fcc_run
+    st2 = RemoveShortJumps(frame_threshold=3, verbose=False).run(st)
+    ja = JumpAnalysis(verbose=False)
+    ja.run(st2)
+    found = int(st2.site_network.n_ij.sum()
+                - np.trace(st2.site_network.n_ij))
+    true = int(md.true_n_ij.sum())
+    # generous envelope: thermal flicker between face-sharing tet/oct
+    # wells adds spurious short jumps; debounce removes most
+    assert true * 0.7 <= found <= true * 1.6, (found, true)
+
+
+def test_fcc_typing_separates_tet_from_oct():
+    """SOAP + SiteTypeAnalysis on the IDEAL interstitial network labels
+    octahedral and tetrahedral holes as two distinct types."""
+    from sitator_tpu.site_descriptors import (SiteCentersDescriptor,
+                                              SiteTypeAnalysis)
+    md = make_fcc_hopping_trajectory(n_cells=2, a=5.0, n_ions=4,
+                                     n_frames=10, frozen_disorder=0.02,
+                                     seed=5)
+    sn = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+    sn.centers = md.true_sites
+    sta = SiteTypeAnalysis(SiteCentersDescriptor(r_cut=4.0), n_types=2,
+                           verbose=False)
+    sta.run(sn)
+    types = sn.site_types
+    # perfect separation up to label permutation
+    agree = np.mean(types == md.true_site_types)
+    assert max(agree, 1.0 - agree) > 0.95, agree
