@@ -362,3 +362,67 @@ def test_streaming_on_npt_bridge(tmp_path):
     assert out_npt.n_sites == out_fix.n_sites
     np.testing.assert_array_equal(np.asarray(out_npt.n_ij),
                                   np.asarray(out_fix.n_ij))
+
+
+def test_xdatcar_npt_truncated_header(tmp_path, rng):
+    """A file truncated mid-repeated-header must raise cleanly, not parse
+    garbage coordinates."""
+    from sitator_tpu.io import read_xdatcar
+    base = np.eye(3) * 7.0
+    f = tmp_path / "XDATCAR"
+    with open(f, "w") as fh:
+        fh.write("run\n1.0\n")
+        for row in base:
+            fh.write("%.6f %.6f %.6f\n" % tuple(row))
+        fh.write("S Li\n2 1\n")
+        fh.write("Direct configuration= 1\n")
+        for _ in range(3):
+            fh.write("%.6f %.6f %.6f\n" % tuple(rng.random(3)))
+        fh.write("run\n1.0\n")
+        fh.write("%.6f %.6f %.6f\n" % tuple(base[0]))   # truncated here
+    with pytest.raises((ValueError, IndexError)):
+        read_xdatcar(f, variable_cell="rescale")
+
+
+def test_xdatcar_npt_trailing_header_no_frame(tmp_path, rng):
+    """A repeated header with no following frame (job killed mid-dump)
+    yields the complete frames and stops."""
+    from sitator_tpu.io import read_xdatcar
+    base = np.eye(3) * 7.0
+
+    def header(fh, scale):
+        fh.write("run\n1.0\n")
+        for row in base * scale:
+            fh.write("%.6f %.6f %.6f\n" % tuple(row))
+        fh.write("S Li\n2 1\n")
+
+    f = tmp_path / "XDATCAR"
+    with open(f, "w") as fh:
+        header(fh, 1.0)
+        fh.write("Direct configuration= 1\n")
+        for _ in range(3):
+            fh.write("%.6f %.6f %.6f\n" % tuple(rng.random(3)))
+        header(fh, 1.01)    # header of a frame that never arrived
+    s, traj = read_xdatcar(f, variable_cell="rescale")
+    assert traj.shape == (1, 3, 3)
+
+
+def test_lammps_npt_blank_lines_between_frames(tmp_path, rng):
+    """Stray blank lines between NPT frames don't derail the parser."""
+    from sitator_tpu.io import read_lammps_dump
+    n = 2
+    f = tmp_path / "npt.lammpstrj"
+    with open(f, "w") as fh:
+        for t in range(3):
+            fh.write("ITEM: TIMESTEP\n%d\n" % t)
+            fh.write("ITEM: NUMBER OF ATOMS\n%d\n" % n)
+            fh.write("ITEM: BOX BOUNDS pp pp pp\n")
+            for ax in range(3):
+                fh.write("0.0 %.6f\n" % (8.0 + 0.1 * t))
+            fh.write("ITEM: ATOMS id type x y z\n")
+            for i in range(n):
+                fh.write("%d 1 %.6f %.6f %.6f\n"
+                         % (i + 1, *(rng.random(3) * 8)))
+            fh.write("\n\n")
+    s, traj = read_lammps_dump(f, variable_cell="rescale")
+    assert traj.shape == (3, 2, 3)
