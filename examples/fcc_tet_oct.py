@@ -34,8 +34,9 @@ print(f"FCC host: {int(md.static_mask.sum())} atoms; interstitial truth: "
 sn0 = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
 seeds = VoronoiSiteGenerator(merge_tol=0.05, verbose=False).run(sn0)
 vc = np.array([len(v) for v in seeds.vertices])
+sizes, counts = np.unique(vc, return_counts=True)
 print(f"Voronoi seeds: {seeds.n_sites}; vertex-count histogram: "
-      f"{dict(zip(*map(list, np.unique(vc, return_counts=True))))}")
+      f"{dict(zip(sizes.tolist(), counts.tolist()))}")
 
 # --- 2. landmark analysis + jump statistics ----------------------------
 la = LandmarkAnalysis(cutoff_midpoint=3.2, cutoff_steepness=3.0,

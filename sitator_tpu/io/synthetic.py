@@ -105,16 +105,21 @@ def _hopping_md(rng, cell, host, sites, neighbors, n_ions, n_frames,
     occupancy, harmonic wells, per-frame thermal jitter."""
     n_host = len(host)
     n_sites = len(sites)
-    n_nb = neighbors.shape[1]
     occ_site = rng.choice(n_sites, size=n_ions, replace=False)
     occupied = np.zeros(n_sites, dtype=bool)
     occupied[occ_site] = True
     assignments = np.zeros((n_frames, n_ions), dtype=np.int32)
     n_ij = np.zeros((n_sites, n_sites), dtype=np.int64)
+    # per-site valid-neighbor counts: attempts sample among REAL neighbors
+    # only, so the per-site attempt rate is jump_rate regardless of how
+    # ragged the adjacency is (tets have 4 slots, octs 8 — padding must
+    # not halve the tetrahedral escape rate)
+    n_valid = (neighbors >= 0).sum(axis=1)
     for f in range(n_frames):
         for ion in range(n_ions):
             if rng.random() < jump_rate:
-                target = neighbors[occ_site[ion], rng.integers(n_nb)]
+                k = n_valid[occ_site[ion]]
+                target = neighbors[occ_site[ion], rng.integers(k)]
                 if target >= 0 and not occupied[target]:
                     occupied[occ_site[ion]] = False
                     if f > 0:

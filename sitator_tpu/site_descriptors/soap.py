@@ -227,19 +227,22 @@ def _species_onehot(species, species_list):
 
 def soap_descriptors_env(probes, envs, species, cell, r_cut=5.0,
                          sigma=0.5, n_max=8, l_max=6, species_list=None,
-                         batch=64, radial_basis="gauss"):
+                         batch=64, radial_basis="gauss", W=None):
     """SOAP vectors for ``probes (P, 3)``, each in its OWN environment
     ``envs (P, N, 3)`` (e.g. per-frame static lattices) with shared
     ``species (N,)``.  One vmapped device dispatch per ``batch`` probes —
-    the sampling path of :class:`SOAPDescriptorAverages`."""
+    the sampling path of :class:`SOAPDescriptorAverages`.  ``W``: optional
+    precomputed :func:`radial_orthonormalizer` (hoist it when calling in
+    a loop)."""
     envs = np.asarray(envs, dtype=np.float32)
     if species_list is None:
         species_list = np.unique(species)
     onehot = jnp.asarray(_species_onehot(species, species_list))
     cell = np.asarray(cell, dtype=np.float32)
     cell_inv = np.linalg.inv(cell).astype(np.float32)
-    W = jnp.asarray(radial_orthonormalizer(r_cut, sigma, n_max,
-                                           radial_basis))
+    if W is None:
+        W = radial_orthonormalizer(r_cut, sigma, n_max, radial_basis)
+    W = jnp.asarray(W)
 
     fn = jax.vmap(partial(_soap_one, W=W, radial_basis=radial_basis),
                   in_axes=(0, 0) + (None,) * 7 + (None,))
@@ -319,6 +322,8 @@ class SOAPDescriptorAverages:
         probes = st.real_trajectory[sel_f, mobile_idx[sel_i]]
         chunk = 512
         d_parts = []
+        W = radial_orthonormalizer(self.r_cut, self.sigma, self.n_max,
+                                   self.radial_basis)
         for lo in range(0, len(sel_f), chunk):
             f_c = sel_f[lo:lo + chunk]
             envs = st.real_trajectory[f_c][:, static_idx]
@@ -326,7 +331,7 @@ class SOAPDescriptorAverages:
                 probes[lo:lo + chunk], envs, species, cell,
                 r_cut=self.r_cut, sigma=self.sigma, n_max=self.n_max,
                 l_max=self.l_max, species_list=species_list,
-                radial_basis=self.radial_basis))
+                radial_basis=self.radial_basis, W=W))
         d_all = np.concatenate(d_parts, axis=0)
 
         D = d_all.shape[1]
