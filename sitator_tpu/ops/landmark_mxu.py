@@ -34,6 +34,7 @@ Reference parity: this computes exactly the landmark vectors of
 """
 from __future__ import annotations
 
+import logging
 from functools import partial
 
 import jax
@@ -42,9 +43,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
 from sitator_tpu.ops.kernel_common import (load_cell_params, merge_top2,
                                            min_image_xyz, pack_cell_params,
                                            round_up as _round_up)
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["prepare_mxu_basis", "prepare_engine_basis",
            "mxu_assign_blocks", "mxu_supported",
@@ -235,7 +239,12 @@ def prepare_engine_basis(verts, vmask, site_pos, cell, *, midpoint,
         midpoint=midpoint, steepness=steepness, cutoff_shape=cutoff_shape,
         vibration_margin=(max(3.0, 2.0 * float(drift_budget))
                           if drift_budget is not None else 3.0))
-    return basis if mxu_supported(basis) else None
+    ok = mxu_supported(basis)
+    logger.debug(
+        "fused-route gate: mxu=%s (cost_ratio %.3f), preshift=%s "
+        "(drift budget %s)", ok, basis["cost_ratio"],
+        basis["preshift"] if ok else "-", drift_budget)
+    return basis if ok else None
 
 
 def mxu_supported(basis, max_cost_ratio=0.75) -> bool:
