@@ -37,6 +37,33 @@ __all__ = [
 
 
 _LATTICE_RE = re.compile(r'Lattice\s*=\s*"([^"]+)"', re.IGNORECASE)
+_PROPS_RE = re.compile(r'Properties\s*=\s*"?([A-Za-z0-9_:]+)"?',
+                       re.IGNORECASE)
+
+
+def _parse_properties(comment):
+    """Whitespace-field offsets of the species and pos columns from an
+    extxyz ``Properties=`` declaration (each property contributes its
+    declared column count).  Returns ``(species_field or None,
+    pos_field)``; files without a declaration use the plain-xyz
+    convention ``(0, 1)``."""
+    m = _PROPS_RE.search(comment)
+    if not m:
+        return 0, 1
+    parts = m.group(1).split(":")
+    off = 0
+    species_f = pos_f = None
+    for i in range(0, len(parts) - 2, 3):
+        name, _kind, cnt = parts[i], parts[i + 1], int(parts[i + 2])
+        if name.lower() == "species":
+            species_f = off
+        elif name.lower() == "pos":
+            pos_f = off
+        off += cnt
+    if pos_f is None:
+        raise ValueError(
+            f"extxyz Properties declares no pos field: {m.group(1)!r}")
+    return species_f, pos_f
 
 # Variable-cell (NPT) policy, shared by all text readers.  The SiteNetwork
 # data model assumes ONE cell per analysis (as the reference does —
@@ -93,14 +120,20 @@ def iread_xyz(path):
             n = int(line)
             comment = f.readline()
             cell = _parse_comment(comment)
+            # honor the Properties= column layout (pos-first files, extra
+            # per-atom columns like forces); absent -> species, x, y, z
+            sp_f, pos_f = _parse_properties(comment)
             species = np.empty(n, dtype=np.int32)
             pos = np.empty((n, 3), dtype=np.float64)
             for i in range(n):
                 parts = f.readline().split()
-                s = parts[0]
-                species[i] = (int(s) if s.isdigit()
-                              else symbol_to_number(s))
-                pos[i] = [float(x) for x in parts[1:4]]
+                if sp_f is None:
+                    species[i] = 0                    # no species column
+                else:
+                    s = parts[sp_f]
+                    species[i] = (int(s) if s.isdigit()
+                                  else symbol_to_number(s))
+                pos[i] = [float(x) for x in parts[pos_f:pos_f + 3]]
             if cell is None:
                 if synth_cell is None:
                     # non-periodic xyz: bounding box with margin

@@ -234,6 +234,21 @@ class FastXYZTrajectory(_IndexedNativeTrajectory):
     _index_name = "fxyz_index"
     _cache_suffix = ".fxyzidx.npz"
 
+    def _precheck(self):
+        """The native frame parser skips ONE leading token then reads 3
+        floats — i.e. the standard species-first layout (pos at fields
+        1..3).  Files whose Properties= declares another column order
+        fall back to the Python parser, which honors the declaration."""
+        from sitator_tpu.io.formats import _parse_properties
+        with open(self.path) as f:
+            f.readline()
+            sp_f, pos_f = _parse_properties(f.readline())
+        if pos_f != 1:
+            raise ValueError(
+                "native extxyz decoder needs the species-first column "
+                f"layout (pos at field 1, got field {pos_f}); using the "
+                "Python parser")
+
     def _check_fixed_cell(self):
         from sitator_tpu.io.formats import _parse_comment
         ref = None

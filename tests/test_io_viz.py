@@ -406,3 +406,46 @@ def test_xdatcar_vasp4_header(tmp_path):
     np.testing.assert_array_equal(r.structure.species, [1, 1, 1, 2])
     # empty slice at the end never touches the native offsets buffer
     assert r[2:2].shape == (0, 4, 3)
+
+
+def test_extxyz_properties_column_layout(tmp_path):
+    """Properties= declarations with non-standard column order (pos
+    before species, extra per-atom columns) parse correctly; the native
+    decoder falls back for them and open_trajectory still works."""
+    from sitator_tpu.io import open_trajectory
+    from sitator_tpu.io.formats import read_xyz
+    rng = np.random.default_rng(21)
+    pos = rng.random((2, 3, 3)) * 6.0
+    f = tmp_path / "odd.extxyz"
+    with open(f, "w") as fh:
+        for t in range(2):
+            fh.write("3\n")
+            fh.write('Lattice="6 0 0 0 6 0 0 0 6" '
+                     'Properties=pos:R:3:forces:R:3:species:S:1\n')
+            for i in range(3):
+                fh.write("%.8f %.8f %.8f 0.1 0.2 0.3 %s\n"
+                         % (*pos[t, i], ["S", "S", "Li"][i]))
+    s, traj = read_xyz(f, index="all")
+    np.testing.assert_allclose(traj, pos, atol=1e-7)
+    np.testing.assert_array_equal(s.species, [16, 16, 3])
+    r = open_trajectory(f)          # native precheck -> Python fallback
+    np.testing.assert_allclose(r[0:2], pos, atol=1e-5)
+    np.testing.assert_array_equal(r.structure.species, [16, 16, 3])
+
+
+def test_extxyz_trailing_columns_native_ok(tmp_path):
+    """Standard species-first layout WITH trailing force columns stays on
+    the native decoder (it skips to end-of-line after pos)."""
+    from sitator_tpu.io import open_trajectory
+    rng = np.random.default_rng(22)
+    pos = rng.random((2, 3, 3)) * 6.0
+    f = tmp_path / "forces.extxyz"
+    with open(f, "w") as fh:
+        for t in range(2):
+            fh.write("3\n")
+            fh.write('Lattice="6 0 0 0 6 0 0 0 6" '
+                     'Properties=species:S:1:pos:R:3:forces:R:3\n')
+            for i in range(3):
+                fh.write("Li %.8f %.8f %.8f 0.1 0.2 0.3\n" % tuple(pos[t, i]))
+    r = open_trajectory(f)
+    np.testing.assert_allclose(r[0:2], pos, atol=1e-5)
