@@ -296,7 +296,11 @@ def _parse_xdatcar_header_body(f):
     the repeated mid-file headers of variable-cell (NPT) XDATCARs."""
     scale = float(f.readline().split()[0])
     cell = np.array([[float(x) for x in f.readline().split()]
-                     for _ in range(3)]) * scale
+                     for _ in range(3)])
+    if scale < 0:
+        # VASP convention: a negative scale is the desired cell VOLUME
+        scale = (-scale / abs(np.linalg.det(cell))) ** (1.0 / 3.0)
+    cell = cell * scale
     species_line = f.readline().split()
     v4 = all(t.lstrip("-").isdigit() for t in species_line)
     if v4:
@@ -446,6 +450,9 @@ def iread_lammps_dump(path, variable_cell="error"):
                 raise ValueError(f"no coordinate columns in {cols}")
             id_i = cols.index("id") if "id" in cols else None
             ty_i = cols.index("type") if "type" in cols else None
+            # `dump custom ... element`: chemical symbols beat numeric
+            # types for species identity
+            el_i = cols.index("element") if "element" in cols else None
             pos = np.empty((n_atoms, 3), dtype=np.float64)
             ids = np.arange(n_atoms)
             typ = np.ones(n_atoms, dtype=np.int32)
@@ -454,7 +461,9 @@ def iread_lammps_dump(path, variable_cell="error"):
                 pos[i] = [float(parts[c]) for c in cidx]
                 if id_i is not None:
                     ids[i] = int(parts[id_i])
-                if ty_i is not None:
+                if el_i is not None:
+                    typ[i] = symbol_to_number(parts[el_i])
+                elif ty_i is not None:
                     typ[i] = int(parts[ty_i])
             order = np.argsort(ids, kind="stable")
             pos, typ = pos[order], typ[order]

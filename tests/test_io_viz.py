@@ -449,3 +449,40 @@ def test_extxyz_trailing_columns_native_ok(tmp_path):
                 fh.write("Li %.8f %.8f %.8f 0.1 0.2 0.3\n" % tuple(pos[t, i]))
     r = open_trajectory(f)
     np.testing.assert_allclose(r[0:2], pos, atol=1e-5)
+
+
+def test_xdatcar_negative_scale_is_volume(tmp_path):
+    """VASP convention: a negative universal scale is the target cell
+    VOLUME."""
+    from sitator_tpu.io.formats import read_xdatcar
+    f = tmp_path / "XDATCAR"
+    with open(f, "w") as fh:
+        fh.write("vol-scaled\n-1000.0\n")     # want volume 1000
+        for row in np.eye(3) * 2.0:           # raw volume 8
+            fh.write("%.6f %.6f %.6f\n" % tuple(row))
+        fh.write("Li\n2\n")
+        fh.write("Direct configuration= 1\n")
+        fh.write("0.25 0.25 0.25\n0.5 0.5 0.5\n")
+    s, traj = read_xdatcar(f)
+    np.testing.assert_allclose(np.abs(np.linalg.det(s.cell)), 1000.0,
+                               rtol=1e-10)
+    np.testing.assert_allclose(s.cell, np.eye(3) * 10.0, atol=1e-9)
+    np.testing.assert_allclose(traj[0, 1], [5.0, 5.0, 5.0], atol=1e-9)
+
+
+def test_lammps_element_column(tmp_path):
+    """`dump custom ... element` symbols become species numbers."""
+    from sitator_tpu.io.formats import read_lammps_dump
+    f = tmp_path / "el.lammpstrj"
+    with open(f, "w") as fh:
+        fh.write("ITEM: TIMESTEP\n0\n")
+        fh.write("ITEM: NUMBER OF ATOMS\n3\n")
+        fh.write("ITEM: BOX BOUNDS pp pp pp\n")
+        for _ in range(3):
+            fh.write("0.0 8.0\n")
+        fh.write("ITEM: ATOMS id type element x y z\n")
+        fh.write("1 1 S 1.0 1.0 1.0\n")
+        fh.write("2 1 S 2.0 2.0 2.0\n")
+        fh.write("3 2 Li 3.0 3.0 3.0\n")
+    s, traj = read_lammps_dump(f)
+    np.testing.assert_array_equal(s.species, [16, 16, 3])
