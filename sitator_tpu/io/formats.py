@@ -495,9 +495,11 @@ def read_lammps_dump(path, variable_cell="error"):
 
 
 def sniff_format(path):
-    """Classify a trajectory file by name: 'xdatcar' | 'lammps' | 'xyz' |
-    'npy' | 'npz' | 'h5' | None — the single dispatch table shared by
-    :func:`open_trajectory` and :func:`convert_to_npy`."""
+    """Classify a trajectory file: 'xdatcar' | 'lammps' | 'xyz' | 'npy' |
+    'npz' | 'h5' | None — the single dispatch table shared by
+    :func:`open_trajectory` and :func:`convert_to_npy`.  Filename
+    conventions first; unrecognized names fall back to content sniffing
+    (so ``traj.txt``-style names still open)."""
     p = str(path)
     name = p.rsplit("/", 1)[-1].upper()
     if name.startswith("XDATCAR") or p.endswith(".xdatcar"):
@@ -512,7 +514,40 @@ def sniff_format(path):
         return "npz"
     if p.endswith((".h5", ".hdf5")):
         return "h5"
-    return None
+    return _sniff_content(p)
+
+
+def _sniff_content(path):
+    """Content-based format detection for unconventionally-named files."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(8)
+        if head.startswith(b"\x93NUMPY"):
+            return "npy"
+        if head.startswith(b"PK\x03\x04"):
+            return "npz"
+        if head.startswith(b"\x89HDF"):
+            return "h5"
+        with open(path) as f:
+            lines = [f.readline() for _ in range(7)]
+    except (OSError, UnicodeDecodeError):
+        return None
+    if lines[0].startswith("ITEM: TIMESTEP"):
+        return "lammps"
+    try:                                   # xyz: natoms int, then comment
+        int(lines[0].strip())
+        return "xyz"
+    except ValueError:
+        pass
+    try:                                   # xdatcar: comment, scale, 3x3
+        float(lines[1].split()[0])
+        for k in (2, 3, 4):
+            row = [float(x) for x in lines[k].split()]
+            if len(row) != 3:
+                return None
+        return "xdatcar"
+    except (ValueError, IndexError):
+        return None
 
 
 def convert_to_npy(src, out_path, dtype=np.float32, verbose=False,

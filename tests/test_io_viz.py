@@ -486,3 +486,40 @@ def test_lammps_element_column(tmp_path):
         fh.write("3 2 Li 3.0 3.0 3.0\n")
     s, traj = read_lammps_dump(f)
     np.testing.assert_array_equal(s.species, [16, 16, 3])
+
+
+def test_content_sniffing_unconventional_names(tmp_path, rng):
+    """Files with arbitrary names open via content sniffing."""
+    from sitator_tpu.io import open_trajectory, write_xdatcar, write_xyz
+    from sitator_tpu.core.structure import Structure
+    cell = np.diag([6.0, 6.0, 6.0])
+    pos = rng.random((2, 3, 3)) * 6.0
+    s = Structure(pos[0], np.array([3, 3, 3]), cell)
+
+    write_xdatcar(tmp_path / "run_output.txt", s, pos)
+    r = open_trajectory(tmp_path / "run_output.txt")
+    np.testing.assert_allclose(r[0:2], pos, atol=1e-5)
+
+    write_xyz(tmp_path / "snapshot.dat", s, pos)
+    r2 = open_trajectory(tmp_path / "snapshot.dat")
+    np.testing.assert_allclose(r2[0:2], pos, atol=1e-5)
+
+    # lammps content under a bland name
+    f = tmp_path / "dumpfile"
+    with open(f, "w") as fh:
+        fh.write("ITEM: TIMESTEP\n0\nITEM: NUMBER OF ATOMS\n2\n")
+        fh.write("ITEM: BOX BOUNDS pp pp pp\n0 6\n0 6\n0 6\n")
+        fh.write("ITEM: ATOMS id type x y z\n1 1 1 1 1\n2 1 2 2 2\n")
+    r3 = open_trajectory(f)
+    assert len(r3) == 1
+
+    # npy under a bland name
+    np.save(tmp_path / "blob.bin.npy", pos)  # np.save appends .npy
+    import os
+    os.rename(tmp_path / "blob.bin.npy", tmp_path / "blob.bin")
+    r4 = open_trajectory(tmp_path / "blob.bin")
+    np.testing.assert_allclose(r4[0:2], pos, atol=1e-6)
+
+    with pytest.raises(ValueError, match="unknown trajectory format"):
+        (tmp_path / "garbage").write_text("not a trajectory\nat all\n")
+        open_trajectory(tmp_path / "garbage")
