@@ -315,3 +315,31 @@ def test_mcl_expansion_is_matrix_power():
     want = np.linalg.matrix_power(T, 3)
     want = want / want.sum(0, keepdims=True)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_jump_rate_parity_with_poisson_truth():
+    """BASELINE parity gate 2 (jump-RATE parity): mean residence time
+    recovered by JumpAnalysis from the ground-truth assignments matches
+    the generator's Poisson attempt rate (residence ~ Geometric(p_eff),
+    mean 1/p_eff with p_eff = jump_rate x acceptance)."""
+    md = make_hopping_trajectory(n_cells=3, a=4.0, n_ions=4,
+                                 n_frames=6000, jump_rate=0.05, seed=23)
+    sn = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+    sn.centers = md.true_sites
+    st = SiteTrajectory(sn, md.true_assignments)
+    ja = JumpAnalysis(verbose=False)
+    ja.run(st)
+    res_cnt = np.asarray(sn.n_ij).sum()
+    # completed residences: total frames spent before each recorded jump
+    mean_res = (np.nansum(np.asarray(sn.residence_times)
+                          * np.asarray(sn.n_ij).sum(axis=1))
+                / max(res_cnt, 1))
+    # acceptance: a jump attempt targets one of 6 neighbors uniformly;
+    # with 4 ions on 27 sites a target is rarely occupied (>= 0.9)
+    expected_lo, expected_hi = 1.0 / 0.05, 1.0 / (0.05 * 0.85)
+    assert expected_lo * 0.8 < mean_res < expected_hi * 1.2, \
+        (mean_res, expected_lo, expected_hi)
+    # and the total jump count is consistent with rate x time x ions
+    expect_jumps = 0.05 * 0.9 * 6000 * 4
+    assert 0.75 * expect_jumps < res_cnt < 1.15 * expect_jumps, \
+        (res_cnt, expect_jumps)
