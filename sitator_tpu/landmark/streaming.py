@@ -361,7 +361,6 @@ class StreamingLandmarkAnalysis:
         static_idx = np.flatnonzero(sn.static_mask)
         n_mobile = len(mobile_idx)
         verts, vmask = sn.padded_vertices()
-        A = lmops.vertex_membership_matrix(verts, vmask, len(static_idx))
         cell_np = sn.structure.cell
         cell = jnp.asarray(cell_np, jnp.float32)
         cell_inv = jnp.asarray(np.linalg.inv(cell_np), jnp.float32)
@@ -411,6 +410,11 @@ class StreamingLandmarkAnalysis:
                     anchors_j = basis["anchors"]
                 centers_j = jnp.asarray(
                     permute_centers(centers, basis), jnp.float32)
+        # the dense membership matrix only exists on the XLA fallback —
+        # at flagship scale it is ~n_static x n_landmarks x 4 B of pure
+        # dead weight for the kernel paths
+        A = (lmops.vertex_membership_matrix(verts, vmask, len(static_idx))
+             if kernel == "xla" else jnp.zeros((1, 1), jnp.float32))
 
         start_lo = 0
         carry = (jnp.full((n_mobile,), -1, jnp.int32),
