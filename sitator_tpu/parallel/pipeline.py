@@ -254,9 +254,12 @@ class SpmdLandmarkPipeline:
                 self._centers_mxu = jax.device_put(
                     jnp.asarray(permute_centers(centers_compact, basis),
                                 jnp.float32), rep)
-        self.A = jax.device_put(
+        # the dense membership matrix feeds only the XLA fallback branch
+        # of run_block; on the kernel routes it is ~n_static x n_landmarks
+        # x 4 B of dead device weight
+        self.A = (None if self.use_fused else jax.device_put(
             lmops.vertex_membership_matrix(verts, vmask,
-                                           len(self.static_idx)), rep)
+                                           len(self.static_idx)), rep))
         self.cell = jax.device_put(
             jnp.asarray(seed_sn.structure.cell, jnp.float32), rep)
         self.cell_inv = jax.device_put(
