@@ -51,15 +51,21 @@ def _parse_properties(comment):
     if not m:
         return 0, 1
     parts = m.group(1).split(":")
+    if len(parts) < 3 or len(parts) % 3:
+        # not a real name:kind:count declaration (free-text comment that
+        # happens to contain "Properties=...") — historical tolerant layout
+        return 0, 1
     off = 0
     species_f = pos_f = None
     for i in range(0, len(parts) - 2, 3):
-        name, _kind, cnt = parts[i], parts[i + 1], int(parts[i + 2])
+        name, _kind, cnt = parts[i], parts[i + 1], parts[i + 2]
+        if not cnt.isdigit():
+            return 0, 1                       # malformed -> tolerant layout
         if name.lower() == "species":
             species_f = off
         elif name.lower() == "pos":
             pos_f = off
-        off += cnt
+        off += int(cnt)
     if pos_f is None:
         raise ValueError(
             f"extxyz Properties declares no pos field: {m.group(1)!r}")
@@ -462,7 +468,17 @@ def iread_lammps_dump(path, variable_cell="error"):
                 if id_i is not None:
                     ids[i] = int(parts[id_i])
                 if el_i is not None:
-                    typ[i] = symbol_to_number(parts[el_i])
+                    # dump_modify can set arbitrary labels — unknown ones
+                    # fall back to the numeric type column
+                    s = parts[el_i]
+                    if s.isdigit():
+                        typ[i] = int(s)
+                    else:
+                        try:
+                            typ[i] = symbol_to_number(s.capitalize())
+                        except ValueError:
+                            typ[i] = (int(parts[ty_i])
+                                      if ty_i is not None else 1)
                 elif ty_i is not None:
                     typ[i] = int(parts[ty_i])
             order = np.argsort(ids, kind="stable")
@@ -529,16 +545,36 @@ def _sniff_content(path):
         if head.startswith(b"\x89HDF"):
             return "h5"
         with open(path) as f:
-            lines = [f.readline() for _ in range(7)]
+            # capped reads: never materialize a huge single-line file
+            lines = [f.readline(4096) for _ in range(8)]
     except (OSError, UnicodeDecodeError):
         return None
-    if lines[0].startswith("ITEM: TIMESTEP"):
+    # LAMMPS dumps may lead with ITEM: TIME / ITEM: UNITS before TIMESTEP
+    if any(ln.startswith("ITEM: ") for ln in lines):
         return "lammps"
-    try:                                   # xyz: natoms int, then comment
-        int(lines[0].strip())
+
+    def _is_xyz():
+        # natoms int, then a comment, then atom lines of
+        # <species> <x> <y> <z> [...] — check the shape of the first one
+        try:
+            int(lines[0].strip())
+        except ValueError:
+            return False
+        try:
+            sp_f, pos_f = _parse_properties(lines[1])
+        except ValueError:
+            return False
+        parts = lines[2].split()
+        if len(parts) < pos_f + 3:
+            return False
+        try:
+            [float(x) for x in parts[pos_f:pos_f + 3]]
+        except ValueError:
+            return False
+        return True
+
+    if _is_xyz():
         return "xyz"
-    except ValueError:
-        pass
     try:                                   # xdatcar: comment, scale, 3x3
         float(lines[1].split()[0])
         for k in (2, 3, 4):

@@ -250,13 +250,24 @@ class FastXYZTrajectory(_IndexedNativeTrajectory):
                 "Python parser")
 
     def _check_fixed_cell(self):
-        from sitator_tpu.io.formats import _parse_comment
+        from sitator_tpu.io.formats import (_parse_comment,
+                                            _parse_properties)
         ref = None
         with open(self.path) as f:
             for i in self._sample_frames():
                 f.seek(int(self._offsets[i]))
                 f.readline()                       # atom-count line
-                cell = _parse_comment(f.readline())
+                comment = f.readline()
+                cell = _parse_comment(comment)
+                # concatenated files can switch column layouts mid-stream;
+                # the native parser is species-first-only (same sampled
+                # check as the cell)
+                _, pos_f = _parse_properties(comment)
+                if pos_f != 1:
+                    raise ValueError(
+                        "extxyz frame with a non-species-first Properties "
+                        "layout: the native decoder is fixed-layout; "
+                        "falling back")
                 if i == 0:
                     ref = cell
                 elif (cell is None) != (ref is None) or (

@@ -523,3 +523,76 @@ def test_content_sniffing_unconventional_names(tmp_path, rng):
     with pytest.raises(ValueError, match="unknown trajectory format"):
         (tmp_path / "garbage").write_text("not a trajectory\nat all\n")
         open_trajectory(tmp_path / "garbage")
+
+
+def test_lammps_element_unknown_labels_fall_back_to_type(tmp_path):
+    from sitator_tpu.io.formats import read_lammps_dump
+    f = tmp_path / "odd_el.lammpstrj"
+    with open(f, "w") as fh:
+        fh.write("ITEM: TIMESTEP\n0\nITEM: NUMBER OF ATOMS\n2\n")
+        fh.write("ITEM: BOX BOUNDS pp pp pp\n0 8\n0 8\n0 8\n")
+        fh.write("ITEM: ATOMS id type element x y z\n")
+        fh.write("1 5 Type1 1 1 1\n")      # unknown label -> type column
+        fh.write("2 2 li 2 2 2\n")         # lowercase symbol -> Li
+    s, _ = read_lammps_dump(f)
+    np.testing.assert_array_equal(s.species, [5, 3])
+
+
+def test_xyz_freetext_properties_comment_tolerated(tmp_path):
+    """A free-text comment containing 'Properties=something' that is not
+    a real declaration must not break the plain-xyz layout."""
+    from sitator_tpu.io.formats import read_xyz
+    f = tmp_path / "weird.xyz"
+    f.write_text("2\nmy Properties=none run\n"
+                 "C 1.0 2.0 3.0\nC 4.0 5.0 6.0\n")
+    s, traj = read_xyz(f, index="all")
+    np.testing.assert_allclose(traj[0], [[1, 2, 3], [4, 5, 6]], atol=1e-9)
+
+
+def test_sniff_xdatcar_with_numeric_comment(tmp_path):
+    """An oddly-named XDATCAR whose comment line is a bare number must
+    sniff as xdatcar, not xyz."""
+    from sitator_tpu.io import open_trajectory
+    f = tmp_path / "run77.txt"
+    with open(f, "w") as fh:
+        fh.write("128\n1.0\n")             # numeric comment!
+        for row in np.eye(3) * 6.0:
+            fh.write("%.6f %.6f %.6f\n" % tuple(row))
+        fh.write("Li\n2\n")
+        fh.write("Direct configuration= 1\n0.1 0.1 0.1\n0.5 0.5 0.5\n")
+    r = open_trajectory(f)
+    assert len(r) == 1 and r.n_atoms == 2
+
+
+def test_sniff_lammps_with_leading_time_item(tmp_path):
+    """dump_modify time/units prepends ITEM: TIME / ITEM: UNITS blocks —
+    the sniffer and the Python reader both cope."""
+    from sitator_tpu.io import open_trajectory
+    f = tmp_path / "timed_dump"
+    with open(f, "w") as fh:
+        fh.write("ITEM: UNITS\nmetal\nITEM: TIME\n0.5\n")
+        fh.write("ITEM: TIMESTEP\n0\nITEM: NUMBER OF ATOMS\n2\n")
+        fh.write("ITEM: BOX BOUNDS pp pp pp\n0 8\n0 8\n0 8\n")
+        fh.write("ITEM: ATOMS id type x y z\n1 1 1 1 1\n2 1 2 2 2\n")
+    r = open_trajectory(f)
+    assert len(r) == 1
+
+
+def test_native_rejects_mixed_properties_layouts(tmp_path, rng):
+    """Concatenated extxyz with a mid-stream layout switch: the native
+    decoder's sampled check raises and the Python parser (which honors
+    per-frame declarations) reads it correctly via open_trajectory."""
+    from sitator_tpu.io import open_trajectory
+    pos = rng.random((2, 2, 3)) * 5.0
+    f = tmp_path / "mixed.extxyz"
+    with open(f, "w") as fh:
+        fh.write("2\nLattice=\"5 0 0 0 5 0 0 0 5\" "
+                 "Properties=species:S:1:pos:R:3\n")
+        for p in pos[0]:
+            fh.write("Li %.8f %.8f %.8f\n" % tuple(p))
+        fh.write("2\nLattice=\"5 0 0 0 5 0 0 0 5\" "
+                 "Properties=pos:R:3:species:S:1\n")
+        for p in pos[1]:
+            fh.write("%.8f %.8f %.8f Li\n" % tuple(p))
+    r = open_trajectory(f)
+    np.testing.assert_allclose(r[0:2], pos, atol=1e-5)
