@@ -615,6 +615,28 @@ def convert_to_npy(src, out_path, dtype=np.float32, verbose=False,
                 "open binary formats with open_trajectory instead")
 
     if isinstance(src, (str,)) or hasattr(src, "__fspath__"):
+        p = str(src)
+        fmt = sniff_format(p)
+        if variable_cell == "error" and fmt in ("xyz", "lammps",
+                                                "xdatcar"):
+            # fast path: the native multithreaded decoder already indexes
+            # the file — blockwise copy beats the two-pass Python parse by
+            # an order of magnitude on multi-GB files, same O(block) memory
+            reader = _try_native_reader(p, fmt)
+            if reader is not None:
+                structure = reader.structure
+                out = np.lib.format.open_memmap(
+                    out_path, mode="w+", dtype=dtype,
+                    shape=(len(reader), reader.n_atoms, 3))
+                B = 1024
+                for lo in range(0, len(reader), B):
+                    out[lo:lo + B] = reader[lo:min(lo + B, len(reader))]
+                out.flush()
+                if verbose:
+                    print(f"wrote {len(reader)} frames x "
+                          f"{reader.n_atoms} atoms to {out_path} "
+                          "(native decoder)")
+                return structure, out_path
         # pass 1: count frames + shapes; pass 2: fill the memmap
         n_frames = 0
         structure = None
@@ -727,6 +749,23 @@ class LammpsDumpTrajectory(ArrayTrajectory):
         super().__init__(traj, structure)
 
 
+def _try_native_reader(p, fmt, **kwargs):
+    """Attempt the native multithreaded decoder for a text format; None
+    when the library is unavailable or the file fails its prechecks
+    (variable cell, non-standard layout, scaled coords, ...) — callers
+    fall back to the Python parsers' clearer errors/handling."""
+    try:
+        from sitator_tpu.io import native
+        if native.get_lib() is None:
+            return None
+        cls = {"xyz": native.FastXYZTrajectory,
+               "lammps": native.FastLammpsTrajectory,
+               "xdatcar": native.FastXDATCARTrajectory}[fmt]
+        return cls(p, **kwargs)
+    except Exception:
+        return None
+
+
 def open_trajectory(path, **kwargs):
     """Open any supported trajectory behind the ``TrajectoryReader``
     protocol, preferring the native multithreaded decoders for text
@@ -745,45 +784,16 @@ def open_trajectory(path, **kwargs):
         return NpzTrajectory(p, **kwargs)
     if fmt == "h5":
         return H5Trajectory(p, **kwargs)
-    if fmt == "xdatcar":
-        # prefer the native decoder; variable-cell / malformed files fall
-        # back to the Python reader's clearer errors
+    if fmt in ("xdatcar", "lammps", "xyz"):
         vc = kwargs.pop("variable_cell", "error")
         if vc == "error":
-            try:
-                from sitator_tpu.io.native import (FastXDATCARTrajectory,
-                                                   get_lib)
-                if get_lib() is not None:
-                    return FastXDATCARTrajectory(p, **kwargs)
-            except Exception:
-                pass
-        return XDATCARTrajectory(p, variable_cell=vc)
-    if fmt == "lammps":
-        # prefer the native multithreaded decoder (random block access, no
-        # whole-file materialization); its precheck rejects scaled-coord
-        # and non-contiguous-id dumps cheaply -> Python fallback
-        vc = kwargs.pop("variable_cell", "error")
-        if vc == "error":
-            try:
-                from sitator_tpu.io.native import (FastLammpsTrajectory,
-                                                   get_lib)
-                if get_lib() is not None:
-                    return FastLammpsTrajectory(p, **kwargs)
-            except Exception:
-                pass
-        return LammpsDumpTrajectory(p, variable_cell=vc)
-    if fmt == "xyz":
-        # prefer the native multithreaded decoder (random block access, no
-        # whole-file materialization); fall back to the Python parser
-        vc = kwargs.pop("variable_cell", "error")
-        if vc == "error":
-            try:
-                from sitator_tpu.io.native import FastXYZTrajectory, get_lib
-                if get_lib() is not None:
-                    return FastXYZTrajectory(p, **kwargs)
-            except Exception:
-                pass
-        return XYZTrajectory(p, variable_cell=vc)
+            r = _try_native_reader(p, fmt, **kwargs)
+            if r is not None:
+                return r
+        python_cls = {"xdatcar": XDATCARTrajectory,
+                      "lammps": LammpsDumpTrajectory,
+                      "xyz": XYZTrajectory}[fmt]
+        return python_cls(p, variable_cell=vc)
     raise ValueError(f"unknown trajectory format: {p}")
 
 
