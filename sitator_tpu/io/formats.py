@@ -778,6 +778,11 @@ def open_trajectory(path, **kwargs):
     memory — and stream the resulting ``.npy``."""
     p = str(path)
     fmt = sniff_format(p)
+    if fmt in ("npy", "npz", "h5"):
+        # Binary formats are fixed-cell by construction (conversion already
+        # applied any rescale); accept-and-drop so one call site can open
+        # mixed sources with a uniform variable_cell= policy.
+        kwargs.pop("variable_cell", None)
     if fmt == "npy":
         return NpyTrajectory(p, **kwargs)
     if fmt == "npz":

@@ -119,6 +119,8 @@ def _hopping_md(rng, cell, host, sites, neighbors, n_ions, n_frames,
         for ion in range(n_ions):
             if rng.random() < jump_rate:
                 k = n_valid[occ_site[ion]]
+                if k == 0:
+                    continue  # isolated site: the ion cannot hop
                 target = neighbors[occ_site[ion], rng.integers(k)]
                 if target >= 0 and not occupied[target]:
                     occupied[occ_site[ion]] = False

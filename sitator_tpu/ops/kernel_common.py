@@ -2,8 +2,8 @@
 
 The kernel-side functions here are pure jnp expressions traced inline into
 the calling kernel (no Pallas state of their own), so factoring them out of
-``landmark_pallas`` / ``landmark_mxu`` / ``landmark_pallas_pruned`` does not
-change the generated Mosaic code — it only keeps the three kernels' cell
+``landmark_pallas`` / ``landmark_mxu`` does not
+change the generated Mosaic code — it only keeps the kernels' cell
 handling and top-2 logic from drifting apart.
 """
 from __future__ import annotations
