@@ -11,7 +11,9 @@ site; on every site change records a hop.  Writes onto the ``SiteNetwork``:
   jumps), ``total_corrected_residences`` (total frames occupied, including
   residences still open at the trajectory end).
 
-The frame loop runs on device (:func:`sitator_tpu.ops.jumps.jump_stats`).
+The frame loop runs on device in epoch-bounded blocks with exact host
+int64 totals (:func:`sitator_tpu.ops.jumps.jump_stats_exact`) — no silent
+int32 wrap at any trajectory length that fits in RAM.
 """
 from __future__ import annotations
 
@@ -21,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sitator_tpu.core.sitetraj import SiteTrajectory
-from sitator_tpu.ops.jumps import jump_stats
+from sitator_tpu.ops.jumps import jump_stats_exact
 
 logger = logging.getLogger(__name__)
 
@@ -40,8 +42,11 @@ class JumpAnalysis:
     def run(self, st: SiteTrajectory) -> SiteTrajectory:
         sn = st.site_network
         S = sn.n_sites
-        stats = jump_stats(jnp.asarray(st.traj), S,
-                           unknown_policy=self.unknown_policy)
+        # int64-exact blocked accumulation: no silent int32 wrap at any
+        # trajectory length that fits in RAM (the device scan runs per
+        # epoch-bounded block; totals are host int64)
+        stats = jump_stats_exact(st.traj, S,
+                                 unknown_policy=self.unknown_policy)
         self._stats = {k: np.asarray(v) for k, v in stats.items()}
 
         n_ij = self._stats["n_ij"].astype(np.float64)

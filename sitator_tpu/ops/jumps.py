@@ -22,7 +22,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["jump_stats", "jump_stats_parallel", "JumpStats"]
+__all__ = ["jump_stats", "jump_stats_exact", "jump_stats_parallel",
+           "JumpStats"]
 
 
 class JumpStats(dict):
@@ -113,6 +114,66 @@ def _jump_stats(traj, n_sites, init_last=None, init_res=None,
         last_sites=last,
         last_res=res,
     )
+
+
+def jump_stats_exact(traj, n_sites, init_last=None, init_res=None,
+                     unknown_policy="persist", block_frames=None):
+    """:func:`jump_stats` with int64-exact accumulation at any length.
+
+    The device accumulators are int32 for speed; a residence-weighted sum
+    (``lag_sum``/``res_sum``) or ``occ_counts`` can silently wrap once the
+    frame×ion volume approaches 2^31 events.  This wrapper runs the SAME
+    scan in frame blocks sized so each block's event tallies stay ≤ 2^26
+    (the streaming engine's epoch bound, ``landmark/streaming.py``), chains
+    the (last, res) carry across blocks — exact for either
+    ``unknown_policy`` because the carry is the scan's own state — and sums
+    the per-block outputs into host int64.  Output statistics are numpy
+    int64; ``last_sites``/``last_res`` come from the final block's carry.
+
+    The one remaining int32 quantity is the carried per-ion residence
+    itself, which wraps only if a single ion sits still for >2^31
+    consecutive frames; as in the streaming engine, a warning fires if any
+    block's tally nears the range.
+    """
+    import logging
+    import numpy as np
+
+    traj = np.asarray(traj)
+    F, M = traj.shape
+    if block_frames is None:
+        block_frames = max(1, (1 << 26) // max(1, M))
+    if F == 0:
+        z = jump_stats(jnp.asarray(traj), n_sites, init_last=init_last,
+                       init_res=init_res, unknown_policy=unknown_policy)
+        out = {k: np.asarray(v).astype(np.int64) for k, v in z.items()
+               if k not in ("last_sites", "last_res")}
+        out["last_sites"] = np.asarray(z["last_sites"])
+        out["last_res"] = np.asarray(z["last_res"])
+        return JumpStats(out)
+    host = None
+    last, res = init_last, init_res
+    for lo in range(0, F, block_frames):
+        blk = jump_stats(jnp.asarray(traj[lo:lo + block_frames]), n_sites,
+                         init_last=last, init_res=res,
+                         unknown_policy=unknown_policy)
+        last = blk["last_sites"]
+        res = blk["last_res"]
+        dev = {k: np.asarray(v) for k, v in blk.items()
+               if k not in ("last_sites", "last_res")}
+        for k, v in dev.items():
+            if v.dtype.kind in "iu" and \
+                    np.abs(v.astype(np.int64)).max(initial=0) > (1 << 30):
+                logging.getLogger(__name__).warning(
+                    "jump accumulator %r neared int32 range within one "
+                    "block; lower block_frames for exactness", k)
+        if host is None:
+            host = {k: v.astype(np.int64) for k, v in dev.items()}
+        else:
+            for k, v in dev.items():
+                host[k] += v
+    host["last_sites"] = np.asarray(last)
+    host["last_res"] = np.asarray(res)
+    return JumpStats(host)
 
 
 def jump_stats_parallel(traj, n_sites, unknown_policy="persist"):

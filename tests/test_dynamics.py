@@ -343,3 +343,52 @@ def test_jump_rate_parity_with_poisson_truth():
     expect_jumps = 0.05 * 0.9 * 6000 * 4
     assert 0.75 * expect_jumps < res_cnt < 1.15 * expect_jumps, \
         (res_cnt, expect_jumps)
+
+
+def test_jump_stats_exact_matches_one_shot():
+    """Blocked int64 accumulation is bitwise-equal to the one-shot scan
+    (carry chaining across forced tiny blocks, both policies)."""
+    import jax.numpy as jnp
+    from sitator_tpu.ops.jumps import jump_stats, jump_stats_exact
+
+    rng = np.random.default_rng(11)
+    traj = rng.integers(-1, 6, size=(233, 9)).astype(np.int32)
+    for policy in ("persist", "break"):
+        want = jump_stats(jnp.asarray(traj), 6, unknown_policy=policy)
+        for bf in (7, 50, 10_000):
+            got = jump_stats_exact(traj, 6, unknown_policy=policy,
+                                   block_frames=bf)
+            for k in want:
+                np.testing.assert_array_equal(
+                    np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
+        assert got["n_ij"].dtype == np.int64
+        assert got["lag_sum"].dtype == np.int64
+
+
+def test_jump_stats_exact_no_int32_wrap():
+    """Adversarially long carried residences: three ions each carry a
+    2^30-frame residence and close it in different blocks; the correct
+    lag_sum[0, 1] = 3*2^30 + 3 exceeds int32 range.  The blocked int64 path
+    must report it exactly (the one-shot int32 device scan wraps)."""
+    from sitator_tpu.ops.jumps import jump_stats, jump_stats_exact
+
+    big = np.int32(1 << 30)
+    init_last = np.zeros(3, dtype=np.int32)      # all ions sit at site 0
+    init_res = np.full(3, big, dtype=np.int32)   # ...for 2^30 frames already
+    # ion m jumps 0->1 at frame m (staggered so each block closes one)
+    traj = np.zeros((3, 3), dtype=np.int32)
+    for m in range(3):
+        traj[m:, m] = 1
+    want = 3 * (1 << 30) + 3  # each closes big+m+... staggered residences
+    # oracle: ion m closes residence big+m at frame m
+    want = sum(int(big) + m for m in range(3))
+
+    got = jump_stats_exact(traj, 2, init_last=init_last, init_res=init_res,
+                           block_frames=1)
+    assert int(got["lag_sum"][0, 1]) == want
+    assert int(got["res_sum"][0]) == want
+    # the one-shot int32 scan demonstrably wraps on the same input
+    import jax.numpy as jnp
+    raw = jump_stats(jnp.asarray(traj), 2, init_last=jnp.asarray(init_last),
+                     init_res=jnp.asarray(init_res))
+    assert int(np.asarray(raw["lag_sum"])[0, 1]) != want
