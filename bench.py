@@ -5,10 +5,13 @@ on the BASELINE.md headline config scale — 10k atoms (9261 static SC lattice,
 (``__graft_entry__.dryrun_multichip``); throughput scales linearly in the
 frame axis by construction (frame-sharded, psum-only communication).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is measured against a vectorized-NumPy implementation of the
-reference algorithm (sitator's Cython loop is single-core; vectorized NumPy
-with multithreaded BLAS is a generous stand-in) on the same config.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "spread",
+"n_reps"} — value is the MEDIAN of n_reps in-process repeats and spread is
+[min, max] (chip throughput varies ~2x run-to-run, so a single number is
+not a defensible headline).  vs_baseline is measured against a vectorized-
+NumPy implementation of the reference algorithm (sitator's Cython loop is
+single-core; vectorized NumPy with multithreaded BLAS is a generous
+stand-in) on the same config.
 """
 import json
 import time
@@ -63,7 +66,7 @@ def build_system(seed=0):
     return cell, verts, frames, centers, n_static
 
 
-def cpu_reference_fps(cell, verts, frames, centers, n_frames=2,
+def cpu_reference_fps(cell, verts, frames, centers, n_frames=10,
                       site_chunk=256):
     """Reference algorithm, vectorized NumPy (site-chunked so intermediates
     stay cache-resident — a *generous* stand-in for the reference's
@@ -195,12 +198,12 @@ def tpu_fps(cell, verts, frames, centers, n_static, mode="mxu"):
     args = (sb, mb, jnp.asarray(verts), centers_arg, A) + bargs
 
     np.asarray(step(*args))                    # compile + warm (full sync)
-    best = np.inf
-    for _ in range(3):
+    reps = []
+    for _ in range(5):
         t0 = time.perf_counter()
         np.asarray(step(*args))                # scalar transfer == sync
-        best = min(best, time.perf_counter() - t0)
-    return N_BLOCKS * BLOCK / best
+        reps.append(N_BLOCKS * BLOCK / (time.perf_counter() - t0))
+    return reps
 
 
 def main():
@@ -208,16 +211,19 @@ def main():
     # the axon tunnel occasionally fails transiently (session-grant races);
     # one retry after a cooldown keeps the bench robust
     try:
-        fps = tpu_fps(cell, verts, frames, centers, n_static)
+        reps = tpu_fps(cell, verts, frames, centers, n_static)
     except RuntimeError:
         time.sleep(120)
-        fps = tpu_fps(cell, verts, frames, centers, n_static)
-    ref = cpu_reference_fps(cell, verts, frames, centers)
+        reps = tpu_fps(cell, verts, frames, centers, n_static)
+    fps = float(np.median(reps))
+    ref = cpu_reference_fps(cell, verts, frames, centers, n_frames=10)
     print(json.dumps({
         "metric": "frames_per_sec_landmark_assign_jump_10k_atoms_1chip",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / ref, 1),
+        "spread": [round(min(reps), 2), round(max(reps), 2)],
+        "n_reps": len(reps),
     }))
 
 

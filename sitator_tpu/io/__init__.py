@@ -20,6 +20,10 @@ from sitator_tpu.io.formats import (
     write_xdatcar,
     write_lammps_dump,
 )
+from sitator_tpu.io.tensorstore_io import (
+    TensorstoreTrajectory,
+    convert_to_zarr,
+)
 
 __all__ = [
     "SyntheticMD", "make_hopping_trajectory", "make_fcc_hopping_trajectory",
@@ -29,4 +33,5 @@ __all__ = [
     "read_xdatcar", "read_lammps_dump", "iread_xdatcar",
     "write_xdatcar", "write_lammps_dump",
     "iread_lammps_dump", "convert_to_npy", "ChunkedFeeder",
+    "TensorstoreTrajectory", "convert_to_zarr",
 ]

@@ -512,11 +512,16 @@ def read_lammps_dump(path, variable_cell="error"):
 
 def sniff_format(path):
     """Classify a trajectory file: 'xdatcar' | 'lammps' | 'xyz' | 'npy' |
-    'npz' | 'h5' | None — the single dispatch table shared by
+    'npz' | 'h5' | 'zarr' (a store directory) | None — the single
+    dispatch table shared by
     :func:`open_trajectory` and :func:`convert_to_npy`.  Filename
     conventions first; unrecognized names fall back to content sniffing
     (so ``traj.txt``-style names still open)."""
     p = str(path)
+    import os
+    if os.path.isdir(p):
+        from sitator_tpu.io.tensorstore_io import is_zarr_store
+        return "zarr" if is_zarr_store(p) else None
     name = p.rsplit("/", 1)[-1].upper()
     if name.startswith("XDATCAR") or p.endswith(".xdatcar"):
         return "xdatcar"
@@ -778,6 +783,10 @@ def open_trajectory(path, **kwargs):
     memory — and stream the resulting ``.npy``."""
     p = str(path)
     fmt = sniff_format(p)
+    if fmt == "zarr":
+        from sitator_tpu.io.tensorstore_io import TensorstoreTrajectory
+        kwargs.pop("variable_cell", None)  # fixed-cell store, as npy/h5
+        return TensorstoreTrajectory(p, **kwargs)
     if fmt in ("npy", "npz", "h5"):
         # Binary formats are fixed-cell by construction (conversion already
         # applied any rescale); accept-and-drop so one call site can open

@@ -1,0 +1,108 @@
+"""Tensorstore-backed chunked trajectory store (SURVEY.md §3.9 item 5):
+round-trip exactness, sidecar structure, ChunkedFeeder integration, and
+the streaming engine running off a zarr store bitwise-equal to in-memory."""
+import numpy as np
+import pytest
+
+pytest.importorskip("tensorstore")
+
+from sitator_tpu import SiteNetwork
+from sitator_tpu.io import (
+    ArrayTrajectory,
+    ChunkedFeeder,
+    TensorstoreTrajectory,
+    convert_to_zarr,
+    open_trajectory,
+)
+from sitator_tpu.io.synthetic import make_hopping_trajectory
+from sitator_tpu.landmark import StreamingLandmarkAnalysis
+from sitator_tpu.voronoi import VoronoiSiteGenerator
+
+
+@pytest.fixture(scope="module")
+def md_system():
+    md = make_hopping_trajectory(n_cells=3, a=4.0, n_ions=4, n_frames=700,
+                                 jump_rate=0.03, seed=9)
+    sn0 = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+    seeds = VoronoiSiteGenerator(merge_tol=0.05).run(sn0)
+    return md, seeds
+
+
+@pytest.mark.parametrize("zarr_format", [2, 3])
+def test_zarr_roundtrip_exact(tmp_path, zarr_format):
+    rng = np.random.default_rng(0)
+    traj = rng.normal(size=(101, 7, 3)).astype(np.float32)
+    store = str(tmp_path / f"t{zarr_format}.zarr")
+    _, out = convert_to_zarr(ArrayTrajectory(traj), store,
+                             chunk_frames=16, zarr_format=zarr_format)
+    r = TensorstoreTrajectory(out)
+    assert len(r) == 101
+    assert r.n_atoms == 7
+    np.testing.assert_array_equal(r[0:101], traj)
+    # non-chunk-aligned block reads
+    np.testing.assert_array_equal(r[13:55], traj[13:55])
+    np.testing.assert_array_equal(r[100:101], traj[100:101])
+
+
+def test_zarr_sidecar_structure_and_sniffing(tmp_path, md_system):
+    md, _ = md_system
+    store = str(tmp_path / "md.zarr")
+    s, _ = convert_to_zarr(ArrayTrajectory(md.traj, md.structure), store,
+                           chunk_frames=64)
+    assert s is md.structure
+    # open_trajectory dispatches on the store DIRECTORY and restores the
+    # sidecar structure (variable_cell is accepted-and-dropped as for npy)
+    r = open_trajectory(store, variable_cell="rescale")
+    assert isinstance(r, TensorstoreTrajectory)
+    np.testing.assert_array_equal(r.structure.cell, md.structure.cell)
+    np.testing.assert_array_equal(r.structure.species, md.structure.species)
+    np.testing.assert_array_equal(r[0:700], md.traj.astype(np.float32))
+
+
+def test_zarr_chunked_feeder(tmp_path):
+    rng = np.random.default_rng(1)
+    traj = rng.normal(size=(40, 5, 3)).astype(np.float32)
+    _, store = convert_to_zarr(ArrayTrajectory(traj),
+                               str(tmp_path / "f.zarr"), chunk_frames=8)
+    r = TensorstoreTrajectory(store)
+    got = list(ChunkedFeeder(r, block_frames=7))
+    assert [lo for lo, _ in got] == list(range(0, 40, 7))
+    np.testing.assert_array_equal(np.concatenate([b for _, b in got]), traj)
+
+
+def test_streaming_off_zarr_matches_inmemory(tmp_path, md_system):
+    """The exactness gate: StreamingLandmarkAnalysis off the tensorstore
+    reader reproduces the in-memory run bitwise (same fitted centers)."""
+    md, seeds = md_system
+    _, store = convert_to_zarr(ArrayTrajectory(md.traj, md.structure),
+                               str(tmp_path / "md.zarr"), chunk_frames=128)
+    reader = TensorstoreTrajectory(store)
+
+    sla = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0,
+                                    block_frames=96, verbose=False)
+    centers = sla.fit_centers(seeds, ArrayTrajectory(md.traj))
+    out_mem = sla.run(seeds, md.traj, centers=centers)
+
+    sla2 = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=96, verbose=False)
+    out_ts = sla2.run(seeds, reader, centers=centers)
+
+    np.testing.assert_array_equal(out_ts.n_ij, out_mem.n_ij)
+    np.testing.assert_array_equal(out_ts.occupancies, out_mem.occupancies)
+    np.testing.assert_allclose(out_ts.residence_times,
+                               out_mem.residence_times, equal_nan=True)
+    np.testing.assert_array_equal(out_ts.centers, out_mem.centers)
+
+
+def test_zarr_rejects_bad_shape(tmp_path):
+    import tensorstore as ts
+    store = str(tmp_path / "bad.zarr")
+    ts.open({"driver": "zarr",
+             "kvstore": {"driver": "file", "path": store},
+             "metadata": {"shape": [4, 5], "chunks": [4, 5],
+                          "dtype": "<f4"},
+             "create": True}).result()
+    with pytest.raises(ValueError, match=r"\(F, A, 3\)"):
+        TensorstoreTrajectory(store)
