@@ -23,14 +23,29 @@ by ``radial_basis``:
 - ``'poly'``: the dscribe-style polynomial basis ``φ_n(r) ∝ (r_cut − r)^{n+2}``,
   likewise Löwdin-orthonormalized.
 
-**Remaining deviation from GAP SOAP (deliberate):** the neighbor density is
-a delta density (evaluated at atom positions) rather than a sum of
-atom-centered Gaussians — radial smearing is folded into the basis width,
-angular smearing is absent.  Descriptors are smooth, rotation-invariant and
-species-resolved; absolute values still differ from quippy/dscribe, so
-compare descriptors only within one backend.  The descriptor interface is
-pluggable (SURVEY.md §3.9), so an external SOAP can be swapped in where
-available.
+**Density model** (``density=``):
+
+- ``'delta'`` (default, the pre-0.4 behavior): the neighbor density is a
+  delta density evaluated at atom positions — radial smearing folded into
+  the basis width, angular smearing absent.  Fast and adequate for
+  within-backend site typing, but absolute values differ from
+  quippy/dscribe.
+- ``'gauss'``: GAP-fidelity atom-centered Gaussian smearing.  The exact
+  expansion of a Gaussian at distance ``R`` along ``r̂_j`` is
+
+      c_nlm = 4π Y_lm(r̂_j) ∫ u_n(r) r² e^{-(r²+R²)/2σ²} i_l(rR/σ²) dr,
+
+  with ``i_l`` the modified spherical Bessel function — the same
+  analytic route dscribe/quippy take.  TPU-first execution: the radial
+  integrals ``I_nl(R)`` are quadratured host-side in float64 ONCE per
+  configuration (exp-scaled Bessels, no overflow at any σ) onto a dense
+  ``R`` table; the device kernel linearly interpolates the table per
+  neighbor and runs the same dense einsums as the delta path — no extra
+  HLO beyond a ``(G, n·l)`` gather.  Validated against direct 3D
+  quadrature of the smeared density (``tests/test_network_descriptors``).
+
+The descriptor interface is pluggable (SURVEY.md §3.9), so an external
+SOAP can be swapped in where available.
 """
 from __future__ import annotations
 
@@ -44,7 +59,7 @@ import numpy as np
 from sitator_tpu.ops.pbc import min_image_disp
 
 __all__ = ["soap_descriptors", "soap_descriptors_env",
-           "radial_orthonormalizer",
+           "radial_orthonormalizer", "radial_smearing_table",
            "SOAPDescriptorAverages", "SiteCentersDescriptor"]
 
 
@@ -135,6 +150,47 @@ def _radial_raw_np(r, r_cut, sigma, n_max, radial_basis):
     raise ValueError("radial_basis must be 'gauss' or 'poly'")
 
 
+def radial_smearing_table(r_cut, sigma, n_max, l_max, radial_basis="gauss",
+                          W=None, n_grid=512, n_quad=2048):
+    """Analytic radial integrals for the Gaussian-smeared density,
+    tabulated on a uniform neighbor-distance grid.
+
+    ``I_nl(R) = 4π ∫_0^{r_cut} u_n(r) r² e^{-(r²+R²)/2σ²} i_l(rR/σ²) dr``
+    where ``u = φ @ W`` is the orthonormal radial basis and ``i_l`` the
+    modified spherical Bessel function of the first kind.  Computed with
+    exp-scaled Bessels (``e^{-x} i_l(x)``) so the integrand is
+    ``u_n(r) r² e^{-(r-R)²/2σ²} [e^{-x} i_l(x)]`` — overflow-free at any
+    σ.  Returns ``(table, dR)`` with ``table`` of shape
+    ``(n_grid, n_max, l_max+1)`` float64 over ``R ∈ [0, r_cut]``.
+    """
+    from scipy.special import ive
+
+    if W is None:
+        W = radial_orthonormalizer(r_cut, sigma, n_max, radial_basis)
+    r = np.linspace(0.0, r_cut, n_quad)
+    u = _radial_raw_np(r, r_cut, sigma, n_max, radial_basis) @ W  # (Q, n)
+    R = np.linspace(0.0, r_cut, n_grid)
+    x = np.maximum(r[:, None] * R[None, :] / (sigma ** 2), 0.0)   # (Q, G)
+    gauss = np.exp(-((r[:, None] - R[None, :]) ** 2)
+                   / (2.0 * sigma ** 2))                          # (Q, G)
+    table = np.empty((n_grid, n_max, l_max + 1))
+    dblfact = 1.0
+    for l in range(l_max + 1):
+        if l > 0:
+            dblfact *= (2 * l + 1)
+        # e^{-x} i_l(x); series limit x^l/(2l+1)!! below quadrature noise
+        with np.errstate(invalid="ignore", divide="ignore"):
+            il = np.sqrt(np.pi / (2.0 * np.maximum(x, 1e-300))) \
+                * ive(l + 0.5, x)
+        small = x < 1e-6
+        il = np.where(small, (x ** l) / dblfact * np.exp(-x), il)
+        kern = 4.0 * np.pi * gauss * il * (r ** 2)[:, None]       # (Q, G)
+        # (Q, G) x (Q, n) -> (G, n)
+        table[:, :, l] = np.trapezoid(kern[:, :, None] * u[:, None, :],
+                                      r, axis=0).reshape(n_grid, n_max)
+    return table, R[1] - R[0]
+
+
 def _radial_raw(r, r_cut, sigma, n_max, radial_basis):
     """Raw radial basis, jnp (traced in-kernel): (N, n_max)."""
     if radial_basis == "gauss":
@@ -150,11 +206,14 @@ def _radial_raw(r, r_cut, sigma, n_max, radial_basis):
                                    "radial_basis"))
 def _soap_one(probe, positions, species_onehot, cell, cell_inv, r_cut,
               sigma, n_max, l_max, n_species, W=None,
-              radial_basis="gauss"):
+              radial_basis="gauss", smear_table=None):
     """SOAP vector for one probe.  positions (N, 3); species_onehot
     (N, n_species) with zero rows for atoms to ignore; ``W`` the radial
     orthonormalizer from :func:`radial_orthonormalizer` (None = raw
-    basis, the pre-0.3 behavior)."""
+    basis, the pre-0.3 behavior).  ``smear_table``: the
+    :func:`radial_smearing_table` array ``(G, n_max, l_max+1)`` —
+    switches the density model from delta to Gaussian-smeared (the
+    table's R grid spans ``[0, r_cut]``)."""
     disp = min_image_disp(positions - probe, cell, cell_inv)   # (N, 3)
     r = jnp.sqrt(jnp.sum(disp * disp, axis=-1))
     safe_r = jnp.maximum(r, 1e-9)
@@ -163,14 +222,32 @@ def _soap_one(probe, positions, species_onehot, cell, cell_inv, r_cut,
     # smooth cosine cutoff; excludes atoms beyond r_cut
     fcut = jnp.where(r < r_cut, 0.5 * (jnp.cos(jnp.pi * r / r_cut) + 1.0),
                      0.0)                                      # (N,)
-    g = _radial_raw(r, r_cut, sigma, n_max, radial_basis)      # (N, n_max)
-    if W is not None:
-        g = g @ W                 # project onto the ORTHONORMAL basis
     Y = _real_sph_harm(unit, l_max)                            # (N, L2)
-
-    # c[s, n, lm] = sum_j onehot[j, s] fcut[j] g[j, n] Y[j, lm]
     w = species_onehot * fcut[:, None]                         # (N, S)
-    c = jnp.einsum("js,jn,jl->snl", w, g, Y)
+
+    if smear_table is not None:
+        # per-neighbor radial integrals by linear interpolation of the
+        # host-precomputed table: (N,) -> (N, n_max, l_max+1)
+        G = smear_table.shape[0]
+        t = jnp.clip(r / r_cut * (G - 1), 0.0, G - 1)
+        i0 = jnp.clip(t.astype(jnp.int32), 0, G - 2)
+        f = (t - i0)[:, None, None]
+        tab = smear_table.astype(jnp.float32)
+        gl = jnp.take(tab, i0, axis=0) * (1.0 - f) \
+            + jnp.take(tab, i0 + 1, axis=0) * f      # (N, n, l_max+1)
+        # expand l -> lm and contract in one dense einsum
+        l_of_lm = np.repeat(np.arange(l_max + 1),
+                            [2 * l + 1 for l in range(l_max + 1)])
+        glm = gl[:, :, jnp.asarray(l_of_lm)]                   # (N, n, L2)
+        c = jnp.einsum("js,jnl,jl->snl", w, glm, Y,
+                      precision=jax.lax.Precision.HIGHEST)
+    else:
+        g = _radial_raw(r, r_cut, sigma, n_max, radial_basis)  # (N, n_max)
+        if W is not None:
+            g = g @ W             # project onto the ORTHONORMAL basis
+        # c[s, n, lm] = sum_j onehot[j, s] fcut[j] g[j, n] Y[j, lm]
+        c = jnp.einsum("js,jn,jl->snl", w, g, Y,
+                      precision=jax.lax.Precision.HIGHEST)
 
     # power spectrum per (s, s', n, n', l): sum over m
     l_sizes = [2 * l + 1 for l in range(l_max + 1)]
@@ -178,7 +255,8 @@ def _soap_one(probe, positions, species_onehot, cell, cell_inv, r_cut,
     lo = 0
     for l, sz in enumerate(l_sizes):
         cl = c[:, :, lo:lo + sz]                               # (S, n, m)
-        pl = jnp.einsum("snm,tpm->stnp", cl, cl) / math.sqrt(sz)
+        pl = jnp.einsum("snm,tpm->stnp", cl, cl,
+                        precision=jax.lax.Precision.HIGHEST) / math.sqrt(sz)
         out.append(pl.reshape(n_species * n_species * n_max * n_max))
         lo += sz
     p = jnp.concatenate(out)
@@ -188,9 +266,11 @@ def _soap_one(probe, positions, species_onehot, cell, cell_inv, r_cut,
 
 def soap_descriptors(probes, positions, species, cell, r_cut=5.0,
                      sigma=0.5, n_max=8, l_max=6, species_list=None,
-                     batch=256, radial_basis="gauss"):
+                     batch=256, radial_basis="gauss", density="delta"):
     """SOAP vectors for ``probes (P, 3)`` in the environment of
     ``positions (N, 3)`` with ``species (N,)``.  Returns (P, D) float32.
+    ``density``: 'delta' or 'gauss' (GAP-fidelity atom-centered Gaussian
+    smearing of width ``sigma`` — see module docstring).
     """
     positions = np.asarray(positions, dtype=np.float32)
     species = np.asarray(species)
@@ -202,10 +282,17 @@ def soap_descriptors(probes, positions, species, cell, r_cut=5.0,
         onehot[species == s, i] = 1.0
     cell = np.asarray(cell, dtype=np.float32)
     cell_inv = np.linalg.inv(cell).astype(np.float32)
-    W = jnp.asarray(radial_orthonormalizer(r_cut, sigma, n_max,
-                                           radial_basis))
+    Wnp = radial_orthonormalizer(r_cut, sigma, n_max, radial_basis)
+    smear = None
+    if density == "gauss":
+        smear = jnp.asarray(radial_smearing_table(
+            r_cut, sigma, n_max, l_max, radial_basis, W=Wnp)[0])
+    elif density != "delta":
+        raise ValueError("density must be 'delta' or 'gauss'")
+    W = jnp.asarray(Wnp)
 
-    fn = jax.vmap(partial(_soap_one, W=W, radial_basis=radial_basis),
+    fn = jax.vmap(partial(_soap_one, W=W, radial_basis=radial_basis,
+                          smear_table=smear),
                   in_axes=(0,) + (None,) * 8 + (None,))
     outs = []
     probes = np.asarray(probes, dtype=np.float32)
@@ -227,13 +314,14 @@ def _species_onehot(species, species_list):
 
 def soap_descriptors_env(probes, envs, species, cell, r_cut=5.0,
                          sigma=0.5, n_max=8, l_max=6, species_list=None,
-                         batch=64, radial_basis="gauss", W=None):
+                         batch=64, radial_basis="gauss", W=None,
+                         density="delta", smear_table=None):
     """SOAP vectors for ``probes (P, 3)``, each in its OWN environment
     ``envs (P, N, 3)`` (e.g. per-frame static lattices) with shared
     ``species (N,)``.  One vmapped device dispatch per ``batch`` probes —
-    the sampling path of :class:`SOAPDescriptorAverages`.  ``W``: optional
-    precomputed :func:`radial_orthonormalizer` (hoist it when calling in
-    a loop)."""
+    the sampling path of :class:`SOAPDescriptorAverages`.  ``W`` /
+    ``smear_table``: optional precomputed :func:`radial_orthonormalizer` /
+    :func:`radial_smearing_table` (hoist them when calling in a loop)."""
     envs = np.asarray(envs, dtype=np.float32)
     if species_list is None:
         species_list = np.unique(species)
@@ -242,9 +330,18 @@ def soap_descriptors_env(probes, envs, species, cell, r_cut=5.0,
     cell_inv = np.linalg.inv(cell).astype(np.float32)
     if W is None:
         W = radial_orthonormalizer(r_cut, sigma, n_max, radial_basis)
+    smear = None
+    if density == "gauss":
+        smear = jnp.asarray(
+            smear_table if smear_table is not None
+            else radial_smearing_table(r_cut, sigma, n_max, l_max,
+                                       radial_basis, W=W)[0])
+    elif density != "delta":
+        raise ValueError("density must be 'delta' or 'gauss'")
     W = jnp.asarray(W)
 
-    fn = jax.vmap(partial(_soap_one, W=W, radial_basis=radial_basis),
+    fn = jax.vmap(partial(_soap_one, W=W, radial_basis=radial_basis,
+                          smear_table=smear),
                   in_axes=(0, 0) + (None,) * 7 + (None,))
     outs = []
     probes = np.asarray(probes, dtype=np.float32)
@@ -268,7 +365,7 @@ class SOAPDescriptorAverages:
 
     def __init__(self, r_cut=5.0, sigma=0.5, n_max=8, l_max=6,
                  averages_n=16, seed=0, radial_basis="gauss",
-                 verbose=True):
+                 density="delta", verbose=True):
         self.r_cut = float(r_cut)
         self.sigma = float(sigma)
         self.n_max = int(n_max)
@@ -276,6 +373,7 @@ class SOAPDescriptorAverages:
         self.averages_n = int(averages_n)
         self.seed = seed
         self.radial_basis = radial_basis
+        self.density = density
         self.verbose = verbose
 
     def get_descriptors(self, st):
@@ -324,6 +422,10 @@ class SOAPDescriptorAverages:
         d_parts = []
         W = radial_orthonormalizer(self.r_cut, self.sigma, self.n_max,
                                    self.radial_basis)
+        smear = (radial_smearing_table(self.r_cut, self.sigma, self.n_max,
+                                       self.l_max, self.radial_basis,
+                                       W=W)[0]
+                 if self.density == "gauss" else None)
         for lo in range(0, len(sel_f), chunk):
             f_c = sel_f[lo:lo + chunk]
             envs = st.real_trajectory[f_c][:, static_idx]
@@ -331,7 +433,8 @@ class SOAPDescriptorAverages:
                 probes[lo:lo + chunk], envs, species, cell,
                 r_cut=self.r_cut, sigma=self.sigma, n_max=self.n_max,
                 l_max=self.l_max, species_list=species_list,
-                radial_basis=self.radial_basis, W=W))
+                radial_basis=self.radial_basis, W=W,
+                density=self.density, smear_table=smear))
         d_all = np.concatenate(d_parts, axis=0)
 
         D = d_all.shape[1]
@@ -351,12 +454,13 @@ class SiteCentersDescriptor:
     structure."""
 
     def __init__(self, r_cut=5.0, sigma=0.5, n_max=8, l_max=6,
-                 radial_basis="gauss"):
+                 radial_basis="gauss", density="delta"):
         self.r_cut = float(r_cut)
         self.sigma = float(sigma)
         self.n_max = int(n_max)
         self.l_max = int(l_max)
         self.radial_basis = radial_basis
+        self.density = density
 
     def get_descriptors(self, st_or_sn):
         sn = getattr(st_or_sn, "site_network", st_or_sn)
@@ -365,5 +469,6 @@ class SiteCentersDescriptor:
                              sn.structure.cell, r_cut=self.r_cut,
                              sigma=self.sigma, n_max=self.n_max,
                              l_max=self.l_max,
-                             radial_basis=self.radial_basis)
+                             radial_basis=self.radial_basis,
+                             density=self.density)
         return d, np.full(sn.n_sites, 1)

@@ -90,3 +90,42 @@ def test_fcc_typing_separates_tet_from_oct():
     # perfect separation up to label permutation
     agree = np.mean(types == md.true_site_types)
     assert max(agree, 1.0 - agree) > 0.95, agree
+
+
+def test_fcc_typing_gauss_density_agrees_with_delta():
+    """Quantified delta-vs-smeared claim (VERDICT r2 item 5): on the FCC
+    tet/oct system, GAP-fidelity Gaussian smearing and the fast delta
+    density give the SAME SiteTypeAnalysis outcome, and their per-site
+    descriptors are strongly aligned within-backend (the typing signal is
+    the same)."""
+    from sitator_tpu.site_descriptors import (SiteCentersDescriptor,
+                                              SiteTypeAnalysis)
+    md = make_fcc_hopping_trajectory(n_cells=2, a=5.0, n_ions=4,
+                                     n_frames=10, frozen_disorder=0.02,
+                                     seed=5)
+    types = {}
+    descs = {}
+    for density in ("delta", "gauss"):
+        sn = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+        sn.centers = md.true_sites
+        desc = SiteCentersDescriptor(r_cut=4.0, density=density)
+        sta = SiteTypeAnalysis(desc, n_types=2, verbose=False)
+        sta.run(sn)
+        agree = np.mean(sn.site_types == md.true_site_types)
+        assert max(agree, 1.0 - agree) > 0.95, (density, agree)
+        types[density] = sn.site_types
+        descs[density] = desc.get_descriptors(sn)[0]
+    # identical typing outcome up to label permutation
+    agree = np.mean(types["delta"] == types["gauss"])
+    assert max(agree, 1.0 - agree) == 1.0
+    # within each backend, same-type site descriptors are near-identical
+    # while cross-type similarity is visibly lower — the separation margin
+    # survives the density model change
+    for density in ("delta", "gauss"):
+        d = descs[density]
+        t = types[density]
+        same = [float(a @ b) for i, a in enumerate(d) for j, b in
+                enumerate(d) if i < j and t[i] == t[j]]
+        cross = [float(a @ b) for i, a in enumerate(d) for j, b in
+                 enumerate(d) if i < j and t[i] != t[j]]
+        assert min(same) > max(cross), density

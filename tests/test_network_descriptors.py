@@ -375,3 +375,122 @@ def test_soap_gauss_orthonormalized_differs_from_raw():
     d_ortho = np.asarray(_soap_one(*args, W=W))
     assert np.abs(d_raw - d_ortho).max() > 1e-3
     np.testing.assert_allclose(np.linalg.norm(d_ortho), 1.0, atol=1e-5)
+
+
+# ------------------------------------------- Gaussian-smeared density ---
+def _oracle_smeared_soap(probe, neigh, species, r_cut, sigma, n_max, l_max):
+    """Direct 3D quadrature of the Gaussian-smeared density expansion —
+    the from-first-principles oracle for ``density='gauss'``."""
+    import math
+    from numpy.polynomial.legendre import leggauss
+    from scipy.special import sph_harm_y
+    from sitator_tpu.site_descriptors.soap import (_radial_raw_np,
+                                                   radial_orthonormalizer)
+
+    species_list = np.unique(species)
+    W = radial_orthonormalizer(r_cut, sigma, n_max, "gauss")
+    nr, nt, npn = 320, 48, 96
+    r = np.linspace(0, r_cut, nr)
+    ct, wt = leggauss(nt)
+    phi = np.linspace(0, 2 * np.pi, npn, endpoint=False)
+    dphi = 2 * np.pi / npn
+    st = np.sqrt(1 - ct ** 2)
+    x = r[:, None, None] * st[None, :, None] * np.cos(phi)[None, None, :]
+    y = r[:, None, None] * st[None, :, None] * np.sin(phi)[None, None, :]
+    z = r[:, None, None] * ct[None, :, None] * np.ones_like(phi)[None, None]
+    pts = np.stack([x, y, z], -1)
+    u = _radial_raw_np(r, r_cut, sigma, n_max, "gauss") @ W
+
+    th = np.arccos(ct)[:, None] * np.ones_like(phi)[None, :]
+    ph = np.ones_like(ct)[:, None] * phi[None, :]
+    Y = {}
+    for l in range(l_max + 1):
+        for m in range(-l, l + 1):
+            am = abs(m)
+            ylm = sph_harm_y(l, am, th, ph)
+            if m == 0:
+                Y[(l, m)] = ylm.real
+            elif m > 0:
+                Y[(l, m)] = np.sqrt(2) * (-1) ** am * ylm.real
+            else:
+                Y[(l, m)] = np.sqrt(2) * (-1) ** am * ylm.imag
+
+    c = {}
+    for si, sp in enumerate(species_list):
+        rho = np.zeros((nr, nt, npn))
+        for j in np.flatnonzero(species == sp):
+            d = neigh[j] - probe
+            R = np.linalg.norm(d)
+            fc = 0.5 * (np.cos(np.pi * R / r_cut) + 1) if R < r_cut else 0.0
+            diff = pts - d
+            rho += fc * np.exp(-np.sum(diff ** 2, -1) / (2 * sigma ** 2))
+        for n in range(n_max):
+            for l in range(l_max + 1):
+                for m in range(-l, l + 1):
+                    integrand = (rho * Y[(l, m)][None]
+                                 * u[:, n, None, None]
+                                 * (r ** 2)[:, None, None])
+                    c[(si, n, l, m)] = np.trapezoid(
+                        (integrand * wt[None, :, None]).sum(1).sum(-1)
+                        * dphi, r)
+    S = len(species_list)
+    out = []
+    for l in range(l_max + 1):
+        pl = np.zeros((S, S, n_max, n_max))
+        for s in range(S):
+            for t in range(S):
+                for n in range(n_max):
+                    for p2 in range(n_max):
+                        pl[s, t, n, p2] = sum(
+                            c[(s, n, l, m)] * c[(t, p2, l, m)]
+                            for m in range(-l, l + 1))
+        out.append((pl / math.sqrt(2 * l + 1)).ravel())
+    p = np.concatenate(out)
+    return p / np.linalg.norm(p)
+
+
+def test_soap_gauss_density_matches_3d_quadrature():
+    """density='gauss' (analytic Bessel-integral table) reproduces direct
+    3D numerical quadrature of the smeared density — the GAP-fidelity
+    accuracy claim (VERDICT r2 item 5)."""
+    r_cut, sigma, n_max, l_max = 4.0, 0.5, 4, 3
+    cell = np.eye(3) * 40.0
+    probe = np.array([20.0, 20.0, 20.0])
+    neigh = probe + np.array([[1.2, 0.3, -0.4],
+                              [-0.9, 1.7, 0.8],
+                              [0.1, -1.1, 2.2]])
+    species = np.array([16, 16, 3])
+    want = _oracle_smeared_soap(probe, neigh, species, r_cut, sigma,
+                                n_max, l_max)
+    got = soap_descriptors(probe[None], neigh, species, cell, r_cut=r_cut,
+                           sigma=sigma, n_max=n_max, l_max=l_max,
+                           density="gauss")[0]
+    assert float(got @ want) > 0.999999
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_soap_gauss_density_rotation_invariance(rng):
+    pos, species, cell, c_o, _ = _env()
+    d0 = soap_descriptors(c_o[None], pos, species, cell, r_cut=4.0,
+                          density="gauss")
+    from scipy.spatial.transform import Rotation
+    R = Rotation.random(random_state=3).as_matrix()
+    pos_rot = pos.copy()
+    pos_rot[:6] = (pos[:6] - c_o) @ R.T + c_o
+    d1 = soap_descriptors(c_o[None], pos_rot, species, cell, r_cut=4.0,
+                          density="gauss")
+    np.testing.assert_allclose(d0, d1, atol=2e-4)
+
+
+def test_soap_gauss_small_sigma_approaches_delta():
+    """As the smearing width shrinks (poly basis, so sigma ONLY controls
+    the smearing), the smeared descriptor converges to the delta-density
+    descriptor — the two density models are consistent limits."""
+    pos, species, cell, c_o, _ = _env()
+    d_delta = soap_descriptors(c_o[None], pos, species, cell, r_cut=4.0,
+                               sigma=0.06, n_max=4, l_max=3,
+                               radial_basis="poly", density="delta")[0]
+    d_gauss = soap_descriptors(c_o[None], pos, species, cell, r_cut=4.0,
+                               sigma=0.06, n_max=4, l_max=3,
+                               radial_basis="poly", density="gauss")[0]
+    assert float(d_delta @ d_gauss) > 0.999
