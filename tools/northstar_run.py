@@ -1,0 +1,199 @@
+"""North-star measurement (VERDICT r2 item 1): sustained throughput of the
+LITERAL ``StreamingLandmarkAnalysis`` pass-2 loop — feeder thread, device
+accumulators, int64 epoch spill, checkpoint cadence, label memmap — on one
+TPU chip at the 10k-atom bench config, over >=50k frames of wall clock.
+
+The dev rig's axon tunnel moves ~MB/s, so trajectory data is PRE-STAGED
+DEVICE-RESIDENT (BASELINE.md north star assumes co-located deployment
+hardware where host->HBM runs at GB/s): a pool of 512-frame blocks is
+generated ON DEVICE once (jit PRNG, same statistics as bench.py frames)
+and a cycling TrajectoryReader hands the resident arrays to the engine's
+feeder.  Everything else is the production engine code path.
+
+Usage:  PYTHONPATH=/root/repo:/root/.axon_site /opt/venv/bin/python \
+            tools/northstar_run.py [--blocks 256] [--no-labels]
+Writes one JSON line to stdout and /tmp/northstar_result.json.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import A_LAT, K_CENTERS, N_CELLS, N_IONS, build_system  # noqa: E402
+
+B = 512          # engine block_frames
+POOL = 16        # device-resident blocks (~61 MB each, ~1 GB HBM)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=256,
+                    help="number of 512-frame blocks in the timed run")
+    ap.add_argument("--no-labels", action="store_true",
+                    help="disable the label memmap (isolates label egress)")
+    ap.add_argument("--small", action="store_true",
+                    help="tiny-config CPU smoke test of the wiring")
+    args = ap.parse_args()
+
+    global B, POOL
+    if args.small:
+        B, POOL = 64, 2
+
+    import jax
+    import jax.numpy as jnp
+    from jax import random
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {dev.device_kind}", flush=True)
+
+    # ---- health check + tunnel bandwidth probes -------------------------
+    t0 = time.perf_counter()
+    x = jnp.ones((256, 256))
+    np.asarray(x @ x)
+    print(f"# health matmul: {time.perf_counter() - t0:.2f}s", flush=True)
+
+    probe = jnp.zeros((2 * 1024 * 1024,), jnp.float32)  # 8 MB
+    np.asarray(probe)  # warm path
+    t0 = time.perf_counter()
+    np.asarray(probe + 1.0)
+    dl = 8.0 / (time.perf_counter() - t0)
+    hostbuf = np.zeros((2 * 1024 * 1024,), np.float32)
+    t0 = time.perf_counter()
+    jnp.asarray(hostbuf).block_until_ready()
+    ul = 8.0 / (time.perf_counter() - t0)
+    print(f"# tunnel approx MB/s: device->host {dl:.1f}, "
+          f"host->device {ul:.1f}", flush=True)
+
+    # ---- bench-config system + SiteNetwork ------------------------------
+    if args.small:
+        import bench
+        bench.N_CELLS, bench.N_IONS, bench.K_CENTERS = 5, 20, 32
+    n_cells = N_CELLS if not args.small else 5
+    n_ions = N_IONS if not args.small else 20
+    cell, verts, _frames, centers, n_static = build_system()
+    grid = np.stack(np.meshgrid(*[np.arange(n_cells)] * 3, indexing="ij"),
+                    axis=-1).reshape(-1, 3)
+    host = (grid * A_LAT).astype(np.float64)
+    sites = ((grid + 0.5) * A_LAT).astype(np.float64)
+    rng = np.random.default_rng(0)
+    occ = rng.choice(n_static, size=n_ions, replace=False)
+
+    from sitator_tpu import SiteNetwork, Structure
+    positions = np.concatenate([host, sites[occ]])
+    species = np.array([16] * n_static + [3] * n_ions)
+    s = Structure(positions, species, np.asarray(cell, np.float64))
+    sn = SiteNetwork(s, species == 16, species == 3)
+    sn.centers = sites          # landmark-basis site centers (S, 3)
+    sn.vertices = [verts[i] for i in range(n_static)]
+
+    # ---- device-resident block pool (generated on device) ---------------
+    host_j = jnp.asarray(host, jnp.float32)
+    ion0_j = jnp.asarray(sites[occ], jnp.float32)
+
+    @jax.jit
+    def gen_block(key):
+        k1, k2 = random.split(key)
+        st = host_j[None] + 0.05 * random.normal(k1, (B, n_static, 3))
+        mo = ion0_j[None] + 0.25 * random.normal(k2, (B, n_ions, 3))
+        return jnp.concatenate([st, mo], axis=1)
+
+    keys = random.split(random.PRNGKey(7), POOL)
+    blocks = [gen_block(keys[i]) for i in range(POOL)]
+    np.asarray(blocks[-1][0, 0])  # materialize the pool
+    print(f"# staged {POOL} device blocks x {B} frames", flush=True)
+
+    class DeviceCycleReader:
+        """TrajectoryReader over the device-resident pool, cycled."""
+
+        structure = s
+
+        def __init__(self, n_frames):
+            self._n = int(n_frames)
+
+        def __len__(self):
+            return self._n
+
+        @property
+        def n_atoms(self):
+            return n_static + n_ions
+
+        def __getitem__(self, key):
+            lo, hi = key.start or 0, key.stop
+            hi = min(self._n if hi is None else hi, self._n)
+            parts = []
+            while lo < hi:
+                b = (lo // B) % POOL
+                off = lo % B
+                take = min(B - off, hi - lo)
+                parts.append(blocks[b][off:off + take])
+                lo += take
+            return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+    from sitator_tpu.landmark import StreamingLandmarkAnalysis
+
+    # ---- pass 1 (fit) on one resident block, padded to the bench K ------
+    fit_eng = StreamingLandmarkAnalysis(
+        cutoff_midpoint=4.0, cutoff_steepness=3.0,
+        cutoff_shape="logistic_r2", block_frames=B, verbose=False)
+    t0 = time.perf_counter()
+    centers_fit = np.asarray(fit_eng.fit_centers(sn, DeviceCycleReader(B)))
+    print(f"# fit pass: {centers_fit.shape[0]} centers in "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+    if len(centers_fit) < len(centers):
+        pad = np.asarray(centers[:len(centers) - len(centers_fit)],
+                         np.float32)
+        centers = np.concatenate([centers_fit, pad])
+    else:
+        centers = centers_fit
+    print(f"# K = {len(centers)} (fit + random pad to bench size)",
+          flush=True)
+
+    def make_engine(tag, nf):
+        return StreamingLandmarkAnalysis(
+            cutoff_midpoint=4.0, cutoff_steepness=3.0,
+            cutoff_shape="logistic_r2", block_frames=B,
+            checkpoint_path=f"/tmp/ns_ckpt_{tag}.npz",
+            store_labels=(None if args.no_labels
+                          else f"/tmp/ns_labels_{tag}.npy"),
+            verbose=False)
+
+    # ---- compile/warm run (same shapes -> compile cache) ----------------
+    t0 = time.perf_counter()
+    warm = make_engine("warm", 2 * B)
+    out = warm.run(sn, DeviceCycleReader(2 * B), centers=centers)
+    print(f"# warm run (2 blocks, incl. compile): "
+          f"{time.perf_counter() - t0:.1f}s; K={warm.n_sites_} "
+          f"occ_sum={float(np.sum(out.occupancies)):.2f}", flush=True)
+
+    # ---- timed sustained run -------------------------------------------
+    n_frames = args.blocks * B
+    eng = make_engine("main", n_frames)
+    t0 = time.perf_counter()
+    out = eng.run(sn, DeviceCycleReader(n_frames), centers=centers)
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+    res = {
+        "metric": "streaming_engine_sustained_fps_10k_atoms_1chip",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "n_frames": n_frames,
+        "wall_s": round(dt, 1),
+        "labels_memmap": not args.no_labels,
+        "v5e8_projection_s_1M_frames": round(1e6 / (8 * fps), 1),
+        "tunnel_dl_MBps": round(dl, 1),
+        "tunnel_ul_MBps": round(ul, 1),
+    }
+    print(json.dumps(res), flush=True)
+    with open("/tmp/northstar_result.json", "w") as f:
+        json.dump(res, f)
+    # sanity: the engine did real work
+    assert float(np.sum(out.occupancies)) > 0
+
+
+if __name__ == "__main__":
+    main()
