@@ -556,6 +556,15 @@ class StreamingLandmarkAnalysis:
                         mobile, static, verts_j, vmask_j, A, cell, cell_inv,
                         kcell, centers_j, active, uidx_j, Am_j, kill_j,
                         ref_u_j, anchors_j, static_ref_j, **assign_kw)
+                    if labels_out is not None and \
+                            getattr(self, "async_label_copy", True):
+                        # start the label device->host copy NOW so it
+                        # overlaps the accumulator dispatches below; the
+                        # later np.asarray then hits a ready host buffer
+                        try:
+                            labels.copy_to_host_async()
+                        except (AttributeError, NotImplementedError):
+                            pass
                     if thr_drift is not None:
                         drift_f = np.asarray(drift)[:nb]
                     need_assign = False

@@ -38,6 +38,8 @@ def main():
                     help="disable the label memmap (isolates label egress)")
     ap.add_argument("--small", action="store_true",
                     help="tiny-config CPU smoke test of the wiring")
+    ap.add_argument("--ab", action="store_true",
+                    help="same-process async/sync/no-labels comparison")
     args = ap.parse_args()
 
     global B, POOL
@@ -139,7 +141,8 @@ def main():
     # ---- pass 1 (fit) on one resident block, padded to the bench K ------
     fit_eng = StreamingLandmarkAnalysis(
         cutoff_midpoint=4.0, cutoff_steepness=3.0,
-        cutoff_shape="logistic_r2", block_frames=B, verbose=False)
+        cutoff_shape="logistic_r2", block_frames=B,
+        clustering_params={"k_max": 1024}, verbose=False)
     t0 = time.perf_counter()
     centers_fit = np.asarray(fit_eng.fit_centers(sn, DeviceCycleReader(B)))
     print(f"# fit pass: {centers_fit.shape[0]} centers in "
@@ -171,12 +174,20 @@ def main():
           f"occ_sum={float(np.sum(out.occupancies)):.2f}", flush=True)
 
     # ---- timed sustained run -------------------------------------------
-    n_frames = args.blocks * B
-    eng = make_engine("main", n_frames)
-    t0 = time.perf_counter()
-    out = eng.run(sn, DeviceCycleReader(n_frames), centers=centers)
-    dt = time.perf_counter() - t0
-    fps = n_frames / dt
+    def timed(tag, n_blocks, labels=True, async_labels=True):
+        n_frames = n_blocks * B
+        eng = make_engine(tag, n_frames)
+        if not labels:
+            eng.store_labels = None
+        eng.async_label_copy = async_labels
+        t0 = time.perf_counter()
+        out = eng.run(sn, DeviceCycleReader(n_frames), centers=centers)
+        dt = time.perf_counter() - t0
+        assert float(np.sum(out.occupancies)) > 0
+        return n_frames / dt, dt, n_frames
+
+    fps, dt, n_frames = timed("main", args.blocks,
+                              labels=not args.no_labels)
     res = {
         "metric": "streaming_engine_sustained_fps_10k_atoms_1chip",
         "value": round(fps, 1),
@@ -188,11 +199,17 @@ def main():
         "tunnel_dl_MBps": round(dl, 1),
         "tunnel_ul_MBps": round(ul, 1),
     }
+    if args.ab:
+        # same-process A/B/C: chip throughput varies ~2x across sessions,
+        # so label-egress variants are only comparable within one process
+        nb = max(32, args.blocks // 2)
+        res["ab_async_labels_fps"] = round(timed("a", nb)[0], 1)
+        res["ab_sync_labels_fps"] = round(
+            timed("b", nb, async_labels=False)[0], 1)
+        res["ab_no_labels_fps"] = round(timed("c", nb, labels=False)[0], 1)
     print(json.dumps(res), flush=True)
     with open("/tmp/northstar_result.json", "w") as f:
         json.dump(res, f)
-    # sanity: the engine did real work
-    assert float(np.sum(out.occupancies)) > 0
 
 
 if __name__ == "__main__":
