@@ -557,10 +557,15 @@ class StreamingLandmarkAnalysis:
                         kcell, centers_j, active, uidx_j, Am_j, kill_j,
                         ref_u_j, anchors_j, static_ref_j, **assign_kw)
                     if labels_out is not None and \
-                            getattr(self, "async_label_copy", True):
-                        # start the label device->host copy NOW so it
-                        # overlaps the accumulator dispatches below; the
-                        # later np.asarray then hits a ready host buffer
+                            getattr(self, "async_label_copy", False):
+                        # opt-in: start the label device->host copy NOW so
+                        # it overlaps the accumulator dispatches below.
+                        # Measured same-process on the axon tunnel
+                        # (northstar --ab): async 1981 vs sync 2202 fps —
+                        # the early copy SERIALIZES against the accum
+                        # dispatch there, so the default stays sync; flip
+                        # per-instance on hardware where the copy engine
+                        # is independent of the dispatch path
                         try:
                             labels.copy_to_host_async()
                         except (AttributeError, NotImplementedError):

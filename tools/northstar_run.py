@@ -174,7 +174,7 @@ def main():
           f"occ_sum={float(np.sum(out.occupancies)):.2f}", flush=True)
 
     # ---- timed sustained run -------------------------------------------
-    def timed(tag, n_blocks, labels=True, async_labels=True):
+    def timed(tag, n_blocks, labels=True, async_labels=False):
         n_frames = n_blocks * B
         eng = make_engine(tag, n_frames)
         if not labels:
@@ -203,9 +203,9 @@ def main():
         # same-process A/B/C: chip throughput varies ~2x across sessions,
         # so label-egress variants are only comparable within one process
         nb = max(32, args.blocks // 2)
-        res["ab_async_labels_fps"] = round(timed("a", nb)[0], 1)
-        res["ab_sync_labels_fps"] = round(
-            timed("b", nb, async_labels=False)[0], 1)
+        res["ab_async_labels_fps"] = round(
+            timed("a", nb, async_labels=True)[0], 1)
+        res["ab_sync_labels_fps"] = round(timed("b", nb)[0], 1)
         res["ab_no_labels_fps"] = round(timed("c", nb, labels=False)[0], 1)
     print(json.dumps(res), flush=True)
     with open("/tmp/northstar_result.json", "w") as f:
