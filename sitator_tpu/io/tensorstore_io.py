@@ -110,37 +110,13 @@ class TensorstoreTrajectory(TrajectoryReader):
         return np.asarray(self._a[key].read().result(), dtype=np.float32)
 
 
-def convert_to_zarr(src, out_path, dtype=np.float32, chunk_frames=512,
-                    zarr_format=2, variable_cell="error", verbose=False,
-                    block_frames=1024, max_inflight=4):
-    """Convert any trajectory source into a frame-chunked zarr store.
-
-    ``src``: a :class:`TrajectoryReader` or a path accepted by
-    :func:`~sitator_tpu.io.formats.open_trajectory` (text formats go
-    through the native indexed decoders when available — O(block) memory;
-    for multi-GB text files without a native decoder, run
-    :func:`~sitator_tpu.io.formats.convert_to_npy` first — its two-pass
-    parse is O(1) memory — then convert the ``.npy``).
-
-    Writes are asynchronous with at most ``max_inflight`` blocks in
-    flight, so parsing/reading overlaps store IO.  Returns
-    ``(Structure or None, out_path)``.
-    """
-    ts = _ts()
-    if isinstance(src, TrajectoryReader):
-        reader = src
-    else:
-        reader = open_trajectory(src, variable_cell=variable_cell)
-    n_frames = len(reader)
-    n_atoms = reader.n_atoms
-    structure = getattr(reader, "structure", None)
-    out_path = str(out_path)
-
+def _make_store(ts, out_path, n_frames, n_atoms, dtype, chunk_frames,
+                zarr_format):
     dt = np.dtype(dtype)
-    chunk = [int(min(chunk_frames, n_frames)), n_atoms, 3]
+    chunk = [int(max(1, min(chunk_frames, n_frames))), n_atoms, 3]
     if zarr_format == 3:
         spec = {"driver": "zarr3",
-                "kvstore": {"driver": "file", "path": out_path},
+                "kvstore": {"driver": "file", "path": str(out_path)},
                 "metadata": {
                     "shape": [n_frames, n_atoms, 3],
                     "data_type": dt.name,
@@ -149,14 +125,108 @@ def convert_to_zarr(src, out_path, dtype=np.float32, chunk_frames=512,
                 }}
     else:
         spec = {"driver": "zarr",
-                "kvstore": {"driver": "file", "path": out_path},
+                "kvstore": {"driver": "file", "path": str(out_path)},
                 "metadata": {"shape": [n_frames, n_atoms, 3],
                              "chunks": chunk,
                              "dtype": dt.newbyteorder("<").str}}
-    arr = ts.open(spec, create=True, delete_existing=True).result()
+    return ts.open(spec, create=True, delete_existing=True).result(), chunk
+
+
+def _convert_text_two_pass(ts, p, fmt, out_path, dtype, chunk_frames,
+                           zarr_format, variable_cell, verbose,
+                           max_inflight):
+    """Two-pass O(1)-memory text→zarr conversion (counting pass, then a
+    chunk-buffered streaming write pass) — ``convert_to_npy`` parity for
+    sources with no native decoder (incl. NPT rescale routes)."""
+    n_frames = 0
+    structure = None
+    for structure, _ in _text_frame_iter(p, fmt, variable_cell):
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError(f"no frames found in {p}")
+    n_atoms = structure.n_atoms
+    arr, chunk = _make_store(ts, out_path, n_frames, n_atoms, dtype,
+                             chunk_frames, zarr_format)
+    dt = np.dtype(dtype)
+    buf = np.empty((chunk[0], n_atoms, 3), dt)
+    fill = 0
+    lo = 0
+    inflight = []
+    for _, pos in _text_frame_iter(p, fmt, variable_cell):
+        buf[fill] = pos
+        fill += 1
+        if fill == chunk[0]:
+            inflight.append(arr[lo:lo + fill].write(buf.copy()))
+            lo += fill
+            fill = 0
+            if len(inflight) >= max_inflight:
+                inflight.pop(0).result()
+    if fill:
+        inflight.append(arr[lo:lo + fill].write(buf[:fill].copy()))
+    for fut in inflight:
+        fut.result()
+    _write_sidecar(str(out_path), structure)
+    if verbose:
+        print(f"wrote {n_frames} frames x {n_atoms} atoms to zarr store "
+              f"{out_path} (two-pass, chunks of {chunk[0]} frames)")
+    return structure, str(out_path)
+
+
+def _text_frame_iter(p, fmt, variable_cell):
+    """Stream (structure, frame) pairs from a text trajectory — the same
+    O(1)-memory generators ``convert_to_npy`` uses."""
+    from sitator_tpu.io.formats import (_iread_xyz_fixedcell, iread_lammps_dump,
+                                        iread_xdatcar)
+    it = {"xdatcar": iread_xdatcar, "lammps": iread_lammps_dump,
+          "xyz": _iread_xyz_fixedcell}[fmt]
+    yield from it(p, variable_cell=variable_cell)
+
+
+def convert_to_zarr(src, out_path, dtype=np.float32, chunk_frames=512,
+                    zarr_format=2, variable_cell="error", verbose=False,
+                    block_frames=1024, max_inflight=4):
+    """Convert any trajectory source into a frame-chunked zarr store.
+
+    ``src``: a :class:`TrajectoryReader` or a path accepted by
+    :func:`~sitator_tpu.io.formats.open_trajectory`.  Text formats go
+    through the native indexed decoders when available (O(block) memory);
+    otherwise — including every ``variable_cell='rescale'`` NPT source —
+    they stream through the same two-pass O(1)-memory parse as
+    :func:`~sitator_tpu.io.formats.convert_to_npy`, so multi-GB text
+    files convert without materializing the array.
+
+    Writes are asynchronous with at most ``max_inflight`` blocks in
+    flight, so parsing/reading overlaps store IO.  Returns
+    ``(Structure or None, out_path)``.
+    """
+    ts = _ts()
+    reader = None
+    if isinstance(src, TrajectoryReader):
+        reader = src
+    else:
+        from sitator_tpu.io.formats import _try_native_reader, sniff_format
+        p = str(src)
+        fmt = sniff_format(p)
+        if fmt in ("xyz", "lammps", "xdatcar"):
+            if variable_cell == "error":
+                reader = _try_native_reader(p, fmt)
+            if reader is None:
+                return _convert_text_two_pass(
+                    ts, p, fmt, out_path, dtype, chunk_frames, zarr_format,
+                    variable_cell, verbose, max_inflight)
+        else:
+            reader = open_trajectory(p, variable_cell=variable_cell)
+    n_frames = len(reader)
+    n_atoms = reader.n_atoms
+    structure = getattr(reader, "structure", None)
+    out_path = str(out_path)
+
+    arr, chunk = _make_store(ts, out_path, n_frames, n_atoms, dtype,
+                             chunk_frames, zarr_format)
 
     # chunk-aligned write blocks; bounded async window overlaps read + write
     B = max(chunk[0], (int(block_frames) // chunk[0]) * chunk[0])
+    dt = np.dtype(dtype)
     inflight = []
     for lo in range(0, n_frames, B):
         hi = min(lo + B, n_frames)

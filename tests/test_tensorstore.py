@@ -106,3 +106,42 @@ def test_zarr_rejects_bad_shape(tmp_path):
              "create": True}).result()
     with pytest.raises(ValueError, match=r"\(F, A, 3\)"):
         TensorstoreTrajectory(store)
+
+
+def test_convert_to_zarr_two_pass_text_matches_npy(tmp_path, rng):
+    """Text sources with no native route (NPT rescale) stream through the
+    two-pass O(1)-memory parse — byte-for-byte equal to convert_to_npy."""
+    from sitator_tpu.io import convert_to_npy
+    from tests.test_variable_cell import _breathing_cells, _write_npt_xdatcar
+
+    base = np.array([[8.0, 0, 0], [0.5, 8.5, 0], [0, 0, 9.0]])
+    cells = _breathing_cells(base, 37)
+    frac = rng.random((37, 5, 3))
+    f = tmp_path / "XDATCAR"
+    _write_npt_xdatcar(f, cells, frac)
+
+    s_npy, npy = convert_to_npy(f, str(tmp_path / "t.npy"),
+                                variable_cell="rescale")
+    s_z, store = convert_to_zarr(f, str(tmp_path / "t.zarr"),
+                                 chunk_frames=8, variable_cell="rescale")
+    r = TensorstoreTrajectory(store)
+    np.testing.assert_array_equal(r[0:37], np.load(npy))
+    np.testing.assert_allclose(s_z.cell, s_npy.cell)
+    # the sidecar restored the structure
+    assert r.structure is not None
+    np.testing.assert_allclose(r.structure.cell, s_npy.cell)
+
+
+def test_convert_to_zarr_plain_text_uses_reader(tmp_path):
+    """Fixed-cell text goes through open_trajectory (native decoder when
+    available) and still round-trips exactly."""
+    from sitator_tpu.io import write_xdatcar
+    from sitator_tpu.io.synthetic import make_hopping_trajectory
+
+    md = make_hopping_trajectory(n_cells=2, n_ions=2, n_frames=23, seed=3)
+    f = tmp_path / "XDATCAR"
+    write_xdatcar(f, md.structure, md.traj)
+    _, store = convert_to_zarr(str(f), str(tmp_path / "t.zarr"),
+                               chunk_frames=7)
+    r = TensorstoreTrajectory(store)
+    np.testing.assert_allclose(r[0:23], md.traj, atol=1e-4)
