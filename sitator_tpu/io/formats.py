@@ -16,11 +16,14 @@ not available here, so sitator_tpu owns its formats:
 """
 from __future__ import annotations
 
+import logging
 import re
 import threading
 import queue as _queue
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from sitator_tpu.core.structure import (Structure, number_to_symbol,
                                         symbol_to_number)
@@ -591,6 +594,16 @@ def _sniff_content(path):
         return None
 
 
+def iter_text_frames(path, fmt, variable_cell="error"):
+    """Stream ``(structure, frame)`` pairs from a text trajectory with O(1)
+    memory — the single fmt→iterator dispatch shared by
+    :func:`convert_to_npy` and
+    :func:`sitator_tpu.io.tensorstore_io.convert_to_zarr`."""
+    it = {"xdatcar": iread_xdatcar, "lammps": iread_lammps_dump,
+          "xyz": _iread_xyz_fixedcell}[fmt]
+    yield from it(path, variable_cell=variable_cell)
+
+
 def convert_to_npy(src, out_path, dtype=np.float32, verbose=False,
                    variable_cell="error"):
     """Convert any trajectory source to a memmapped ``.npy`` — the
@@ -605,19 +618,11 @@ def convert_to_npy(src, out_path, dtype=np.float32, verbose=False,
     def frame_iter():
         p = str(src)
         fmt = sniff_format(p)
-        if fmt == "xdatcar":
-            for s, pos in iread_xdatcar(p, variable_cell=variable_cell):
-                yield s, pos
-        elif fmt == "lammps":
-            for s, pos in iread_lammps_dump(p, variable_cell=variable_cell):
-                yield s, pos
-        elif fmt == "xyz":
-            for s, pos in _iread_xyz_fixedcell(p, variable_cell):
-                yield s, pos
-        else:
+        if fmt not in ("xdatcar", "lammps", "xyz"):
             raise ValueError(
                 f"convert_to_npy streams text formats only, got {p}; "
                 "open binary formats with open_trajectory instead")
+        yield from iter_text_frames(p, fmt, variable_cell)
 
     if isinstance(src, (str,)) or hasattr(src, "__fspath__"):
         p = str(src)
@@ -788,10 +793,18 @@ def open_trajectory(path, **kwargs):
         kwargs.pop("variable_cell", None)  # fixed-cell store, as npy/h5
         return TensorstoreTrajectory(p, **kwargs)
     if fmt in ("npy", "npz", "h5"):
-        # Binary formats are fixed-cell by construction (conversion already
-        # applied any rescale); accept-and-drop so one call site can open
-        # mixed sources with a uniform variable_cell= policy.
-        kwargs.pop("variable_cell", None)
+        # Binary formats carry no per-frame cells, so no rescale can be
+        # applied here; accept-and-drop the kwarg so one call site can
+        # open mixed sources with a uniform variable_cell= policy — but
+        # say so, in case the file holds RAW NPT positions that were
+        # never converted (convert_to_npy/_zarr bake the rescale in).
+        vc = kwargs.pop("variable_cell", None)
+        if vc not in (None, "error"):
+            logger.warning(
+                "variable_cell=%r ignored for binary trajectory %s: "
+                "binary formats are fixed-cell (if this file holds raw "
+                "NPT positions, convert it with convert_to_npy/"
+                "convert_to_zarr variable_cell='rescale' first)", vc, p)
     if fmt == "npy":
         return NpyTrajectory(p, **kwargs)
     if fmt == "npz":

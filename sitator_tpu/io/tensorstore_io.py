@@ -173,13 +173,10 @@ def _convert_text_two_pass(ts, p, fmt, out_path, dtype, chunk_frames,
 
 
 def _text_frame_iter(p, fmt, variable_cell):
-    """Stream (structure, frame) pairs from a text trajectory — the same
-    O(1)-memory generators ``convert_to_npy`` uses."""
-    from sitator_tpu.io.formats import (_iread_xyz_fixedcell, iread_lammps_dump,
-                                        iread_xdatcar)
-    it = {"xdatcar": iread_xdatcar, "lammps": iread_lammps_dump,
-          "xyz": _iread_xyz_fixedcell}[fmt]
-    yield from it(p, variable_cell=variable_cell)
+    """Stream (structure, frame) pairs from a text trajectory — the shared
+    O(1)-memory dispatch in ``formats.iter_text_frames``."""
+    from sitator_tpu.io.formats import iter_text_frames
+    yield from iter_text_frames(p, fmt, variable_cell)
 
 
 def convert_to_zarr(src, out_path, dtype=np.float32, chunk_frames=512,

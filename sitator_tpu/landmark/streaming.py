@@ -662,6 +662,23 @@ class StreamingLandmarkAnalysis:
                 # checkpoint always snapshots fully-spilled state
                 host_acc = spill(host_acc, acc)
                 acc = zero_acc()
+                # sound carried-residence bound for the NEXT epoch: ion i
+                # can close at most carry_res_i + 2·B·spill_every frames of
+                # residence into one accumulator cell before the next
+                # spill; if the total reaches int32 range, the int32
+                # device tallies could wrap before they are spilled
+                res_np = np.asarray(carry[1])
+                bound = int(np.maximum(res_np, 0).sum()) \
+                    + 2 * n_mobile * B * spill_every
+                if bound >= (1 << 31) and not getattr(
+                        self, "_warned_res_bound", False):
+                    self._warned_res_bound = True
+                    logger.warning(
+                        "carried residences total %.2e frames — the int32 "
+                        "residence-weighted tallies could wrap within one "
+                        "spill epoch; lower spill_every (set .spill_every) "
+                        "for exactness in this regime",
+                        float(np.maximum(res_np, 0).sum()))
             if do_ckpt:
                 self._save_checkpoint(ckpt, n_frames, K, lo + nb, carry,
                                       host_acc, perm)

@@ -116,6 +116,46 @@ def _jump_stats(traj, n_sites, init_last=None, init_res=None,
     )
 
 
+def _jump_stats_block_int64(traj, S, last, res, unknown_policy):
+    """Pure-NumPy int64 scan over one frame block — the exact fallback for
+    blocks whose carried residences could wrap an int32 cell (vectorized
+    over ions; the frame loop is Python, used only for the rare hazardous
+    block)."""
+    import numpy as np
+
+    F, M = traj.shape
+    n_ij = np.zeros((S + 1, S + 1), np.int64)
+    lag = np.zeros((S + 1, S + 1), np.int64)
+    res_sum = np.zeros(S + 1, np.int64)
+    res_cnt = np.zeros(S + 1, np.int64)
+    occ = np.zeros(S + 1, np.int64)
+    one = np.ones(M, np.int64)
+    for f in range(F):
+        s_f = traj[f].astype(np.int64)
+        known = s_f >= 0
+        have = last >= 0
+        jump = known & have & (s_f != last)
+        stay = known & have & (s_f == last)
+        first = known & ~have
+        i_from = np.where(jump, last, S)
+        i_to = np.where(jump, s_f, S)
+        jv = jump.astype(np.int64)
+        np.add.at(n_ij, (i_from, i_to), jv)
+        np.add.at(lag, (i_from, i_to), np.where(jump, res, 0))
+        np.add.at(res_sum, i_from, np.where(jump, res, 0))
+        np.add.at(res_cnt, i_from, jv)
+        np.add.at(occ, np.where(known, s_f, S), one)
+        res = np.where(jump | first, 1, np.where(stay, res + 1, res))
+        if unknown_policy == "break":
+            last = np.where(known, s_f, -1)
+            res = np.where(known, res, 0)
+        else:
+            last = np.where(known, s_f, last)
+    return dict(n_ij=n_ij[:S, :S], lag_sum=lag[:S, :S],
+                res_sum=res_sum[:S], res_cnt=res_cnt[:S],
+                occ_counts=occ[:S]), last, res
+
+
 def jump_stats_exact(traj, n_sites, init_last=None, init_res=None,
                      unknown_policy="persist", block_frames=None):
     """:func:`jump_stats` with int64-exact accumulation at any length.
@@ -128,51 +168,62 @@ def jump_stats_exact(traj, n_sites, init_last=None, init_res=None,
     the (last, res) carry across blocks — exact for either
     ``unknown_policy`` because the carry is the scan's own state — and sums
     the per-block outputs into host int64.  Output statistics are numpy
-    int64; ``last_sites``/``last_res`` come from the final block's carry.
+    int64; ``last_sites``/``last_res`` come from the final block's carry
+    (held in int64 on the host, so even a >int32 single residence chains
+    exactly).
 
-    The one remaining int32 quantity is the carried per-ion residence
-    itself, which wraps only if a single ion sits still for >2^31
-    consecutive frames; as in the streaming engine, a warning fires if any
-    block's tally nears the range.
+    In-block wrap safety is guaranteed by a SOUND pre-block bound: the
+    residences ion ``i`` can close inside a block total at most
+    ``carry_res_i + 2·block_frames`` (its open residence plus disjoint
+    in-block runs), so any single accumulator cell's in-block delta is ≤
+    ``Σ_i carry_res_i + 2·M·block_frames``.  Blocks where that bound
+    reaches int32 range — pathological carried residences, e.g. many ions
+    idle for millions of frames finally jumping — are recomputed with a
+    pure-NumPy int64 scan instead of the device scan.  No silent wrap at
+    any frame count that fits in RAM.
     """
-    import logging
     import numpy as np
 
     traj = np.asarray(traj)
     F, M = traj.shape
     if block_frames is None:
         block_frames = max(1, (1 << 26) // max(1, M))
-    if F == 0:
-        z = jump_stats(jnp.asarray(traj), n_sites, init_last=init_last,
-                       init_res=init_res, unknown_policy=unknown_policy)
-        out = {k: np.asarray(v).astype(np.int64) for k, v in z.items()
-               if k not in ("last_sites", "last_res")}
-        out["last_sites"] = np.asarray(z["last_sites"])
-        out["last_res"] = np.asarray(z["last_res"])
-        return JumpStats(out)
+    last = (np.full((M,), -1, np.int64) if init_last is None
+            else np.asarray(init_last).astype(np.int64))
+    res = (np.zeros((M,), np.int64) if init_res is None
+           else np.asarray(init_res).astype(np.int64))
     host = None
-    last, res = init_last, init_res
     for lo in range(0, F, block_frames):
-        blk = jump_stats(jnp.asarray(traj[lo:lo + block_frames]), n_sites,
-                         init_last=last, init_res=res,
-                         unknown_policy=unknown_policy)
-        last = blk["last_sites"]
-        res = blk["last_res"]
-        dev = {k: np.asarray(v) for k, v in blk.items()
-               if k not in ("last_sites", "last_res")}
-        for k, v in dev.items():
-            if v.dtype.kind in "iu" and \
-                    np.abs(v.astype(np.int64)).max(initial=0) > (1 << 30):
-                logging.getLogger(__name__).warning(
-                    "jump accumulator %r neared int32 range within one "
-                    "block; lower block_frames for exactness", k)
+        blk_traj = traj[lo:lo + block_frames]
+        # sound per-cell wrap bound for this block (see docstring)
+        bound = int(np.maximum(res, 0).sum()) \
+            + 2 * M * int(len(blk_traj))
+        if bound >= (1 << 31):
+            dev, last, res = _jump_stats_block_int64(
+                blk_traj, n_sites, last, res, unknown_policy)
+        else:
+            blk = jump_stats(jnp.asarray(blk_traj), n_sites,
+                             init_last=jnp.asarray(last, jnp.int32),
+                             init_res=jnp.asarray(res, jnp.int32),
+                             unknown_policy=unknown_policy)
+            last = np.asarray(blk["last_sites"]).astype(np.int64)
+            res = np.asarray(blk["last_res"]).astype(np.int64)
+            dev = {k: np.asarray(v) for k, v in blk.items()
+                   if k not in ("last_sites", "last_res")}
         if host is None:
             host = {k: v.astype(np.int64) for k, v in dev.items()}
         else:
             for k, v in dev.items():
                 host[k] += v
-    host["last_sites"] = np.asarray(last)
-    host["last_res"] = np.asarray(res)
+    if host is None:  # F == 0: empty statistics, carry passed through
+        S = n_sites
+        host = dict(n_ij=np.zeros((S, S), np.int64),
+                    lag_sum=np.zeros((S, S), np.int64),
+                    res_sum=np.zeros(S, np.int64),
+                    res_cnt=np.zeros(S, np.int64),
+                    occ_counts=np.zeros(S, np.int64))
+    host["last_sites"] = last.astype(np.int32)
+    host["last_res"] = res
     return JumpStats(host)
 
 

@@ -367,28 +367,55 @@ def test_jump_stats_exact_matches_one_shot():
 
 def test_jump_stats_exact_no_int32_wrap():
     """Adversarially long carried residences: three ions each carry a
-    2^30-frame residence and close it in different blocks; the correct
-    lag_sum[0, 1] = 3*2^30 + 3 exceeds int32 range.  The blocked int64 path
-    must report it exactly (the one-shot int32 device scan wraps)."""
+    2^30-frame residence; the correct lag_sum[0, 1] = 3*2^30 + 3 exceeds
+    int32 range.  The exact path must report it whether the closes land in
+    different blocks (per-block spill) or the SAME block (the sound
+    carried-residence bound routes the block to the NumPy int64 scan);
+    the one-shot int32 device scan demonstrably wraps."""
     from sitator_tpu.ops.jumps import jump_stats, jump_stats_exact
 
     big = np.int32(1 << 30)
     init_last = np.zeros(3, dtype=np.int32)      # all ions sit at site 0
     init_res = np.full(3, big, dtype=np.int32)   # ...for 2^30 frames already
-    # ion m jumps 0->1 at frame m (staggered so each block closes one)
+    # ion m jumps 0->1 at frame m
     traj = np.zeros((3, 3), dtype=np.int32)
     for m in range(3):
         traj[m:, m] = 1
-    want = 3 * (1 << 30) + 3  # each closes big+m+... staggered residences
     # oracle: ion m closes residence big+m at frame m
     want = sum(int(big) + m for m in range(3))
 
-    got = jump_stats_exact(traj, 2, init_last=init_last, init_res=init_res,
-                           block_frames=1)
-    assert int(got["lag_sum"][0, 1]) == want
-    assert int(got["res_sum"][0]) == want
+    for bf in (1, 10_000):                       # multi-block and one-block
+        got = jump_stats_exact(traj, 2, init_last=init_last,
+                               init_res=init_res, block_frames=bf)
+        assert int(got["lag_sum"][0, 1]) == want, bf
+        assert int(got["res_sum"][0]) == want, bf
     # the one-shot int32 scan demonstrably wraps on the same input
     import jax.numpy as jnp
     raw = jump_stats(jnp.asarray(traj), 2, init_last=jnp.asarray(init_last),
                      init_res=jnp.asarray(init_res))
     assert int(np.asarray(raw["lag_sum"])[0, 1]) != want
+
+
+def test_jump_stats_exact_numpy_fallback_matches_device():
+    """The NumPy int64 fallback block is bit-equivalent to the device scan
+    on benign data (fuzz, both policies, incl. unknown frames) — forced by
+    injecting a carry that trips the hazard bound without affecting the
+    statistics (the carrying ion never appears)."""
+    from sitator_tpu.ops.jumps import jump_stats, jump_stats_exact
+
+    rng = np.random.default_rng(3)
+    traj = rng.integers(-1, 5, size=(97, 6)).astype(np.int32)
+    traj[:, 5] = -1                      # ion 5 is never assigned
+    init_res = np.zeros(6, np.int32)
+    init_res[5] = np.int32((1 << 31) - 2)  # trips the bound, closes never
+    init_last = np.full(6, -1, np.int32)
+    for policy in ("persist", "break"):
+        want = jump_stats(traj, 5, init_last=init_last,
+                          init_res=init_res, unknown_policy=policy)
+        got = jump_stats_exact(traj, 5, init_last=init_last,
+                               init_res=init_res, unknown_policy=policy,
+                               block_frames=10_000)
+        for k in ("n_ij", "lag_sum", "res_sum", "res_cnt", "occ_counts"):
+            np.testing.assert_array_equal(np.asarray(got[k]),
+                                          np.asarray(want[k]),
+                                          err_msg=(policy, k))

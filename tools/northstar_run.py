@@ -157,6 +157,11 @@ def main():
           flush=True)
 
     def make_engine(tag, nf):
+        # a stale checkpoint from a killed prior invocation would silently
+        # auto-resume and inflate the reported fps — always start fresh
+        for p in (f"/tmp/ns_ckpt_{tag}.npz", f"/tmp/ns_labels_{tag}.npy"):
+            if os.path.exists(p):
+                os.remove(p)
         return StreamingLandmarkAnalysis(
             cutoff_midpoint=4.0, cutoff_steepness=3.0,
             cutoff_shape="logistic_r2", block_frames=B,
