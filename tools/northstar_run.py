@@ -139,14 +139,25 @@ def main():
     from sitator_tpu.landmark import StreamingLandmarkAnalysis
 
     # ---- pass 1 (fit) on one resident block, padded to the bench K ------
-    fit_eng = StreamingLandmarkAnalysis(
-        cutoff_midpoint=4.0, cutoff_steepness=3.0,
-        cutoff_shape="logistic_r2", block_frames=B,
-        clustering_params={"k_max": 1024}, verbose=False)
-    t0 = time.perf_counter()
-    centers_fit = np.asarray(fit_eng.fit_centers(sn, DeviceCycleReader(B)))
-    print(f"# fit pass: {centers_fit.shape[0]} centers in "
-          f"{time.perf_counter() - t0:.1f}s", flush=True)
+    # (cached across invocations: the fit is deterministic for this config
+    # and costs ~3 min of remote compile+run per session)
+    cache = "/tmp/ns_centers_fit.npy" if not args.small else None
+    if cache and os.path.exists(cache):
+        centers_fit = np.load(cache)
+        print(f"# fit pass: {centers_fit.shape[0]} centers (cached)",
+              flush=True)
+    else:
+        fit_eng = StreamingLandmarkAnalysis(
+            cutoff_midpoint=4.0, cutoff_steepness=3.0,
+            cutoff_shape="logistic_r2", block_frames=B,
+            clustering_params={"k_max": 1024}, verbose=False)
+        t0 = time.perf_counter()
+        centers_fit = np.asarray(
+            fit_eng.fit_centers(sn, DeviceCycleReader(B)))
+        print(f"# fit pass: {centers_fit.shape[0]} centers in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+        if cache:
+            np.save(cache, centers_fit)
     if len(centers_fit) < len(centers):
         pad = np.asarray(centers[:len(centers) - len(centers_fit)],
                          np.float32)
@@ -215,6 +226,13 @@ def main():
     print(json.dumps(res), flush=True)
     with open("/tmp/northstar_result.json", "w") as f:
         json.dump(res, f)
+    # drain the device before interpreter teardown: freeing the ~1 GB
+    # block pool mid-teardown has been observed to wedge the tunnel chip
+    # for the NEXT session
+    del blocks[:]
+    np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    time.sleep(2)
+    print("# teardown drained", flush=True)
 
 
 if __name__ == "__main__":
