@@ -15,7 +15,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 FRAME_AXIS = "frames"
 
 __all__ = ["FRAME_AXIS", "frame_mesh", "frame_sharding", "replicated",
-           "shard_frames", "pad_frames", "shard_map_frames"]
+           "shard_frames", "shard_frames_local", "pad_frames",
+           "shard_map_frames"]
 
 
 def frame_mesh(n_devices=None, devices=None) -> Mesh:
@@ -48,8 +49,26 @@ def pad_frames(arr, multiple):
 
 
 def shard_frames(arr, mesh: Mesh):
-    """Device-put a host array with its leading axis sharded over the mesh."""
+    """Device-put a host array with its leading axis sharded over the mesh.
+
+    Single-process form: ``arr`` is the GLOBAL array.  On a multi-host pod
+    (``jax.distributed.initialize`` + one process per host; the 1-D frame
+    mesh spans all global devices and the per-site ``psum``s ride DCN
+    between hosts) use :func:`shard_frames_local` instead — each process
+    passes only its own frame slab.
+    """
     return jax.device_put(arr, frame_sharding(mesh))
+
+
+def shard_frames_local(local_arr, mesh: Mesh):
+    """Multi-process-safe :func:`shard_frames`: each process contributes
+    its LOCAL contiguous frame slab (global frame order = process order ×
+    local order, the natural layout when each host reads its own slice of
+    the trajectory).  Degenerates to :func:`shard_frames` in a single
+    process, so the same feeding code runs on one chip, a virtual CPU
+    mesh, or a pod."""
+    return jax.make_array_from_process_local_data(
+        frame_sharding(mesh), np.asarray(local_arr))
 
 
 def shard_map_frames(fn, mesh: Mesh, n_frame_args: int, *args,

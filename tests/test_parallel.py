@@ -209,3 +209,22 @@ def test_run_block_carry_chains_across_blocks(fitted_system):
     # without the carry, a boundary jump is (correctly) uncounted
     _, _, s2n = pipe.run_block(md.traj[179:])
     assert (s1["n_ij"] + s2n["n_ij"]).sum() <= s_all["n_ij"].sum()
+
+
+def test_shard_frames_local_matches_global():
+    """shard_frames_local (the multi-process pod feeding form) equals
+    shard_frames for a single process on the virtual mesh, including
+    through a sharded computation."""
+    import jax
+    import jax.numpy as jnp
+    from sitator_tpu.parallel.mesh import (frame_mesh, shard_frames,
+                                           shard_frames_local)
+
+    mesh = frame_mesh(n_devices=8)
+    x = np.arange(8 * 4 * 3, dtype=np.float32).reshape(8, 4, 3)
+    a = shard_frames(x, mesh)
+    b = shard_frames_local(x, mesh)
+    assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    f = jax.jit(lambda v: jnp.sum(v * v, axis=(1, 2)))
+    np.testing.assert_array_equal(np.asarray(f(a)), np.asarray(f(b)))
