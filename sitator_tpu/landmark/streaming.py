@@ -570,6 +570,12 @@ class StreamingLandmarkAnalysis:
                             labels.copy_to_host_async()
                         except (AttributeError, NotImplementedError):
                             pass
+                    # labels are fetched lazily AFTER the first accumulator
+                    # dispatch (the transfer then overlaps the accum
+                    # compute — fetching before the dispatch measured
+                    # 1792 vs 2202 fps on the tunnel), and only once per
+                    # assignment (remap segments slice the host copy)
+                    labels_np = None
                     if thr_drift is not None:
                         drift_f = np.asarray(drift)[:nb]
                     need_assign = False
@@ -597,8 +603,10 @@ class StreamingLandmarkAnalysis:
                         jnp.asarray(valid), carry, acc, n_sites=K,
                         max_mobile=self.max_mobile_per_site)
                     if labels_out is not None:
+                        if labels_np is None:
+                            labels_np = np.asarray(labels)
                         labels_out[lo + processed:lo + stop] = \
-                            np.asarray(labels)[processed:stop]
+                            labels_np[processed:stop]
                 if stop < nb:
                     # per-frame retry guard (mirrors LandmarkAnalysis): a
                     # few remap attempts are allowed at one frame, but any
@@ -641,8 +649,10 @@ class StreamingLandmarkAnalysis:
                             jnp.asarray(valid), carry, acc, n_sites=K,
                             max_mobile=self.max_mobile_per_site)
                         if labels_out is not None:
+                            if labels_np is None:
+                                labels_np = np.asarray(labels)
                             labels_out[lo + stop:lo + stop + 1] = \
-                                np.asarray(labels)[stop:stop + 1]
+                                labels_np[stop:stop + 1]
                         processed = stop + 1
                         continue
                     if self.verbose:

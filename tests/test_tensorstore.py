@@ -145,3 +145,49 @@ def test_convert_to_zarr_plain_text_uses_reader(tmp_path):
                                chunk_frames=7)
     r = TensorstoreTrajectory(store)
     np.testing.assert_allclose(r[0:23], md.traj, atol=1e-4)
+
+
+def test_zarr_mesh_checkpoint_resume_integration(tmp_path, md_system):
+    """Integration matrix: the streaming engine on an 8-device mesh,
+    reading from a tensorstore zarr store, interrupted mid-run and resumed
+    from its checkpoint — bit-exact vs the uninterrupted meshed run."""
+    import os
+    md, seeds = md_system
+    from sitator_tpu.parallel.mesh import frame_mesh
+
+    _, store = convert_to_zarr(ArrayTrajectory(md.traj[:256], md.structure),
+                               str(tmp_path / "m.zarr"), chunk_frames=64)
+    reader = TensorstoreTrajectory(store)
+    mesh = frame_mesh(n_devices=8)
+
+    kw = dict(cutoff_midpoint=4.0, cutoff_steepness=3.0, block_frames=64,
+              mesh=mesh, use_fused=True, interpret=True, verbose=False)
+    ref = StreamingLandmarkAnalysis(**kw)
+    centers = ref.fit_centers(seeds, reader)
+    out_ref = ref.run(seeds, reader, centers=centers)
+
+    class Interrupt(Exception):
+        pass
+
+    class Flaky(TensorstoreTrajectory):
+        served = 0
+        die_after = 2
+
+        def __getitem__(self, key):
+            Flaky.served += 1
+            if self.die_after is not None and Flaky.served > self.die_after:
+                raise Interrupt()
+            return super().__getitem__(key)
+
+    ckpt = str(tmp_path / "m.ckpt")
+    sla = StreamingLandmarkAnalysis(checkpoint_path=ckpt,
+                                    checkpoint_every=1, **kw)
+    flaky = Flaky(store)
+    with pytest.raises(Interrupt):
+        sla.run(seeds, flaky, centers=centers)
+    assert os.path.exists(ckpt)
+    Flaky.die_after = None
+    out = sla.run(seeds, flaky, centers=centers)
+    np.testing.assert_array_equal(out.n_ij, out_ref.n_ij)
+    np.testing.assert_array_equal(out.occupancies, out_ref.occupancies)
+    assert not os.path.exists(ckpt)
