@@ -66,7 +66,21 @@ def shard_frames_local(local_arr, mesh: Mesh):
     local order, the natural layout when each host reads its own slice of
     the trajectory).  Degenerates to :func:`shard_frames` in a single
     process, so the same feeding code runs on one chip, a virtual CPU
-    mesh, or a pod."""
+    mesh, or a pod.
+
+    The slab-order guarantee requires the mesh's device sequence to be
+    process-contiguous in ``process_index`` order; a topology-reordered
+    mesh would scatter each host's contiguous frames onto non-contiguous
+    global indices and silently scramble time order, so that is checked
+    here.
+    """
+    procs = [d.process_index for d in mesh.devices.flat]
+    if procs != sorted(procs):
+        raise ValueError(
+            "mesh devices are not process-contiguous in process_index "
+            "order; build the frame mesh from jax.devices() (frame_mesh) "
+            "rather than a topology-reordering helper, or device_put "
+            "explicit per-device shards instead")
     return jax.make_array_from_process_local_data(
         frame_sharding(mesh), np.asarray(local_arr))
 

@@ -142,11 +142,22 @@ def main():
     # (cached across invocations: the fit is deterministic for this config
     # and costs ~3 min of remote compile+run per session)
     cache = "/tmp/ns_centers_fit.npy" if not args.small else None
+    centers_fit = None
     if cache and os.path.exists(cache):
-        centers_fit = np.load(cache)
-        print(f"# fit pass: {centers_fit.shape[0]} centers (cached)",
-              flush=True)
-    else:
+        try:
+            centers_fit = np.load(cache)
+            # a cache from a different bench config or landmark basis
+            # would silently change the measurement — validate it
+            if (centers_fit.ndim != 2
+                    or centers_fit.shape[1] != n_static
+                    or not 0 < centers_fit.shape[0] <= len(centers)):
+                centers_fit = None
+        except Exception:  # truncated .npy from a killed prior run
+            centers_fit = None
+        if centers_fit is not None:
+            print(f"# fit pass: {centers_fit.shape[0]} centers (cached)",
+                  flush=True)
+    if centers_fit is None:
         fit_eng = StreamingLandmarkAnalysis(
             cutoff_midpoint=4.0, cutoff_steepness=3.0,
             cutoff_shape="logistic_r2", block_frames=B,
