@@ -112,6 +112,9 @@ class TensorstoreTrajectory(TrajectoryReader):
 
 def _make_store(ts, out_path, n_frames, n_atoms, dtype, chunk_frames,
                 zarr_format):
+    if zarr_format not in (2, 3):  # catch '3', 1, and other typos loudly
+        raise ValueError(
+            f"zarr_format must be 2 or 3 (int); got {zarr_format!r}")
     dt = np.dtype(dtype)
     chunk = [int(max(1, min(chunk_frames, n_frames))), n_atoms, 3]
     if zarr_format == 3:

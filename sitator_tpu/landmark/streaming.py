@@ -13,12 +13,15 @@ positions — far beyond HBM.  This pipeline streams it (SURVEY.md §6.7):
   the multiple-occupancy violation counter, and the jump scan whose
   (last-site, residence) carry chains exactly across blocks.  Device
   epochs spill into exact int64/float64 host totals, so long runs neither
-  wrap int32 nor stall fp32 accumulation (exact up to 2^31-frame runs;
-  the only residual int32 exposure is a residence-weighted sum whose
-  per-epoch increment exceeds 2^31 — physically absurd geometry; a
-  spill-time warning fires as such a sum APPROACHES the range, though an
-  increment that jumps past it within a single epoch would evade the
-  check — lower ``spill_every`` in that regime).  Labels can optionally
+  wrap int32 nor stall fp32 accumulation.  The residual hazard — a
+  residence-weighted tally (``lag_sum``/``res_sum``) whose increment
+  within one epoch exceeds int32 range via huge CARRIED residences — is
+  self-healing: a sound pre-epoch bound (Σ carried residences +
+  2·M·block·spill_every, checked at every spill/resume boundary) routes
+  hazardous epochs through an exact host-side int64 jump scan, exactly as
+  :func:`sitator_tpu.ops.jumps.jump_stats_exact` does for the classic
+  path, and returns to the fast on-device scan once the bound clears.
+  Exact at any frame count with no user action.  Labels can optionally
   spill to a memmapped ``.npy``.
 
 Result: an annotated :class:`SiteNetwork` (centers, occupancies, n_ij,
@@ -38,7 +41,7 @@ from sitator_tpu.core.sitenet import SiteNetwork
 from sitator_tpu.io.formats import ArrayTrajectory, ChunkedFeeder
 from sitator_tpu.ops import landmark as lmops
 from sitator_tpu.ops.cluster import dotprod_fit
-from sitator_tpu.ops.jumps import _jump_stats
+from sitator_tpu.ops.jumps import _jump_stats, _jump_stats_block_int64
 from sitator_tpu.ops.landmark_pallas import fused_assign_blocks
 
 logger = logging.getLogger(__name__)
@@ -122,19 +125,22 @@ def _assign_block(mobile, static, verts, vmask, A, cell, cell_inv,
     return labels, confs, drift
 
 
-@partial(jax.jit, static_argnames=("n_sites", "max_mobile"))
+@partial(jax.jit, static_argnames=("n_sites", "max_mobile", "want_jumps"))
 def _accum_block(labels, confs, mobile, cell_inv, valid, carry, acc, *,
-                 n_sites, max_mobile=None):
+                 n_sites, max_mobile=None, want_jumps=True):
     """Fold one block's assignments into the device accumulators.
 
     ``valid (B,)`` masks which frames count: invalid frames become
     all-unknown (label −1) which, by the jump scan's unknown-frame policy,
     neither emits jumps nor advances residences and keeps the carry — so
     block padding and partial (re)processing are EXACT, with no host-side
-    correction arithmetic.  ``carry`` = (last, res) chains across calls."""
+    correction arithmetic.  ``carry`` = (last, res) chains across calls.
+
+    ``want_jumps=False`` skips the on-device jump scan and its int32
+    tallies (and passes ``carry`` through untouched): the engine uses this
+    in the exact-residence regime, where jump statistics for the block are
+    instead computed on the host in int64 (see ``run``)."""
     labels = jnp.where(valid[:, None], labels, -1)
-    stats = _jump_stats(labels, n_sites, init_last=carry[0],
-                        init_res=carry[1])
 
     # per-site accumulators (dummy slot S for unassigned/invalid)
     S = n_sites
@@ -147,10 +153,14 @@ def _accum_block(labels, confs, mobile, cell_inv, valid, carry, acc, *,
     acc["conf"] = acc["conf"].at[flat].add(w)
     acc["cos"] = acc["cos"].at[flat].add(w[:, None] * jnp.cos(frac))
     acc["sin"] = acc["sin"].at[flat].add(w[:, None] * jnp.sin(frac))
-    acc["n_ij"] = acc["n_ij"] + stats["n_ij"]
-    acc["lag_sum"] = acc["lag_sum"] + stats["lag_sum"]
-    acc["res_sum"] = acc["res_sum"] + stats["res_sum"]
-    acc["res_cnt"] = acc["res_cnt"] + stats["res_cnt"]
+    if want_jumps:
+        stats = _jump_stats(labels, n_sites, init_last=carry[0],
+                            init_res=carry[1])
+        acc["n_ij"] = acc["n_ij"] + stats["n_ij"]
+        acc["lag_sum"] = acc["lag_sum"] + stats["lag_sum"]
+        acc["res_sum"] = acc["res_sum"] + stats["res_sum"]
+        acc["res_cnt"] = acc["res_cnt"] + stats["res_cnt"]
+        carry = (stats["last_sites"], stats["last_res"])
     if max_mobile is not None:
         # multiple-occupancy detector, on device (SURVEY §3.2 guard): count
         # (frame, site) cells with more than max_mobile assigned ions
@@ -160,7 +170,7 @@ def _accum_block(labels, confs, mobile, cell_inv, valid, carry, acc, *,
             jnp.where(labels >= 0, labels, S)].add(1)
         acc["mo_viol"] = acc["mo_viol"] + jnp.sum(
             (per_fs[:, :S] > max_mobile).astype(jnp.int32))
-    return (stats["last_sites"], stats["last_res"]), acc
+    return carry, acc
 
 
 class StreamingLandmarkAnalysis:
@@ -178,6 +188,12 @@ class StreamingLandmarkAnalysis:
     dynamic_lattice_mapping : follow lattice-site exchanges of static
         atoms mid-stream (slot→atom permutation rebuild, exactly as in
         :class:`LandmarkAnalysis`); the permutation rides the checkpoint.
+    async_label_copy : start the label device→host copy eagerly (before
+        the accumulator dispatch) when ``store_labels`` is set.  Off by
+        default: on the axon HTTP tunnel the early copy SERIALIZES
+        against the accumulator dispatch (measured same-process 1981 vs
+        2202 fps) — enable only on hardware whose copy engine is
+        independent of the dispatch path.
     """
 
     def __init__(self, cutoff_midpoint=3.0, cutoff_steepness=4.0,
@@ -190,6 +206,7 @@ class StreamingLandmarkAnalysis:
                  multiple_occupancy_action="warn",
                  static_movement_threshold=1.0,
                  dynamic_lattice_mapping=False, use_fused="auto",
+                 async_label_copy=False,
                  interpret=False, verbose=True):
         self.cutoff_midpoint = float(cutoff_midpoint)
         self.cutoff_steepness = float(cutoff_steepness)
@@ -225,6 +242,7 @@ class StreamingLandmarkAnalysis:
                              "static_movement_threshold")
         self.mesh = mesh  # optional 1-D frame mesh: blocks shard over it
         self.use_fused = use_fused  # 'auto' | True | False
+        self.async_label_copy = bool(async_label_copy)
         self.interpret = bool(interpret)  # Pallas interpret mode (CPU tests)
         self.spill_every = None  # None = auto epoch bound; tests override
         # mid-run checkpointing (SURVEY.md §6.4): every N blocks the device
@@ -356,6 +374,9 @@ class StreamingLandmarkAnalysis:
             centers = self.fit_centers(sn, reader)
         K = len(centers)
         self.n_sites_ = K
+        # observability: epochs routed through the exact host int64 jump
+        # scan by the self-healing wrap protection (see set_mode below)
+        self.exact_jump_epochs_ = 0
 
         mobile_idx = np.flatnonzero(sn.mobile_mask)
         static_idx = np.flatnonzero(sn.static_mask)
@@ -417,8 +438,8 @@ class StreamingLandmarkAnalysis:
              if kernel == "xla" else jnp.zeros((1, 1), jnp.float32))
 
         start_lo = 0
-        carry = (jnp.full((n_mobile,), -1, jnp.int32),
-                 jnp.zeros((n_mobile,), jnp.int32))
+        carry_np = (np.full((n_mobile,), -1, np.int64),
+                    np.zeros((n_mobile,), np.int64))
         # static-lattice reference (slot positions) + slot→atom permutation
         static_ref_np = np.asarray(
             sn.structure.positions[static_idx], np.float64)
@@ -459,15 +480,15 @@ class StreamingLandmarkAnalysis:
                 if (v.dtype.kind in "iu"
                         and np.abs(v.astype(np.int64)).max(initial=0)
                         > (1 << 30)):
-                    # per-epoch counts are bounded ≤ 2^26 by spill_every;
-                    # only residence-WEIGHTED sums (lag_sum/res_sum) can get
-                    # here, via carried residences — pathological geometry
-                    # (many ions sharing one edge with multi-million-frame
-                    # residences).  Warn before int32 wraps.
+                    # BACKSTOP, should be unreachable: per-epoch counts are
+                    # bounded ≤ 2^26 by spill_every, and the residence-
+                    # weighted sums (lag_sum/res_sum) are bounded < 2^30 by
+                    # set_mode's pre-epoch check (hazardous epochs route
+                    # through the exact host int64 scan instead).
                     logger.warning(
-                        "device accumulator %r neared int32 range within "
-                        "one spill epoch; lower spill_every (set "
-                        ".spill_every) for exactness", k)
+                        "device accumulator %r unexpectedly neared int32 "
+                        "range within one spill epoch — wrap-protection "
+                        "invariant violated, please report", k)
                 if k not in host:  # also covers legacy checkpoints
                     host[k] = np.zeros(v.shape,
                                        np.int64 if v.dtype.kind in "iu"
@@ -483,8 +504,11 @@ class StreamingLandmarkAnalysis:
                 if int(d["n_frames"]) != n_frames or int(d["K"]) != K:
                     raise ValueError("checkpoint does not match this run")
                 start_lo = int(d["next_lo"])
-                carry = (jnp.asarray(d["carry_last"]),
-                         jnp.asarray(d["carry_res"]))
+                # carry_res may be int64 if the checkpoint was written in
+                # the exact-residence regime; the mode decision below
+                # (set_mode) re-chooses the representation soundly
+                carry_np = (d["carry_last"].astype(np.int64),
+                            d["carry_res"].astype(np.int64))
                 if "perm" in d.files:
                     perm = d["perm"].copy()
                 host_acc = {k[5:]: d[k].copy() for k in d.files
@@ -503,6 +527,89 @@ class StreamingLandmarkAnalysis:
             labels_out = np.lib.format.open_memmap(
                 self.store_labels, mode=mode, dtype=np.int32,
                 shape=(n_frames, n_mobile))
+
+        # --- self-healing int32 wrap protection for jump tallies --------
+        # The residence-weighted device tallies (lag_sum/res_sum) are
+        # int32; an ion carrying a huge open residence (idle for ~2^30+
+        # frames) that finally jumps could wrap them WITHIN one epoch — a
+        # hazard more frequent spilling cannot remove (the carried
+        # residence closes in one block regardless).  Sound bound: over
+        # one epoch, any single accumulator cell's increment is at most
+        # Σ_i max(carry_res_i, 0) + 2·M·B·spill_every (each ion's open
+        # residence plus disjoint in-epoch runs).  At every spill/resume
+        # boundary set_mode() evaluates it: when it reaches 2^30 (2×
+        # safety margin below int32 range, aligned with spill()'s backstop
+        # warning threshold) the NEXT epoch's jump statistics are computed
+        # on the host by the exact int64 scan that jump_stats_exact uses
+        # (the device keeps the bounded occ/conf/center accumulators);
+        # once the bound clears, the fast on-device scan resumes.  Exact
+        # at any frame count, no user action.
+        exact_mode = False
+        exact_carry = None  # (last, res) in host int64 while exact
+        carry = None        # (last, res) on device int32 while fast
+        carry_dummy = (jnp.zeros((n_mobile,), jnp.int32),
+                       jnp.zeros((n_mobile,), jnp.int32))
+
+        def set_mode(c_np):
+            nonlocal exact_mode, exact_carry, carry
+            bound = int(np.maximum(c_np[1], 0).sum()) \
+                + 2 * n_mobile * self.block_frames * spill_every
+            hazardous = bound >= (1 << 30)
+            if hazardous:
+                self.exact_jump_epochs_ += 1
+                if not exact_mode and self.verbose:
+                    logger.info(
+                        "carried residences total %.2e frames: routing jump "
+                        "statistics through the exact host int64 scan until "
+                        "the bound clears", float(np.maximum(c_np[1], 0)
+                                                  .sum()))
+                exact_carry = (c_np[0].astype(np.int64),
+                               c_np[1].astype(np.int64))
+                carry = None
+            else:
+                if exact_mode and self.verbose:
+                    logger.info("carried-residence bound cleared: resuming "
+                                "on-device jump statistics")
+                # bound < 2^30 implies every carried residence fits int32
+                carry = (jnp.asarray(c_np[0].astype(np.int32)),
+                         jnp.asarray(c_np[1].astype(np.int32)))
+                exact_carry = None
+            exact_mode = hazardous
+
+        def current_carry_np():
+            return (exact_carry if exact_mode else
+                    (np.asarray(carry[0]).astype(np.int64),
+                     np.asarray(carry[1]).astype(np.int64)))
+
+        def fold(valid_np):
+            """Fold the valid frames of the current block's assignment into
+            the accumulators, by whichever jump-statistics route the
+            current mode dictates."""
+            nonlocal carry, acc, exact_carry, host_acc, labels_np
+            if not exact_mode:
+                carry, acc = _accum_block(
+                    labels, confs, mobile, cell_inv,
+                    jnp.asarray(valid_np), carry, acc, n_sites=K,
+                    max_mobile=self.max_mobile_per_site)
+                return
+            _, acc = _accum_block(
+                labels, confs, mobile, cell_inv,
+                jnp.asarray(valid_np), carry_dummy, acc, n_sites=K,
+                max_mobile=self.max_mobile_per_site, want_jumps=False)
+            if labels_np is None:
+                labels_np = np.asarray(labels)
+            lbl = np.where(valid_np[:, None], labels_np, -1)
+            dev, last64, res64 = _jump_stats_block_int64(
+                lbl, K, exact_carry[0], exact_carry[1], "persist")
+            exact_carry = (last64, res64)
+            if host_acc is None:
+                host_acc = {}
+            for k in ("n_ij", "lag_sum", "res_sum", "res_cnt"):
+                if k not in host_acc:
+                    host_acc[k] = np.zeros(dev[k].shape, np.int64)
+                host_acc[k] += dev[k]
+
+        set_mode(carry_np)
 
         sharding = None
         if self.mesh is not None:
@@ -598,10 +705,7 @@ class StreamingLandmarkAnalysis:
                 if stop > processed:
                     valid = np.zeros(B, bool)
                     valid[processed:stop] = True
-                    carry, acc = _accum_block(
-                        labels, confs, mobile, cell_inv,
-                        jnp.asarray(valid), carry, acc, n_sites=K,
-                        max_mobile=self.max_mobile_per_site)
+                    fold(valid)
                     if labels_out is not None:
                         if labels_np is None:
                             labels_np = np.asarray(labels)
@@ -644,10 +748,7 @@ class StreamingLandmarkAnalysis:
                         # so no recompute happens on the next iteration
                         valid = np.zeros(B, bool)
                         valid[stop] = True
-                        carry, acc = _accum_block(
-                            labels, confs, mobile, cell_inv,
-                            jnp.asarray(valid), carry, acc, n_sites=K,
-                            max_mobile=self.max_mobile_per_site)
+                        fold(valid)
                         if labels_out is not None:
                             if labels_np is None:
                                 labels_np = np.asarray(labels)
@@ -669,29 +770,17 @@ class StreamingLandmarkAnalysis:
                        and blocks_done % self.checkpoint_every == 0)
             if do_ckpt or blocks_done % spill_every == 0:
                 # fold the device epoch into the exact host totals; a
-                # checkpoint always snapshots fully-spilled state
+                # checkpoint always snapshots fully-spilled state.  Then
+                # re-evaluate the sound carried-residence bound for the
+                # NEXT epoch and (re)choose fast vs exact jump
+                # accumulation — the self-healing wrap protection.
                 host_acc = spill(host_acc, acc)
                 acc = zero_acc()
-                # sound carried-residence bound for the NEXT epoch: ion i
-                # can close at most carry_res_i + 2·B·spill_every frames of
-                # residence into one accumulator cell before the next
-                # spill; if the total reaches int32 range, the int32
-                # device tallies could wrap before they are spilled
-                res_np = np.asarray(carry[1])
-                bound = int(np.maximum(res_np, 0).sum()) \
-                    + 2 * n_mobile * B * spill_every
-                if bound >= (1 << 31) and not getattr(
-                        self, "_warned_res_bound", False):
-                    self._warned_res_bound = True
-                    logger.warning(
-                        "carried residences total %.2e frames — the int32 "
-                        "residence-weighted tallies could wrap within one "
-                        "spill epoch; lower spill_every (set .spill_every) "
-                        "for exactness in this regime",
-                        float(np.maximum(res_np, 0).sum()))
+                set_mode(current_carry_np())
             if do_ckpt:
-                self._save_checkpoint(ckpt, n_frames, K, lo + nb, carry,
-                                      host_acc, perm)
+                self._save_checkpoint(
+                    ckpt, n_frames, K, lo + nb,
+                    exact_carry if exact_mode else carry, host_acc, perm)
 
         host_acc = spill(host_acc, acc)
         if n_remaps and self.verbose:

@@ -191,3 +191,16 @@ def test_zarr_mesh_checkpoint_resume_integration(tmp_path, md_system):
     np.testing.assert_array_equal(out.n_ij, out_ref.n_ij)
     np.testing.assert_array_equal(out.occupancies, out_ref.occupancies)
     assert not os.path.exists(ckpt)
+
+
+def test_convert_rejects_bad_zarr_format(tmp_path):
+    import pytest
+
+    from sitator_tpu.io.tensorstore_io import convert_to_zarr
+
+    traj = np.zeros((4, 2, 3), np.float32)
+    np.save(tmp_path / "t.npy", traj)
+    for bad in (1, "3", None):
+        with pytest.raises(ValueError, match="zarr_format"):
+            convert_to_zarr(str(tmp_path / "t.npy"),
+                            str(tmp_path / "out.zarr"), zarr_format=bad)
