@@ -10,8 +10,13 @@ on the synthetic FCC hopping trajectory:
 2. landmark analysis recovers the visited sites and the hop statistics;
 3. SOAP + SiteTypeAnalysis separates the two coordination environments.
 
-Run:  JAX_PLATFORMS=cpu python examples/fcc_tet_oct.py
+Run:  python examples/fcc_tet_oct.py   (pins the CPU backend itself;
+set SITATOR_EXAMPLES_PLATFORM to run on an accelerator)
 """
+from _common import default_to_cpu
+
+default_to_cpu()
+
 import numpy as np
 
 from sitator_tpu import SiteNetwork

@@ -9,8 +9,13 @@ lattice.
    ``dynamic_lattice_mapping`` recovering statistics identical to the
    unswapped run, while the default guard raises ``StaticLatticeError``.
 
-Run:  JAX_PLATFORMS=cpu python examples/formats_and_lattice_mapping.py
+Run:  python examples/formats_and_lattice_mapping.py   (pins the CPU backend itself;
+set SITATOR_EXAMPLES_PLATFORM to run on an accelerator)
 """
+from _common import default_to_cpu
+
+default_to_cpu()
+
 import tempfile
 from pathlib import Path
 

@@ -3,8 +3,13 @@ example notebook (SURVEY.md §5: a Li-diffusion landmark-analysis
 walkthrough).  Uses the synthetic hopping trajectory so it runs anywhere;
 swap in `sitator_tpu.io.open_trajectory(...)` for real MD data.
 
-Run:  JAX_PLATFORMS=cpu python examples/landmark_walkthrough.py
+Run:  python examples/landmark_walkthrough.py   (pins the CPU backend itself;
+set SITATOR_EXAMPLES_PLATFORM to run on an accelerator)
 """
+from _common import default_to_cpu
+
+default_to_cpu()
+
 import numpy as np
 
 from sitator_tpu import SiteNetwork

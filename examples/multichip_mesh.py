@@ -28,6 +28,10 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+from _common import _ensure_importable  # noqa: E402
+
+_ensure_importable()
+
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 

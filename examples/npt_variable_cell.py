@@ -17,8 +17,13 @@ XDATCAR — the format VASP produces for NPT — and shows:
 3. the full pipeline running on the bridged data with jump statistics
    matching the fixed-cell ground truth.
 
-Run:  JAX_PLATFORMS=cpu python examples/npt_variable_cell.py
+Run:  python examples/npt_variable_cell.py   (pins the CPU backend itself;
+set SITATOR_EXAMPLES_PLATFORM to run on an accelerator)
 """
+from _common import default_to_cpu
+
+default_to_cpu()
+
 import tempfile
 from pathlib import Path
 

@@ -5,8 +5,13 @@ the trajectory is consumed from a memmapped .npy through the prefetching
 feeder, statistics accumulate on device with cross-block carry chaining,
 and the discovered sites are typed by their SOAP environments.
 
-Run:  JAX_PLATFORMS=cpu python examples/streaming_and_typing.py
+Run:  python examples/streaming_and_typing.py   (pins the CPU backend itself;
+set SITATOR_EXAMPLES_PLATFORM to run on an accelerator)
 """
+from _common import default_to_cpu
+
+default_to_cpu()
+
 import os
 import tempfile
 

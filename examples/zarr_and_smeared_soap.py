@@ -10,8 +10,13 @@
    and dscribe integrate — and show it separates tetrahedral from
    octahedral holes exactly like the fast delta density does.
 
-Run:  JAX_PLATFORMS=cpu python examples/zarr_and_smeared_soap.py
+Run:  python examples/zarr_and_smeared_soap.py   (pins the CPU backend itself;
+set SITATOR_EXAMPLES_PLATFORM to run on an accelerator)
 """
+from _common import default_to_cpu
+
+default_to_cpu()
+
 import os
 import tempfile
 
