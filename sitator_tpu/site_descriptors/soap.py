@@ -44,6 +44,15 @@ by ``radial_basis``:
   HLO beyond a ``(G, n·l)`` gather.  Validated against direct 3D
   quadrature of the smeared density (``tests/test_network_descriptors``).
 
+``'delta'`` stays the production default because the *decisions* match:
+on the FCC tet/oct system both densities produce the identical
+``SiteTypeAnalysis`` partition, through ideal centers
+(``tests/test_fcc.py::test_fcc_typing_gauss_density_agrees_with_delta``)
+AND through trajectory-sampled ``SOAPDescriptorAverages``
+(``test_fcc_default_delta_types_like_gauss_on_sampled_trajectory``) —
+so the fast path is the right default; choose ``'gauss'`` when absolute
+descriptor values must match GAP/dscribe conventions.
+
 The descriptor interface is pluggable (SURVEY.md §3.9), so an external
 SOAP can be swapped in where available.
 """
