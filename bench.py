@@ -66,6 +66,37 @@ def build_system(seed=0):
     return cell, verts, frames, centers, n_static
 
 
+def kernel_flops_per_frame(basis):
+    """Host-side FLOP count of the production MXU kernel at this basis
+    (PERFORMANCE.md 'Roofline'): matmuls at 2·M·N·K, the elementwise
+    distance+cutoff core at 12 FLOP per (ion, unique-atom) pair
+    (3 subs + 3 muls + 2 adds for d², ~4 for the softplus core; exp/log
+    counted as 1 — the MFU convention for transcendental-light kernels)."""
+    n_st, UP, s_tile = basis["n_st"], basis["UP"], basis["s_tile"]
+    MP = -(-N_IONS // 128) * 128
+    KP = -(-K_CENTERS // 128) * 128
+    SP = n_st * s_tile
+    fl_A = 2 * MP * UP * s_tile * n_st          # log-space membership matmul
+    fl_sims = 2 * MP * SP * KP                  # similarity matmul (bf16)
+    fl_pairs = 12 * MP * UP * n_st              # distance + cutoff core (VPU)
+    fl_norm = 2 * MP * SP                       # self-norm accumulation
+    return fl_A + fl_sims + fl_pairs + fl_norm
+
+
+# bf16 matmul peak by device kind (dense, per chip) — substring-matched
+_PEAK_BF16 = (("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
+              ("v6 lite", 918e12), ("v6e", 918e12), ("v4", 275e12))
+
+
+def _device_peak_bf16():
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak in _PEAK_BF16:
+        if sub in kind:
+            return peak
+    return None
+
+
 def cpu_reference_fps(cell, verts, frames, centers, n_frames=10,
                       site_chunk=256):
     """Reference algorithm, vectorized NumPy (site-chunked so intermediates
@@ -203,7 +234,7 @@ def tpu_fps(cell, verts, frames, centers, n_static, mode="mxu"):
         t0 = time.perf_counter()
         np.asarray(step(*args))                # scalar transfer == sync
         reps.append(N_BLOCKS * BLOCK / (time.perf_counter() - t0))
-    return reps
+    return reps, basis
 
 
 def main():
@@ -211,12 +242,16 @@ def main():
     # the axon tunnel occasionally fails transiently (session-grant races);
     # one retry after a cooldown keeps the bench robust
     try:
-        reps = tpu_fps(cell, verts, frames, centers, n_static)
+        reps, basis = tpu_fps(cell, verts, frames, centers, n_static)
     except RuntimeError:
         time.sleep(120)
-        reps = tpu_fps(cell, verts, frames, centers, n_static)
+        reps, basis = tpu_fps(cell, verts, frames, centers, n_static)
     fps = float(np.median(reps))
     ref = cpu_reference_fps(cell, verts, frames, centers, n_frames=10)
+    # roofline fields (PERFORMANCE.md 'Roofline'): model FLOPs counted
+    # host-side from the basis shapes; peak from the device kind
+    flops = kernel_flops_per_frame(basis) if basis is not None else None
+    peak = _device_peak_bf16()
     print(json.dumps({
         "metric": "frames_per_sec_landmark_assign_jump_10k_atoms_1chip",
         "value": round(fps, 2),
@@ -224,6 +259,12 @@ def main():
         "vs_baseline": round(fps / ref, 1),
         "spread": [round(min(reps), 2), round(max(reps), 2)],
         "n_reps": len(reps),
+        "gflop_per_frame": (round(flops / 1e9, 2)
+                            if flops is not None else None),
+        "tflops": (round(fps * flops / 1e12, 1)
+                   if flops is not None else None),
+        "mfu": (round(fps * flops / peak, 3)
+                if flops is not None and peak is not None else None),
     }))
 
 
