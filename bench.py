@@ -158,6 +158,12 @@ def tpu_fps(cell, verts, frames, centers, n_static, mode="mxu"):
         grid = np.stack(np.meshgrid(*[np.arange(N_CELLS)] * 3,
                                     indexing="ij"), axis=-1).reshape(-1, 3)
         site_pos = (grid + 0.5) * A_LAT
+        # pinned to the co-tuner's choice at this basis so the headline
+        # measures exactly the configuration the engines run (guarded:
+        # drift between the pin and choose_s_tile fails loudly)
+        from sitator_tpu.ops.landmark_mxu import choose_s_tile
+        assert choose_s_tile(verts, np.ones_like(verts, bool), site_pos,
+                             cell) == 128
         basis = prepare_mxu_basis(verts, np.ones_like(verts, bool),
                                   site_pos, cell, s_tile=128,
                                   static_ref=grid * A_LAT,

@@ -199,6 +199,9 @@ def convert_to_zarr(src, out_path, dtype=np.float32, chunk_frames=512,
     flight, so parsing/reading overlaps store IO.  Returns
     ``(Structure or None, out_path)``.
     """
+    if zarr_format not in (2, 3):  # fail in ms, not after a counting pass
+        raise ValueError(
+            f"zarr_format must be 2 or 3 (int); got {zarr_format!r}")
     ts = _ts()
     reader = None
     if isinstance(src, TrajectoryReader):

@@ -663,8 +663,7 @@ class StreamingLandmarkAnalysis:
                         mobile, static, verts_j, vmask_j, A, cell, cell_inv,
                         kcell, centers_j, active, uidx_j, Am_j, kill_j,
                         ref_u_j, anchors_j, static_ref_j, **assign_kw)
-                    if labels_out is not None and \
-                            getattr(self, "async_label_copy", False):
+                    if labels_out is not None and self.async_label_copy:
                         # opt-in: start the label device->host copy NOW so
                         # it overlaps the accumulator dispatches below.
                         # Measured same-process on the axon tunnel

@@ -83,6 +83,134 @@ def _kd_order(frac, s_tile):
     return np.concatenate(out)
 
 
+def _tile_geometry(verts, vmask, site_pos, cell, s_tile, static_ref=None):
+    """Host-side kd-tiling analysis shared by :func:`choose_s_tile` and
+    :func:`prepare_mxu_basis` — ONE implementation, so the cost model can
+    never drift from the real tiling.  Returns the site ordering, the
+    per-tile unique-atom lists and padded sizes; given ``static_ref``,
+    also the anchor-unwrapped per-tile reference geometry
+    (``ref_u``/``anchors``/``rfrac``) that the preshift bound needs."""
+    verts = np.asarray(verts)
+    vmask = np.asarray(vmask).astype(bool)
+    site_pos = np.asarray(site_pos, np.float64)
+    cell = np.asarray(cell, np.float64)
+    S, V = verts.shape
+    inv = np.linalg.inv(cell)
+    frac = (site_pos @ inv) % 1.0
+    order = _kd_order(frac, s_tile)
+    verts_s = verts[order]
+    vmask_s = vmask[order]
+    SP = _round_up(S, s_tile)
+    n_st = SP // s_tile
+    uniq = []
+    for t in range(n_st):
+        lo, hi = t * s_tile, min((t + 1) * s_tile, S)
+        if lo >= S:
+            uniq.append(np.zeros(0, np.int64))
+            continue
+        uniq.append(np.unique(verts_s[lo:hi][vmask_s[lo:hi]]))
+    UP = _round_up(max(max((len(u) for u in uniq), default=1), 1), 128)
+    g = dict(order=order, verts_s=verts_s, vmask_s=vmask_s, uniq=uniq,
+             S=S, V=V, SP=SP, n_st=n_st, UP=UP)
+    if static_ref is None:
+        return g
+    static_ref = np.asarray(static_ref, np.float64)
+    site_frac = site_pos @ inv                   # NOT wrapped
+    ref_frac = static_ref @ inv
+    ref_u = np.zeros((n_st, UP, 3), np.float64)
+    anchors = np.zeros((n_st, 3), np.float64)
+    rfrac = np.zeros(3)
+    for t in range(n_st):
+        lo, hi = t * s_tile, min((t + 1) * s_tile, S)
+        u = uniq[t]
+        if lo >= S or len(u) == 0:
+            continue
+        # anchor: fractional centroid of the tile's sites, each unwrapped
+        # to the first site's image (kd tiles are compact boxes, but may
+        # still touch a face)
+        sf = site_frac[order[lo:hi]]
+        sf = sf - np.round(sf - sf[0])
+        anchor_f = sf.mean(axis=0)
+        af = ref_frac[u]
+        af = af - np.round(af - anchor_f)        # unwrap atoms to anchor
+        rfrac = np.maximum(rfrac, np.abs(af - anchor_f).max(axis=0))
+        ref_u[t, :len(u)] = af @ cell
+        # padded slots replay atom 0's coords; A never references them
+        ref_u[t, len(u):] = ref_u[t, 0]
+        anchors[t] = anchor_f @ cell
+    g.update(ref_u=ref_u, anchors=anchors, rfrac=rfrac)
+    return g
+
+
+def _preshift_log_bound(rfrac, cell, midpoint, steepness, cutoff_shape,
+                        vibration_margin):
+    """log-cutoff value at the nearest distance any wrong-image pair can
+    have under this tiling (see :func:`prepare_mxu_basis`); the preshift
+    route is exact when this is ≤ −75."""
+    cell = np.asarray(cell, np.float64)
+    w = 1.0 / np.linalg.norm(np.linalg.inv(cell), axis=0)
+    half_gap = 0.5 - rfrac - vibration_margin / w
+    if not (half_gap > 0.0).all():
+        return 0.0
+    d_far = float(np.min(half_gap * w))
+    if cutoff_shape == "logistic_r2":
+        k2 = steepness / (2.0 * midpoint)
+        return -(k2 * (d_far * d_far - midpoint * midpoint))
+    return -(steepness * (d_far - midpoint))
+
+
+def choose_s_tile(verts, vmask, site_pos, cell,
+                  candidates=(128, 256), vpu_weight=25.0,
+                  static_ref=None, midpoint=None, steepness=None,
+                  cutoff_shape="logistic", vibration_margin=3.0):
+    """Per-basis s_tile/UP co-tuning by a host-side cost model
+    (PERFORMANCE.md 'Roofline' / round-4 lever).
+
+    For each candidate tile size, compute the real kd tiling's unique-atom
+    padding ``UP`` and tile count ``n_st`` (via the same
+    :func:`_tile_geometry` the basis builder uses) and score the per-ion
+    kernel work:
+
+        cost = vpu_weight · 12 · (UP · n_st)     # distance+cutoff pairs
+             + 2 · UP · SP                       # membership matmul (MXU)
+             + 2 · SP · S                        # similarity matmul proxy
+                                                 # (K unknown here; K ~ S)
+
+    ``vpu_weight`` ≈ MXU-f32-FLOPs per VPU-FLOP (~25 on v5e) — but at the
+    bench basis the chosen 128 *dominates* 256 in both terms (256 grows
+    UP → A-work +103% at equal pairs), so the choice is insensitive to
+    the weight.  Matches the measured on-chip ranking (r2-cont sweep:
+    128 > 256 by ~2%; re-confirmed same-session round 4 —
+    PERFORMANCE.md).
+
+    Candidates MUST be multiples of 128: Mosaic requires the last block
+    dimension (``kill``/``A``/lv tiles are ``(…, s_tile)``) be divisible
+    by 128 unless it equals the whole array — measured on-chip, not just
+    a docs caveat (s_tile=64 fails lowering at the flagship basis while
+    passing in CPU interpret mode).
+
+    When the preshift inputs (``static_ref`` + cutoff parameters) are
+    given, any candidate that keeps the preshift bound beats every
+    candidate that loses it, regardless of modeled cost — the measured
+    +22% preshift win dwarfs single-digit tiling gains.
+    """
+    check_ps = (static_ref is not None and midpoint is not None
+                and steepness is not None)
+    best = None
+    for st in candidates:
+        g = _tile_geometry(verts, vmask, site_pos, cell, st,
+                           static_ref if check_ps else None)
+        cost = (vpu_weight * 12.0 * g["UP"] * g["n_st"]
+                + 2.0 * g["UP"] * g["SP"] + 2.0 * g["SP"] * g["S"])
+        loses_preshift = check_ps and _preshift_log_bound(
+            g["rfrac"], cell, midpoint, steepness, cutoff_shape,
+            vibration_margin) > -75.0
+        key = (loses_preshift, cost)
+        if best is None or key < best[0]:
+            best = (key, st)
+    return best[1]
+
+
 def prepare_mxu_basis(verts, vmask, site_pos, cell, *, s_tile=256,
                       static_ref=None, midpoint=None,
                       steepness=None, cutoff_shape="logistic",
@@ -118,27 +246,14 @@ def prepare_mxu_basis(verts, vmask, site_pos, cell, *, s_tile=256,
     Small cells fail the bound and fall back to the per-pair path
     (``preshift=False``).
     """
-    verts = np.asarray(verts)
-    vmask = np.asarray(vmask).astype(bool)
-    site_pos = np.asarray(site_pos, np.float64)
-    cell = np.asarray(cell, np.float64)
-    S, V = verts.shape
-
-    frac = (site_pos @ np.linalg.inv(cell)) % 1.0
-    order = _kd_order(frac, s_tile)
-    verts_s = verts[order]
-    vmask_s = vmask[order]
-
-    SP = _round_up(S, s_tile)
-    n_st = SP // s_tile
-    uniq = []
-    for t in range(n_st):
-        lo, hi = t * s_tile, min((t + 1) * s_tile, S)
-        if lo >= S:
-            uniq.append(np.zeros(0, np.int64))
-            continue
-        uniq.append(np.unique(verts_s[lo:hi][vmask_s[lo:hi]]))
-    UP = _round_up(max(max((len(u) for u in uniq), default=1), 1), 128)
+    have_ref = (static_ref is not None and midpoint is not None
+                and steepness is not None)
+    g = _tile_geometry(verts, vmask, site_pos, cell, s_tile,
+                       static_ref if have_ref else None)
+    S, V = g["S"], g["V"]
+    SP, n_st, UP = g["SP"], g["n_st"], g["UP"]
+    order, uniq = g["order"], g["uniq"]
+    verts_s, vmask_s = g["verts_s"], g["vmask_s"]
 
     uidx = np.zeros((n_st, UP), np.int32)
     A = np.zeros((n_st, UP, s_tile), np.float32)
@@ -170,60 +285,26 @@ def prepare_mxu_basis(verts, vmask, site_pos, cell, *, s_tile=256,
         preshift=False,
     )
 
-    if static_ref is None or midpoint is None or steepness is None:
+    if not have_ref:
         return basis
-    static_ref = np.asarray(static_ref, np.float64)
-    inv = np.linalg.inv(cell)
-    w = 1.0 / np.linalg.norm(inv, axis=0)        # inscribed width per axis
-    site_frac = site_pos @ inv                   # NOT wrapped
-    ref_frac = static_ref @ inv
-    ref_u = np.zeros((n_st, UP, 3), np.float64)
-    anchors = np.zeros((n_st, 3), np.float64)
-    rfrac = np.zeros(3)
-    for t in range(n_st):
-        lo, hi = t * s_tile, min((t + 1) * s_tile, S)
-        u = uniq[t]
-        if lo >= S or len(u) == 0:
-            continue
-        # anchor: fractional centroid of the tile's sites, each unwrapped
-        # to the first site's image (kd tiles are compact boxes, but may
-        # still touch a face)
-        sf = site_frac[order[lo:hi]]
-        sf = sf - np.round(sf - sf[0])
-        anchor_f = sf.mean(axis=0)
-        af = ref_frac[u]
-        af = af - np.round(af - anchor_f)        # unwrap atoms to anchor
-        rfrac = np.maximum(rfrac, np.abs(af - anchor_f).max(axis=0))
-        ref_u[t, :len(u)] = af @ cell
-        # padded slots replay atom 0's coords; A never references them
-        ref_u[t, len(u):] = ref_u[t, 0]
-        anchors[t] = anchor_f @ cell
-    vib_frac = vibration_margin / w
-    half_gap = 0.5 - rfrac - vib_frac
-    if (half_gap > 0.0).all():
-        d_far = float(np.min(half_gap * w))
-        if cutoff_shape == "logistic_r2":
-            k2 = steepness / (2.0 * midpoint)
-            log_bound = -(k2 * (d_far * d_far - midpoint * midpoint))
-        else:
-            log_bound = -(steepness * (d_far - midpoint))
-        # −75: a disagreeing pair contributes lv ≤ exp(−75) ≈ 2.7e−33 in
-        # EITHER formulation, perturbing any similarity by < S·2.7e−33
-        # ≈ 1e−28 total — an f32 argmax between values above ~1e−21 cannot
-        # be flipped by that (ulp(1e−21) ≈ 1e−28), and confidences at
-        # 1e−21 are unassignable noise in any real configuration.  Agreeing
-        # pairs are the same minimum image computed either way (ulp-level
-        # arithmetic reordering only, exactly like the gather↔MXU pairing).
-        if log_bound <= -75.0:
-            basis["preshift"] = True
-            basis["ref_u"] = jnp.asarray(ref_u, jnp.float32)
-            basis["anchors"] = jnp.asarray(anchors, jnp.float32)
+    # −75: a disagreeing pair contributes lv ≤ exp(−75) ≈ 2.7e−33 in
+    # EITHER formulation, perturbing any similarity by < S·2.7e−33
+    # ≈ 1e−28 total — an f32 argmax between values above ~1e−21 cannot
+    # be flipped by that (ulp(1e−21) ≈ 1e−28), and confidences at
+    # 1e−21 are unassignable noise in any real configuration.  Agreeing
+    # pairs are the same minimum image computed either way (ulp-level
+    # arithmetic reordering only, exactly like the gather↔MXU pairing).
+    if _preshift_log_bound(g["rfrac"], cell, midpoint, steepness,
+                           cutoff_shape, vibration_margin) <= -75.0:
+        basis["preshift"] = True
+        basis["ref_u"] = jnp.asarray(g["ref_u"], jnp.float32)
+        basis["anchors"] = jnp.asarray(g["anchors"], jnp.float32)
     return basis
 
 
 def prepare_engine_basis(verts, vmask, site_pos, cell, *, midpoint,
                          steepness, cutoff_shape, static_ref=None,
-                         drift_budget=None, s_tile=128):
+                         drift_budget=None, s_tile="auto"):
     """One-stop fused-route gate shared by every engine
     (``LandmarkAnalysis``, streaming fit + stream passes,
     ``SpmdLandmarkPipeline``): builds the kd basis with the preshift
@@ -232,13 +313,24 @@ def prepare_engine_basis(verts, vmask, site_pos, cell, *, midpoint,
     preshift disabled, since nothing bounds static-atom drift), and
     returns None when the basis does not share enough vertices for the
     MXU route (:func:`mxu_supported`).  Keeping this policy in ONE place
-    is what stops the four engines' budgets from drifting apart."""
+    is what stops the four engines' budgets from drifting apart.
+
+    ``s_tile='auto'`` co-tunes the tile size per basis via
+    :func:`choose_s_tile` (picks 128 at the flagship SC basis),
+    preferring candidates that keep the preshift bound."""
+    vib = (max(3.0, 2.0 * float(drift_budget))
+           if drift_budget is not None else 3.0)
+    if s_tile == "auto":
+        s_tile = choose_s_tile(
+            verts, vmask, site_pos, cell,
+            static_ref=static_ref if drift_budget is not None else None,
+            midpoint=midpoint, steepness=steepness,
+            cutoff_shape=cutoff_shape, vibration_margin=vib)
     basis = prepare_mxu_basis(
         verts, vmask, site_pos, cell, s_tile=s_tile,
         static_ref=static_ref if drift_budget is not None else None,
         midpoint=midpoint, steepness=steepness, cutoff_shape=cutoff_shape,
-        vibration_margin=(max(3.0, 2.0 * float(drift_budget))
-                          if drift_budget is not None else 3.0))
+        vibration_margin=vib)
     ok = mxu_supported(basis)
     logger.debug(
         "fused-route gate: mxu=%s (cost_ratio %.3f), preshift=%s "
@@ -381,11 +473,13 @@ def _kernel(mob_ref, vpu_ref, A_ref, kill_ref, centers_ref, params_ref,
 @partial(jax.jit,
          static_argnames=("midpoint", "steepness", "threshold", "s_tile",
                           "n_st", "a_bf16", "mxu_bf16", "interpret",
-                          "cutoff_shape", "peak_evening", "preshift"))
+                          "cutoff_shape", "peak_evening", "preshift",
+                          "centers_store_f32"))
 def _mxu_call(mobile, static, uidx, A, kill, cell, centers_perm, ref_u,
               anchors, *, midpoint, steepness, threshold, s_tile, n_st,
               a_bf16=False, mxu_bf16=True, interpret=False,
-              cutoff_shape="logistic", peak_evening="none", preshift=False):
+              cutoff_shape="logistic", peak_evening="none", preshift=False,
+              centers_store_f32=True):
     peak_clip = peak_evening == "clip"
     n_passes = 2 if peak_clip else 1
     B, M, _ = mobile.shape
@@ -397,8 +491,18 @@ def _mxu_call(mobile, static, uidx, A, kill, cell, centers_perm, ref_u,
 
     mob, vpu = _prep_mob_vpu(mobile, static, uidx, ref_u, cell, n_st, UP,
                              MP, preshift)
+    # Storing the padded weight matrix pre-cast to bf16 (the dtype the
+    # similarity matmul consumes) would halve the kernel's dominant HBM
+    # stream (38 -> 19 MB/frame at the bench basis) bit-identically — but
+    # the same-process A/B measured 0.993x on v5e (tools/ab_centers_bf16,
+    # PERFORMANCE.md rejected ledger): the kernel is not bandwidth-bound
+    # on this stream, so f32 storage stays the default;
+    # centers_store_f32=False opts in on bandwidth-starved hardware.
+    cdt = (jnp.float32 if (centers_store_f32 or not mxu_bf16)
+           else jnp.bfloat16)
     cpad = jnp.pad(centers_perm.astype(jnp.float32).T,
-                   ((0, SP - centers_perm.shape[1]), (0, KP - K)))
+                   ((0, SP - centers_perm.shape[1]), (0, KP - K))
+                   ).astype(cdt)
 
     consts = jnp.asarray([midpoint, steepness, threshold], jnp.float32)
     params, triclinic = pack_cell_params(cell, consts)
@@ -539,7 +643,8 @@ def mxu_landmark_blocks(mobile, static, basis, cell, *, midpoint,
 def mxu_assign_blocks(mobile, static, basis, cell, centers_perm, *,
                       midpoint, steepness, threshold, mxu_bf16=True,
                       a_bf16=False, interpret=False,
-                      cutoff_shape="logistic", peak_evening="none"):
+                      cutoff_shape="logistic", peak_evening="none",
+                      centers_store_f32=True):
     """Fused landmark + normalize + assign via the MXU-product kernel.
 
     ``basis`` from :func:`prepare_mxu_basis`; ``centers_perm`` (K, S) unit
@@ -561,4 +666,5 @@ def mxu_assign_blocks(mobile, static, basis, cell, centers_perm, *,
         steepness=float(steepness), threshold=float(threshold),
         s_tile=basis["s_tile"], n_st=n_st, a_bf16=a_bf16,
         mxu_bf16=mxu_bf16, interpret=interpret, cutoff_shape=cutoff_shape,
-        peak_evening=peak_evening, preshift=preshift)
+        peak_evening=peak_evening, preshift=preshift,
+        centers_store_f32=centers_store_f32)

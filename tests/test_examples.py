@@ -35,6 +35,10 @@ EXAMPLES = {
 
 def _run(name, extra_env=None):
     env = dict(os.environ)
+    # never inherit a platform override from the caller's shell: a leaked
+    # SITATOR_EXAMPLES_PLATFORM=tpu would route 7 subprocesses at the
+    # single TPU session grant
+    env.pop("SITATOR_EXAMPLES_PLATFORM", None)
     env.update(extra_env or {})
     proc = subprocess.run(
         [sys.executable, os.path.join("examples", name)],

@@ -377,3 +377,58 @@ def test_mxu_preshift_robust_to_drift_within_budget(rng):
         jnp.asarray(mobile), jnp.asarray(static_d), basis_pp, cdiag,
         permute_centers(centers, basis_pp), **kw)
     np.testing.assert_array_equal(np.asarray(lab_ps), np.asarray(lab_pp))
+
+
+def test_centers_bf16_storage_bit_identical():
+    """The opt-in bf16 centers storage (a measured 0.993x on v5e — f32
+    stays the default, PERFORMANCE.md rejected ledger) must be
+    bit-identical to the production f32 storage + in-kernel cast."""
+    r = np.random.default_rng(17)
+    cell, mobile, static, verts, vmask, centers, site_pos = _system(r)
+    basis = prepare_mxu_basis(verts, vmask, site_pos, cell, s_tile=128)
+    cdiag = jnp.asarray(np.diag(cell).astype(np.float32))
+    cp = permute_centers(centers, basis)
+    kw = dict(midpoint=3.0, steepness=4.0, threshold=0.3, mxu_bf16=True,
+              interpret=True)
+    lab_f32, conf_f32 = mxu_assign_blocks(
+        jnp.asarray(mobile), jnp.asarray(static), basis, cdiag, cp, **kw)
+    lab_b16, conf_b16 = mxu_assign_blocks(
+        jnp.asarray(mobile), jnp.asarray(static), basis, cdiag, cp,
+        centers_store_f32=False, **kw)
+    np.testing.assert_array_equal(np.asarray(lab_f32), np.asarray(lab_b16))
+    np.testing.assert_array_equal(np.asarray(conf_f32),
+                                  np.asarray(conf_b16))
+
+
+def test_choose_s_tile_cost_model():
+    """s_tile co-tuning (round-4 lever): the cost model picks 128 at the
+    flagship SC basis (where it dominates both cost terms — matches the
+    measured on-chip ranking) and a small tile for a tiny basis."""
+    from sitator_tpu.ops.landmark_mxu import (choose_s_tile,
+                                              prepare_engine_basis)
+    n_c, a = 20, 4.0
+    grid = np.stack(np.meshgrid(*[np.arange(n_c)] * 3, indexing="ij"),
+                    axis=-1).reshape(-1, 3)
+    cell = np.eye(3, dtype=np.float32) * (n_c * a)
+    verts = np.zeros((len(grid), 8), np.int32)
+    k = 0
+    for di in (0, 1):
+        for dj in (0, 1):
+            for dk in (0, 1):
+                verts[:, k] = (((grid[:, 0] + di) % n_c) * n_c
+                               + (grid[:, 1] + dj) % n_c) * n_c \
+                    + (grid[:, 2] + dk) % n_c
+                k += 1
+    vmask = np.ones_like(verts, bool)
+    site_pos = (grid + 0.5) * a
+    assert choose_s_tile(verts, vmask, site_pos, cell) == 128
+    # prepare_engine_basis default co-tunes
+    basis = prepare_engine_basis(verts, vmask, site_pos, cell,
+                                 midpoint=4.0, steepness=3.0,
+                                 cutoff_shape="logistic")
+    assert basis is not None and basis["s_tile"] == 128
+    # candidates are restricted to multiples of 128 (Mosaic lowering
+    # requires it off the interpret path); a tiny basis stays at 128
+    small = verts[:27] % 27
+    assert choose_s_tile(small, np.ones_like(small, bool),
+                         site_pos[:27], np.eye(3) * 12.0) == 128
