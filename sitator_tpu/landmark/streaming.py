@@ -194,6 +194,21 @@ class StreamingLandmarkAnalysis:
         against the accumulator dispatch (measured same-process 1981 vs
         2202 fps) — enable only on hardware whose copy engine is
         independent of the dispatch path.
+    pipeline_depth : blocks kept in flight by the optimistic run-ahead
+        dispatcher (see the in-code note in ``run``): assign + accumulate
+        are dispatched without host syncs and drift/labels are fetched
+        when a block retires, ``pipeline_depth`` blocks later; a drift
+        offender rolls the accumulators back to the pre-block snapshot
+        and replays synchronously, bit-exactly.  Default 0 (fully
+        synchronous): on the axon HTTP tunnel the deferred fetch of
+        older device buffers measured 8× SLOWER (267 vs 2168 fps
+        sustained, `tools/northstar_run.py`) — the transport serializes
+        late reads against the dispatch stream, the same pathology the
+        async_label_copy measurement found.  On co-located hosts the
+        sync loop's per-block round-trips are ~µs, so run-ahead buys
+        little there anyway; raise the depth only after measuring on
+        your own transport.  Results are bit-identical at any depth
+        (tests/test_streaming.py pipeline-invariance tests).
     """
 
     def __init__(self, cutoff_midpoint=3.0, cutoff_steepness=4.0,
@@ -206,7 +221,7 @@ class StreamingLandmarkAnalysis:
                  multiple_occupancy_action="warn",
                  static_movement_threshold=1.0,
                  dynamic_lattice_mapping=False, use_fused="auto",
-                 async_label_copy=False,
+                 async_label_copy=False, pipeline_depth=0,
                  interpret=False, verbose=True):
         self.cutoff_midpoint = float(cutoff_midpoint)
         self.cutoff_steepness = float(cutoff_steepness)
@@ -243,6 +258,7 @@ class StreamingLandmarkAnalysis:
         self.mesh = mesh  # optional 1-D frame mesh: blocks shard over it
         self.use_fused = use_fused  # 'auto' | True | False
         self.async_label_copy = bool(async_label_copy)
+        self.pipeline_depth = int(pipeline_depth)
         self.interpret = bool(interpret)  # Pallas interpret mode (CPU tests)
         self.spill_every = None  # None = auto epoch bound; tests override
         # mid-run checkpointing (SURVEY.md §6.4): every N blocks the device
@@ -581,11 +597,12 @@ class StreamingLandmarkAnalysis:
                     (np.asarray(carry[0]).astype(np.int64),
                      np.asarray(carry[1]).astype(np.int64)))
 
-        def fold(valid_np):
-            """Fold the valid frames of the current block's assignment into
-            the accumulators, by whichever jump-statistics route the
-            current mode dictates."""
-            nonlocal carry, acc, exact_carry, host_acc, labels_np
+        def fold(valid_np, labels, confs, mobile, box):
+            """Fold the valid frames of one block's assignment into the
+            accumulators, by whichever jump-statistics route the current
+            mode dictates.  ``box`` caches the host label copy across
+            folds of the same assignment (``box['np']``)."""
+            nonlocal carry, acc, exact_carry, host_acc
             if not exact_mode:
                 carry, acc = _accum_block(
                     labels, confs, mobile, cell_inv,
@@ -596,9 +613,9 @@ class StreamingLandmarkAnalysis:
                 labels, confs, mobile, cell_inv,
                 jnp.asarray(valid_np), carry_dummy, acc, n_sites=K,
                 max_mobile=self.max_mobile_per_site, want_jumps=False)
-            if labels_np is None:
-                labels_np = np.asarray(labels)
-            lbl = np.where(valid_np[:, None], labels_np, -1)
+            if box["np"] is None:
+                box["np"] = np.asarray(labels)
+            lbl = np.where(valid_np[:, None], box["np"], -1)
             dev, last64, res64 = _jump_stats_block_int64(
                 lbl, K, exact_carry[0], exact_carry[1], "persist")
             exact_carry = (last64, res64)
@@ -636,52 +653,63 @@ class StreamingLandmarkAnalysis:
             mxu_s_tile=mxu_s_tile, mxu_n_st=mxu_n_st,
             mxu_preshift=mxu_preshift,
             want_drift=thr_drift is not None)
-        for lo, block in feeder:
-            nb = len(block)
-            if nb < B:  # pad to the compiled block shape (frames masked out)
-                from sitator_tpu.parallel.mesh import pad_frames
-                block, _ = pad_frames(block, B)
-            mobile = jnp.asarray(block[:, mobile_idx], jnp.float32)
+        def upload_static(block):
+            static_np = block[:, static_idx]
+            if self.dynamic_lattice_mapping:
+                static_np = static_np[:, perm]
+            static = jnp.asarray(static_np, jnp.float32)
             if sharding is not None:
-                mobile = jax.device_put(mobile, sharding)
+                static = jax.device_put(static, sharding)
+            return static
+
+        def assign(mobile, static):
+            labels, confs, drift = _assign_block(
+                mobile, static, verts_j, vmask_j, A, cell, cell_inv,
+                kcell, centers_j, active, uidx_j, Am_j, kill_j,
+                ref_u_j, anchors_j, static_ref_j, **assign_kw)
+            if labels_out is not None and self.async_label_copy:
+                # opt-in: start the label device->host copy NOW so it
+                # overlaps the accumulator dispatches.  Measured
+                # same-process on the axon tunnel (northstar --ab): async
+                # 1981 vs sync 2202 fps — the early copy SERIALIZES
+                # against the accum dispatch there, so the default stays
+                # sync; flip per-instance on hardware where the copy
+                # engine is independent of the dispatch path
+                try:
+                    labels.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
+            return labels, confs, drift
+
+        def process_block_slow(lo, block, nb, mobile, pre=None):
+            """The fully-synchronous per-block path: per-frame drift
+            gating, lattice remapping, partial folds.  ``pre`` reuses an
+            existing assignment (labels, confs, drift) for the block —
+            valid only while ``perm`` is unchanged since it was made."""
+            nonlocal perm, n_remaps
             processed = 0
             last_remap = (-1, 0)
-            need_assign = True
             drift_f = None
+            labels = confs = None
+            box = {"np": None}
+            if pre is not None:
+                labels, confs, drift = pre
+                if thr_drift is not None:
+                    drift_f = np.asarray(drift)[:nb]
+            need_assign = pre is None
             while processed < nb:
                 if need_assign:
-                    # (re)assign the whole block — only needed on entry and
-                    # after a slot→atom permutation change; grazed-frame
-                    # accepts reuse the existing assignment
-                    static_np = block[:, static_idx]
-                    if self.dynamic_lattice_mapping:
-                        static_np = static_np[:, perm]
-                    static = jnp.asarray(static_np, jnp.float32)
-                    if sharding is not None:
-                        static = jax.device_put(static, sharding)
-                    labels, confs, drift = _assign_block(
-                        mobile, static, verts_j, vmask_j, A, cell, cell_inv,
-                        kcell, centers_j, active, uidx_j, Am_j, kill_j,
-                        ref_u_j, anchors_j, static_ref_j, **assign_kw)
-                    if labels_out is not None and self.async_label_copy:
-                        # opt-in: start the label device->host copy NOW so
-                        # it overlaps the accumulator dispatches below.
-                        # Measured same-process on the axon tunnel
-                        # (northstar --ab): async 1981 vs sync 2202 fps —
-                        # the early copy SERIALIZES against the accum
-                        # dispatch there, so the default stays sync; flip
-                        # per-instance on hardware where the copy engine
-                        # is independent of the dispatch path
-                        try:
-                            labels.copy_to_host_async()
-                        except (AttributeError, NotImplementedError):
-                            pass
-                    # labels are fetched lazily AFTER the first accumulator
-                    # dispatch (the transfer then overlaps the accum
-                    # compute — fetching before the dispatch measured
-                    # 1792 vs 2202 fps on the tunnel), and only once per
-                    # assignment (remap segments slice the host copy)
-                    labels_np = None
+                    # (re)assign the whole block — only needed on entry
+                    # and after a slot→atom permutation change;
+                    # grazed-frame accepts reuse the existing assignment
+                    labels, confs, drift = assign(mobile,
+                                                  upload_static(block))
+                    # labels are fetched lazily AFTER the first
+                    # accumulator dispatch (the transfer then overlaps
+                    # the accum compute — 1792 vs 2202 fps measured on
+                    # the tunnel), once per assignment (remap segments
+                    # slice the host copy)
+                    box = {"np": None}
                     if thr_drift is not None:
                         drift_f = np.asarray(drift)[:nb]
                     need_assign = False
@@ -704,12 +732,12 @@ class StreamingLandmarkAnalysis:
                 if stop > processed:
                     valid = np.zeros(B, bool)
                     valid[processed:stop] = True
-                    fold(valid)
+                    fold(valid, labels, confs, mobile, box)
                     if labels_out is not None:
-                        if labels_np is None:
-                            labels_np = np.asarray(labels)
+                        if box["np"] is None:
+                            box["np"] = np.asarray(labels)
                         labels_out[lo + processed:lo + stop] = \
-                            labels_np[processed:stop]
+                            box["np"][processed:stop]
                 if stop < nb:
                     # per-frame retry guard (mirrors LandmarkAnalysis): a
                     # few remap attempts are allowed at one frame, but any
@@ -747,12 +775,12 @@ class StreamingLandmarkAnalysis:
                         # so no recompute happens on the next iteration
                         valid = np.zeros(B, bool)
                         valid[stop] = True
-                        fold(valid)
+                        fold(valid, labels, confs, mobile, box)
                         if labels_out is not None:
-                            if labels_np is None:
-                                labels_np = np.asarray(labels)
+                            if box["np"] is None:
+                                box["np"] = np.asarray(labels)
                             labels_out[lo + stop:lo + stop + 1] = \
-                                labels_np[stop:stop + 1]
+                                box["np"][stop:stop + 1]
                         processed = stop + 1
                         continue
                     if self.verbose:
@@ -764,6 +792,84 @@ class StreamingLandmarkAnalysis:
                     n_remaps += 1
                     need_assign = True
                 processed = stop
+
+        # --- optimistic run-ahead (the dispatch pipeline, OPT-IN) -------
+        # Per block the synchronous path costs two dispatch round-trips
+        # plus a blocking drift fetch BETWEEN them.  The fast path
+        # instead dispatches assign + whole-block accumulate immediately
+        # (device-to-device carry, no host sync) and keeps up to
+        # ``pipeline_depth`` blocks in flight; drift/labels are fetched
+        # when a block RETIRES, well after its compute finished.
+        # Exactness: the accumulate is optimistic — before it, the
+        # (carry, acc) references are snapshotted (free: jax arrays are
+        # immutable), and if retirement finds a drift offender the
+        # snapshot is restored and the offending block and every later
+        # in-flight block are re-processed through the synchronous path,
+        # which reproduces the never-pipelined behavior bit-for-bit
+        # (same perm, same kernels, same folds).  Spills/checkpoints
+        # drain the window first, so no optimistic state ever reaches
+        # the exact host totals or a snapshot.  MEASURED on the axon
+        # tunnel: 8× SLOWER than sync (267 vs 2168 fps — late buffer
+        # reads serialize against the dispatch stream), hence default
+        # depth 0; see the constructor docstring.
+        window = []
+        W = max(0, int(self.pipeline_depth))
+
+        def retire_one():
+            nonlocal carry, acc
+            e = window.pop(0)
+            if thr_drift is not None:
+                drift_f = np.asarray(e["drift"])[:e["nb"]]
+                if (drift_f > thr_drift).any():
+                    # rollback: restore the pre-block accumulator state
+                    # and replay this + all later in-flight blocks
+                    # synchronously (raises StaticLatticeError or
+                    # remaps, exactly like the unpipelined engine)
+                    carry, acc = e["carry0"], e["acc0"]
+                    redo = [e] + window[:]
+                    window.clear()
+                    for i, r in enumerate(redo):
+                        # the offending block's assignment predates any
+                        # remap, so it may be reused (pre); later blocks
+                        # must re-assign under the updated permutation
+                        process_block_slow(
+                            r["lo"], r["block"], r["nb"], r["mobile"],
+                            pre=(r["labels"], r["confs"], r["drift"])
+                            if i == 0 else None)
+                    return
+            if labels_out is not None:
+                labels_out[e["lo"]:e["lo"] + e["nb"]] = \
+                    np.asarray(e["labels"])[:e["nb"]]
+
+        def drain():
+            while window:
+                retire_one()
+
+        for lo, block in feeder:
+            nb = len(block)
+            if nb < B:  # pad to the compiled block shape (frames masked out)
+                from sitator_tpu.parallel.mesh import pad_frames
+                block, _ = pad_frames(block, B)
+            mobile = jnp.asarray(block[:, mobile_idx], jnp.float32)
+            if sharding is not None:
+                mobile = jax.device_put(mobile, sharding)
+            if W == 0 or exact_mode:
+                # exact mode folds through the host int64 scan (a sync
+                # per block anyway) — run synchronously
+                drain()
+                process_block_slow(lo, block, nb, mobile)
+            else:
+                carry0, acc0 = carry, acc
+                labels, confs, drift = assign(mobile, upload_static(block))
+                valid = np.zeros(B, bool)
+                valid[:nb] = True
+                fold(valid, labels, confs, mobile, {"np": None})
+                window.append(dict(
+                    lo=lo, nb=nb, block=block, mobile=mobile,
+                    labels=labels, confs=confs, drift=drift,
+                    carry0=carry0, acc0=acc0))
+                if len(window) > W:
+                    retire_one()
             blocks_done += 1
             do_ckpt = (ckpt is not None
                        and blocks_done % self.checkpoint_every == 0)
@@ -773,6 +879,9 @@ class StreamingLandmarkAnalysis:
                 # re-evaluate the sound carried-residence bound for the
                 # NEXT epoch and (re)choose fast vs exact jump
                 # accumulation — the self-healing wrap protection.
+                # (drain first: optimistic in-flight blocks must retire —
+                # or roll back — before their stats can be spilled)
+                drain()
                 host_acc = spill(host_acc, acc)
                 acc = zero_acc()
                 set_mode(current_carry_np())
@@ -781,6 +890,7 @@ class StreamingLandmarkAnalysis:
                     ckpt, n_frames, K, lo + nb,
                     exact_carry if exact_mode else carry, host_acc, perm)
 
+        drain()
         host_acc = spill(host_acc, acc)
         if n_remaps and self.verbose:
             logger.info("dynamic lattice mapping: %d slot→atom remaps",

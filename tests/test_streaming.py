@@ -552,3 +552,62 @@ def test_streaming_exact_mode_noop_on_healthy_runs(md_system):
     np.testing.assert_array_equal(out1.n_ij, out2.n_ij)
     np.testing.assert_allclose(out1.residence_times, out2.residence_times,
                                equal_nan=True)
+
+
+def test_streaming_pipeline_depth_invariance(md_system):
+    """The optimistic run-ahead dispatcher (pipeline_depth) must be
+    invisible in the results: depths 0 (fully synchronous), 1 and 6
+    produce bit-identical statistics — including across a mid-stream
+    lattice-site exchange, which forces the rollback + replay path."""
+    md, seeds = md_system
+    T = 233
+    swapped = md.traj[:500].copy()
+    sa = np.flatnonzero(md.static_mask)
+    i, j = sa[2], sa[17]
+    swapped[T:, i], swapped[T:, j] = (md.traj[T:500, j].copy(),
+                                      md.traj[T:500, i].copy())
+
+    def run(depth, traj):
+        sla = StreamingLandmarkAnalysis(
+            cutoff_midpoint=4.0, cutoff_steepness=3.0, block_frames=100,
+            dynamic_lattice_mapping=True, pipeline_depth=depth,
+            verbose=False)
+        centers = run.centers
+        return sla.run(seeds, traj, centers=centers)
+
+    base = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=100, verbose=False)
+    run.centers = base.fit_centers(seeds, ArrayTrajectory(md.traj))
+
+    for traj in (md.traj[:500], swapped):
+        out0 = run(0, traj)
+        for depth in (1, 6):
+            outd = run(depth, traj)
+            np.testing.assert_array_equal(out0.n_ij, outd.n_ij)
+            np.testing.assert_allclose(out0.occupancies, outd.occupancies,
+                                       atol=1e-12)
+            np.testing.assert_allclose(out0.residence_times,
+                                       outd.residence_times,
+                                       equal_nan=True)
+            np.testing.assert_allclose(out0.centers, outd.centers,
+                                       atol=1e-6)
+
+
+def test_streaming_pipeline_labels_identical(md_system, tmp_path):
+    """Spilled label memmaps are identical across pipeline depths (the
+    retire path writes them out of the in-flight window)."""
+    md, seeds = md_system
+    base = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=100, verbose=False)
+    centers = base.fit_centers(seeds, ArrayTrajectory(md.traj))
+    labs = {}
+    for depth in (0, 3):
+        p = tmp_path / f"lab_{depth}.npy"
+        sla = StreamingLandmarkAnalysis(
+            cutoff_midpoint=4.0, cutoff_steepness=3.0, block_frames=100,
+            store_labels=str(p), pipeline_depth=depth, verbose=False)
+        sla.run(seeds, md.traj, centers=centers)
+        labs[depth] = np.load(p)
+    np.testing.assert_array_equal(labs[0], labs[3])
