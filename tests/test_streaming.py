@@ -611,3 +611,86 @@ def test_streaming_pipeline_labels_identical(md_system, tmp_path):
         sla.run(seeds, md.traj, centers=centers)
         labs[depth] = np.load(p)
     np.testing.assert_array_equal(labs[0], labs[3])
+
+
+def test_streaming_pipeline_with_checkpoint_resume(md_system, tmp_path):
+    """Run-ahead composes with mid-run checkpointing: an interrupted
+    pipelined run resumes bit-exactly (checkpoints drain the in-flight
+    window, so no optimistic state is ever snapshotted)."""
+    md, seeds = md_system
+    ref = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0,
+                                    block_frames=100, verbose=False)
+    centers = ref.fit_centers(seeds, ArrayTrajectory(md.traj))
+    out_ref = ref.run(seeds, md.traj, centers=centers)
+
+    class Interrupt(Exception):
+        pass
+
+    class FlakyReader(ArrayTrajectory):
+        def __init__(self, arr, die_after):
+            super().__init__(arr)
+            self.served = 0
+            self.die_after = die_after
+
+        def __getitem__(self, key):
+            self.served += 1
+            if self.die_after is not None and self.served > self.die_after:
+                raise Interrupt()
+            return super().__getitem__(key)
+
+    ckpt = str(tmp_path / "pipe.ckpt")
+    sla = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0, block_frames=100,
+                                    checkpoint_path=ckpt,
+                                    checkpoint_every=2, pipeline_depth=3,
+                                    verbose=False)
+    with pytest.raises(Interrupt):
+        sla.run(seeds, FlakyReader(md.traj, die_after=4), centers=centers)
+    import os
+    assert os.path.exists(ckpt)
+    out = sla.run(seeds, FlakyReader(md.traj, die_after=None),
+                  centers=centers)
+    np.testing.assert_array_equal(out.n_ij, out_ref.n_ij)
+    np.testing.assert_allclose(out.occupancies, out_ref.occupancies,
+                               atol=1e-12)
+
+
+def test_streaming_pipeline_with_wrap_hazard(md_system, tmp_path):
+    """Run-ahead composes with the self-healing wrap protection: in the
+    exact-residence regime the engine falls back to the synchronous path
+    per block, and totals still match the int64 oracle."""
+    md, seeds = md_system
+    F = 300
+    base = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=100, verbose=False)
+    centers = base.fit_centers(seeds, ArrayTrajectory(md.traj))
+    K = len(centers)
+    n_mobile = int(md.mobile_mask.sum())
+    ckpt = tmp_path / "pipe_hazard.ckpt"
+    init_last = np.zeros(n_mobile, np.int64)
+    init_res = np.zeros(n_mobile, np.int64)
+    init_res[0] = 2**31 + 777
+    with open(ckpt, "wb") as f:
+        np.savez(f, n_frames=F, K=K, next_lo=0,
+                 carry_last=init_last, carry_res=init_res)
+    lbl = tmp_path / "pipe_hazard_labels.npy"
+    sla = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0, block_frames=100,
+                                    checkpoint_path=str(ckpt),
+                                    checkpoint_every=10**9,
+                                    store_labels=str(lbl),
+                                    pipeline_depth=3, verbose=False)
+    sla.spill_every = 1
+    out = sla.run(seeds, md.traj[:F], centers=centers)
+    assert sla.exact_jump_epochs_ >= 1
+    from sitator_tpu.ops.jumps import jump_stats_exact
+    labels = np.load(lbl)
+    oracle = jump_stats_exact(labels, K, init_last=init_last,
+                              init_res=init_res)
+    np.testing.assert_array_equal(out.n_ij, oracle["n_ij"])
+    lag = np.where(oracle["n_ij"] > 0,
+                   oracle["lag_sum"] / np.maximum(oracle["n_ij"], 1),
+                   np.nan)
+    np.testing.assert_allclose(out.jump_lag, lag, equal_nan=True)
