@@ -199,16 +199,16 @@ class StreamingLandmarkAnalysis:
         are dispatched without host syncs and drift/labels are fetched
         when a block retires, ``pipeline_depth`` blocks later; a drift
         offender rolls the accumulators back to the pre-block snapshot
-        and replays synchronously, bit-exactly.  Default 0 (fully
-        synchronous): on the axon HTTP tunnel the deferred fetch of
-        older device buffers measured 8× SLOWER (267 vs 2168 fps
-        sustained, `tools/northstar_run.py`) — the transport serializes
-        late reads against the dispatch stream, the same pathology the
-        async_label_copy measurement found.  On co-located hosts the
-        sync loop's per-block round-trips are ~µs, so run-ahead buys
-        little there anyway; raise the depth only after measuring on
-        your own transport.  Results are bit-identical at any depth
-        (tests/test_streaming.py pipeline-invariance tests).
+        and replays synchronously, bit-exactly.  Default 2: measured
+        same-process on the axon tunnel (``tools/northstar_run.py
+        --ab-pipeline``, alternating segments) run-ahead is **+16%**
+        over the synchronous loop (2041 vs 1756 fps segment medians),
+        and the full 262k-frame sustained run reached 2619 fps vs
+        2168–2286 sync.  (An earlier cross-session comparison suggested
+        an 8× slowdown — that was a degraded chip session, probe 317 s;
+        cross-run numbers are not comparable on this rig.)  Set 0 for
+        the fully synchronous loop.  Results are bit-identical at any
+        depth (tests/test_streaming.py pipeline-invariance tests).
     """
 
     def __init__(self, cutoff_midpoint=3.0, cutoff_steepness=4.0,
@@ -221,7 +221,7 @@ class StreamingLandmarkAnalysis:
                  multiple_occupancy_action="warn",
                  static_movement_threshold=1.0,
                  dynamic_lattice_mapping=False, use_fused="auto",
-                 async_label_copy=False, pipeline_depth=0,
+                 async_label_copy=False, pipeline_depth=2,
                  interpret=False, verbose=True):
         self.cutoff_midpoint = float(cutoff_midpoint)
         self.cutoff_steepness = float(cutoff_steepness)
@@ -653,6 +653,16 @@ class StreamingLandmarkAnalysis:
             mxu_s_tile=mxu_s_tile, mxu_n_st=mxu_n_st,
             mxu_preshift=mxu_preshift,
             want_drift=thr_drift is not None)
+        def write_labels(lo, a, b, labels, box):
+            """Spill frames [a, b) of a block's labels to the memmap,
+            fetching the host copy at most once per assignment (cached in
+            ``box['np']``)."""
+            if labels_out is None:
+                return
+            if box["np"] is None:
+                box["np"] = np.asarray(labels)
+            labels_out[lo + a:lo + b] = box["np"][a:b]
+
         def upload_static(block):
             static_np = block[:, static_idx]
             if self.dynamic_lattice_mapping:
@@ -733,11 +743,7 @@ class StreamingLandmarkAnalysis:
                     valid = np.zeros(B, bool)
                     valid[processed:stop] = True
                     fold(valid, labels, confs, mobile, box)
-                    if labels_out is not None:
-                        if box["np"] is None:
-                            box["np"] = np.asarray(labels)
-                        labels_out[lo + processed:lo + stop] = \
-                            box["np"][processed:stop]
+                    write_labels(lo, processed, stop, labels, box)
                 if stop < nb:
                     # per-frame retry guard (mirrors LandmarkAnalysis): a
                     # few remap attempts are allowed at one frame, but any
@@ -776,11 +782,7 @@ class StreamingLandmarkAnalysis:
                         valid = np.zeros(B, bool)
                         valid[stop] = True
                         fold(valid, labels, confs, mobile, box)
-                        if labels_out is not None:
-                            if box["np"] is None:
-                                box["np"] = np.asarray(labels)
-                            labels_out[lo + stop:lo + stop + 1] = \
-                                box["np"][stop:stop + 1]
+                        write_labels(lo, stop, stop + 1, labels, box)
                         processed = stop + 1
                         continue
                     if self.verbose:
@@ -793,7 +795,7 @@ class StreamingLandmarkAnalysis:
                     need_assign = True
                 processed = stop
 
-        # --- optimistic run-ahead (the dispatch pipeline, OPT-IN) -------
+        # --- optimistic run-ahead (the dispatch pipeline) ---------------
         # Per block the synchronous path costs two dispatch round-trips
         # plus a blocking drift fetch BETWEEN them.  The fast path
         # instead dispatches assign + whole-block accumulate immediately
@@ -808,10 +810,8 @@ class StreamingLandmarkAnalysis:
         # which reproduces the never-pipelined behavior bit-for-bit
         # (same perm, same kernels, same folds).  Spills/checkpoints
         # drain the window first, so no optimistic state ever reaches
-        # the exact host totals or a snapshot.  MEASURED on the axon
-        # tunnel: 8× SLOWER than sync (267 vs 2168 fps — late buffer
-        # reads serialize against the dispatch stream), hence default
-        # depth 0; see the constructor docstring.
+        # the exact host totals or a snapshot.  Measured +16% over sync
+        # (same-process alternating A/B; see the constructor docstring).
         window = []
         W = max(0, int(self.pipeline_depth))
 
@@ -837,9 +837,7 @@ class StreamingLandmarkAnalysis:
                             pre=(r["labels"], r["confs"], r["drift"])
                             if i == 0 else None)
                     return
-            if labels_out is not None:
-                labels_out[e["lo"]:e["lo"] + e["nb"]] = \
-                    np.asarray(e["labels"])[:e["nb"]]
+            write_labels(e["lo"], 0, e["nb"], e["labels"], {"np": None})
 
         def drain():
             while window:

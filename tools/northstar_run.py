@@ -40,6 +40,11 @@ def main():
                     help="tiny-config CPU smoke test of the wiring")
     ap.add_argument("--ab", action="store_true",
                     help="same-process async/sync/no-labels comparison")
+    ap.add_argument("--pipeline-depth", type=int, default=0,
+                    help="engine pipeline_depth for the main timed run")
+    ap.add_argument("--ab-pipeline", action="store_true",
+                    help="same-process alternating sync vs pipelined "
+                         "(depth 2) comparison")
     args = ap.parse_args()
 
     global B, POOL
@@ -201,12 +206,13 @@ def main():
           f"occ_sum={float(np.sum(out.occupancies)):.2f}", flush=True)
 
     # ---- timed sustained run -------------------------------------------
-    def timed(tag, n_blocks, labels=True, async_labels=False):
+    def timed(tag, n_blocks, labels=True, async_labels=False, depth=0):
         n_frames = n_blocks * B
         eng = make_engine(tag, n_frames)
         if not labels:
             eng.store_labels = None
         eng.async_label_copy = async_labels
+        eng.pipeline_depth = depth
         t0 = time.perf_counter()
         out = eng.run(sn, DeviceCycleReader(n_frames), centers=centers)
         dt = time.perf_counter() - t0
@@ -214,7 +220,8 @@ def main():
         return n_frames / dt, dt, n_frames
 
     fps, dt, n_frames = timed("main", args.blocks,
-                              labels=not args.no_labels)
+                              labels=not args.no_labels,
+                              depth=args.pipeline_depth)
     res = {
         "metric": "streaming_engine_sustained_fps_10k_atoms_1chip",
         "value": round(fps, 1),
@@ -234,6 +241,20 @@ def main():
             timed("a", nb, async_labels=True)[0], 1)
         res["ab_sync_labels_fps"] = round(timed("b", nb)[0], 1)
         res["ab_no_labels_fps"] = round(timed("c", nb, labels=False)[0], 1)
+    if args.ab_pipeline:
+        # same-process, ALTERNATING segments (sync, piped, sync, piped):
+        # chip throughput drifts within a session too, so interleave
+        nb = max(16, args.blocks // 8)
+        seq = []
+        for i in range(2):
+            seq.append(("sync", timed(f"ps{i}", nb, depth=0)[0]))
+            seq.append(("piped", timed(f"pp{i}", nb, depth=2)[0]))
+        res["ab_pipeline_segments"] = [(t, round(v, 1)) for t, v in seq]
+        sync_med = float(np.median([v for t, v in seq if t == "sync"]))
+        pip_med = float(np.median([v for t, v in seq if t == "piped"]))
+        res["ab_pipeline_sync_fps"] = round(sync_med, 1)
+        res["ab_pipeline_piped_fps"] = round(pip_med, 1)
+        res["ab_pipeline_ratio"] = round(pip_med / sync_med, 4)
     print(json.dumps(res), flush=True)
     with open("/tmp/northstar_result.json", "w") as f:
         json.dump(res, f)
