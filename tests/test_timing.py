@@ -39,3 +39,26 @@ def test_stage_timer_trace_dir(tmp_path):
     with t.stage("traced", trace_dir=str(tmp_path / "t")):
         np.asarray(jnp.ones((4, 4)) + 1.0)
     assert t.stages[0][0] == "traced"
+
+
+def test_northstar_harness_smoke(tmp_path):
+    """The headline-measurement harness (tools/northstar_run.py) must not
+    rot: its --small CPU smoke path runs the real engine end-to-end,
+    exercises the A/B plumbing flags, and prints a parseable JSON line."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "northstar_run.py"),
+         "--small", "--blocks", "4", "--pipeline-depth", "2"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["n_frames"] == 4 * 64
+    assert res["value"] > 0

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--ab-pipeline", action="store_true",
                     help="same-process alternating sync vs pipelined "
                          "(depth 2) comparison")
+    ap.add_argument("--ab-depth", action="store_true",
+                    help="same-process alternating depth-2 / depth-4 / "
+                         "depth-2+async-labels comparison")
     args = ap.parse_args()
 
     global B, POOL
@@ -255,6 +258,22 @@ def main():
         res["ab_pipeline_sync_fps"] = round(sync_med, 1)
         res["ab_pipeline_piped_fps"] = round(pip_med, 1)
         res["ab_pipeline_ratio"] = round(pip_med / sync_med, 4)
+    if args.ab_depth:
+        # tune ON TOP of the pipelined default: deeper window, and the
+        # async label copy re-measured in the pipelined regime (its
+        # round-3 rejection was measured in the synchronous loop)
+        nb = max(16, args.blocks // 8)
+        variants = [("d2", dict(depth=2)),
+                    ("d4", dict(depth=4)),
+                    ("d2a", dict(depth=2, async_labels=True))]
+        seq = []
+        for i in range(2):
+            for tag, kw in variants:
+                seq.append((tag, timed(f"{tag}{i}", nb, **kw)[0]))
+        res["ab_depth_segments"] = [(t, round(v, 1)) for t, v in seq]
+        for tag, _ in variants:
+            res[f"ab_depth_{tag}_fps"] = round(float(np.median(
+                [v for t, v in seq if t == tag])), 1)
     print(json.dumps(res), flush=True)
     with open("/tmp/northstar_result.json", "w") as f:
         json.dump(res, f)
