@@ -21,6 +21,27 @@ def md_system():
     return md, seeds
 
 
+class Interrupt(Exception):
+    pass
+
+
+class FlakyReader(ArrayTrajectory):
+    """Reader that raises Interrupt after serving ``die_after`` blocks —
+    the shared interrupted-run fixture for checkpoint-resume tests."""
+
+    def __init__(self, arr, die_after):
+        super().__init__(arr)
+        self.served = 0
+        self.die_after = die_after
+
+    def __getitem__(self, key):
+        self.served += 1
+        if self.die_after is not None and self.served > self.die_after:
+            raise Interrupt()
+        return super().__getitem__(key)
+
+
+
 def test_streaming_matches_inmemory(md_system, tmp_path):
     md, seeds = md_system
     sla = StreamingLandmarkAnalysis(
@@ -103,23 +124,6 @@ def test_streaming_checkpoint_resume(md_system, tmp_path):
     out_ref = ref.run(seeds, md.traj, centers=centers)
 
     ckpt = str(tmp_path / "run.ckpt")
-
-    class Interrupt(Exception):
-        pass
-
-    class FlakyReader(ArrayTrajectory):
-        """Dies after serving 4 blocks the first time through."""
-
-        def __init__(self, arr, die_after):
-            super().__init__(arr)
-            self.served = 0
-            self.die_after = die_after
-
-        def __getitem__(self, key):
-            self.served += 1
-            if self.die_after is not None and self.served > self.die_after:
-                raise Interrupt()
-            return super().__getitem__(key)
 
     sla = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
                                     cutoff_steepness=3.0, block_frames=100,
@@ -374,21 +378,6 @@ def test_streaming_checkpoint_resume_across_lattice_swap(md_system,
     centers = base.fit_centers(seeds, ArrayTrajectory(md.traj))
     out_ref = base.run(seeds, swapped, centers=centers)
 
-    class Interrupt(Exception):
-        pass
-
-    class FlakyReader(ArrayTrajectory):
-        def __init__(self, arr, die_after):
-            super().__init__(arr)
-            self.served = 0
-            self.die_after = die_after
-
-        def __getitem__(self, key):
-            self.served += 1
-            if self.die_after is not None and self.served > self.die_after:
-                raise Interrupt()
-            return super().__getitem__(key)
-
     ckpt = str(tmp_path / "swap.ckpt")
     sla = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
                                     cutoff_steepness=3.0, block_frames=100,
@@ -623,21 +612,6 @@ def test_streaming_pipeline_with_checkpoint_resume(md_system, tmp_path):
                                     block_frames=100, verbose=False)
     centers = ref.fit_centers(seeds, ArrayTrajectory(md.traj))
     out_ref = ref.run(seeds, md.traj, centers=centers)
-
-    class Interrupt(Exception):
-        pass
-
-    class FlakyReader(ArrayTrajectory):
-        def __init__(self, arr, die_after):
-            super().__init__(arr)
-            self.served = 0
-            self.die_after = die_after
-
-        def __getitem__(self, key):
-            self.served += 1
-            if self.die_after is not None and self.served > self.die_after:
-                raise Interrupt()
-            return super().__getitem__(key)
 
     ckpt = str(tmp_path / "pipe.ckpt")
     sla = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,

@@ -244,36 +244,31 @@ def main():
             timed("a", nb, async_labels=True)[0], 1)
         res["ab_sync_labels_fps"] = round(timed("b", nb)[0], 1)
         res["ab_no_labels_fps"] = round(timed("c", nb, labels=False)[0], 1)
-    if args.ab_pipeline:
-        # same-process, ALTERNATING segments (sync, piped, sync, piped):
-        # chip throughput drifts within a session too, so interleave
+    def ab_segments(name, variants, rounds=2):
+        """Same-process ALTERNATING A/B: chip throughput drifts within a
+        session too, so variants are interleaved and compared by
+        per-variant medians."""
         nb = max(16, args.blocks // 8)
-        seq = []
-        for i in range(2):
-            seq.append(("sync", timed(f"ps{i}", nb, depth=0)[0]))
-            seq.append(("piped", timed(f"pp{i}", nb, depth=2)[0]))
-        res["ab_pipeline_segments"] = [(t, round(v, 1)) for t, v in seq]
-        sync_med = float(np.median([v for t, v in seq if t == "sync"]))
-        pip_med = float(np.median([v for t, v in seq if t == "piped"]))
-        res["ab_pipeline_sync_fps"] = round(sync_med, 1)
-        res["ab_pipeline_piped_fps"] = round(pip_med, 1)
-        res["ab_pipeline_ratio"] = round(pip_med / sync_med, 4)
+        seq = [(tag, timed(f"{name[:2]}{tag}{i}", nb, **kw)[0])
+               for i in range(rounds) for tag, kw in variants]
+        res[f"{name}_segments"] = [(t, round(v, 1)) for t, v in seq]
+        for tag, _ in variants:
+            res[f"{name}_{tag}_fps"] = round(float(np.median(
+                [v for t, v in seq if t == tag])), 1)
+
+    if args.ab_pipeline:
+        ab_segments("ab_pipeline", [("sync", dict(depth=0)),
+                                    ("piped", dict(depth=2))])
+        res["ab_pipeline_ratio"] = round(
+            res["ab_pipeline_piped_fps"] / res["ab_pipeline_sync_fps"], 4)
     if args.ab_depth:
         # tune ON TOP of the pipelined default: deeper window, and the
         # async label copy re-measured in the pipelined regime (its
         # round-3 rejection was measured in the synchronous loop)
-        nb = max(16, args.blocks // 8)
-        variants = [("d2", dict(depth=2)),
-                    ("d4", dict(depth=4)),
-                    ("d2a", dict(depth=2, async_labels=True))]
-        seq = []
-        for i in range(2):
-            for tag, kw in variants:
-                seq.append((tag, timed(f"{tag}{i}", nb, **kw)[0]))
-        res["ab_depth_segments"] = [(t, round(v, 1)) for t, v in seq]
-        for tag, _ in variants:
-            res[f"ab_depth_{tag}_fps"] = round(float(np.median(
-                [v for t, v in seq if t == tag])), 1)
+        ab_segments("ab_depth", [("d2", dict(depth=2)),
+                                 ("d4", dict(depth=4)),
+                                 ("d2a", dict(depth=2,
+                                              async_labels=True))])
     print(json.dumps(res), flush=True)
     with open("/tmp/northstar_result.json", "w") as f:
         json.dump(res, f)
