@@ -40,8 +40,9 @@ def main():
                     help="tiny-config CPU smoke test of the wiring")
     ap.add_argument("--ab", action="store_true",
                     help="same-process async/sync/no-labels comparison")
-    ap.add_argument("--pipeline-depth", type=int, default=0,
-                    help="engine pipeline_depth for the main timed run")
+    ap.add_argument("--pipeline-depth", type=int, default=None,
+                    help="engine pipeline_depth for the main timed run "
+                         "(default: the engine's production default)")
     ap.add_argument("--ab-pipeline", action="store_true",
                     help="same-process alternating sync vs pipelined "
                          "(depth 2) comparison")
@@ -209,13 +210,14 @@ def main():
           f"occ_sum={float(np.sum(out.occupancies)):.2f}", flush=True)
 
     # ---- timed sustained run -------------------------------------------
-    def timed(tag, n_blocks, labels=True, async_labels=False, depth=0):
+    def timed(tag, n_blocks, labels=True, async_labels=False, depth=None):
         n_frames = n_blocks * B
         eng = make_engine(tag, n_frames)
         if not labels:
             eng.store_labels = None
         eng.async_label_copy = async_labels
-        eng.pipeline_depth = depth
+        if depth is not None:  # None = the engine's production default
+            eng.pipeline_depth = depth
         t0 = time.perf_counter()
         out = eng.run(sn, DeviceCycleReader(n_frames), centers=centers)
         dt = time.perf_counter() - t0
