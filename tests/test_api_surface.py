@@ -1,0 +1,186 @@
+"""Direct tests for user-facing API pieces that were previously only
+exercised indirectly (round-4 coverage sweep): core-object conveniences,
+PBC functional helpers, IO format utilities, and small analysis helpers.
+Reference parity citations: SURVEY.md §3.1 (SiteNetwork/SiteTrajectory
+surface), §3.7 (PBCCalculator, elbow)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sitator_tpu import SiteNetwork, SiteTrajectory, Structure
+from sitator_tpu.core.structure import number_to_symbol, symbol_to_number
+
+
+@pytest.fixture()
+def tiny_sn():
+    pos = np.array([[0.0, 0, 0], [2, 0, 0], [0, 2, 0], [1, 1, 1.0]])
+    species = np.array([16, 16, 16, 3])
+    s = Structure(pos, species, np.eye(3) * 4.0)
+    sn = SiteNetwork(s, species == 16, species == 3)
+    sn.centers = np.array([[1.0, 0, 0], [0, 1, 0.0]])
+    return sn
+
+
+def test_structure_symbols_and_dict_roundtrip():
+    assert symbol_to_number("Li") == 3
+    assert number_to_symbol(3) == "Li"
+    s = Structure(np.zeros((2, 3)), np.array([3, 16]), np.eye(3) * 5.0)
+    s2 = Structure.from_dict(s.to_dict(prefix="x/"), prefix="x/")
+    assert s2 == s
+    moved = s.with_positions(s.positions + 1.0)
+    assert moved != s and np.allclose(moved.positions, 1.0)
+    assert "Li" in repr(s) and "S" in repr(s)
+
+
+def test_sitenetwork_conveniences(tiny_sn):
+    sn = tiny_sn
+    assert not sn.has_vertices
+    sn.vertices = [np.array([0, 1]), np.array([0, 2])]
+    assert sn.has_vertices
+    np.testing.assert_array_equal(sn.site_ids, [0, 1])
+    assert sn.static_structure.n_atoms == 3
+    assert sn.mobile_structure.n_atoms == 1
+    assert (sn.static_structure.species == 16).all()
+
+    sn.add_site_attribute("occupancies", np.array([0.5, 0.25]))
+    sn.add_edge_attribute("n_ij", np.zeros((2, 2)))
+    assert sn.has_attribute("occupancies") and sn.has_attribute("n_ij")
+    np.testing.assert_array_equal(sn.get_site_attribute("occupancies"),
+                                  [0.5, 0.25])
+    assert sn.get_edge_attribute("n_ij").shape == (2, 2)
+    sn.remove_attribute("n_ij")
+    assert not sn.has_attribute("n_ij")
+    with pytest.raises(KeyError):
+        sn.remove_attribute("n_ij")
+    sn.clear_attributes()
+    assert not sn.has_attribute("occupancies")
+
+
+def test_sitetraj_real_traj_lifecycle(tiny_sn):
+    st = SiteTrajectory(tiny_sn, np.zeros((3, 1), np.int32))
+    assert st.real_trajectory is None
+    traj = np.zeros((3, 4, 3), np.float32)
+    st.set_real_traj(traj)
+    assert st.real_trajectory is traj
+    st.remove_real_traj()
+    assert st.real_trajectory is None
+    with pytest.raises(ValueError):
+        st.set_real_traj(np.zeros((2, 4, 3)))  # frame-count mismatch
+
+
+def test_pbc_functional_helpers():
+    from sitator_tpu.ops import pbc
+    cell = jnp.asarray(np.diag([4.0, 5.0, 6.0]).astype(np.float32))
+    cinv = pbc.cell_inverse(cell)
+    x = jnp.asarray([[4.5, -1.0, 11.5]])
+    f = pbc.to_frac(x, cinv)
+    np.testing.assert_allclose(pbc.to_cart(f, cell), x, atol=1e-5)
+    w = pbc.to_cart(pbc.wrap_frac(f), cell)
+    np.testing.assert_allclose(np.asarray(w), [[0.5, 4.0, 5.5]], atol=1e-5)
+
+    a = jnp.asarray([[0.1, 0.0, 0.0]])
+    b = jnp.asarray([[3.9, 0.0, 0.0]])  # min image across the boundary
+    np.testing.assert_allclose(
+        np.asarray(pbc.pbc_distance(a, b, cell, cinv)), [0.2], atol=1e-5)
+    d = pbc.pairwise_pbc_distances(jnp.concatenate([a, b]), b, cell, cinv)
+    np.testing.assert_allclose(np.asarray(d), [[0.2], [0.0]], atol=1e-5)
+
+    # pbc_average across the boundary lands at the wrap point, not 2.0
+    pts = jnp.asarray([[0.2, 0, 0], [3.8, 0, 0.0]])
+    avg = np.asarray(pbc.pbc_average(pts, cell, cinv))
+    assert min(abs(avg[0] - 0.0), abs(avg[0] - 4.0)) < 1e-5
+    mavg = np.asarray(pbc.masked_pbc_average(
+        jnp.concatenate([pts, jnp.ones((1, 3)) * 2.0]),
+        jnp.asarray([True, True, False]), cell, cinv))
+    np.testing.assert_allclose(mavg, avg, atol=1e-5)
+
+
+def test_pbc_calculator_paired_distances():
+    from sitator_tpu.ops.pbc import PBCCalculator
+    calc = PBCCalculator(np.eye(3) * 4.0)
+    a = np.array([[0.1, 0, 0], [1.0, 1, 1]])
+    b = np.array([[3.9, 0, 0], [1.0, 1, 1]])
+    np.testing.assert_allclose(calc.paired_distances(a, b), [0.2, 0.0],
+                               atol=1e-6)
+
+
+def test_jump_lag_by_type(tiny_sn):
+    from sitator_tpu.dynamics import JumpAnalysis
+    labels = np.array([[0], [0], [1], [1], [0]], np.int32)
+    st = SiteTrajectory(tiny_sn, labels)
+    ja = JumpAnalysis(verbose=False)
+    ja.run(st)
+    tiny_sn.site_types = np.array([0, 1], np.int32)
+    types, lag = ja.jump_lag_by_type(tiny_sn)
+    np.testing.assert_array_equal(types, [0, 1])
+    assert lag.shape == (2, 2)
+    # the 0->1 jump closed a 2-frame residence; 1->0 closed 2 frames
+    assert lag[0, 1] == 2.0 and lag[1, 0] == 2.0
+    tiny_sn.site_types = None
+    with pytest.raises(ValueError):
+        ja.jump_lag_by_type(tiny_sn)
+
+
+def test_elbow_index():
+    from sitator_tpu.util.elbow import elbow_index
+    y = np.array([10.0, 4.0, 2.0, 1.8, 1.7, 1.6])
+    assert elbow_index(y) in (1, 2)
+    assert elbow_index([1.0, 1.0]) == 0        # too short
+    assert elbow_index([2.0, 2.0, 2.0]) == 0   # degenerate chord
+
+
+def test_dotprod_refine_recenters():
+    from sitator_tpu.ops.cluster import dotprod_refine
+    rng = np.random.default_rng(0)
+    c_true = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0]], np.float32)
+    X = np.repeat(c_true, 30, axis=0) + 0.05 * rng.standard_normal(
+        (60, 4)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    c0 = np.zeros((4, 4), np.float32)
+    c0[:2] = X[[0, 30]]
+    centers, counts = dotprod_refine(jnp.asarray(X), jnp.asarray(c0), 2,
+                                     k_max=4, cluster_threshold=0.5)
+    centers = np.asarray(centers)
+    sims = np.abs(centers[:2] @ c_true.T)
+    assert (sims.max(axis=1) > 0.99).all()
+    assert int(np.asarray(counts)[:2].sum()) == 60
+
+
+def test_io_format_utilities(tmp_path):
+    from sitator_tpu.io.formats import (NpzTrajectory, iread_xdatcar,
+                                        sniff_format, write_xdatcar)
+    md_pos = np.linspace(0, 1, 2 * 3 * 3).reshape(2, 3, 3).astype(np.float32)
+    s = Structure(md_pos[0], np.array([3, 16, 16]), np.eye(3) * 4.0)
+    x = tmp_path / "XDATCAR"
+    write_xdatcar(str(x), s, md_pos)
+    assert sniff_format(str(x)) == "xdatcar"
+    frames = [(st, p) for st, p in iread_xdatcar(str(x))]
+    assert len(frames) == 2
+    np.testing.assert_allclose(frames[1][1], md_pos[1], atol=1e-4)
+
+    npz = tmp_path / "t.npz"
+    np.savez(npz, positions=md_pos, **s.to_dict(prefix="structure/"))
+    r = NpzTrajectory(str(npz))
+    assert len(r) == 2 and r.n_atoms == 3
+    np.testing.assert_allclose(r[0:2], md_pos, atol=1e-6)
+
+
+def test_is_zarr_store(tmp_path):
+    from sitator_tpu.io.tensorstore_io import convert_to_zarr, is_zarr_store
+    assert not is_zarr_store(str(tmp_path))
+    np.save(tmp_path / "t.npy", np.zeros((2, 2, 3), np.float32))
+    convert_to_zarr(str(tmp_path / "t.npy"), str(tmp_path / "o.zarr"))
+    assert is_zarr_store(str(tmp_path / "o.zarr"))
+
+
+def test_ase_adapter_without_ase():
+    ase_installed = True
+    try:
+        import ase  # noqa: F401
+    except ImportError:
+        ase_installed = False
+    from sitator_tpu.io.ase_adapter import trajectory_from_ase
+    if not ase_installed:  # this rig: a clean error, not a crash
+        with pytest.raises(ImportError):
+            trajectory_from_ase([])
