@@ -52,15 +52,16 @@ logger = logging.getLogger(__name__)
                                    "cutoff_shape", "mesh",
                                    "interpret", "full_mask", "mxu_s_tile",
                                    "mxu_n_st", "mxu_preshift",
-                                   "want_drift"))
+                                   "want_drift", "egress_int16"))
 def _assign_block(mobile, static, verts, vmask, A, cell, cell_inv,
                   kcell, centers, active, uidx, Am, kill, mxu_ref_u,
                   mxu_anchors, static_ref, *,
                   kernel, midpoint, steepness, threshold,
                   cutoff_shape="logistic", mesh=None,
                   interpret=False, full_mask=False, mxu_s_tile=0,
-                  mxu_n_st=0, mxu_preshift=False, want_drift=True):
-    """Assign one streamed block: (labels, confs, per-frame static drift).
+                  mxu_n_st=0, mxu_preshift=False, want_drift=True,
+                  egress_int16=False):
+    """Assign one streamed block: (labels, confs, drift, labels_egress).
 
     ``kernel``: 'mxu' (unique-atom MXU-product kernel, fastest — centers
     arrive column-permuted, uidx/Am/kill are its basis arrays), 'gather'
@@ -122,7 +123,12 @@ def _assign_block(mobile, static, verts, vmask, A, cell, cell_inv,
     drift = (lmops.static_drift_per_frame(static, static_ref, cell,
                                           cell_inv)
              if want_drift else None)
-    return labels, confs, drift
+    # label EGRESS copy: labels leave the device once per block (memmap
+    # spill / exact-mode host scan); with any practical site count they
+    # fit int16, halving the engine's one large device->host stream (the
+    # on-device labels stay int32 for the accumulators; −1 is preserved)
+    labels_eg = labels.astype(jnp.int16) if egress_int16 else labels
+    return labels, confs, drift, labels_eg
 
 
 @partial(jax.jit, static_argnames=("n_sites", "max_mobile", "want_jumps"))
@@ -259,6 +265,9 @@ class StreamingLandmarkAnalysis:
         self.use_fused = use_fused  # 'auto' | True | False
         self.async_label_copy = bool(async_label_copy)
         self.pipeline_depth = int(pipeline_depth)
+        self.egress_int16 = "auto"  # 'auto' (site count < 2^15) | bool;
+        # measurement hook — int16 label egress halves the device->host
+        # label stream (tools/northstar_run.py --ab-egress)
         self.interpret = bool(interpret)  # Pallas interpret mode (CPU tests)
         self.spill_every = None  # None = auto epoch bound; tests override
         # mid-run checkpointing (SURVEY.md §6.4): every N blocks the device
@@ -597,25 +606,40 @@ class StreamingLandmarkAnalysis:
                     (np.asarray(carry[0]).astype(np.int64),
                      np.asarray(carry[1]).astype(np.int64)))
 
+        # the per-block `valid` masks take only two shapes (full block,
+        # partial tail) — memoize their device uploads
+        valid_dev_cache = {}
+
+        def valid_dev(valid_np):
+            key = valid_np.tobytes()
+            if key not in valid_dev_cache:
+                valid_dev_cache[key] = jnp.asarray(valid_np)
+            return valid_dev_cache[key]
+
+        def fetch_labels(box):
+            """Host copy of one assignment's egress labels, fetched at most
+            once per assignment (``box['dev']`` is the int16 egress array;
+            ``box['np']`` caches the transfer)."""
+            if box["np"] is None:
+                box["np"] = np.asarray(box["dev"])
+            return box["np"]
+
         def fold(valid_np, labels, confs, mobile, box):
             """Fold the valid frames of one block's assignment into the
             accumulators, by whichever jump-statistics route the current
-            mode dictates.  ``box`` caches the host label copy across
-            folds of the same assignment (``box['np']``)."""
+            mode dictates."""
             nonlocal carry, acc, exact_carry, host_acc
             if not exact_mode:
                 carry, acc = _accum_block(
                     labels, confs, mobile, cell_inv,
-                    jnp.asarray(valid_np), carry, acc, n_sites=K,
+                    valid_dev(valid_np), carry, acc, n_sites=K,
                     max_mobile=self.max_mobile_per_site)
                 return
             _, acc = _accum_block(
                 labels, confs, mobile, cell_inv,
-                jnp.asarray(valid_np), carry_dummy, acc, n_sites=K,
+                valid_dev(valid_np), carry_dummy, acc, n_sites=K,
                 max_mobile=self.max_mobile_per_site, want_jumps=False)
-            if box["np"] is None:
-                box["np"] = np.asarray(labels)
-            lbl = np.where(valid_np[:, None], box["np"], -1)
+            lbl = np.where(valid_np[:, None], fetch_labels(box), -1)
             dev, last64, res64 = _jump_stats_block_int64(
                 lbl, K, exact_carry[0], exact_carry[1], "persist")
             exact_carry = (last64, res64)
@@ -652,16 +676,18 @@ class StreamingLandmarkAnalysis:
             interpret=self.interpret, full_mask=full_mask,
             mxu_s_tile=mxu_s_tile, mxu_n_st=mxu_n_st,
             mxu_preshift=mxu_preshift,
-            want_drift=thr_drift is not None)
-        def write_labels(lo, a, b, labels, box):
-            """Spill frames [a, b) of a block's labels to the memmap,
-            fetching the host copy at most once per assignment (cached in
-            ``box['np']``)."""
+            want_drift=thr_drift is not None,
+            # int16 label egress halves the engine's one large
+            # device->host stream; any practical site count fits
+            egress_int16=(K < (1 << 15) if self.egress_int16 == "auto"
+                          else bool(self.egress_int16)))
+
+        def write_labels(lo, a, b, box):
+            """Spill frames [a, b) of a block's labels to the memmap (the
+            int32 memmap upcasts the int16 egress on assignment)."""
             if labels_out is None:
                 return
-            if box["np"] is None:
-                box["np"] = np.asarray(labels)
-            labels_out[lo + a:lo + b] = box["np"][a:b]
+            labels_out[lo + a:lo + b] = fetch_labels(box)[a:b]
 
         def upload_static(block):
             static_np = block[:, static_idx]
@@ -673,7 +699,7 @@ class StreamingLandmarkAnalysis:
             return static
 
         def assign(mobile, static):
-            labels, confs, drift = _assign_block(
+            labels, confs, drift, labels_eg = _assign_block(
                 mobile, static, verts_j, vmask_j, A, cell, cell_inv,
                 kcell, centers_j, active, uidx_j, Am_j, kill_j,
                 ref_u_j, anchors_j, static_ref_j, **assign_kw)
@@ -686,24 +712,26 @@ class StreamingLandmarkAnalysis:
                 # sync; flip per-instance on hardware where the copy
                 # engine is independent of the dispatch path
                 try:
-                    labels.copy_to_host_async()
+                    labels_eg.copy_to_host_async()
                 except (AttributeError, NotImplementedError):
                     pass
-            return labels, confs, drift
+            return labels, confs, drift, labels_eg
 
         def process_block_slow(lo, block, nb, mobile, pre=None):
             """The fully-synchronous per-block path: per-frame drift
             gating, lattice remapping, partial folds.  ``pre`` reuses an
-            existing assignment (labels, confs, drift) for the block —
-            valid only while ``perm`` is unchanged since it was made."""
+            existing assignment (labels, confs, drift, labels_eg) for the
+            block — valid only while ``perm`` is unchanged since it was
+            made."""
             nonlocal perm, n_remaps
             processed = 0
             last_remap = (-1, 0)
             drift_f = None
             labels = confs = None
-            box = {"np": None}
+            box = {"np": None, "dev": None}
             if pre is not None:
-                labels, confs, drift = pre
+                labels, confs, drift, labels_eg = pre
+                box["dev"] = labels_eg
                 if thr_drift is not None:
                     drift_f = np.asarray(drift)[:nb]
             need_assign = pre is None
@@ -712,14 +740,14 @@ class StreamingLandmarkAnalysis:
                     # (re)assign the whole block — only needed on entry
                     # and after a slot→atom permutation change;
                     # grazed-frame accepts reuse the existing assignment
-                    labels, confs, drift = assign(mobile,
-                                                  upload_static(block))
+                    labels, confs, drift, labels_eg = assign(
+                        mobile, upload_static(block))
                     # labels are fetched lazily AFTER the first
                     # accumulator dispatch (the transfer then overlaps
                     # the accum compute — 1792 vs 2202 fps measured on
                     # the tunnel), once per assignment (remap segments
                     # slice the host copy)
-                    box = {"np": None}
+                    box = {"np": None, "dev": labels_eg}
                     if thr_drift is not None:
                         drift_f = np.asarray(drift)[:nb]
                     need_assign = False
@@ -743,7 +771,7 @@ class StreamingLandmarkAnalysis:
                     valid = np.zeros(B, bool)
                     valid[processed:stop] = True
                     fold(valid, labels, confs, mobile, box)
-                    write_labels(lo, processed, stop, labels, box)
+                    write_labels(lo, processed, stop, box)
                 if stop < nb:
                     # per-frame retry guard (mirrors LandmarkAnalysis): a
                     # few remap attempts are allowed at one frame, but any
@@ -782,7 +810,7 @@ class StreamingLandmarkAnalysis:
                         valid = np.zeros(B, bool)
                         valid[stop] = True
                         fold(valid, labels, confs, mobile, box)
-                        write_labels(lo, stop, stop + 1, labels, box)
+                        write_labels(lo, stop, stop + 1, box)
                         processed = stop + 1
                         continue
                     if self.verbose:
@@ -834,10 +862,12 @@ class StreamingLandmarkAnalysis:
                         # must re-assign under the updated permutation
                         process_block_slow(
                             r["lo"], r["block"], r["nb"], r["mobile"],
-                            pre=(r["labels"], r["confs"], r["drift"])
+                            pre=(r["labels"], r["confs"], r["drift"],
+                                 r["labels_eg"])
                             if i == 0 else None)
                     return
-            write_labels(e["lo"], 0, e["nb"], e["labels"], {"np": None})
+            write_labels(e["lo"], 0, e["nb"],
+                         {"np": None, "dev": e["labels_eg"]})
 
         def drain():
             while window:
@@ -858,14 +888,16 @@ class StreamingLandmarkAnalysis:
                 process_block_slow(lo, block, nb, mobile)
             else:
                 carry0, acc0 = carry, acc
-                labels, confs, drift = assign(mobile, upload_static(block))
+                labels, confs, drift, labels_eg = assign(
+                    mobile, upload_static(block))
                 valid = np.zeros(B, bool)
                 valid[:nb] = True
-                fold(valid, labels, confs, mobile, {"np": None})
+                fold(valid, labels, confs, mobile,
+                     {"np": None, "dev": labels_eg})
                 window.append(dict(
                     lo=lo, nb=nb, block=block, mobile=mobile,
                     labels=labels, confs=confs, drift=drift,
-                    carry0=carry0, acc0=acc0))
+                    labels_eg=labels_eg, carry0=carry0, acc0=acc0))
                 if len(window) > W:
                     retire_one()
             blocks_done += 1

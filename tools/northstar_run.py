@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--ab-depth", action="store_true",
                     help="same-process alternating depth-2 / depth-4 / "
                          "depth-2+async-labels comparison")
+    ap.add_argument("--ab-egress", action="store_true",
+                    help="same-process alternating int16 vs int32 label "
+                         "egress comparison")
     args = ap.parse_args()
 
     global B, POOL
@@ -210,12 +213,14 @@ def main():
           f"occ_sum={float(np.sum(out.occupancies)):.2f}", flush=True)
 
     # ---- timed sustained run -------------------------------------------
-    def timed(tag, n_blocks, labels=True, async_labels=False, depth=None):
+    def timed(tag, n_blocks, labels=True, async_labels=False, depth=None,
+              egress="auto"):
         n_frames = n_blocks * B
         eng = make_engine(tag, n_frames)
         if not labels:
             eng.store_labels = None
         eng.async_label_copy = async_labels
+        eng.egress_int16 = egress
         if depth is not None:  # None = the engine's production default
             eng.pipeline_depth = depth
         t0 = time.perf_counter()
@@ -249,8 +254,12 @@ def main():
     def ab_segments(name, variants, rounds=2):
         """Same-process ALTERNATING A/B: chip throughput drifts within a
         session too, so variants are interleaved and compared by
-        per-variant medians."""
+        per-variant medians.  Each variant is warmed first so a fresh jit
+        compile (variants may differ in static args) stays off the
+        clock."""
         nb = max(16, args.blocks // 8)
+        for tag, kw in variants:
+            timed(f"{name[:2]}w{tag}", 1, **kw)
         seq = [(tag, timed(f"{name[:2]}{tag}{i}", nb, **kw)[0])
                for i in range(rounds) for tag, kw in variants]
         res[f"{name}_segments"] = [(t, round(v, 1)) for t, v in seq]
@@ -271,6 +280,11 @@ def main():
                                  ("d4", dict(depth=4)),
                                  ("d2a", dict(depth=2,
                                               async_labels=True))])
+    if args.ab_egress:
+        ab_segments("ab_egress", [("i16", dict(egress=True)),
+                                  ("i32", dict(egress=False))])
+        res["ab_egress_ratio"] = round(
+            res["ab_egress_i16_fps"] / res["ab_egress_i32_fps"], 4)
     print(json.dumps(res), flush=True)
     with open("/tmp/northstar_result.json", "w") as f:
         json.dump(res, f)
