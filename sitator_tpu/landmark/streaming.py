@@ -606,15 +606,21 @@ class StreamingLandmarkAnalysis:
                     (np.asarray(carry[0]).astype(np.int64),
                      np.asarray(carry[1]).astype(np.int64)))
 
-        # the per-block `valid` masks take only two shapes (full block,
-        # partial tail) — memoize their device uploads
+        # the fast path's `valid` masks take only two shapes (full block,
+        # partial tail) — memoize their device uploads.  The slow path can
+        # produce arbitrary segment masks (drift gating / remap replay),
+        # so the cache is capped: beyond it, upload fresh and let the
+        # buffer be collected.
         valid_dev_cache = {}
 
         def valid_dev(valid_np):
             key = valid_np.tobytes()
-            if key not in valid_dev_cache:
-                valid_dev_cache[key] = jnp.asarray(valid_np)
-            return valid_dev_cache[key]
+            v = valid_dev_cache.get(key)
+            if v is None:
+                v = jnp.asarray(valid_np)
+                if len(valid_dev_cache) < 16:
+                    valid_dev_cache[key] = v
+            return v
 
         def fetch_labels(box):
             """Host copy of one assignment's egress labels, fetched at most
@@ -678,9 +684,10 @@ class StreamingLandmarkAnalysis:
             mxu_preshift=mxu_preshift,
             want_drift=thr_drift is not None,
             # int16 label egress halves the engine's one large
-            # device->host stream; any practical site count fits
-            egress_int16=(K < (1 << 15) if self.egress_int16 == "auto"
-                          else bool(self.egress_int16)))
+            # device->host stream; any practical site count fits.  The
+            # K guard binds even when the measurement hook forces True —
+            # site indices >= 2^15 must never wrap
+            egress_int16=bool(self.egress_int16) and K < (1 << 15))
 
         def write_labels(lo, a, b, box):
             """Spill frames [a, b) of a block's labels to the memmap (the

@@ -129,8 +129,7 @@ def test_streaming_checkpoint_resume(md_system, tmp_path):
                                     cutoff_steepness=3.0, block_frames=100,
                                     checkpoint_path=ckpt, checkpoint_every=2,
                                     verbose=False)
-    import pytest as _pytest
-    with _pytest.raises(Interrupt):
+    with pytest.raises(Interrupt):
         sla.run(seeds, FlakyReader(md.traj, die_after=4), centers=centers)
     import os
     assert os.path.exists(ckpt)

@@ -54,7 +54,8 @@ def test_northstar_harness_smoke(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "northstar_run.py"),
-         "--small", "--blocks", "4", "--pipeline-depth", "2"],
+         "--small", "--blocks", "4", "--pipeline-depth", "2",
+         "--workdir", str(tmp_path)],  # never touch a live run's /tmp
         env=env, capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stderr[-3000:]
     line = [ln for ln in proc.stdout.splitlines()

@@ -12,7 +12,7 @@ feeder.  Everything else is the production engine code path.
 
 Usage:  PYTHONPATH=/root/repo:/root/.axon_site /opt/venv/bin/python \
             tools/northstar_run.py [--blocks 256] [--no-labels]
-Writes one JSON line to stdout and /tmp/northstar_result.json.
+Writes one JSON line to stdout and <workdir>/northstar_result.json.
 """
 import argparse
 import json
@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--ab-egress", action="store_true",
                     help="same-process alternating int16 vs int32 label "
                          "egress comparison")
+    ap.add_argument("--workdir", default="/tmp",
+                    help="directory for scratch artifacts (checkpoints, "
+                         "label memmaps, fit cache, result json) — "
+                         "isolate concurrent invocations")
     args = ap.parse_args()
 
     global B, POOL
@@ -153,7 +157,8 @@ def main():
     # ---- pass 1 (fit) on one resident block, padded to the bench K ------
     # (cached across invocations: the fit is deterministic for this config
     # and costs ~3 min of remote compile+run per session)
-    cache = "/tmp/ns_centers_fit.npy" if not args.small else None
+    wd = args.workdir
+    cache = os.path.join(wd, "ns_centers_fit.npy") if not args.small else None
     centers_fit = None
     if cache and os.path.exists(cache):
         try:
@@ -193,15 +198,16 @@ def main():
     def make_engine(tag, nf):
         # a stale checkpoint from a killed prior invocation would silently
         # auto-resume and inflate the reported fps — always start fresh
-        for p in (f"/tmp/ns_ckpt_{tag}.npz", f"/tmp/ns_labels_{tag}.npy"):
+        for p in (os.path.join(wd, f"ns_ckpt_{tag}.npz"),
+                  os.path.join(wd, f"ns_labels_{tag}.npy")):
             if os.path.exists(p):
                 os.remove(p)
         return StreamingLandmarkAnalysis(
             cutoff_midpoint=4.0, cutoff_steepness=3.0,
             cutoff_shape="logistic_r2", block_frames=B,
-            checkpoint_path=f"/tmp/ns_ckpt_{tag}.npz",
-            store_labels=(None if args.no_labels
-                          else f"/tmp/ns_labels_{tag}.npy"),
+            checkpoint_path=os.path.join(wd, f"ns_ckpt_{tag}.npz"),
+            store_labels=(None if args.no_labels else
+                          os.path.join(wd, f"ns_labels_{tag}.npy")),
             verbose=False)
 
     # ---- compile/warm run (same shapes -> compile cache) ----------------
@@ -286,7 +292,7 @@ def main():
         res["ab_egress_ratio"] = round(
             res["ab_egress_i16_fps"] / res["ab_egress_i32_fps"], 4)
     print(json.dumps(res), flush=True)
-    with open("/tmp/northstar_result.json", "w") as f:
+    with open(os.path.join(wd, "northstar_result.json"), "w") as f:
         json.dump(res, f)
     # drain the device before interpreter teardown: freeing the ~1 GB
     # block pool mid-teardown has been observed to wedge the tunnel chip
