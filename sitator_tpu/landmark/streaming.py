@@ -126,8 +126,16 @@ def _assign_block(mobile, static, verts, vmask, A, cell, cell_inv,
     # label EGRESS copy: labels leave the device once per block (memmap
     # spill / exact-mode host scan); with any practical site count they
     # fit int16, halving the engine's one large device->host stream (the
-    # on-device labels stay int32 for the accumulators; −1 is preserved)
+    # on-device labels stay int32 for the accumulators; −1 is preserved).
+    # With the drift guard on, the per-frame drift rides along as two
+    # extra int16 columns (a bitcast of its f32), so the pipelined
+    # retirement needs ONE device->host fetch per block instead of two —
+    # one transport round trip saved per block.
     labels_eg = labels.astype(jnp.int16) if egress_int16 else labels
+    if want_drift and egress_int16:
+        drift_i16 = jax.lax.bitcast_convert_type(
+            drift.astype(jnp.float32), jnp.int16)        # (B, 2)
+        labels_eg = jnp.concatenate([labels_eg, drift_i16], axis=1)
     return labels, confs, drift, labels_eg
 
 
@@ -265,6 +273,11 @@ class StreamingLandmarkAnalysis:
         self.use_fused = use_fused  # 'auto' | True | False
         self.async_label_copy = bool(async_label_copy)
         self.pipeline_depth = int(pipeline_depth)
+        self.packed_retire = False  # opt-in: read drift from the packed
+        # egress columns at retirement (one fetch instead of two).  A/B
+        # measured INCONCLUSIVE on the axon tunnel (0.93-1.05, within
+        # session noise) - default keeps the separate-fetch configuration
+        # the 2716-fps headline was measured with
         self.egress_int16 = "auto"  # 'auto' (site count < 2^15) | bool;
         # measurement hook — int16 label egress halves the device->host
         # label stream (tools/northstar_run.py --ab-egress)
@@ -625,9 +638,16 @@ class StreamingLandmarkAnalysis:
         def fetch_labels(box):
             """Host copy of one assignment's egress labels, fetched at most
             once per assignment (``box['dev']`` is the int16 egress array;
-            ``box['np']`` caches the transfer)."""
+            ``box['np']`` caches the transfer).  When the per-frame drift
+            rode along as trailing bitcast columns, it is split off into
+            ``box['drift']``."""
             if box["np"] is None:
-                box["np"] = np.asarray(box["dev"])
+                arr = np.asarray(box["dev"])
+                if arr.shape[1] > n_mobile:
+                    box["drift"] = (arr[:, n_mobile:n_mobile + 2]
+                                    .copy().view(np.float32)[:, 0])
+                    arr = arr[:, :n_mobile]
+                box["np"] = arr
             return box["np"]
 
         def fold(valid_np, labels, confs, mobile, box):
@@ -688,6 +708,15 @@ class StreamingLandmarkAnalysis:
             # K guard binds even when the measurement hook forces True —
             # site indices >= 2^15 must never wrap
             egress_int16=bool(self.egress_int16) and K < (1 << 15))
+        # ONE retirement fetch per block: with labels spilling anyway and
+        # the drift guard on, the packed drift columns make the separate
+        # 2 KB drift fetch (and its transport round trip) unnecessary in
+        # the pipelined path.  Inapplicable without a label memmap (the
+        # egress array is then never fetched) — there the retirement
+        # fetches the small drift vector alone.
+        pack_drift = (assign_kw["egress_int16"] and assign_kw["want_drift"]
+                      and labels_out is not None
+                      and bool(self.packed_retire))
 
         def write_labels(lo, a, b, box):
             """Spill frames [a, b) of a block's labels to the memmap (the
@@ -853,8 +882,13 @@ class StreamingLandmarkAnalysis:
         def retire_one():
             nonlocal carry, acc
             e = window.pop(0)
+            box = {"np": None, "dev": e["labels_eg"]}
             if thr_drift is not None:
-                drift_f = np.asarray(e["drift"])[:e["nb"]]
+                if pack_drift:
+                    fetch_labels(box)
+                    drift_f = box["drift"][:e["nb"]]
+                else:
+                    drift_f = np.asarray(e["drift"])[:e["nb"]]
                 if (drift_f > thr_drift).any():
                     # rollback: restore the pre-block accumulator state
                     # and replay this + all later in-flight blocks
@@ -873,8 +907,7 @@ class StreamingLandmarkAnalysis:
                                  r["labels_eg"])
                             if i == 0 else None)
                     return
-            write_labels(e["lo"], 0, e["nb"],
-                         {"np": None, "dev": e["labels_eg"]})
+            write_labels(e["lo"], 0, e["nb"], box)
 
         def drain():
             while window:

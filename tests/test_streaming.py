@@ -667,3 +667,37 @@ def test_streaming_pipeline_with_wrap_hazard(md_system, tmp_path):
                    oracle["lag_sum"] / np.maximum(oracle["n_ij"], 1),
                    np.nan)
     np.testing.assert_allclose(out.jump_lag, lag, equal_nan=True)
+
+
+def test_streaming_packed_drift_with_rollback_and_labels(md_system,
+                                                         tmp_path):
+    """With store_labels + drift guard + run-ahead, the per-frame drift
+    rides inside the label egress fetch (one retirement fetch per
+    block); a mid-stream lattice swap forces the rollback path through
+    that packed route and the results still equal the synchronous run
+    bit-for-bit, labels included."""
+    md, seeds = md_system
+    T = 233
+    swapped = md.traj[:500].copy()
+    sa = np.flatnonzero(md.static_mask)
+    i, j = sa[2], sa[17]
+    swapped[T:, i], swapped[T:, j] = (md.traj[T:500, j].copy(),
+                                      md.traj[T:500, i].copy())
+    base = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=100, verbose=False)
+    centers = base.fit_centers(seeds, ArrayTrajectory(md.traj))
+
+    outs, labs = {}, {}
+    for depth in (0, 3):
+        p = tmp_path / f"pk_{depth}.npy"
+        sla = StreamingLandmarkAnalysis(
+            cutoff_midpoint=4.0, cutoff_steepness=3.0, block_frames=100,
+            dynamic_lattice_mapping=True, store_labels=str(p),
+            pipeline_depth=depth, verbose=False)
+        outs[depth] = sla.run(seeds, swapped, centers=centers)
+        labs[depth] = np.load(p)
+    np.testing.assert_array_equal(labs[0], labs[3])
+    np.testing.assert_array_equal(outs[0].n_ij, outs[3].n_ij)
+    np.testing.assert_allclose(outs[0].occupancies, outs[3].occupancies,
+                               atol=1e-12)

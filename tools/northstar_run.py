@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--ab-egress", action="store_true",
                     help="same-process alternating int16 vs int32 label "
                          "egress comparison")
+    ap.add_argument("--ab-pack", action="store_true",
+                    help="same-process alternating packed vs separate "
+                         "drift retirement fetch comparison")
     ap.add_argument("--workdir", default="/tmp",
                     help="directory for scratch artifacts (checkpoints, "
                          "label memmaps, fit cache, result json) — "
@@ -220,13 +223,14 @@ def main():
 
     # ---- timed sustained run -------------------------------------------
     def timed(tag, n_blocks, labels=True, async_labels=False, depth=None,
-              egress="auto"):
+              egress="auto", packed=False):
         n_frames = n_blocks * B
         eng = make_engine(tag, n_frames)
         if not labels:
             eng.store_labels = None
         eng.async_label_copy = async_labels
         eng.egress_int16 = egress
+        eng.packed_retire = packed
         if depth is not None:  # None = the engine's production default
             eng.pipeline_depth = depth
         t0 = time.perf_counter()
@@ -286,6 +290,11 @@ def main():
                                  ("d4", dict(depth=4)),
                                  ("d2a", dict(depth=2,
                                               async_labels=True))])
+    if args.ab_pack:
+        ab_segments("ab_pack", [("pack", dict(packed=True)),
+                                ("sep", dict(packed=False))])
+        res["ab_pack_ratio"] = round(
+            res["ab_pack_pack_fps"] / res["ab_pack_sep_fps"], 4)
     if args.ab_egress:
         ab_segments("ab_egress", [("i16", dict(egress=True)),
                                   ("i32", dict(egress=False))])
