@@ -111,3 +111,71 @@ def test_missing_binary_raises():
     with pytest.raises(ZeoppNotFoundError, match="native periodic"):
         with Zeopy(executable="definitely-not-a-real-binary-xyz"):
             pass
+
+
+def test_zeopy_full_subprocess_roundtrip(tmp_path, monkeypatch):
+    """The whole Zeopy pipeline against a MOCK `network` binary (the only
+    untestable piece in this environment is the real binary's output
+    format, SURVEY.md §0): CSSR written, subprocess invoked with the
+    documented flags, nt2 parsed — and the parsed decomposition equals
+    the native VoronoiSiteGenerator's, which authored the nt2 fixture
+    (1-based ids, documented section layout)."""
+    import os
+    import stat
+
+    from sitator_tpu import SiteNetwork, Structure
+    from sitator_tpu.voronoi import VoronoiSiteGenerator
+
+    # a 2x2x2 SC lattice; native decomposition = ground truth
+    grid = np.stack(np.meshgrid(*[np.arange(2)] * 3, indexing="ij"),
+                    axis=-1).reshape(-1, 3)
+    s = Structure(grid * 4.0, np.full(8, 16), np.eye(3) * 8.0)
+    sn0 = SiteNetwork(s, np.ones(8, bool), np.zeros(8, bool))
+    seeds = VoronoiSiteGenerator(verbose=False).run(sn0)
+
+    # author the nt2 exactly as the documented layout describes
+    nt2 = tmp_path / "baked.nt2"
+    with open(nt2, "w") as f:
+        f.write("Vertex table:\n")
+        for i, (c, v, r) in enumerate(zip(seeds.centers, seeds.vertices,
+                                          seeds.site_radii)):
+            ids = " ".join(str(int(a) + 1) for a in v)   # 1-based
+            f.write(f"{i} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} {r:.6f} {ids}\n")
+        f.write("\nEdge table:\n0 -> 1 0.5\n")
+
+    # mock `network` binary: records argv, copies the baked nt2 into the
+    # output path Zeopy asked for
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    exe = bindir / "network"
+    exe.write_text(f"""#!/bin/sh
+echo "$@" > {tmp_path}/argv.txt
+out=""
+prev=""
+for a in "$@"; do
+  if [ "$prev" = "-nt2" ]; then out="$a"; fi
+  prev="$a"
+done
+cp {nt2} "$out"
+""")
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    with pytest.warns(UserWarning, match="experimental"):
+        with Zeopy() as z:
+            nodes, verts, radii = z.voronoi(s)
+    argv = (tmp_path / "argv.txt").read_text().split()
+    assert "-nt2" in argv and "-nor" in argv      # non-radial invocation
+    assert argv[-1].endswith(".cssr")
+    np.testing.assert_allclose(nodes, seeds.centers, atol=1e-5)
+    np.testing.assert_allclose(radii, seeds.site_radii, atol=1e-5)
+    assert len(verts) == seeds.n_sites
+    for got, want in zip(verts, seeds.vertices):
+        assert set(got.tolist()) == set(int(a) for a in want)
+
+    # radial route passes the radii table instead of -nor
+    with pytest.warns(UserWarning, match="experimental"):
+        with Zeopy() as z:
+            z.voronoi(s, radial=True, radii={"S": 1.8})
+    argv = (tmp_path / "argv.txt").read_text().split()
+    assert "-r" in argv and "-nor" not in argv
