@@ -1,4 +1,4 @@
-from sitator_tpu.io.synthetic import (SyntheticMD, make_fcc_hopping_trajectory, make_hopping_trajectory)
+from sitator_tpu.io.synthetic import (SyntheticMD, make_fcc_hopping_trajectory, make_hopping_trajectory, make_langevin_trajectory)
 from sitator_tpu.io.formats import (
     ArrayTrajectory,
     ChunkedFeeder,
@@ -27,6 +27,7 @@ from sitator_tpu.io.tensorstore_io import (
 
 __all__ = [
     "SyntheticMD", "make_hopping_trajectory", "make_fcc_hopping_trajectory",
+    "make_langevin_trajectory",
     "read_xyz", "write_xyz", "iread_xyz", "open_trajectory",
     "ArrayTrajectory", "NpyTrajectory", "NpzTrajectory", "H5Trajectory",
     "XYZTrajectory", "XDATCARTrajectory", "LammpsDumpTrajectory",

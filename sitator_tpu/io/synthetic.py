@@ -226,3 +226,142 @@ def make_fcc_hopping_trajectory(
     return _hopping_md(rng, cell, host, sites, neighbors, n_ions, n_frames,
                        jump_rate, sigma_mobile, sigma_static, host_species,
                        mobile_species, dtype, site_types=site_types)
+
+
+def make_langevin_trajectory(
+    n_cells: int = 3,
+    a: float = 4.0,
+    n_ions: int = 4,
+    n_frames: int = 1500,
+    steps_per_frame: int = 10,
+    dt: float = 0.06,
+    kT: float = 0.40,
+    gamma: float = 1.0,
+    k_host: float = 30.0,
+    eps: float = 1.0,
+    sigma_ih: float = 2.6,
+    sigma_ii: float = 3.2,
+    m_host: float = 4.0,
+    m_ion: float = 1.0,
+    host_species: int = 16,
+    mobile_species: int = 3,
+    seed: int = 0,
+    dtype=np.float32,
+) -> SyntheticMD:
+    """REAL molecular dynamics (not a Poisson process): BAOAB Langevin
+    integration of an Einstein-crystal host plus repulsive ions.
+
+    The closest stand-in available for the reference ecosystem's de-facto
+    integration test — a real AIMD trajectory (SURVEY.md §5), unfetchable
+    in this environment: here the ion dynamics emerge from equations of
+    motion, so the trajectory carries everything Poisson hopping cannot —
+    anharmonic in-well motion, barrier recrossings/flicker at the cage
+    windows, correlated host—ion vibrations, velocity autocorrelation.
+
+    Model: host atoms tethered harmonically (``k_host``) to an
+    ``n_cells³`` simple-cubic lattice (thermal amplitude
+    ``sqrt(kT/k_host)``); ions repel hosts and each other via
+    ``eps·(σ/r)¹²``.  On the SC lattice the body centers are the true
+    potential minima and the face windows the saddles (defaults give a
+    barrier of ≈3 kT: hops every ~100 frames/ion).  Integrator: BAOAB
+    splitting (Leimkuhler–Matthews) with minimum-image forces; positions
+    are left UNWRAPPED (like most MD engines' output), which also
+    exercises the analysis stack's imaging.
+
+    Ground truth is *geometric* (unlike the Poisson generators there is
+    no imposed site sequence): ``true_assignments`` is the minimum-image
+    nearest-cage-center label per frame, and ``true_n_ij`` counts label
+    changes that persist ≥ 3 frames (a debounce, so window recrossing
+    flicker is not counted as hopping).
+    """
+    rng = np.random.default_rng(seed)
+    L = n_cells * a
+    cell = np.eye(3) * L
+    grid = np.stack(np.meshgrid(*[np.arange(n_cells)] * 3, indexing="ij"),
+                    axis=-1).reshape(-1, 3).astype(np.float64)
+    lat = grid * a
+    sites = (grid + 0.5) * a
+    n_host = len(lat)
+    n_sites = len(sites)
+    if n_ions >= n_sites:
+        raise ValueError("need n_ions < number of sites")
+
+    occ0 = rng.choice(n_sites, size=n_ions, replace=False)
+    xh = lat.copy()
+    xi = sites[occ0] + rng.normal(scale=0.1, size=(n_ions, 3))
+    vh = rng.normal(scale=np.sqrt(kT / m_host), size=xh.shape)
+    vi = rng.normal(scale=np.sqrt(kT / m_ion), size=xi.shape)
+
+    def mi(d):
+        return d - L * np.round(d / L)
+
+    eye_big = np.eye(n_ions) * 1e9
+
+    def forces(xh, xi):
+        fh = -k_host * (xh - lat)               # tethers (host never hops)
+        d = mi(xi[:, None] - xh[None])          # (I, H, 3) min-image
+        r2 = (d * d).sum(-1)
+        c = 12.0 * eps * sigma_ih**12 / r2**7   # F = c·d (repulsive)
+        fi = (c[..., None] * d).sum(1)
+        fh = fh - (c[..., None] * d).sum(0)
+        dii = mi(xi[:, None] - xi[None])
+        r2i = (dii * dii).sum(-1) + eye_big
+        ci = 12.0 * eps * sigma_ii**12 / r2i**7
+        fi = fi + (ci[..., None] * dii).sum(1)
+        return fh, fi
+
+    c1 = np.exp(-gamma * dt)
+    c2h = np.sqrt((1.0 - c1 * c1) * kT / m_host)
+    c2i = np.sqrt((1.0 - c1 * c1) * kT / m_ion)
+    fh, fi = forces(xh, xi)
+    traj = np.empty((n_frames, n_host + n_ions, 3), dtype)
+    for f in range(n_frames):
+        for _ in range(steps_per_frame):
+            vh += 0.5 * dt * fh / m_host
+            vi += 0.5 * dt * fi / m_ion
+            xh += 0.5 * dt * vh
+            xi += 0.5 * dt * vi
+            vh = c1 * vh + c2h * rng.standard_normal(vh.shape)
+            vi = c1 * vi + c2i * rng.standard_normal(vi.shape)
+            xh += 0.5 * dt * vh
+            xi += 0.5 * dt * vi
+            fh, fi = forces(xh, xi)
+            vh += 0.5 * dt * fh / m_host
+            vi += 0.5 * dt * fi / m_ion
+        traj[f, :n_host] = xh
+        traj[f, n_host:] = xi
+
+    # geometric ground truth: nearest cage center (min-image) per frame
+    d = mi(traj[:, n_host:, None, :].astype(np.float64) - sites[None, None])
+    labels = np.argmin((d * d).sum(-1), axis=2).astype(np.int32)
+    # debounced hop counts: a change must persist >= 3 frames
+    n_ij = np.zeros((n_sites, n_sites), np.int64)
+    for i in range(n_ions):
+        seq = labels[:, i]
+        cur = seq[0]
+        k = 1
+        while k < len(seq):
+            if seq[k] != cur and k + 2 < len(seq) \
+                    and seq[k + 1] == seq[k] and seq[k + 2] == seq[k]:
+                n_ij[cur, seq[k]] += 1
+                cur = seq[k]
+            k += 1
+
+    positions = np.concatenate([lat, sites[occ0]], axis=0)
+    species = np.concatenate([
+        np.full(n_host, host_species, dtype=np.int32),
+        np.full(n_ions, mobile_species, dtype=np.int32)])
+    structure = Structure(positions, species, cell)
+    static_mask = np.concatenate(
+        [np.ones(n_host, bool), np.zeros(n_ions, bool)])
+    return SyntheticMD(
+        structure=structure,
+        static_mask=static_mask,
+        mobile_mask=~static_mask,
+        traj=traj,
+        true_sites=sites,
+        true_assignments=labels,
+        true_n_ij=n_ij,
+        site_neighbors=None,
+        true_site_types=None,
+    )
