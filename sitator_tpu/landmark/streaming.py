@@ -52,7 +52,8 @@ logger = logging.getLogger(__name__)
                                    "cutoff_shape", "mesh",
                                    "interpret", "full_mask", "mxu_s_tile",
                                    "mxu_n_st", "mxu_preshift",
-                                   "want_drift", "egress_int16"))
+                                   "want_drift", "egress_int16",
+                                   "pack_drift"))
 def _assign_block(mobile, static, verts, vmask, A, cell, cell_inv,
                   kcell, centers, active, uidx, Am, kill, mxu_ref_u,
                   mxu_anchors, static_ref, *,
@@ -60,7 +61,7 @@ def _assign_block(mobile, static, verts, vmask, A, cell, cell_inv,
                   cutoff_shape="logistic", mesh=None,
                   interpret=False, full_mask=False, mxu_s_tile=0,
                   mxu_n_st=0, mxu_preshift=False, want_drift=True,
-                  egress_int16=False):
+                  egress_int16=False, pack_drift=False):
     """Assign one streamed block: (labels, confs, drift, labels_egress).
 
     ``kernel``: 'mxu' (unique-atom MXU-product kernel, fastest — centers
@@ -127,12 +128,13 @@ def _assign_block(mobile, static, verts, vmask, A, cell, cell_inv,
     # spill / exact-mode host scan); with any practical site count they
     # fit int16, halving the engine's one large device->host stream (the
     # on-device labels stay int32 for the accumulators; −1 is preserved).
-    # With the drift guard on, the per-frame drift rides along as two
-    # extra int16 columns (a bitcast of its f32), so the pipelined
-    # retirement needs ONE device->host fetch per block instead of two —
-    # one transport round trip saved per block.
+    # With ``pack_drift`` (opt-in, requires the drift guard + int16
+    # egress), the per-frame drift rides along as two extra int16 columns
+    # (a bitcast of its f32), so the pipelined retirement needs ONE
+    # device->host fetch per block instead of two.
     labels_eg = labels.astype(jnp.int16) if egress_int16 else labels
-    if want_drift and egress_int16:
+    if pack_drift:
+        assert want_drift and egress_int16
         drift_i16 = jax.lax.bitcast_convert_type(
             drift.astype(jnp.float32), jnp.int16)        # (B, 2)
         labels_eg = jnp.concatenate([labels_eg, drift_i16], axis=1)
@@ -708,15 +710,16 @@ class StreamingLandmarkAnalysis:
             # K guard binds even when the measurement hook forces True —
             # site indices >= 2^15 must never wrap
             egress_int16=bool(self.egress_int16) and K < (1 << 15))
-        # ONE retirement fetch per block: with labels spilling anyway and
-        # the drift guard on, the packed drift columns make the separate
-        # 2 KB drift fetch (and its transport round trip) unnecessary in
-        # the pipelined path.  Inapplicable without a label memmap (the
-        # egress array is then never fetched) — there the retirement
-        # fetches the small drift vector alone.
+        # ONE retirement fetch per block (opt-in packed_retire): with
+        # labels spilling anyway and the drift guard on, packing drift
+        # into the egress columns makes the separate 2 KB drift fetch
+        # (and its transport round trip) unnecessary in the pipelined
+        # path.  Inapplicable without a label memmap (the egress array
+        # is then never fetched).
         pack_drift = (assign_kw["egress_int16"] and assign_kw["want_drift"]
                       and labels_out is not None
                       and bool(self.packed_retire))
+        assign_kw["pack_drift"] = pack_drift
 
         def write_labels(lo, a, b, box):
             """Spill frames [a, b) of a block's labels to the memmap (the
@@ -753,7 +756,8 @@ class StreamingLandmarkAnalysis:
                     pass
             return labels, confs, drift, labels_eg
 
-        def process_block_slow(lo, block, nb, mobile, pre=None):
+        def process_block_slow(lo, block, nb, mobile, pre=None,
+                               pre_box=None):
             """The fully-synchronous per-block path: per-frame drift
             gating, lattice remapping, partial folds.  ``pre`` reuses an
             existing assignment (labels, confs, drift, labels_eg) for the
@@ -764,10 +768,12 @@ class StreamingLandmarkAnalysis:
             last_remap = (-1, 0)
             drift_f = None
             labels = confs = None
-            box = {"np": None, "dev": None}
+            box = pre_box if pre_box is not None else \
+                {"np": None, "dev": None}
             if pre is not None:
                 labels, confs, drift, labels_eg = pre
-                box["dev"] = labels_eg
+                if box["dev"] is None:
+                    box["dev"] = labels_eg
                 if thr_drift is not None:
                     drift_f = np.asarray(drift)[:nb]
             need_assign = pre is None
@@ -904,8 +910,8 @@ class StreamingLandmarkAnalysis:
                         process_block_slow(
                             r["lo"], r["block"], r["nb"], r["mobile"],
                             pre=(r["labels"], r["confs"], r["drift"],
-                                 r["labels_eg"])
-                            if i == 0 else None)
+                                 r["labels_eg"]) if i == 0 else None,
+                            pre_box=box if i == 0 else None)
                     return
             write_labels(e["lo"], 0, e["nb"], box)
 

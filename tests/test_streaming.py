@@ -695,6 +695,7 @@ def test_streaming_packed_drift_with_rollback_and_labels(md_system,
             cutoff_midpoint=4.0, cutoff_steepness=3.0, block_frames=100,
             dynamic_lattice_mapping=True, store_labels=str(p),
             pipeline_depth=depth, verbose=False)
+        sla.packed_retire = True  # the packed route under test
         outs[depth] = sla.run(seeds, swapped, centers=centers)
         labs[depth] = np.load(p)
     np.testing.assert_array_equal(labs[0], labs[3])
