@@ -1,0 +1,274 @@
+"""Hypothesis property tests (SURVEY.md §5 item 2, deepened).
+
+The fixed-seed property tests in ``test_pbc.py`` / ``test_edge_cases.py``
+sample a handful of named cells; here the *cell itself* is drawn from a
+strategy (random mildly-skewed triclinic lattices) and every algebraic
+invariant is checked against an independent float64 brute-force oracle,
+with hypothesis shrinking any counterexample.
+
+Shapes are kept FIXED inside each jitted-property test so the whole run
+costs O(1) compiles; hypothesis varies only array *contents* (the axis
+that actually finds bugs).
+"""
+import numpy as np
+import pytest
+
+hyp = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st
+
+import jax.numpy as jnp
+
+from sitator_tpu.ops import pbc
+from sitator_tpu.ops.jumps import jump_stats, jump_stats_exact
+
+SETTINGS = dict(deadline=None, max_examples=60,
+                suppress_health_check=[hyp.HealthCheck.too_slow])
+
+
+# ---------------------------------------------------------------------------
+# strategies
+# ---------------------------------------------------------------------------
+
+@st.composite
+def triclinic_cells(draw):
+    """Random lower-triangular cell: diagonals in [3, 9], off-diagonals
+    bounded by 0.5x the smaller adjacent diagonal — skewed enough to break
+    naive orthorhombic math, mild enough that the 27-image exact search is
+    provably sufficient (every Wigner-Seitz neighbor is a +-1 image)."""
+    d = [draw(st.floats(3.0, 9.0)) for _ in range(3)]
+    cell = np.diag(d)
+    for i, j in ((1, 0), (2, 0), (2, 1)):
+        lim = 0.5 * min(d[i], d[j])
+        cell[i, j] = draw(st.floats(-lim, lim))
+    return cell
+
+
+def _pts(draw, n, scale=30.0):
+    flat = draw(st.lists(st.floats(-scale, scale, allow_nan=False,
+                                   allow_infinity=False, width=32),
+                         min_size=3 * n, max_size=3 * n))
+    return np.asarray(flat, np.float64).reshape(n, 3)
+
+
+@st.composite
+def cell_and_points(draw, n):
+    return draw(triclinic_cells()), _pts(draw, n)
+
+
+# ---------------------------------------------------------------------------
+# PBC layer vs float64 brute force
+# ---------------------------------------------------------------------------
+
+def _brute_min_dist(dx, cell):
+    """Exhaustive (2r+1)^3-image minimum distance in float64, with the image
+    radius r grown to cover however many cells the raw displacement spans."""
+    frac = dx @ np.linalg.inv(cell)
+    r = int(np.ceil(np.abs(frac).max())) + 1
+    shifts = np.array([[i, j, k]
+                       for i in range(-r, r + 1)
+                       for j in range(-r, r + 1)
+                       for k in range(-r, r + 1)], np.float64) @ cell
+    cand = dx[None, :] + shifts
+    return float(np.sqrt((cand * cand).sum(1)).min())
+
+
+@settings(**SETTINGS)
+@given(cell_and_points(2))
+def test_exact_min_image_matches_125_image_oracle(cp):
+    cell, pts = cp
+    ci = np.linalg.inv(cell)
+    a, b = pts
+    got = float(pbc.pbc_distance(jnp.asarray(a), jnp.asarray(b),
+                                 jnp.asarray(cell), jnp.asarray(ci),
+                                 exact=True))
+    want = _brute_min_dist(b - a, cell)
+    assert got == pytest.approx(want, rel=2e-5, abs=2e-4)
+
+
+@settings(**SETTINGS)
+@given(cell_and_points(4))
+def test_wrap_idempotent_and_in_cell(cp):
+    cell, pts = cp
+    ci = np.linalg.inv(cell)
+    w1 = np.asarray(pbc.wrap(jnp.asarray(pts), jnp.asarray(cell),
+                             jnp.asarray(ci)))
+    f = w1 @ np.linalg.inv(cell)
+    assert (f > -1e-5).all() and (f < 1 + 1e-5).all()
+    w2 = np.asarray(pbc.wrap(jnp.asarray(w1), jnp.asarray(cell),
+                             jnp.asarray(ci)))
+    # idempotence up to the wrap seam: compare as min-image displacement
+    d = np.asarray(pbc.pbc_distance(jnp.asarray(w1), jnp.asarray(w2),
+                                    jnp.asarray(cell), jnp.asarray(ci)))
+    assert d.max() < 1e-4
+
+
+@settings(**SETTINGS)
+@given(cell_and_points(2), st.lists(st.floats(-40, 40, width=32),
+                                    min_size=3, max_size=3))
+def test_distance_translation_invariance(cp, tvec):
+    cell, pts = cp
+    ci = np.linalg.inv(cell)
+    a, b = pts
+    t = np.asarray(tvec, np.float64)
+    d0 = float(pbc.pbc_distance(jnp.asarray(a), jnp.asarray(b),
+                                jnp.asarray(cell), jnp.asarray(ci),
+                                exact=True))
+    d1 = float(pbc.pbc_distance(jnp.asarray(a + t), jnp.asarray(b + t),
+                                jnp.asarray(cell), jnp.asarray(ci),
+                                exact=True))
+    assert d1 == pytest.approx(d0, rel=3e-5, abs=3e-4)
+
+
+@settings(**SETTINGS)
+@given(cell_and_points(2),
+       st.lists(st.integers(-3, 3), min_size=3, max_size=3))
+def test_distance_lattice_shift_invariance(cp, nshift):
+    cell, pts = cp
+    ci = np.linalg.inv(cell)
+    a, b = pts
+    shift = np.asarray(nshift, np.float64) @ cell
+    d0 = float(pbc.pbc_distance(jnp.asarray(a), jnp.asarray(b),
+                                jnp.asarray(cell), jnp.asarray(ci),
+                                exact=True))
+    d1 = float(pbc.pbc_distance(jnp.asarray(a + shift), jnp.asarray(b),
+                                jnp.asarray(cell), jnp.asarray(ci),
+                                exact=True))
+    assert d1 == pytest.approx(d0, rel=3e-5, abs=3e-4)
+
+
+@settings(**SETTINGS)
+@given(triclinic_cells(), st.data())
+def test_pbc_average_lattice_equivariance(cell, data):
+    """Scattering a clustered point cloud across arbitrary periodic images
+    must not move its PBC mean (the property site centers depend on)."""
+    ci = np.linalg.inv(cell)
+    n = 5
+    # cluster within a ball of radius < 1/4 of the smallest cell height
+    heights = 1.0 / np.linalg.norm(ci, axis=0)
+    rad = 0.2 * heights.min()
+    center = _pts(data.draw, 1, scale=10.0)[0]
+    offs = _pts(data.draw, n, scale=1.0) / 1.0
+    offs *= rad / max(np.abs(offs).max(), 1e-9)
+    pts = center + offs
+    shifts = np.asarray(
+        data.draw(st.lists(st.integers(-2, 2), min_size=3 * n,
+                           max_size=3 * n)), np.float64).reshape(n, 3) @ cell
+    m0 = np.asarray(pbc.pbc_average(jnp.asarray(pts), jnp.asarray(cell),
+                                    jnp.asarray(ci)))
+    m1 = np.asarray(pbc.pbc_average(jnp.asarray(pts + shifts),
+                                    jnp.asarray(cell), jnp.asarray(ci)))
+    d = float(pbc.pbc_distance(jnp.asarray(m0), jnp.asarray(m1),
+                               jnp.asarray(cell), jnp.asarray(ci),
+                               exact=True))
+    assert d < 5e-4
+
+
+@settings(**SETTINGS)
+@given(cell_and_points(4))
+def test_frac_cart_roundtrip(cp):
+    cell, pts = cp
+    ci = np.linalg.inv(cell)
+    back = np.asarray(pbc.to_cart(pbc.to_frac(jnp.asarray(pts),
+                                              jnp.asarray(ci)),
+                                  jnp.asarray(cell)))
+    np.testing.assert_allclose(back, pts, rtol=1e-4, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# jump statistics vs an independent Python oracle
+# ---------------------------------------------------------------------------
+
+F, M, S = 20, 3, 4          # FIXED shapes: one compile per policy
+
+
+def _oracle(traj, S, policy):
+    """Reference-semantics jump scan, written independently of ops/jumps.py
+    (per-ion Python state machine, no vectorization)."""
+    Fn, Mn = traj.shape
+    n_ij = np.zeros((S, S), np.int64)
+    lag = np.zeros((S, S), np.int64)
+    res_sum = np.zeros(S, np.int64)
+    res_cnt = np.zeros(S, np.int64)
+    occ = np.zeros(S, np.int64)
+    last = [-1] * Mn
+    res = [0] * Mn
+    for f in range(Fn):
+        for m in range(Mn):
+            s = int(traj[f, m])
+            if s >= 0:
+                occ[s] += 1
+                if last[m] >= 0 and s != last[m]:
+                    n_ij[last[m], s] += 1
+                    lag[last[m], s] += res[m]
+                    res_sum[last[m]] += res[m]
+                    res_cnt[last[m]] += 1
+                    res[m] = 1
+                elif last[m] == s:
+                    res[m] += 1
+                else:
+                    res[m] = 1
+                last[m] = s
+            elif policy == "break":
+                last[m] = -1
+                res[m] = 0
+    return n_ij, lag, res_sum, res_cnt, occ, np.array(last), np.array(res)
+
+
+traj_arrays = st.lists(st.integers(-1, S - 1), min_size=F * M,
+                       max_size=F * M).map(
+    lambda v: np.asarray(v, np.int32).reshape(F, M))
+
+
+@settings(**SETTINGS)
+@given(traj_arrays, st.sampled_from(["persist", "break"]))
+def test_jump_stats_matches_oracle(traj, policy):
+    want = _oracle(traj, S, policy)
+    got = jump_stats(jnp.asarray(traj), S, unknown_policy=policy)
+    np.testing.assert_array_equal(np.asarray(got.n_ij), want[0])
+    np.testing.assert_array_equal(np.asarray(got.lag_sum), want[1])
+    np.testing.assert_array_equal(np.asarray(got.res_sum), want[2])
+    np.testing.assert_array_equal(np.asarray(got.res_cnt), want[3])
+    np.testing.assert_array_equal(np.asarray(got.occ_counts), want[4])
+    np.testing.assert_array_equal(np.asarray(got.last_sites), want[5])
+    np.testing.assert_array_equal(np.asarray(got.last_res), want[6])
+
+
+@settings(**SETTINGS)
+@given(traj_arrays, st.sampled_from(["persist", "break"]),
+       st.sets(st.integers(1, F - 1), max_size=4))
+def test_jump_stats_block_chaining_invariance(traj, policy, cuts):
+    """Splitting the trajectory at ARBITRARY frame boundaries and chaining
+    the (last, res) carry must reproduce the unsplit scan exactly — the
+    invariant the streaming engine's cross-block carry rests on."""
+    bounds = [0] + sorted(cuts) + [F]
+    last = res = None
+    acc = None
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        got = jump_stats(jnp.asarray(traj[a:b]), S, init_last=last,
+                         init_res=res, unknown_policy=policy)
+        last = got.last_sites
+        res = got.last_res
+        part = {k: np.asarray(got[k]).astype(np.int64)
+                for k in ("n_ij", "lag_sum", "res_sum", "res_cnt",
+                          "occ_counts")}
+        acc = part if acc is None else {k: acc[k] + part[k] for k in acc}
+    whole = jump_stats(jnp.asarray(traj), S, unknown_policy=policy)
+    for k in acc:
+        np.testing.assert_array_equal(acc[k], np.asarray(whole[k]),
+                                      err_msg=k)
+    np.testing.assert_array_equal(np.asarray(last),
+                                  np.asarray(whole.last_sites))
+    np.testing.assert_array_equal(np.asarray(res),
+                                  np.asarray(whole.last_res))
+
+
+@settings(**SETTINGS)
+@given(traj_arrays, st.sampled_from(["persist", "break"]))
+def test_jump_stats_exact_agrees(traj, policy):
+    """The int64-exact path (any block size) equals the int32 scan on
+    non-hazardous inputs."""
+    a = jump_stats(jnp.asarray(traj), S, unknown_policy=policy)
+    b = jump_stats_exact(traj, S, unknown_policy=policy, block_frames=7)
+    for k in ("n_ij", "lag_sum", "res_sum", "res_cnt", "occ_counts"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
