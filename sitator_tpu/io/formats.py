@@ -177,7 +177,10 @@ def read_xyz(path, index=None, variable_cell="error"):
     ``variable_cell``: 'error' (default) raises if frames carry differing
     ``Lattice=`` cells; 'rescale' maps them into the first frame's cell."""
     if index is None:
-        return next(iread_xyz(path))
+        try:
+            return next(iread_xyz(path))
+        except StopIteration:
+            raise ValueError(f"no frames found in {path}") from None
     if index == "all":
         first = None
         traj = []
@@ -417,10 +420,18 @@ def iread_lammps_dump(path, variable_cell="error"):
                 continue
             f.readline()                               # timestep value
             item = f.readline()
-            assert item.startswith("ITEM: NUMBER OF ATOMS"), item
+            if not item.startswith("ITEM: NUMBER OF ATOMS"):
+                raise ValueError(
+                    f"malformed LAMMPS dump header: expected "
+                    f"'ITEM: NUMBER OF ATOMS', got {item!r}")
             n_atoms = int(f.readline())
+            if n_atoms < 0:
+                raise ValueError(f"negative atom count {n_atoms}")
             item = f.readline()
-            assert item.startswith("ITEM: BOX BOUNDS"), item
+            if not item.startswith("ITEM: BOX BOUNDS"):
+                raise ValueError(
+                    f"malformed LAMMPS dump header: expected "
+                    f"'ITEM: BOX BOUNDS', got {item!r}")
             triclinic = "xy" in item
             rows = [np.array([float(x) for x in f.readline().split()])
                     for _ in range(3)]
@@ -446,7 +457,10 @@ def iread_lammps_dump(path, variable_cell="error"):
                   and not np.allclose(cell, this_cell, atol=1e-8)):
                 raise _vc_error("LAMMPS dump (per-frame box bounds)")
             item = f.readline()
-            assert item.startswith("ITEM: ATOMS"), item
+            if not item.startswith("ITEM: ATOMS"):
+                raise ValueError(
+                    f"malformed LAMMPS dump header: expected "
+                    f"'ITEM: ATOMS', got {item!r}")
             cols = item.split()[2:]
             cidx = None
             scaled = False

@@ -129,6 +129,16 @@ class _IndexedNativeTrajectory:
         self._check_fixed_cell()
         self.structure = self._load_structure()
 
+    def _first_frame(self, it):
+        """First frame from a Python parser, with an empty/unparseable file
+        surfacing as ValueError rather than a leaked StopIteration (the
+        native indexer can accept byte layouts the Python reader rejects)."""
+        try:
+            return next(it)
+        except StopIteration:
+            raise ValueError(
+                f"no parseable frames in {self.path}") from None
+
     # the native decoders are fixed-cell by design; subclasses override
     # this with a cheap sampled check so NPT files raise (and
     # open_trajectory falls back to the Python readers' full-scan error)
@@ -279,7 +289,7 @@ class FastXYZTrajectory(_IndexedNativeTrajectory):
 
     def _load_structure(self):
         from sitator_tpu.io.formats import iread_xyz
-        return next(iread_xyz(self.path))
+        return self._first_frame(iread_xyz(self.path))
 
     def _read_range(self, lo, n, out):
         return self._lib.fxyz_read_block(
@@ -308,23 +318,31 @@ class FastLammpsTrajectory(_IndexedNativeTrajectory):
         ``open_trajectory`` falls back to the Python parser for them."""
         cols = None
         n_atoms = None
-        with open(self.path) as f:
-            for line in f:
-                if line.startswith("ITEM: NUMBER OF ATOMS"):
-                    n_atoms = int(next(f))
-                elif line.startswith("ITEM: ATOMS"):
-                    cols = line.split()[2:]
-                    if n_atoms is None:
-                        raise ValueError("malformed LAMMPS dump header")
-                    ids = None
-                    if "id" in cols:
-                        idc = cols.index("id")
-                        ids = np.empty(n_atoms, np.int64)
-                        for i in range(n_atoms):
-                            ids[i] = int(next(f).split()[idc])
-                    break
-            else:
-                raise ValueError(f"no ITEM: ATOMS header in {self.path}")
+        try:
+            with open(self.path) as f:
+                for line in f:
+                    if line.startswith("ITEM: NUMBER OF ATOMS"):
+                        n_atoms = int(next(f))
+                        if n_atoms < 0:
+                            raise ValueError(
+                                f"negative atom count {n_atoms}")
+                    elif line.startswith("ITEM: ATOMS"):
+                        cols = line.split()[2:]
+                        if n_atoms is None:
+                            raise ValueError("malformed LAMMPS dump header")
+                        ids = None
+                        if "id" in cols:
+                            idc = cols.index("id")
+                            ids = np.empty(n_atoms, np.int64)
+                            for i in range(n_atoms):
+                                ids[i] = int(next(f).split()[idc])
+                        break
+                else:
+                    raise ValueError(
+                        f"no ITEM: ATOMS header in {self.path}")
+        except StopIteration:
+            raise ValueError(
+                f"truncated LAMMPS dump header in {self.path}") from None
         for cset in (("x", "y", "z"), ("xu", "yu", "zu")):
             if all(c in cols for c in cset):
                 self._col_xyz = (ctypes.c_int * 3)(
@@ -370,7 +388,7 @@ class FastLammpsTrajectory(_IndexedNativeTrajectory):
 
     def _load_structure(self):
         from sitator_tpu.io.formats import iread_lammps_dump
-        structure, _ = next(iread_lammps_dump(self.path))
+        structure, _ = self._first_frame(iread_lammps_dump(self.path))
         return structure
 
     def _read_range(self, lo, n, out):
@@ -410,7 +428,7 @@ class FastXDATCARTrajectory(_IndexedNativeTrajectory):
 
     def _load_structure(self):
         from sitator_tpu.io.formats import iread_xdatcar
-        structure, _ = next(iread_xdatcar(self.path))
+        structure, _ = self._first_frame(iread_xdatcar(self.path))
         return structure
 
     def _read_range(self, lo, n, out):
