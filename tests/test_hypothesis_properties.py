@@ -175,6 +175,42 @@ def test_frac_cart_roundtrip(cp):
 
 
 # ---------------------------------------------------------------------------
+# writer/reader round-trips over random triclinic cells
+# ---------------------------------------------------------------------------
+
+@settings(deadline=None, max_examples=25)
+@given(cell_and_points(4), st.sampled_from(["xyz", "lammps", "xdatcar"]))
+def test_writer_roundtrip_random_triclinic(tmp_path_factory, cp, fmt):
+    """write_*/read_* round-trip exactly (to text precision) for random
+    lower-triangular triclinic cells and unwrapped positions — exercises
+    the LAMMPS tilt-factor and XDATCAR fractional conversions far beyond
+    the fixed cells in test_writers.py."""
+    from sitator_tpu.core.structure import Structure
+    from sitator_tpu.io import formats as iof
+
+    cell, pts = cp
+    pts = np.asarray(pts, np.float64)
+    traj = np.stack([pts, pts + 0.25])
+    s = Structure(pts, ["Si", "Si", "Si", "Li"], cell)
+    d = tmp_path_factory.mktemp("rt")
+    if fmt == "xyz":
+        p = d / "t.xyz"
+        iof.write_xyz(p, s, traj)
+        s2, t2 = iof.read_xyz(p, index="all")
+    elif fmt == "lammps":
+        p = d / "t.lammpstrj"
+        iof.write_lammps_dump(p, s, traj)
+        s2, t2 = iof.read_lammps_dump(p)
+    else:
+        p = d / "XDATCAR"
+        iof.write_xdatcar(p, s, traj)
+        s2, t2 = iof.read_xdatcar(p)
+    np.testing.assert_allclose(s2.cell, cell, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t2), traj, atol=2e-5)
+    np.testing.assert_array_equal(s2.species, s.species)
+
+
+# ---------------------------------------------------------------------------
 # jump statistics vs an independent Python oracle
 # ---------------------------------------------------------------------------
 
