@@ -179,3 +179,59 @@ cp {nt2} "$out"
             z.voronoi(s, radial=True, radii={"S": 1.8})
     argv = (tmp_path / "argv.txt").read_text().split()
     assert "-r" in argv and "-nor" not in argv
+
+
+def test_parse_nt2_fuzz_corruptions(tmp_path, structure):
+    """Corrupted nt2 content must parse to sane arrays or raise ValueError —
+    never an unhandled exception (same contract as the trajectory decoders,
+    tests/test_native_fuzz.py)."""
+    import warnings
+
+    base = NT2_SECTIONED.encode()
+    rng = np.random.default_rng(42)
+
+    def corrupt(data):
+        op = rng.integers(0, 5)
+        b = bytearray(data)
+        if op == 0 and len(b) > 1:
+            return bytes(b[: rng.integers(1, len(b))])
+        if op == 1 and len(b) > 4:
+            lo = int(rng.integers(0, len(b) - 2))
+            hi = int(rng.integers(lo + 1, min(len(b), lo + 30)))
+            b[lo:hi] = bytes(rng.integers(32, 127, hi - lo, dtype=np.uint8))
+            return bytes(b)
+        lines = data.split(b"\n")
+        if op == 2 and len(lines) > 2:
+            del lines[rng.integers(0, len(lines))]
+        elif op == 3 and len(lines) > 2:
+            i = int(rng.integers(0, len(lines)))
+            lines.insert(i, lines[i])
+        else:
+            i = int(rng.integers(0, len(lines)))
+            toks = lines[i].split()
+            if toks:
+                toks[rng.integers(0, len(toks))] = b"#@!"
+                lines[i] = b" ".join(toks)
+        return b"\n".join(lines)
+
+    blobs = [corrupt(base) for _ in range(40)]
+    blobs += [b"", b"\n\n", b"Vertex table:\n", b"Edge table:\nonly edges",
+              bytes(rng.integers(0, 256, 256, dtype=np.uint8)),
+              b"Vertex table:\n0 nan inf -inf 1e400 1 2\nEdge table:\n"]
+    for k, blob in enumerate(blobs):
+        p = tmp_path / f"f{k}.nt2"
+        p.write_bytes(blob)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            try:
+                nodes, verts, radii = Zeopy._parse_nt2(str(p), structure)
+            except (ValueError, OSError) as e:
+                continue
+        nodes = np.asarray(nodes)
+        assert nodes.ndim in (1, 2)          # empty or (n, 3)
+        if nodes.size:
+            assert nodes.shape[1] == 3
+            assert len(verts) == len(nodes) == len(radii)
+            for v in verts:
+                assert ((v >= 0) & (v < structure.n_atoms)).all(), \
+                    f"out-of-range vertex ids in case {k}: {v}"
