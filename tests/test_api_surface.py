@@ -184,3 +184,205 @@ def test_ase_adapter_without_ase():
     if not ase_installed:  # this rig: a clean error, not a crash
         with pytest.raises(ImportError):
             trajectory_from_ase([])
+
+
+# ---------------------------------------------------------------------------
+# second coverage wave: registry, mesh helpers, IO utilities, viz core
+# ---------------------------------------------------------------------------
+
+def test_cluster_backend_registry():
+    """SURVEY §3.2 component 5: the backend protocol is pluggable by name
+    or module, with typed errors for bad values."""
+    import types
+
+    from sitator_tpu.io import make_hopping_trajectory
+    from sitator_tpu.landmark import LandmarkAnalysis
+    from sitator_tpu.landmark.cluster import (get_backend, register_backend,
+                                              dotprod)
+    from sitator_tpu.voronoi import VoronoiSiteGenerator
+
+    assert get_backend("dotprod") is dotprod
+    with pytest.raises(ValueError, match="unknown clustering backend"):
+        get_backend("nope")
+    with pytest.raises(TypeError):
+        get_backend(42)
+
+    # a custom module-like backend is accepted directly AND by name
+    calls = []
+
+    def fake(landmark_vectors, clustering_params, min_samples, verbose=False):
+        calls.append(len(landmark_vectors))
+        return dotprod.do_landmark_clustering(
+            landmark_vectors, clustering_params, min_samples, verbose)
+
+    custom = types.SimpleNamespace(do_landmark_clustering=fake)
+    assert get_backend(custom) is custom
+    register_backend("custom_test_backend", custom)
+    try:
+        md = make_hopping_trajectory(n_cells=2, a=4.0, n_ions=2,
+                                     n_frames=60, jump_rate=0.02, seed=3)
+        sn0 = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+        seeds = VoronoiSiteGenerator(merge_tol=0.05).run(sn0)
+        st = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                              clustering_algorithm="custom_test_backend",
+                              verbose=False).run(seeds, md.traj)
+        assert calls, "registered backend was not invoked"
+        assert st.site_network.n_sites > 0
+    finally:
+        from sitator_tpu.landmark.cluster import _BACKENDS
+        _BACKENDS.pop("custom_test_backend", None)
+
+
+def test_mesh_helpers_semantics():
+    import jax
+    import jax.numpy as jnp
+
+    from sitator_tpu.parallel.mesh import (frame_mesh, frame_sharding,
+                                           pad_frames, replicated,
+                                           shard_map_frames)
+
+    mesh = frame_mesh()
+    assert mesh.devices.size == 8          # conftest pins 8 virtual devices
+
+    arr = np.arange(10 * 2, dtype=np.float32).reshape(10, 2)
+    padded, n_valid = pad_frames(arr, 8)
+    assert padded.shape == (16, 2) and n_valid == 10
+    np.testing.assert_array_equal(padded[10:], np.broadcast_to(arr[-1:],
+                                                               (6, 2)))
+    same, n_same = pad_frames(arr[:8], 8)
+    assert same.shape == (8, 2) and n_same == 8
+
+    fs, rep = frame_sharding(mesh), replicated(mesh)
+    assert fs.mesh is mesh and rep.mesh is mesh
+    assert fs.spec != rep.spec
+
+    x = jnp.arange(16.0).reshape(16, 1)
+    w = jnp.asarray(2.0)
+
+    def fn(xb, wrep):
+        return xb + 1.0, xb * wrep
+
+    a, b = shard_map_frames(fn, mesh, 1, x, w)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(x) + 1.0)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(x) * 2.0)
+
+
+def test_iter_text_frames_matches_readers(tmp_path):
+    from sitator_tpu.io.formats import (iter_text_frames, read_lammps_dump,
+                                        read_xdatcar, read_xyz,
+                                        write_lammps_dump, write_xdatcar,
+                                        write_xyz)
+
+    rng = np.random.default_rng(5)
+    cell = np.array([[6.0, 0, 0], [0.5, 7.0, 0], [0.2, -0.3, 8.0]])
+    pos = rng.uniform(0, 5, (4, 3))
+    s = Structure(pos, ["Si", "Si", "Li", "Li"], cell)
+    traj = pos[None] + rng.normal(0, 0.05, (3, 4, 3))
+
+    write_xyz(tmp_path / "t.xyz", s, traj)
+    write_lammps_dump(tmp_path / "t.lammpstrj", s, traj)
+    write_xdatcar(tmp_path / "XDATCAR", s, traj)
+    for fmt, path, reader in [
+            ("xyz", tmp_path / "t.xyz", read_xyz),
+            ("lammps", tmp_path / "t.lammpstrj", read_lammps_dump),
+            ("xdatcar", tmp_path / "XDATCAR", read_xdatcar)]:
+        frames = list(iter_text_frames(str(path), fmt))
+        assert len(frames) == 3
+        if fmt == "xyz":
+            s2, t2 = reader(path, index="all")
+        else:
+            s2, t2 = reader(path)
+        for (fs_, fp), want in zip(frames, np.asarray(t2)):
+            np.testing.assert_allclose(fp, want, atol=1e-6)
+            np.testing.assert_allclose(fs_.cell, s2.cell, atol=1e-6)
+
+
+def test_parse_xdatcar_header(tmp_path):
+    from sitator_tpu.io.formats import parse_xdatcar_header, write_xdatcar
+
+    cell = np.array([[6.0, 0, 0], [0.5, 7.0, 0], [0.2, -0.3, 8.0]])
+    pos = np.random.default_rng(0).uniform(0, 5, (4, 3))
+    s = Structure(pos, ["Si", "Si", "Li", "Li"], cell)
+    write_xdatcar(tmp_path / "XDATCAR", s, pos[None])
+    with open(tmp_path / "XDATCAR") as f:
+        hcell, species, counts, off = parse_xdatcar_header(f)
+        line = f.readline()
+    np.testing.assert_allclose(hcell, cell, atol=1e-12)
+    assert list(counts) == [2, 2]
+    assert line.startswith("Direct configuration")
+    assert off > 0
+
+
+def test_static_drift_helpers():
+    import jax.numpy as jnp
+
+    from sitator_tpu.ops.landmark import (max_static_drift,
+                                          static_drift_per_frame)
+
+    rng = np.random.default_rng(11)
+    cell = np.diag([5.0, 6.0, 7.0])
+    ci = np.linalg.inv(cell)
+    ref = rng.uniform(0, 5, (6, 3)).astype(np.float32)
+    disp = rng.normal(0, 0.1, (4, 6, 3)).astype(np.float32)
+    block = ref[None] + disp
+    # add a lattice-vector shift: must not count as drift
+    block[2, 3] += cell[0]
+    want_pf = np.sqrt((disp ** 2).sum(-1)).max(-1)
+    got_pf = np.asarray(static_drift_per_frame(
+        jnp.asarray(block), jnp.asarray(ref), jnp.asarray(cell),
+        jnp.asarray(ci)))
+    np.testing.assert_allclose(got_pf, want_pf, atol=1e-5)
+    got_max = float(max_static_drift(jnp.asarray(block), jnp.asarray(ref),
+                                     jnp.asarray(cell), jnp.asarray(ci)))
+    assert got_max == pytest.approx(want_pf.max(), abs=1e-5)
+
+
+def test_viz_core_helpers():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from sitator_tpu.visualization.common import (draw_cell, layers,
+                                                  plotter, species_color)
+
+    assert species_color(16) == "#FFFF30"
+    c1, c2 = species_color(999), species_color(999)
+    np.testing.assert_array_equal(c1, c2)          # deterministic fallback
+    assert not np.allclose(species_color(999), species_color(998))
+
+    seen = {}
+
+    @plotter(is3D=True)
+    def dummy(fig=None, ax=None):
+        seen["ax"] = ax
+
+    fig = dummy()
+    assert seen["ax"] is not None and hasattr(seen["ax"], "get_zlim")
+    n0 = len(seen["ax"].lines)
+    draw_cell(np.eye(3) * 4.0, seen["ax"])
+    assert len(seen["ax"].lines) == n0 + 12        # cube wireframe
+    fig2 = layers((dummy, {}), (dummy, {}))
+    assert fig2 is not None
+    plt.close("all")
+
+
+def test_kernel_common_host_helpers():
+    import jax.numpy as jnp
+
+    from sitator_tpu.ops.kernel_common import pack_cell_params, round_up
+
+    assert round_up(1, 8) == 8 and round_up(8, 8) == 8 and round_up(9, 8) == 16
+
+    consts = jnp.asarray([4.0, 3.0, 0.5], jnp.float32)
+    p_ortho, tri = pack_cell_params(jnp.asarray([5.0, 6.0, 7.0]), consts)
+    assert not tri and p_ortho.shape == (6,)
+    np.testing.assert_allclose(np.asarray(p_ortho),
+                               [5, 6, 7, 4, 3, 0.5], atol=1e-6)
+    cell = jnp.asarray([[5.0, 0, 0], [0.4, 6.0, 0], [0.1, 0.2, 7.0]])
+    p_tri, tri = pack_cell_params(cell, consts)
+    assert tri and p_tri.shape == (21,)
+    np.testing.assert_allclose(np.asarray(p_tri[:9]).reshape(3, 3),
+                               np.asarray(cell), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p_tri[9:18]).reshape(3, 3) @ np.asarray(cell),
+        np.eye(3), atol=1e-5)
