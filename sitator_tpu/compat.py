@@ -60,6 +60,8 @@ REFERENCE_LAYOUT = {
     "sitator.landmark.cluster": ("sitator_tpu.landmark.cluster", None),
     "sitator.landmark.cluster.dotprod": (
         "sitator_tpu.landmark.cluster.dotprod", None),
+    "sitator.landmark.cluster.mcl": (
+        "sitator_tpu.landmark.cluster.mcl", None),
     # voronoi seeding (§3.3)
     "sitator.voronoi": ("sitator_tpu.voronoi", None),
     "sitator.voronoi.VoronoiSiteGenerator": (
@@ -76,11 +78,19 @@ REFERENCE_LAYOUT = {
         "sitator_tpu.dynamics.filters", ["RemoveShortJumps"]),
     "sitator.dynamics.AverageVibrationalFrequency": (
         "sitator_tpu.dynamics.vibrational", ["AverageVibrationalFrequency"]),
+    # SURVEY §3.4 leaves the dynamics/network split of MergeSitesByDistance
+    # unverified — expose the file-module under both parents.
+    "sitator.dynamics.MergeSitesByDistance": (
+        "sitator_tpu.network.merging", ["MergeSitesByDistance"]),
     # network (§3.5)
     "sitator.network": ("sitator_tpu.network", None),
     "sitator.network.DiffusionPathwayAnalysis": (
         "sitator_tpu.network.pathways", ["DiffusionPathwayAnalysis"]),
     "sitator.network.merging": ("sitator_tpu.network.merging", None),
+    "sitator.network.MergeSitesByDistance": (
+        "sitator_tpu.network.merging", ["MergeSitesByDistance"]),
+    "sitator.network.SiteVolumes": (
+        "sitator_tpu.network.site_volumes", ["SiteVolumes"]),
     # site descriptors (§3.6)
     "sitator.site_descriptors": ("sitator_tpu.site_descriptors", None),
     "sitator.site_descriptors.SOAP": (
@@ -88,6 +98,9 @@ REFERENCE_LAYOUT = {
         ["SOAPDescriptorAverages", "SiteCentersDescriptor"]),
     "sitator.site_descriptors.SiteTypeAnalysis": (
         "sitator_tpu.site_descriptors.typing", ["SiteTypeAnalysis"]),
+    "sitator.site_descriptors.MergeSitesByDescriptors": (
+        "sitator_tpu.site_descriptors.merge_descriptors",
+        ["MergeSitesByDescriptors"]),
     # util substrate (§3.7)
     "sitator.util": ("sitator_tpu.util", None),
     "sitator.util.PBCCalculator": ("sitator_tpu.ops.pbc",
@@ -102,7 +115,13 @@ REFERENCE_LAYOUT = {
     "sitator.misc": ("sitator_tpu.misc", None),
     "sitator.misc.NAvgsPerSite": ("sitator_tpu.misc.navgs",
                                   ["NAvgsPerSite"]),
+    "sitator.misc.RecenterTrajectory": ("sitator_tpu.misc.recenter",
+                                        ["RecenterTrajectory"]),
     "sitator.visualization": ("sitator_tpu.visualization", None),
+    "sitator.visualization.common": ("sitator_tpu.visualization.common",
+                                     None),
+    "sitator.visualization.atoms": ("sitator_tpu.visualization.atoms",
+                                    None),
     "sitator.visualization.SiteNetworkPlotter": (
         "sitator_tpu.visualization.network_plot", ["SiteNetworkPlotter"]),
 }

@@ -47,6 +47,44 @@ def test_reference_import_styles(shim):
     assert sitator.__version__ == sitator_tpu.__version__
 
 
+def test_file_module_style_full_surface(shim):
+    """Every engine class is importable in the reference's
+    one-class-per-file style, from the parent(s) SURVEY §3.4-§3.8 names."""
+    from sitator.dynamics.MergeSitesByDistance import MergeSitesByDistance
+    from sitator.network.MergeSitesByDistance import (
+        MergeSitesByDistance as MSD2)
+    from sitator.network.SiteVolumes import SiteVolumes
+    from sitator.site_descriptors.MergeSitesByDescriptors import (
+        MergeSitesByDescriptors)
+    from sitator.misc.RecenterTrajectory import RecenterTrajectory
+    from sitator.visualization.common import plotter, layers
+    from sitator.visualization.atoms import plot_atoms
+    import sitator.landmark.cluster.mcl as mcl_mod
+
+    assert MSD2 is MergeSitesByDistance
+    assert callable(mcl_mod.do_landmark_clustering)
+    for cls in (SiteVolumes, MergeSitesByDescriptors, RecenterTrajectory):
+        assert hasattr(cls, "run")
+    assert callable(plotter) and callable(layers) and callable(plot_atoms)
+
+
+def test_every_package_export_reachable(shim):
+    """The whole public surface of each sitator_tpu subpackage is visible
+    through its compat alias (guards against __all__ drift)."""
+    import importlib
+    for ref, tpu in [("sitator.dynamics", "sitator_tpu.dynamics"),
+                     ("sitator.network", "sitator_tpu.network"),
+                     ("sitator.site_descriptors",
+                      "sitator_tpu.site_descriptors"),
+                     ("sitator.misc", "sitator_tpu.misc"),
+                     ("sitator.visualization", "sitator_tpu.visualization"),
+                     ("sitator.util", "sitator_tpu.util")]:
+        ref_mod = importlib.import_module(ref)
+        tpu_mod = importlib.import_module(tpu)
+        for sym in tpu_mod.__all__:
+            assert getattr(ref_mod, sym) is getattr(tpu_mod, sym), (ref, sym)
+
+
 def test_shim_does_not_mutate_real_package(shim):
     import sitator
     assert sitator is not sitator_tpu
