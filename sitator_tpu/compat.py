@@ -78,6 +78,9 @@ REFERENCE_LAYOUT = {
         "sitator_tpu.dynamics.filters", ["RemoveShortJumps"]),
     "sitator.dynamics.AverageVibrationalFrequency": (
         "sitator_tpu.dynamics.vibrational", ["AverageVibrationalFrequency"]),
+    "sitator.dynamics.DiffusionAnalysis": (
+        "sitator_tpu.dynamics.diffusion",
+        ["DiffusionAnalysis", "SiteDiffusionAnalysis"]),
     # SURVEY §3.4 leaves the dynamics/network split of MergeSitesByDistance
     # unverified — expose the file-module under both parents.
     "sitator.dynamics.MergeSitesByDistance": (

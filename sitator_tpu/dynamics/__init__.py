@@ -3,10 +3,13 @@ from sitator_tpu.dynamics.merge_dynamics import MergeSitesByDynamics
 from sitator_tpu.dynamics.filters import RemoveUnoccupiedSites, \
     RemoveShortJumps
 from sitator_tpu.dynamics.vibrational import AverageVibrationalFrequency
+from sitator_tpu.dynamics.diffusion import DiffusionAnalysis, \
+    SiteDiffusionAnalysis
 from sitator_tpu.network.merging import MergeSitesByDistance
 
 __all__ = [
     "JumpAnalysis", "MergeSitesByDynamics", "MergeSitesByDistance",
     "RemoveUnoccupiedSites", "RemoveShortJumps",
-    "AverageVibrationalFrequency",
+    "AverageVibrationalFrequency", "DiffusionAnalysis",
+    "SiteDiffusionAnalysis",
 ]

@@ -1,0 +1,207 @@
+"""Diffusivity analyses — tracer / collective D, Haven ratio, and a
+site-hop diffusivity cross-check.
+
+Beyond-reference kinetics: upstream ``sitator`` stops at jump statistics
+(SURVEY.md §3.4) and its users compute diffusivities by hand around it.
+Here they are first-class engines following the same
+``Engine(params).run(input)`` convention, with the O(F log F) MSD running
+on device (:mod:`sitator_tpu.ops.msd`).
+
+- :class:`DiffusionAnalysis` — from the real MD trajectory: unwraps the
+  mobile ions, computes the time-origin-averaged MSD by FFT, fits the
+  tracer diffusivity (with a per-atom jackknife error), the collective
+  (charge) diffusivity, the Haven ratio, and — given a temperature — the
+  Nernst–Einstein ionic conductivity.
+- :class:`SiteDiffusionAnalysis` — the same estimator applied to the
+  *discretized* trajectory (each ion at its assigned site center,
+  unknowns forward-filled): how much of the kinetics the site
+  description captures.  ``D_site / D_tracer`` near 1 validates the site
+  decomposition; a shortfall quantifies intra-site (vibrational) motion
+  excluded by the discretization.
+
+Units: results are in (length²/time) of whatever units the trajectory
+and ``timestep`` are in.  ``conductivity_`` assumes Å, ps, elementary
+charges and kelvin, and is returned in S/cm.
+"""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from sitator_tpu.ops import msd as msd_ops
+
+__all__ = ["DiffusionAnalysis", "SiteDiffusionAnalysis"]
+
+logger = logging.getLogger(__name__)
+
+_E_CHARGE = 1.602176634e-19      # C
+_K_B = 1.380649e-23              # J/K
+
+
+def _per_signal_slopes(times, curves, lo, hi):
+    """Least-squares slopes of each row of ``curves`` over ``times[lo:hi]``
+    (vectorized normal equations — one pass, no per-row solve)."""
+    t = times[lo:hi]
+    y = curves[:, lo:hi]
+    t_c = t - t.mean()
+    denom = float((t_c * t_c).sum())
+    return (y - y.mean(axis=1, keepdims=True)) @ t_c / denom
+
+
+class DiffusionAnalysis:
+    """Tracer + collective diffusivity from a real trajectory.
+
+    Parameters
+    ----------
+    timestep : time between stored frames.
+    fit_range : (lo, hi) fractions of the maximum lag over which the MSD
+        is fitted (default (0.2, 0.5) — past the ballistic/vibrational
+        knee, before the noisy long-lag tail).
+    temperature : optional, kelvin — enables ``conductivity_`` (assumes
+        Å / ps / elementary charges).
+    charge : mobile-ion charge in elementary charges (for conductivity).
+    exact_unwrap : use the exact 27-image minimum-image displacement for
+        unwrapping (very skewed triclinic cells).
+
+    After ``run``: ``times_`` (F,), ``msd_`` (F,), ``msd_per_atom_``
+    (M, F), ``D_tracer_``, ``D_tracer_err_`` (jackknife standard error
+    over atoms), ``D_collective_`` (per ion), ``haven_ratio_``
+    (= D_tracer / D_collective), ``conductivity_`` (S/cm or None).
+    ``run`` returns ``self``.
+    """
+
+    def __init__(self, timestep=1.0, fit_range=(0.2, 0.5),
+                 temperature=None, charge=1.0, exact_unwrap=False,
+                 verbose=True):
+        lo, hi = fit_range
+        if not (0.0 <= lo < hi <= 1.0):
+            raise ValueError("fit_range must satisfy 0 <= lo < hi <= 1")
+        self.timestep = float(timestep)
+        self.fit_range = (float(lo), float(hi))
+        self.temperature = temperature
+        self.charge = float(charge)
+        self.exact_unwrap = bool(exact_unwrap)
+        self.verbose = verbose
+
+    # -- input plumbing ----------------------------------------------
+    @staticmethod
+    def _coerce(st_or_traj, mobile_mask, cell):
+        if hasattr(st_or_traj, "real_trajectory"):
+            st = st_or_traj
+            traj = st.real_trajectory
+            if traj is None:
+                raise ValueError(
+                    "SiteTrajectory has no real trajectory (set_real_traj)")
+            sn = st.site_network
+            return np.asarray(traj), sn.mobile_mask, sn.structure.cell
+        traj = np.asarray(st_or_traj)
+        if mobile_mask is None or cell is None:
+            raise ValueError("raw trajectory needs mobile_mask and cell")
+        return traj, np.asarray(mobile_mask), np.asarray(cell)
+
+    # -- the analysis ------------------------------------------------
+    def run(self, st_or_traj, mobile_mask=None, cell=None):
+        traj, mobile_mask, cell = self._coerce(st_or_traj, mobile_mask,
+                                               cell)
+        pos = traj[:, mobile_mask, :]
+        F, M = pos.shape[:2]
+        if F < 8:
+            raise ValueError(f"need at least 8 frames, got {F}")
+
+        unwrapped = msd_ops.unwrap_trajectory(pos, cell,
+                                              exact=self.exact_unwrap)
+        mean_msd, per_atom = msd_ops.msd_fft(unwrapped)
+        coll = msd_ops.collective_msd_fft(unwrapped)
+        self.msd_ = np.asarray(mean_msd, dtype=np.float64)
+        self.msd_per_atom_ = np.asarray(per_atom, dtype=np.float64)
+        coll = np.asarray(coll, dtype=np.float64) / M   # per ion
+        self.times_ = np.arange(F, dtype=np.float64) * self.timestep
+
+        lo = max(1, int(self.fit_range[0] * F))
+        hi = min(F, max(lo + 2, int(self.fit_range[1] * F)))
+        self.D_tracer_, _ = msd_ops.fit_diffusivity(
+            self.times_, self.msd_, self.fit_range)
+        self.D_collective_, _ = msd_ops.fit_diffusivity(
+            self.times_, coll, self.fit_range)
+        self.msd_collective_ = coll
+
+        # jackknife over atoms: SE of the slope-derived tracer D
+        slopes = _per_signal_slopes(self.times_, self.msd_per_atom_,
+                                    lo, hi) / 6.0
+        if M > 1:
+            jk = (slopes.sum() - slopes) / (M - 1)     # leave-one-out means
+            self.D_tracer_err_ = float(
+                np.sqrt((M - 1) / M * ((jk - jk.mean()) ** 2).sum()))
+        else:
+            self.D_tracer_err_ = float("nan")
+        self.D_per_atom_ = slopes
+
+        self.haven_ratio_ = (
+            float(self.D_tracer_ / self.D_collective_)
+            if self.D_collective_ > 0 else float("nan"))
+
+        self.conductivity_ = None
+        if self.temperature is not None:
+            # Å²/ps → m²/s is 1e-8; V in Å³ → m³ is 1e-30; result S/m → S/cm
+            vol_m3 = float(abs(np.linalg.det(cell))) * 1e-30
+            d_m2s = self.D_collective_ * 1e-8
+            sigma_sm = (M * (self.charge * _E_CHARGE) ** 2 * d_m2s
+                        / (vol_m3 * _K_B * float(self.temperature)))
+            self.conductivity_ = sigma_sm / 100.0
+        if self.verbose:
+            logger.info(
+                "D_tracer = %.4g ± %.2g, D_collective = %.4g, H_R = %.3g",
+                self.D_tracer_, self.D_tracer_err_, self.D_collective_,
+                self.haven_ratio_)
+        return self
+
+
+class SiteDiffusionAnalysis:
+    """Diffusivity of the *site-discretized* trajectory.
+
+    Each ion is placed at its assigned site center (unassigned frames
+    forward-filled from the last known site; leading unknowns
+    back-filled), the resulting center path is unwrapped minimum-image,
+    and the same FFT-MSD estimator is fitted.  After ``run(st)``:
+    ``times_``, ``msd_``, ``D_site_``; returns ``self``.
+    """
+
+    def __init__(self, timestep=1.0, fit_range=(0.2, 0.5), verbose=True):
+        self.timestep = float(timestep)
+        self.fit_range = fit_range
+        self.verbose = verbose
+
+    @staticmethod
+    def _filled_labels(labels):
+        """Forward-fill -1 labels; leading unknowns take the first known
+        site (an ion never assigned anywhere raises)."""
+        labels = np.array(labels, dtype=np.int64)      # (F, M) copy
+        F, M = labels.shape
+        if (labels < 0).all(axis=0).any():
+            raise ValueError("an ion has no assigned site in any frame")
+        known = labels >= 0
+        idx = np.where(known, np.arange(F)[:, None], -1)
+        ff = np.maximum.accumulate(idx, axis=0)
+        # back-fill the leading gap with each ion's first known label
+        first = labels[known.argmax(axis=0), np.arange(M)]
+        out = np.where(ff >= 0, labels[np.maximum(ff, 0),
+                                       np.arange(M)[None, :]], first)
+        return out
+
+    def run(self, st):
+        sn = st.site_network
+        if sn.centers is None:
+            raise ValueError("site network has no centers")
+        labels = self._filled_labels(st.traj)
+        pos = np.asarray(sn.centers)[labels]           # (F, M, 3)
+        unwrapped = msd_ops.unwrap_trajectory(pos, sn.structure.cell)
+        mean_msd, _ = msd_ops.msd_fft(unwrapped)
+        self.msd_ = np.asarray(mean_msd, dtype=np.float64)
+        F = len(self.msd_)
+        self.times_ = np.arange(F, dtype=np.float64) * self.timestep
+        self.D_site_, _ = msd_ops.fit_diffusivity(
+            self.times_, self.msd_, self.fit_range)
+        if self.verbose:
+            logger.info("D_site = %.4g", self.D_site_)
+        return self

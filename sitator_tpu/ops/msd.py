@@ -1,0 +1,117 @@
+"""Mean-squared displacement and trajectory unwrapping (host, float64).
+
+Downstream kinetics the reference ecosystem computes by hand around
+``sitator`` (tracer/collective diffusivity from an MD trajectory; the
+reference itself stops at jump statistics, SURVEY.md §3.4):
+
+- :func:`unwrap_trajectory`: wrapped → continuous coordinates by chaining
+  minimum-image frame-to-frame displacements (triclinic-safe, one
+  ``cumsum`` over the frame axis — no Python loop).
+- :func:`msd_fft`: the exact O(F log F) time-origin-averaged MSD via the
+  FFT autocorrelation identity (the "windowed MSD" algorithm), batched
+  over atoms and Cartesian components as one ``rfft``.
+- :func:`collective_msd_fft`: the same estimator applied to the summed
+  (collective / charge) displacement, for D_sigma and the Haven ratio.
+
+Deliberately host-side NumPy float64, like the host ``PBCCalculator``
+(SURVEY.md §3.7): ``MSD(m) = (S1(m) - 2*S2(m))/(F-m)`` subtracts two
+sums that each grow like ``F * |r|^2`` — catastrophic cancellation in
+float32 on long drifting trajectories — and the whole analysis runs once
+per trajectory (seconds even at 10^6 frames), so there is no device win
+to trade that precision for.  The device hot path (per-frame assignment)
+never calls this module.
+
+Math (per signal x(t), F frames, lag m):
+``S1(m) = sum_{t<F-m} (x(t)^2 + x(t+m)^2)`` via two cumulative sums and
+``S2(m) = sum_{t<F-m} x(t) x(t+m)`` via a zero-padded real FFT.
+Identical to the brute-force O(F^2) average over all time origins
+(tested against it, ``tests/test_diffusion.py``).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from sitator_tpu.ops.pbc import PBCCalculator
+
+__all__ = ["unwrap_trajectory", "msd_fft", "collective_msd_fft",
+           "fit_diffusivity"]
+
+
+def unwrap_trajectory(traj, cell, exact: bool = False):
+    """Continuous coordinates from a wrapped ``(F, N, 3)`` trajectory.
+
+    Frame-to-frame displacements are taken minimum-image (the physical
+    assumption: no atom moves more than half a cell vector per frame —
+    standard for MD output) and chained by a cumulative sum; frame 0 is
+    kept as-is, so the result starts at the input's first frame.
+    """
+    traj = np.asarray(traj, dtype=np.float64)
+    F, N = traj.shape[:2]
+    calc = PBCCalculator(cell, exact=exact)
+    raw = (traj[1:] - traj[:-1]).reshape(-1, 3)
+    disp = np.asarray(calc._min_image_disp(raw)).reshape(F - 1, N, 3)
+    out = np.empty_like(traj)
+    out[0] = traj[0]
+    np.cumsum(disp, axis=0, out=out[1:])
+    out[1:] += traj[0]
+    return out
+
+
+def _acf_fft(x):
+    """Linear (non-circular) autocorrelation of ``x`` (..., F) at lags
+    0..F-1: ``acf[m] = sum_t x[t] x[t+m]``, via a 2F-padded real FFT."""
+    F = x.shape[-1]
+    n = 2 * F
+    X = np.fft.rfft(x, n=n, axis=-1)
+    return np.fft.irfft(X * np.conj(X), n=n, axis=-1)[..., :F]
+
+
+def msd_fft(pos):
+    """Time-origin-averaged MSD of an unwrapped ``(F, N, 3)`` trajectory.
+
+    Returns ``(msd, msd_per_atom)``: ``msd`` is ``(F,)`` (mean over
+    atoms), ``msd_per_atom`` is ``(N, F)`` — per-atom curves feed the
+    jackknife error estimate in
+    :class:`~sitator_tpu.dynamics.diffusion.DiffusionAnalysis`.
+    ``msd[0] == 0``.
+    """
+    pos = np.asarray(pos, dtype=np.float64)
+    F = pos.shape[0]
+    x = np.moveaxis(pos, 0, -1)                      # (N, 3, F)
+    d = np.einsum("ncf,ncf->nf", x, x)               # (N, F)  |r(t)|^2
+    acf = _acf_fft(x).sum(axis=1)                    # (N, F)  sum_c S2
+    csum = np.concatenate(
+        [np.zeros((d.shape[0], 1)), np.cumsum(d, axis=1)], axis=1)
+    total = csum[:, -1:]
+    m = np.arange(F)
+    # S1(m) = sum_{t=0}^{F-m-1} d[t]  +  sum_{t=m}^{F-1} d[t]
+    head = csum[:, F - m]
+    tail = total - csum[:, m]
+    per_atom = (head + tail - 2.0 * acf) / (F - m)
+    per_atom[:, 0] = 0.0                             # exact zero at lag 0
+    return per_atom.mean(axis=0), per_atom
+
+
+def collective_msd_fft(pos):
+    """MSD of the summed displacement ``R(t) = sum_i [r_i(t) - r_i(0)]``
+    (the collective / charge walk) — ``(F,)``.  Divide by N for the
+    per-ion collective diffusivity entering the Haven ratio."""
+    pos = np.asarray(pos, dtype=np.float64)
+    R = (pos - pos[:1]).sum(axis=1, keepdims=True)   # (F, 1, 3)
+    return msd_fft(R)[0]
+
+
+def fit_diffusivity(times, msd, fit_range=(0.2, 0.5), dim=3):
+    """Least-squares slope of ``msd`` over the relative lag window
+    ``fit_range`` (fractions of the max lag), returned as
+    ``(D, intercept)`` with ``D = slope / (2 * dim)``."""
+    times = np.asarray(times, dtype=np.float64)
+    msd = np.asarray(msd, dtype=np.float64)
+    F = len(times)
+    lo = max(1, int(fit_range[0] * F))
+    hi = max(lo + 2, int(fit_range[1] * F))
+    hi = min(hi, F)
+    t, y = times[lo:hi], msd[lo:hi]
+    A = np.stack([t, np.ones_like(t)], axis=1)
+    (slope, intercept), *_ = np.linalg.lstsq(A, y, rcond=None)
+    return slope / (2.0 * dim), intercept

@@ -1,0 +1,145 @@
+"""MSD / diffusivity engines: the FFT estimator against the brute-force
+time-origin average, unwrapping against ground truth, and D recovery from
+random walks with known diffusivity."""
+import numpy as np
+import pytest
+
+from sitator_tpu.ops import msd as msd_ops
+from sitator_tpu.dynamics import DiffusionAnalysis, SiteDiffusionAnalysis
+
+
+def brute_msd(pos):
+    """O(F^2) time-origin-averaged MSD oracle, (F,) mean over atoms."""
+    F = pos.shape[0]
+    out = np.zeros(F)
+    for m in range(1, F):
+        d = pos[m:] - pos[:-m]
+        out[m] = (d ** 2).sum(axis=-1).mean()
+    return out
+
+
+def test_msd_fft_matches_brute_force():
+    rng = np.random.default_rng(7)
+    pos = np.cumsum(rng.normal(size=(65, 4, 3)), axis=0)  # odd F on purpose
+    mean_msd, per_atom = msd_ops.msd_fft(pos.astype(np.float64))
+    ref = brute_msd(pos)
+    np.testing.assert_allclose(np.asarray(mean_msd), ref, rtol=1e-8,
+                               atol=1e-8)
+    # per-atom curves average to the mean curve
+    np.testing.assert_allclose(np.asarray(per_atom).mean(0),
+                               np.asarray(mean_msd), rtol=1e-10)
+    assert float(mean_msd[0]) == 0.0
+
+
+def test_collective_msd_matches_brute_force():
+    rng = np.random.default_rng(8)
+    pos = np.cumsum(rng.normal(size=(48, 3, 3)), axis=0)
+    coll = np.asarray(msd_ops.collective_msd_fft(pos.astype(np.float64)))
+    R = (pos - pos[:1]).sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(coll, brute_msd(R), rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.parametrize("triclinic", [False, True])
+def test_unwrap_recovers_continuous_path(triclinic):
+    rng = np.random.default_rng(11)
+    cell = np.diag([6.0, 7.0, 8.0])
+    if triclinic:
+        cell = cell + np.array([[0, 1.1, 0.4], [0, 0, 0.9], [0, 0, 0]])
+    # continuous walk with steps well under half a cell vector
+    truth = np.cumsum(rng.normal(scale=0.4, size=(200, 5, 3)), axis=0)
+    frac = truth @ np.linalg.inv(cell)
+    wrapped = (frac - np.floor(frac)) @ cell
+    unwrapped = np.asarray(msd_ops.unwrap_trajectory(
+        wrapped.astype(np.float64), cell))
+    # continuous up to the (constant) image offset of frame 0
+    shift = truth[0] - unwrapped[0]
+    np.testing.assert_allclose(unwrapped + shift, truth, atol=1e-8)
+
+
+def test_diffusion_analysis_recovers_known_D():
+    """Gaussian walk with per-component step variance 2*D*dt → fitted
+    tracer D within a few percent; H_R ≈ 1 for independent walkers."""
+    rng = np.random.default_rng(13)
+    D_true, dt = 0.35, 2.0
+    F, M = 3000, 40
+    steps = rng.normal(scale=np.sqrt(2 * D_true * dt), size=(F - 1, M, 3))
+    traj = np.concatenate([np.zeros((1, M, 3)), np.cumsum(steps, 0)], 0)
+    cell = np.eye(3) * 50.0
+    frac = traj @ np.linalg.inv(cell)
+    wrapped = (frac - np.floor(frac)) @ cell
+
+    da = DiffusionAnalysis(timestep=dt, fit_range=(0.05, 0.25),
+                           verbose=False).run(
+        wrapped, mobile_mask=np.ones(M, bool), cell=cell)
+    # within 15% and within 3 of its own jackknife error bars
+    assert da.D_tracer_ == pytest.approx(D_true, rel=0.15)
+    assert abs(da.D_tracer_ - D_true) < 3 * da.D_tracer_err_
+    assert da.D_tracer_err_ < 0.15 * D_true
+    # independent walkers: collective D is noisier, but H_R ~ 1
+    assert 0.4 < da.haven_ratio_ < 2.5
+    assert da.conductivity_ is None
+    # MSD curve itself is ~ 6 D t in the fit window
+    mid = F // 3
+    assert da.msd_[mid] == pytest.approx(6 * D_true * da.times_[mid],
+                                         rel=0.1)
+
+
+def test_conductivity_nernst_einstein_closed_form():
+    """conductivity_ reproduces sigma = N q^2 e^2 D_coll / (V kB T) with
+    the documented Å/ps/e/K unit convention."""
+    rng = np.random.default_rng(17)
+    F, M = 1200, 16
+    steps = rng.normal(scale=0.3, size=(F - 1, M, 3))
+    traj = np.concatenate([np.zeros((1, M, 3)), np.cumsum(steps, 0)], 0)
+    cell = np.eye(3) * 40.0
+    da = DiffusionAnalysis(timestep=1.0, temperature=600.0, charge=1.0,
+                           verbose=False).run(
+        traj, mobile_mask=np.ones(M, bool), cell=cell)
+    e, kb = 1.602176634e-19, 1.380649e-23
+    expect = (M * e ** 2 * (da.D_collective_ * 1e-8)
+              / (40.0 ** 3 * 1e-30 * kb * 600.0)) / 100.0
+    assert da.conductivity_ == pytest.approx(expect, rel=1e-12)
+
+
+def test_site_diffusion_tracks_hopping_pipeline():
+    """End-to-end: hopping MD → landmark sites → SiteDiffusionAnalysis
+    vs DiffusionAnalysis on the real trajectory agree on the order of the
+    diffusivity (site discretization drops only intra-site motion)."""
+    from sitator_tpu.io import make_hopping_trajectory
+    from sitator_tpu import SiteNetwork
+    from sitator_tpu.voronoi import VoronoiSiteGenerator
+    from sitator_tpu.landmark import LandmarkAnalysis
+
+    md = make_hopping_trajectory(n_cells=3, a=4.0, n_ions=6, n_frames=800,
+                                 jump_rate=0.05, seed=21)
+    sn = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+    sn = VoronoiSiteGenerator(merge_tol=0.05).run(sn)
+    st = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                         verbose=False).run(sn, md.traj)
+    st.set_real_traj(md.traj)
+
+    da = DiffusionAnalysis(timestep=1.0, verbose=False).run(st)
+    sd = SiteDiffusionAnalysis(timestep=1.0, verbose=False).run(st)
+    assert da.D_tracer_ > 0 and sd.D_site_ > 0
+    # same kinetics to within a factor ~2 (vibration vs discretization)
+    ratio = sd.D_site_ / da.D_tracer_
+    assert 0.4 < ratio < 2.5, ratio
+
+
+def test_filled_labels_forward_and_back_fill():
+    labels = np.array([[-1, 2], [3, -1], [-1, -1], [4, 5]])
+    out = SiteDiffusionAnalysis._filled_labels(labels)
+    np.testing.assert_array_equal(out, [[3, 2], [3, 2], [3, 2], [4, 5]])
+    with pytest.raises(ValueError, match="no assigned site"):
+        SiteDiffusionAnalysis._filled_labels(np.array([[-1], [-1]]))
+
+
+def test_diffusion_input_validation():
+    with pytest.raises(ValueError, match="fit_range"):
+        DiffusionAnalysis(fit_range=(0.5, 0.2))
+    with pytest.raises(ValueError, match="needs mobile_mask"):
+        DiffusionAnalysis(verbose=False).run(np.zeros((10, 2, 3)))
+    with pytest.raises(ValueError, match="at least 8"):
+        DiffusionAnalysis(verbose=False).run(
+            np.zeros((4, 2, 3)), mobile_mask=np.ones(2, bool),
+            cell=np.eye(3))
