@@ -1,0 +1,76 @@
+"""Diffusion kinetics walkthrough — from a site analysis to transport
+coefficients.
+
+Beyond the reference's surface (upstream ``sitator`` stops at jump
+statistics, SURVEY.md §3.4): tracer and collective diffusivities from the
+FFT time-origin-averaged MSD, the Haven ratio, a Nernst–Einstein
+conductivity estimate, and the site-discretization cross-check
+(``SiteDiffusionAnalysis`` runs the same estimator on the ion-at-its-
+site-center path — close agreement means the discrete site/jump picture
+carries the transport physics).
+
+Run:  python examples/diffusion_kinetics.py   (pins the CPU backend itself;
+set SITATOR_EXAMPLES_PLATFORM to run on an accelerator)
+"""
+from _common import default_to_cpu
+
+default_to_cpu()
+
+import numpy as np
+
+from sitator_tpu import SiteNetwork
+from sitator_tpu.dynamics import (
+    DiffusionAnalysis,
+    JumpAnalysis,
+    SiteDiffusionAnalysis,
+)
+from sitator_tpu.io import make_hopping_trajectory
+from sitator_tpu.landmark import LandmarkAnalysis
+from sitator_tpu.voronoi import VoronoiSiteGenerator
+
+# --- 1. a hopping trajectory with known kinetics (lattice constant a=4 Å,
+# nominal jump rate 0.05/frame; treat frames as ps for demonstration)
+md = make_hopping_trajectory(n_cells=3, a=4.0, n_ions=6, n_frames=4000,
+                             jump_rate=0.05, seed=42)
+print(f"system: {md.structure}, {md.n_frames} frames, {md.n_ions} ions")
+
+# --- 2. site analysis as usual
+sn = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+sn = VoronoiSiteGenerator(merge_tol=0.05).run(sn)
+st = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                      verbose=False).run(sn, md.traj)
+st.set_real_traj(md.traj)
+ja = JumpAnalysis(verbose=False)
+ja.run(st)
+print(f"sites: {st.site_network.n_sites}, jumps observed: {ja.n_jumps}")
+
+# --- 3. transport coefficients from the real trajectory
+da = DiffusionAnalysis(timestep=1.0,        # ps between frames
+                       temperature=600.0,   # K, for Nernst-Einstein
+                       charge=1.0,          # e (Li+)
+                       verbose=False).run(st)
+print(f"D_tracer     = {da.D_tracer_:.4g} ± {da.D_tracer_err_:.2g} Å²/ps")
+print(f"D_collective = {da.D_collective_:.4g} Å²/ps   "
+      f"(Haven ratio {da.haven_ratio_:.3g})")
+print(f"sigma(600 K) = {da.conductivity_:.4g} S/cm  [Nernst-Einstein]")
+
+# --- 4. cross-check against the site-discretized path: how much of the
+# kinetics does the discrete site/jump description carry?
+sd = SiteDiffusionAnalysis(timestep=1.0, verbose=False).run(st)
+ratio = sd.D_site_ / da.D_tracer_
+print(f"D_site       = {sd.D_site_:.4g} Å²/ps   "
+      f"(D_site/D_tracer = {ratio:.3g})")
+assert 0.5 < ratio < 2.0, "site discretization lost the kinetics?"
+
+# --- 5. sanity: random-walk theory for this lattice. Ions hop between
+# body-center sites a=4 Å apart; an ideal 3-D walk with hop length L and
+# realized per-frame rate G has D = G * L^2 / 6. Use the generator's
+# ground-truth hop count (JumpAnalysis additionally sees boundary
+# flickers, which carry no net displacement).
+true_hops = md.true_n_ij.sum() - np.trace(md.true_n_ij)
+G = true_hops / (md.n_frames * md.n_ions)
+D_theory = G * 4.0 ** 2 / 6.0
+print(f"random-walk theory: D = {D_theory:.4g} Å²/ps "
+      f"(measured/theory = {da.D_tracer_ / D_theory:.3g})")
+assert 0.7 < da.D_tracer_ / D_theory < 1.3
+print("Diffusion walkthrough complete.")

@@ -30,6 +30,9 @@ EXAMPLES = {
         "delta vs gauss typing agreement: 100%"],
     "multichip_mesh.py": [
         "8-device run is bit-identical to the single-device run."],
+    "diffusion_kinetics.py": [
+        "D_tracer", "Haven ratio", "Nernst-Einstein",
+        "Diffusion walkthrough complete."],
 }
 
 
