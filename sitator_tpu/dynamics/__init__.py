@@ -5,11 +5,12 @@ from sitator_tpu.dynamics.filters import RemoveUnoccupiedSites, \
 from sitator_tpu.dynamics.vibrational import AverageVibrationalFrequency
 from sitator_tpu.dynamics.diffusion import DiffusionAnalysis, \
     SiteDiffusionAnalysis
+from sitator_tpu.dynamics.correlation import RDFAnalysis, VanHoveAnalysis
 from sitator_tpu.network.merging import MergeSitesByDistance
 
 __all__ = [
     "JumpAnalysis", "MergeSitesByDynamics", "MergeSitesByDistance",
     "RemoveUnoccupiedSites", "RemoveShortJumps",
     "AverageVibrationalFrequency", "DiffusionAnalysis",
-    "SiteDiffusionAnalysis",
+    "SiteDiffusionAnalysis", "RDFAnalysis", "VanHoveAnalysis",
 ]

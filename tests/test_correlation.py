@@ -1,0 +1,155 @@
+"""RDF / van Hove correlation functions: device histograms against
+brute-force oracles and closed-form limits."""
+import numpy as np
+import pytest
+
+from sitator_tpu.ops import correlation as corr
+from sitator_tpu.dynamics import RDFAnalysis, VanHoveAnalysis
+
+
+def brute_rdf(traj, cell, mask_a, mask_b, r_max, n_bins, same):
+    """O(F N^2) float64 oracle with explicit 27-image minimum distance."""
+    inv = np.linalg.inv(cell)
+    shifts = np.array([[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
+                       for k in (-1, 0, 1)]) @ cell
+    counts = np.zeros(n_bins)
+    A = traj[:, mask_a, :]
+    B = traj[:, mask_b, :]
+    for f in range(traj.shape[0]):
+        for i in range(A.shape[1]):
+            for j in range(B.shape[1]):
+                if same and i == j:
+                    continue
+                d = B[f, j] - A[f, i]
+                d -= np.round(d @ inv) @ cell
+                r = min(np.linalg.norm(d + s) for s in shifts)
+                b = int(r / (r_max / n_bins))
+                if b < n_bins:
+                    counts[b] += 1
+    return counts
+
+
+def test_rdf_matches_brute_force_triclinic():
+    rng = np.random.default_rng(3)
+    cell = np.array([[5.0, 0, 0], [1.2, 6.0, 0], [0.3, 0.8, 7.0]])
+    traj = rng.uniform(0, 1, size=(3, 12, 3)) @ cell
+    mask = np.ones(12, bool)
+    r_max, n_bins = 2.4, 24
+    r, g = corr.rdf(traj, cell, mask, r_max=r_max, n_bins=n_bins)
+    counts = brute_rdf(traj, cell, mask, mask, r_max, n_bins, True)
+    shells = 4 / 3 * np.pi * np.diff(np.linspace(0, r_max, n_bins + 1) ** 3)
+    vol = abs(np.linalg.det(cell))
+    norm = 3 * 12 * 11 * shells / vol
+    np.testing.assert_allclose(g, counts / norm, rtol=1e-5, atol=1e-12)
+    assert len(r) == n_bins and r[0] == pytest.approx(r_max / n_bins / 2)
+
+
+def test_rdf_ideal_gas_is_flat():
+    rng = np.random.default_rng(5)
+    cell = np.eye(3) * 12.0
+    traj = rng.uniform(0, 12.0, size=(40, 200, 3))
+    r, g = corr.rdf(traj, cell, np.ones(200, bool), n_bins=30)
+    # skip the tiny-shell first bins (few counts)
+    assert abs(g[5:].mean() - 1.0) < 0.05
+    assert g[5:].std() < 0.15
+
+
+def test_rdf_sc_lattice_peaks():
+    # one frame of a perfect SC lattice, spacing 2.0 in an 8.0 box
+    grid = np.stack(np.meshgrid(*[np.arange(4)] * 3, indexing="ij"),
+                    -1).reshape(-1, 3) * 2.0
+    traj = grid[None]
+    cell = np.eye(3) * 8.0
+    r, g = corr.rdf(traj, cell, np.ones(len(grid), bool), r_max=3.5,
+                    n_bins=70)
+    # no pair closer than the lattice spacing; strong peak at r=2
+    # (r=2.0 is exactly a bin edge — f32 rounding may land the counts in
+    # either adjacent bin, so test their sum)
+    assert g[r < 1.9].max() == 0.0
+    near = np.abs(r - 2.0) < 0.06
+    assert g[near].sum() > 10.0
+
+
+def test_van_hove_distinct_lag0_equals_rdf():
+    rng = np.random.default_rng(7)
+    cell = np.eye(3) * 9.0
+    traj = rng.uniform(0, 9.0, size=(6, 30, 3))
+    mask = np.ones(30, bool)
+    r1, g = corr.rdf(traj, cell, mask, n_bins=25)
+    r2, G = corr.van_hove_distinct(traj, cell, mask, lags=[0], n_bins=25)
+    np.testing.assert_allclose(r1, r2)
+    np.testing.assert_allclose(G[0], g, rtol=1e-6, atol=1e-12)
+
+
+def test_van_hove_self_gaussian_closed_form():
+    """For a Gaussian walk, P(r, t) is the Maxwell distribution with
+    sigma^2 = 2 D t per component; it integrates to 1."""
+    rng = np.random.default_rng(9)
+    F, N, D, dt = 2000, 100, 0.05, 1.0
+    steps = rng.normal(scale=np.sqrt(2 * D * dt), size=(F - 1, N, 3))
+    traj = np.concatenate([np.zeros((1, N, 3)), np.cumsum(steps, 0)], 0)
+    cell = np.eye(3) * 200.0
+    lag = 50
+    r, P = corr.van_hove_self(traj, cell, np.ones(N, bool), lags=[0, lag],
+                              r_max=10.0, n_bins=100, origin_stride=5)
+    dr = r[1] - r[0]
+    # lag 0: all mass in the first bin
+    assert P[0, 0] == pytest.approx(1.0 / dr)
+    assert P[0, 1:].sum() == 0.0
+    # lag 50: integrates to ~1 and matches the Maxwell density
+    assert P[1].sum() * dr == pytest.approx(1.0, abs=0.01)
+    s2 = 2 * D * dt * lag
+    maxwell = (4 * np.pi * r ** 2 * np.exp(-r ** 2 / (2 * s2))
+               / (2 * np.pi * s2) ** 1.5)
+    err = np.abs(P[1] - maxwell).max() / maxwell.max()
+    assert err < 0.1, err
+
+
+def test_engines_on_pipeline():
+    from sitator_tpu.io import make_hopping_trajectory
+    from sitator_tpu import SiteNetwork
+    from sitator_tpu.core.sitetraj import SiteTrajectory
+
+    md = make_hopping_trajectory(n_cells=3, a=4.0, n_ions=6, n_frames=200,
+                                 jump_rate=0.05, seed=31)
+    sn = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+    st = SiteTrajectory(sn, np.zeros((md.n_frames, md.n_ions), np.int64))
+    st.set_real_traj(md.traj)
+
+    ra = RDFAnalysis(select_a="mobile", select_b="static",
+                     verbose=False).run(st)
+    assert ra.g_.shape == (200,) and (ra.g_ >= 0).all()
+    # mobile ions sit in body centers: nearest host shell at sqrt(3) a/2
+    peak_r = ra.r_[np.argmax(ra.g_)]
+    assert peak_r == pytest.approx(np.sqrt(3) * 2.0, abs=0.5)
+
+    vh = VanHoveAnalysis(lags=(0, 20), n_bins=50, origin_stride=20,
+                         verbose=False).run(st)
+    assert vh.G_self_.shape == (2, 50) and vh.G_distinct_.shape == (2, 50)
+    dr = vh.r_[1] - vh.r_[0]
+    assert vh.G_self_[0, 0] == pytest.approx(1.0 / dr, rel=1e-6)
+
+    # species-number selection resolves, bogus selection raises
+    RDFAnalysis(select_a=3, verbose=False).run(st)
+    with pytest.raises(ValueError, match="unknown selection"):
+        RDFAnalysis(select_a="bogus", verbose=False).run(st)
+    with pytest.raises(ValueError, match="no real trajectory"):
+        st2 = SiteTrajectory(sn, np.zeros((5, md.n_ions), np.int64))
+        RDFAnalysis(verbose=False).run(st2)
+
+
+def test_min_cell_height_triclinic():
+    cell = np.array([[4.0, 0, 0], [0, 5.0, 0], [3.9, 0, 0.5]])
+    # the third vector is nearly parallel to the first: tiny height
+    h = corr._min_cell_height(cell)
+    assert h == pytest.approx(0.5, abs=1e-9)
+    assert corr._min_cell_height(np.eye(3) * 7.0) == pytest.approx(7.0)
+
+
+def test_lag_validation():
+    traj = np.zeros((10, 2, 3))
+    cell = np.eye(3) * 5.0
+    with pytest.raises(ValueError, match="lag"):
+        corr.van_hove_self(traj, cell, np.ones(2, bool), lags=[10])
+    with pytest.raises(ValueError, match="lag"):
+        corr.van_hove_distinct(traj, cell, np.ones(2, bool), lags=[-1])
