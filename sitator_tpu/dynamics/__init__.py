@@ -6,6 +6,7 @@ from sitator_tpu.dynamics.vibrational import AverageVibrationalFrequency
 from sitator_tpu.dynamics.diffusion import DiffusionAnalysis, \
     SiteDiffusionAnalysis
 from sitator_tpu.dynamics.correlation import RDFAnalysis, VanHoveAnalysis
+from sitator_tpu.dynamics.arrhenius import ArrheniusAnalysis
 from sitator_tpu.network.merging import MergeSitesByDistance
 
 __all__ = [
@@ -13,4 +14,5 @@ __all__ = [
     "RemoveUnoccupiedSites", "RemoveShortJumps",
     "AverageVibrationalFrequency", "DiffusionAnalysis",
     "SiteDiffusionAnalysis", "RDFAnalysis", "VanHoveAnalysis",
+    "ArrheniusAnalysis",
 ]

@@ -143,3 +143,40 @@ def test_diffusion_input_validation():
         DiffusionAnalysis(verbose=False).run(
             np.zeros((4, 2, 3)), mobile_mask=np.ones(2, bool),
             cell=np.eye(3))
+
+
+def test_arrhenius_recovers_known_activation_energy():
+    from sitator_tpu.dynamics import ArrheniusAnalysis
+    kb = 8.617333262e-5
+    Ea, D0 = 0.30, 1.7e-3
+    T = np.array([500.0, 600.0, 700.0, 800.0, 900.0])
+    rng = np.random.default_rng(23)
+    noise = rng.normal(scale=0.02, size=len(T))      # 2% ln-space noise
+    D = D0 * np.exp(-Ea / (kb * T)) * np.exp(noise)
+    aa = ArrheniusAnalysis(verbose=False).run(T, D, errors=0.02 * D)
+    assert aa.Ea_ev_ == pytest.approx(Ea, abs=0.02)
+    assert abs(aa.Ea_ev_ - Ea) < 3 * aa.Ea_err_ev_
+    assert aa.prefactor_ == pytest.approx(D0, rel=0.3)
+    # predict() round-trips the fit
+    np.testing.assert_allclose(
+        np.log(aa.predict(T)),
+        np.log(aa.prefactor_) - aa.Ea_ev_ / (kb * T), rtol=1e-12)
+    # exact (noise-free) data: tiny residuals and near-zero error bars
+    aa2 = ArrheniusAnalysis(verbose=False).run(T, D0 * np.exp(-Ea / (kb * T)))
+    assert aa2.Ea_ev_ == pytest.approx(Ea, abs=1e-10)
+    assert np.abs(aa2.residuals_).max() < 1e-12
+
+
+def test_arrhenius_input_validation():
+    from sitator_tpu.dynamics import ArrheniusAnalysis
+    aa = ArrheniusAnalysis(verbose=False)
+    with pytest.raises(ValueError, match="equal-length"):
+        aa.run([500.0], [[1.0]])
+    with pytest.raises(ValueError, match="at least 2"):
+        aa.run([500.0], [1.0])
+    with pytest.raises(ValueError, match="positive kelvin"):
+        aa.run([500.0, -600.0], [1.0, 1.0])
+    with pytest.raises(ValueError, match="positive"):
+        aa.run([500.0, 600.0], [1.0, -1.0])
+    with pytest.raises(ValueError, match="errors"):
+        aa.run([500.0, 600.0], [1.0, 1.0], errors=[0.1, 0.0])
