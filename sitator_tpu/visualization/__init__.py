@@ -10,9 +10,16 @@ from sitator_tpu.visualization.network_plot import (
     plot_particle_trajectory,
     plot_site,
 )
+from sitator_tpu.visualization.kinetics import (
+    plot_arrhenius,
+    plot_msd,
+    plot_rdf,
+    plot_van_hove,
+)
 
 __all__ = [
     "plotter", "layers", "species_color", "plot_atoms", "plot_points",
     "SiteNetworkPlotter", "plot_frame", "plot_site",
-    "plot_particle_trajectory",
+    "plot_particle_trajectory", "plot_msd", "plot_arrhenius", "plot_rdf",
+    "plot_van_hove",
 ]

@@ -1,0 +1,98 @@
+"""2-D plots for the kinetics engines (MSD / Arrhenius / RDF / van Hove).
+
+Same ``@plotter`` convention as the 3-D structure plots
+(``sitator_tpu/visualization/common.py``, reference SURVEY.md §3.8), but
+on 2-D axes: every function accepts ``fig``/``ax`` and returns the
+figure.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from sitator_tpu.visualization.common import plotter
+
+__all__ = ["plot_msd", "plot_arrhenius", "plot_rdf", "plot_van_hove"]
+
+_K_B_EV = 8.617333262e-5
+
+
+@plotter(is3D=False)
+def plot_msd(da, fig=None, ax=None, show_fit=True, show_atoms=False):
+    """MSD vs lag time from a fitted
+    :class:`~sitator_tpu.dynamics.diffusion.DiffusionAnalysis` (tracer
+    curve, optionally the per-atom spread and the fitted line)."""
+    t = da.times_
+    if show_atoms and hasattr(da, "msd_per_atom_"):
+        for curve in da.msd_per_atom_:
+            ax.plot(t, curve, color="0.8", lw=0.5, zorder=1)
+    ax.plot(t, da.msd_, color="C0", lw=2, zorder=3, label="MSD")
+    if show_fit:
+        lo, hi = da.fit_range
+        F = len(t)
+        sl = slice(max(1, int(lo * F)), max(int(lo * F) + 2, int(hi * F)))
+        ax.plot(t[sl], 6 * da.D_tracer_ * t[sl]
+                + (da.msd_[sl] - 6 * da.D_tracer_ * t[sl]).mean(),
+                "k--", zorder=4,
+                label=f"fit: D = {da.D_tracer_:.3g} ± "
+                      f"{da.D_tracer_err_:.2g}")
+    ax.set_xlabel("lag time")
+    ax.set_ylabel("MSD")
+    ax.legend()
+
+
+@plotter(is3D=False)
+def plot_arrhenius(aa, temperatures, values, errors=None, fig=None,
+                   ax=None):
+    """Arrhenius plot (ln y vs 1000/T) with the fitted line from a
+    :class:`~sitator_tpu.dynamics.arrhenius.ArrheniusAnalysis`."""
+    T = np.asarray(temperatures, dtype=np.float64)
+    y = np.asarray(values, dtype=np.float64)
+    x = 1000.0 / T
+    if errors is not None:
+        errors = np.asarray(errors, dtype=np.float64)
+        ax.errorbar(x, y, yerr=errors, fmt="o", color="C0", capsize=3)
+    else:
+        ax.plot(x, y, "o", color="C0")
+    xs = np.linspace(x.min(), x.max(), 100)
+    ax.plot(xs, aa.prefactor_
+            * np.exp(-aa.Ea_ev_ / (_K_B_EV * 1000.0 / xs)),
+            "k--",
+            label=f"Ea = {aa.Ea_ev_:.3g} ± {aa.Ea_err_ev_:.2g} eV")
+    ax.set_yscale("log")
+    ax.set_xlabel("1000 / T  [1/K]")
+    ax.set_ylabel("D (or rate)")
+    ax.legend()
+
+
+@plotter(is3D=False)
+def plot_rdf(ra, fig=None, ax=None, **plot_kwargs):
+    """g(r) from a fitted
+    :class:`~sitator_tpu.dynamics.correlation.RDFAnalysis`."""
+    ax.plot(ra.r_, ra.g_, **plot_kwargs)
+    ax.axhline(1.0, color="0.7", lw=0.8, zorder=1)
+    ax.set_xlabel("r")
+    ax.set_ylabel("g(r)")
+
+
+@plotter(is3D=False)
+def plot_van_hove(vh, part="self", fig=None, ax=None, cmap="viridis"):
+    """Self (``part='self'``) or distinct (``'distinct'``) van Hove
+    curves, one line per lag, from a fitted
+    :class:`~sitator_tpu.dynamics.correlation.VanHoveAnalysis`."""
+    import matplotlib.pyplot as plt
+    if part == "self":
+        G = vh.G_self_
+        ylabel = "P(r, t) = 4πr² G_s"
+    elif part == "distinct":
+        G = vh.G_distinct_
+        ylabel = "G_d(r, t)"
+    else:
+        raise ValueError("part must be 'self' or 'distinct'")
+    colors = plt.get_cmap(cmap)(np.linspace(0.15, 0.9, len(vh.lags)))
+    for lag, curve, c in zip(vh.lags, G, colors):
+        ax.plot(vh.r_, curve, color=c, label=f"t = {lag}")
+    if part == "distinct":
+        ax.axhline(1.0, color="0.7", lw=0.8, zorder=1)
+    ax.set_xlabel("r")
+    ax.set_ylabel(ylabel)
+    ax.legend()

@@ -153,3 +153,52 @@ def test_lag_validation():
         corr.van_hove_self(traj, cell, np.ones(2, bool), lags=[10])
     with pytest.raises(ValueError, match="lag"):
         corr.van_hove_distinct(traj, cell, np.ones(2, bool), lags=[-1])
+
+
+def test_kinetics_plotting_smoke(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from sitator_tpu.dynamics import ArrheniusAnalysis, DiffusionAnalysis
+    from sitator_tpu.visualization import (
+        plot_arrhenius, plot_msd, plot_rdf, plot_van_hove)
+
+    rng = np.random.default_rng(41)
+    F, N = 400, 10
+    traj = np.cumsum(rng.normal(scale=0.3, size=(F, N, 3)), axis=0)
+    cell = np.eye(3) * 30.0
+    da = DiffusionAnalysis(verbose=False).run(
+        traj, mobile_mask=np.ones(N, bool), cell=cell)
+    fig = plot_msd(da, show_atoms=True)
+    fig.savefig(tmp_path / "msd.png")
+
+    kb = 8.617333262e-5
+    T = np.array([500.0, 600.0, 700.0])
+    D = 1e-3 * np.exp(-0.2 / (kb * T))
+    aa = ArrheniusAnalysis(verbose=False).run(T, D)
+    fig = plot_arrhenius(aa, T, D, errors=0.05 * D)
+    fig.savefig(tmp_path / "arrhenius.png")
+
+    wrapped = rng.uniform(0, 9.0, size=(5, 20, 3))
+    class _RA:  # minimal fitted-result stand-ins
+        r_, g_ = corr.rdf(wrapped, np.eye(3) * 9.0, np.ones(20, bool),
+                          n_bins=20)
+    fig = plot_rdf(_RA)
+    fig.savefig(tmp_path / "rdf.png")
+
+    class _VH:
+        lags = (0, 2)
+        r_, G_self_ = corr.van_hove_self(
+            wrapped, np.eye(3) * 9.0, np.ones(20, bool), lags=lags,
+            n_bins=20)
+        _, G_distinct_ = corr.van_hove_distinct(
+            wrapped, np.eye(3) * 9.0, np.ones(20, bool), lags=lags,
+            n_bins=20)
+    fig = plot_van_hove(_VH, part="self")
+    fig.savefig(tmp_path / "vh_self.png")
+    fig = plot_van_hove(_VH, part="distinct")
+    fig.savefig(tmp_path / "vh_dist.png")
+    with pytest.raises(ValueError, match="self"):
+        plot_van_hove(_VH, part="bogus")
+    assert (tmp_path / "msd.png").stat().st_size > 1000
+    plt.close("all")
