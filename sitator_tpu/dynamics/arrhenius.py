@@ -47,6 +47,9 @@ class ArrheniusAnalysis:
         if (y <= 0).any():
             raise ValueError("values must be positive (Arrhenius is a fit "
                              "in ln space)")
+        if np.unique(T).size < 2:
+            raise ValueError("temperatures must contain at least 2 "
+                             "distinct values")
         x = 1.0 / T
         ln_y = np.log(y)
         if errors is not None:

@@ -52,11 +52,12 @@ class RDFAnalysis:
     returns ``self``."""
 
     def __init__(self, select_a="mobile", select_b=None, r_max=None,
-                 n_bins=200, verbose=True):
+                 n_bins=200, exact=False, verbose=True):
         self.select_a = select_a
         self.select_b = select_b
         self.r_max = r_max
         self.n_bins = int(n_bins)
+        self.exact = bool(exact)
         self.verbose = verbose
 
     def run(self, st):
@@ -66,7 +67,7 @@ class RDFAnalysis:
                   else _resolve_mask(self.select_b, sn))
         self.r_, self.g_ = corr_ops.rdf(
             traj, sn.structure.cell, mask_a, mask_b,
-            r_max=self.r_max, n_bins=self.n_bins)
+            r_max=self.r_max, n_bins=self.n_bins, exact=self.exact)
         if self.verbose:
             peak = self.r_[int(np.argmax(self.g_))]
             logger.info("g(r): first/highest peak at r = %.3f", peak)
@@ -80,12 +81,13 @@ class VanHoveAnalysis:
     (ideal gas → 1), each ``(len(lags), n_bins)``; returns ``self``."""
 
     def __init__(self, lags=(0, 10, 100), select="mobile", r_max=None,
-                 n_bins=200, origin_stride=10, verbose=True):
+                 n_bins=200, origin_stride=10, exact=False, verbose=True):
         self.lags = tuple(int(l) for l in lags)
         self.select = select
         self.r_max = r_max
         self.n_bins = int(n_bins)
         self.origin_stride = int(origin_stride)
+        self.exact = bool(exact)
         self.verbose = verbose
 
     def run(self, st):
@@ -94,10 +96,12 @@ class VanHoveAnalysis:
         cell = sn.structure.cell
         self.r_, self.G_self_ = corr_ops.van_hove_self(
             traj, cell, mask, self.lags, r_max=self.r_max,
-            n_bins=self.n_bins, origin_stride=self.origin_stride)
+            n_bins=self.n_bins, origin_stride=self.origin_stride,
+            exact=self.exact)
         _, self.G_distinct_ = corr_ops.van_hove_distinct(
             traj, cell, mask, self.lags, r_max=self.r_max,
-            n_bins=self.n_bins, origin_stride=self.origin_stride)
+            n_bins=self.n_bins, origin_stride=self.origin_stride,
+            exact=self.exact)
         if self.verbose:
             logger.info("van Hove over lags %s computed (%d bins)",
                         self.lags, self.n_bins)

@@ -39,6 +39,13 @@ _E_CHARGE = 1.602176634e-19      # C
 _K_B = 1.380649e-23              # J/K
 
 
+def _check_fit_range(fit_range):
+    lo, hi = fit_range
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ValueError("fit_range must satisfy 0 <= lo < hi <= 1")
+    return (float(lo), float(hi))
+
+
 def _per_signal_slopes(times, curves, lo, hi):
     """Least-squares slopes of each row of ``curves`` over ``times[lo:hi]``
     (vectorized normal equations — one pass, no per-row solve)."""
@@ -74,11 +81,8 @@ class DiffusionAnalysis:
     def __init__(self, timestep=1.0, fit_range=(0.2, 0.5),
                  temperature=None, charge=1.0, exact_unwrap=False,
                  verbose=True):
-        lo, hi = fit_range
-        if not (0.0 <= lo < hi <= 1.0):
-            raise ValueError("fit_range must satisfy 0 <= lo < hi <= 1")
         self.timestep = float(timestep)
-        self.fit_range = (float(lo), float(hi))
+        self.fit_range = _check_fit_range(fit_range)
         self.temperature = temperature
         self.charge = float(charge)
         self.exact_unwrap = bool(exact_unwrap)
@@ -118,8 +122,7 @@ class DiffusionAnalysis:
         coll = np.asarray(coll, dtype=np.float64) / M   # per ion
         self.times_ = np.arange(F, dtype=np.float64) * self.timestep
 
-        lo = max(1, int(self.fit_range[0] * F))
-        hi = min(F, max(lo + 2, int(self.fit_range[1] * F)))
+        lo, hi = msd_ops.fit_window(F, self.fit_range)
         self.D_tracer_, _ = msd_ops.fit_diffusivity(
             self.times_, self.msd_, self.fit_range)
         self.D_collective_, _ = msd_ops.fit_diffusivity(
@@ -143,12 +146,22 @@ class DiffusionAnalysis:
 
         self.conductivity_ = None
         if self.temperature is not None:
-            # Å²/ps → m²/s is 1e-8; V in Å³ → m³ is 1e-30; result S/m → S/cm
-            vol_m3 = float(abs(np.linalg.det(cell))) * 1e-30
-            d_m2s = self.D_collective_ * 1e-8
-            sigma_sm = (M * (self.charge * _E_CHARGE) ** 2 * d_m2s
-                        / (vol_m3 * _K_B * float(self.temperature)))
-            self.conductivity_ = sigma_sm / 100.0
+            if self.D_collective_ > 0:
+                # Å²/ps → m²/s is 1e-8; V in Å³ → m³ is 1e-30; S/m → S/cm
+                vol_m3 = float(abs(np.linalg.det(cell))) * 1e-30
+                d_m2s = self.D_collective_ * 1e-8
+                sigma_sm = (M * (self.charge * _E_CHARGE) ** 2 * d_m2s
+                            / (vol_m3 * _K_B * float(self.temperature)))
+                self.conductivity_ = sigma_sm / 100.0
+            else:
+                # a noise-negative collective slope (few ions / short
+                # runs) has no physical conductivity — don't report one
+                self.conductivity_ = float("nan")
+                logger.warning(
+                    "collective MSD slope is non-positive (%.3g) — "
+                    "conductivity_ set to NaN; more frames or ions "
+                    "needed for a collective estimate",
+                    self.D_collective_)
         if self.verbose:
             logger.info(
                 "D_tracer = %.4g ± %.2g, D_collective = %.4g, H_R = %.3g",
@@ -169,7 +182,7 @@ class SiteDiffusionAnalysis:
 
     def __init__(self, timestep=1.0, fit_range=(0.2, 0.5), verbose=True):
         self.timestep = float(timestep)
-        self.fit_range = fit_range
+        self.fit_range = _check_fit_range(fit_range)
         self.verbose = verbose
 
     @staticmethod

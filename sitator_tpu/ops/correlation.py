@@ -19,9 +19,19 @@ minimum-image distance block — O(N²) work that rides
 :func:`~sitator_tpu.ops.pbc.pairwise_pbc_distances` (VPU, statically
 shaped) — followed by a fixed-bin histogram
 (``searchsorted`` + ``segment_sum``).  Frames are swept with
-``lax.scan`` so one compiled program handles any number of origins; the
-self part is a cheap O(N·F) host pass in float64 over the unwrapped
-trajectory (same precision reasoning as :mod:`sitator_tpu.ops.msd`).
+``lax.scan`` in bounded chunks: the device carry is int32 (exact — a
+float32 carry silently drops increments past 2^24) with chunk sizes
+capped so a chunk cannot overflow, and the host accumulates chunk
+results in int64.  All lags of :func:`van_hove_distinct` share one
+origin grid (and therefore one compiled program — remote TPU compiles
+are expensive).  The self part is a cheap O(N·F) host pass in float64
+over the unwrapped trajectory (same precision reasoning as
+:mod:`sitator_tpu.ops.msd`).
+
+Minimum-image validity: ``r_max`` may not exceed half the shortest cell
+height (the single-round-trip guarantee); with ``exact=True`` the
+27-image exact minimum distance extends validity to the full height at
+~27× the distance cost.
 """
 from __future__ import annotations
 
@@ -36,37 +46,67 @@ from sitator_tpu.ops.msd import unwrap_trajectory
 
 __all__ = ["rdf", "van_hove_distinct", "van_hove_self"]
 
+# a single scan chunk must satisfy chunk * Na * Nb < 2^31 (int32 carry)
+_MAX_CHUNK_PAIRS = 2 ** 31 - 2 ** 24
+_DEFAULT_CHUNK = 512
+
 
 def _bin_counts(dists, valid, r_max, n_bins):
-    """Histogram ``dists`` where ``valid`` into n_bins over [0, r_max)."""
+    """Histogram ``dists`` where ``valid`` into n_bins over [0, r_max),
+    as exact int32 counts."""
     idx = jnp.floor(dists * (n_bins / r_max)).astype(jnp.int32)
     ok = valid & (idx >= 0) & (idx < n_bins)
     idx = jnp.where(ok, idx, n_bins)                  # overflow bucket
     counts = jax.ops.segment_sum(
-        jnp.where(ok, 1.0, 0.0).ravel(), idx.ravel(),
+        jnp.where(ok, 1, 0).ravel().astype(jnp.int32), idx.ravel(),
         num_segments=n_bins + 1)
     return counts[:n_bins]
 
 
-@partial(jax.jit, static_argnames=("n_bins", "exclude_self"))
-def _pair_hist_scan(frames_a, frames_b, cell, r_max, n_bins,
-                    exclude_self):
+@partial(jax.jit, static_argnames=("n_bins", "exact"))
+def _pair_hist_chunk(frames_a, frames_b, exclude, cell, r_max, n_bins,
+                     exact):
     """Sum of pair-distance histograms over paired frame stacks
-    ``(F, Na, 3) × (F, Nb, 3)`` → (n_bins,)."""
+    ``(C, Na, 3) × (C, Nb, 3)`` → int32 ``(n_bins,)``.  ``exclude`` is a
+    ``(Na, Nb)`` bool matrix of pairs to drop (same-atom pairs across
+    overlapping selections)."""
     cell = jnp.asarray(cell, dtype=frames_a.dtype)
     cell_inv = pbc.cell_inverse(cell)
-    eye = (jnp.eye(frames_a.shape[1], frames_b.shape[1], dtype=bool)
-           if exclude_self else
-           jnp.zeros((frames_a.shape[1], frames_b.shape[1]), dtype=bool))
 
     def step(acc, ab):
         a, b = ab
-        d = pbc.pairwise_pbc_distances(a, b, cell, cell_inv)
-        return acc + _bin_counts(d, ~eye, r_max, n_bins), None
+        d = pbc.pairwise_pbc_distances(a, b, cell, cell_inv, exact=exact)
+        return acc + _bin_counts(d, ~exclude, r_max, n_bins), None
 
-    init = jnp.zeros((n_bins,), dtype=jnp.float32)
+    init = jnp.zeros((n_bins,), dtype=jnp.int32)
     out, _ = jax.lax.scan(step, init, (frames_a, frames_b))
     return out
+
+
+def _pair_hist(frames_a, frames_b, exclude, cell, r_max, n_bins, exact):
+    """Host driver: chunk the frame axis (int32-exact device carries,
+    int64 host accumulation) → int64 ``(n_bins,)``.  At most two
+    compiled shapes per (Na, Nb): the full chunk and one ragged tail."""
+    F, na = frames_a.shape[:2]
+    nb = frames_b.shape[1]
+    chunk = min(F, _DEFAULT_CHUNK,
+                max(1, _MAX_CHUNK_PAIRS // max(1, na * nb)))
+    exclude = jnp.asarray(exclude)
+    fa = jnp.asarray(frames_a)
+    fb = jnp.asarray(frames_b)
+    total = np.zeros(n_bins, dtype=np.int64)
+    for s in range(0, F - F % chunk, chunk):
+        total += np.asarray(
+            _pair_hist_chunk(fa[s:s + chunk], fb[s:s + chunk], exclude,
+                             cell, float(r_max), int(n_bins), bool(exact)),
+            dtype=np.int64)
+    tail = F % chunk
+    if tail:
+        total += np.asarray(
+            _pair_hist_chunk(fa[F - tail:], fb[F - tail:], exclude,
+                             cell, float(r_max), int(n_bins), bool(exact)),
+            dtype=np.int64)
+    return total
 
 
 def _shell_volumes(r_max, n_bins):
@@ -74,33 +114,57 @@ def _shell_volumes(r_max, n_bins):
     return 4.0 / 3.0 * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3), edges
 
 
-def rdf(traj, cell, mask_a, mask_b=None, r_max=None, n_bins=200):
+def _resolve_r_max(r_max, cell, exact):
+    """Default and validate ``r_max`` against the minimum-image validity
+    radius (half the shortest cell height; the full height with the
+    27-image exact mode)."""
+    height = float(_min_cell_height(cell))
+    limit = height if exact else 0.5 * height
+    if r_max is None:
+        return 0.5 * height
+    r_max = float(r_max)
+    if r_max > limit * (1 + 1e-9):
+        raise ValueError(
+            f"r_max={r_max:g} exceeds the minimum-image validity radius "
+            f"{limit:g} for this cell (shortest height {height:g}); "
+            + ("shrink r_max"
+               if exact else "shrink r_max or pass exact=True"))
+    return r_max
+
+
+def _exclude_matrix(mask_a, mask_b):
+    """(Na, Nb) bool matrix marking pairs that are the SAME original
+    atom under the two selections (handles identical, subset,
+    overlapping and disjoint selections alike)."""
+    ia = np.where(mask_a)[0]
+    ib = np.where(mask_b)[0]
+    return ia[:, None] == ib[None, :]
+
+
+def rdf(traj, cell, mask_a, mask_b=None, r_max=None, n_bins=200,
+        exact=False):
     """Frame-averaged radial distribution function g(r).
 
     traj ``(F, N, 3)`` wrapped or not (minimum-image throughout);
-    ``mask_a``/``mask_b`` boolean atom selections (b defaults to a; the
-    i==j self-pair is excluded when the selections are identical).
-    Returns ``(r_centers, g)`` as float64 NumPy arrays.  ``r_max``
-    defaults to half the shortest cell height (the minimum-image validity
-    radius).
+    ``mask_a``/``mask_b`` boolean atom selections (b defaults to a; any
+    atom present in both selections is never paired with itself, and
+    the normalization accounts for the overlap).  Returns
+    ``(r_centers, g)`` as float64 NumPy arrays.  ``r_max`` defaults to
+    half the shortest cell height and is validated against the
+    minimum-image limit (``exact=True`` enables the 27-image exact
+    distance, extending validity to the full height).
     """
     traj = np.asarray(traj)
     cell = np.asarray(cell, dtype=np.float64)
     mask_a = np.asarray(mask_a, dtype=bool)
     mask_b = mask_a if mask_b is None else np.asarray(mask_b, dtype=bool)
-    same = mask_a.shape == mask_b.shape and (mask_a == mask_b).all()
-    if r_max is None:
-        r_max = 0.5 * float(_min_cell_height(cell))
-    A = traj[:, mask_a, :]
-    B = traj[:, mask_b, :]
-    counts = np.asarray(
-        _pair_hist_scan(jnp.asarray(A), jnp.asarray(B), cell,
-                        float(r_max), int(n_bins), bool(same)),
-        dtype=np.float64)
+    r_max = _resolve_r_max(r_max, cell, exact)
+    exclude = _exclude_matrix(mask_a, mask_b)
+    counts = _pair_hist(traj[:, mask_a, :], traj[:, mask_b, :], exclude,
+                        cell, r_max, int(n_bins), exact).astype(np.float64)
     shells, edges = _shell_volumes(float(r_max), int(n_bins))
     vol = float(abs(np.linalg.det(cell)))
-    n_a, n_b = int(mask_a.sum()), int(mask_b.sum())
-    n_pairs = n_a * n_b - (n_a if same else 0)
+    n_pairs = int(mask_a.sum()) * int(mask_b.sum()) - int(exclude.sum())
     norm = traj.shape[0] * n_pairs * shells / vol
     g = np.divide(counts, norm, out=np.zeros_like(counts),
                   where=norm > 0)
@@ -108,36 +172,38 @@ def rdf(traj, cell, mask_a, mask_b=None, r_max=None, n_bins=200):
 
 
 def van_hove_distinct(traj, cell, mask, lags, r_max=None, n_bins=200,
-                      origin_stride=1):
+                      origin_stride=1, exact=False):
     """Distinct van Hove function G_d(r, t) for the selected ions.
 
     For each lag t in ``lags`` (frames), histogram the minimum-image
     distances between ion i at an origin frame and every *other* ion j
-    at origin+t, averaged over origins (subsampled by
-    ``origin_stride``), normalized like g(r) (ideal gas → 1).  Returns
-    ``(r_centers, G)`` with ``G.shape == (len(lags), n_bins)``.
+    at origin+t, averaged over origins, normalized like g(r) (ideal gas
+    → 1).  All lags share one origin grid —
+    ``range(0, F - max(lags), origin_stride)`` — so every lag reuses
+    the same compiled device program and the same statistics base.
+    Returns ``(r_centers, G)`` with ``G.shape == (len(lags), n_bins)``.
     """
     traj = np.asarray(traj)
     cell = np.asarray(cell, dtype=np.float64)
     mask = np.asarray(mask, dtype=bool)
-    if r_max is None:
-        r_max = 0.5 * float(_min_cell_height(cell))
+    r_max = _resolve_r_max(r_max, cell, exact)
     F = traj.shape[0]
-    ions = traj[:, mask, :]
-    n = int(mask.sum())
-    shells, edges = _shell_volumes(float(r_max), int(n_bins))
-    vol = float(abs(np.linalg.det(cell)))
-    out = np.empty((len(lags), n_bins), dtype=np.float64)
-    for k, lag in enumerate(lags):
-        lag = int(lag)
+    lags = [int(l) for l in lags]
+    for lag in lags:
         if not 0 <= lag < F:
             raise ValueError(f"lag {lag} outside 0..{F - 1}")
-        origins = np.arange(0, F - lag, int(origin_stride))
-        counts = np.asarray(
-            _pair_hist_scan(jnp.asarray(ions[origins]),
-                            jnp.asarray(ions[origins + lag]), cell,
-                            float(r_max), int(n_bins), True),
-            dtype=np.float64)
+    ions = traj[:, mask, :]
+    n = int(mask.sum())
+    # non-empty by construction: lag < F ⇒ the range contains origin 0
+    origins = np.arange(0, F - max(lags), int(origin_stride))
+    shells, edges = _shell_volumes(float(r_max), int(n_bins))
+    vol = float(abs(np.linalg.det(cell)))
+    eye = np.eye(n, dtype=bool)
+    out = np.empty((len(lags), n_bins), dtype=np.float64)
+    for k, lag in enumerate(lags):
+        counts = _pair_hist(ions[origins], ions[origins + lag], eye,
+                            cell, r_max, int(n_bins),
+                            exact).astype(np.float64)
         norm = len(origins) * n * (n - 1) * shells / vol
         out[k] = np.divide(counts, norm, out=np.zeros_like(counts),
                            where=norm > 0)
@@ -149,7 +215,10 @@ def van_hove_self(traj, cell, mask, lags, r_max=None, n_bins=200,
     """Self part as the displacement-magnitude density P(r, t) = 4πr²G_s:
     for each lag, the probability density (per unit r, integrates to 1 up
     to ``r_max``) of an ion having moved distance r.  Host float64 over
-    the unwrapped trajectory.  Returns ``(r_centers, P)`` with
+    the unwrapped trajectory; ``r_max`` here is a histogram window, not
+    a minimum-image limit (displacements are unwrapped), and defaults to
+    half the shortest cell height for comparability with the distinct
+    part.  Returns ``(r_centers, P)`` with
     ``P.shape == (len(lags), n_bins)``.
     """
     traj = np.asarray(traj)
@@ -178,6 +247,6 @@ def _min_cell_height(cell):
     """Shortest perpendicular height of the (possibly triclinic) cell —
     the minimum-image validity radius is half of it."""
     inv = np.linalg.inv(np.asarray(cell, dtype=np.float64))
-    # row i of inv^T is the reciprocal vector of face i; the height is
-    # 1/|that row|
+    # column i of inv is the reciprocal vector of face i; the height is
+    # 1/|that column|
     return (1.0 / np.linalg.norm(inv, axis=0)).min()

@@ -34,7 +34,17 @@ import numpy as np
 from sitator_tpu.ops.pbc import PBCCalculator
 
 __all__ = ["unwrap_trajectory", "msd_fft", "collective_msd_fft",
-           "fit_diffusivity"]
+           "fit_diffusivity", "fit_window"]
+
+
+def fit_window(n_frames, fit_range):
+    """The (lo, hi) lag-index window that :func:`fit_diffusivity` fits
+    over — the single source of truth for every consumer (the engines
+    and the plots use it too, so the drawn fit always matches the
+    fitted one)."""
+    lo = max(1, int(fit_range[0] * n_frames))
+    hi = max(lo + 2, int(fit_range[1] * n_frames))
+    return lo, min(hi, n_frames)
 
 
 def unwrap_trajectory(traj, cell, exact: bool = False):
@@ -107,10 +117,7 @@ def fit_diffusivity(times, msd, fit_range=(0.2, 0.5), dim=3):
     ``(D, intercept)`` with ``D = slope / (2 * dim)``."""
     times = np.asarray(times, dtype=np.float64)
     msd = np.asarray(msd, dtype=np.float64)
-    F = len(times)
-    lo = max(1, int(fit_range[0] * F))
-    hi = max(lo + 2, int(fit_range[1] * F))
-    hi = min(hi, F)
+    lo, hi = fit_window(len(times), fit_range)
     t, y = times[lo:hi], msd[lo:hi]
     A = np.stack([t, np.ones_like(t)], axis=1)
     (slope, intercept), *_ = np.linalg.lstsq(A, y, rcond=None)

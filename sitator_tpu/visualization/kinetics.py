@@ -27,9 +27,8 @@ def plot_msd(da, fig=None, ax=None, show_fit=True, show_atoms=False):
             ax.plot(t, curve, color="0.8", lw=0.5, zorder=1)
     ax.plot(t, da.msd_, color="C0", lw=2, zorder=3, label="MSD")
     if show_fit:
-        lo, hi = da.fit_range
-        F = len(t)
-        sl = slice(max(1, int(lo * F)), max(int(lo * F) + 2, int(hi * F)))
+        from sitator_tpu.ops.msd import fit_window
+        sl = slice(*fit_window(len(t), da.fit_range))
         ax.plot(t[sl], 6 * da.D_tracer_ * t[sl]
                 + (da.msd_[sl] - 6 * da.D_tracer_ * t[sl]).mean(),
                 "k--", zorder=4,

@@ -202,3 +202,67 @@ def test_kinetics_plotting_smoke(tmp_path):
         plot_van_hove(_VH, part="bogus")
     assert (tmp_path / "msd.png").stat().st_size > 1000
     plt.close("all")
+
+
+def test_histogram_counts_exact_past_float32(rng=None):
+    """A single bin accumulating >2^24 counts stays exact (the carry is
+    int32, host-accumulated in int64 — a f32 carry would round away
+    increments past 16.7M)."""
+    n, F = 650, 40                      # 40 * 650 * 649 = 16.87M pairs
+    pts = np.random.default_rng(0).normal(scale=1e-3, size=(F, n, 3)) + 5.0
+    cell = np.eye(3) * 10.0
+    r, g = corr.rdf(pts, cell, np.ones(n, bool), r_max=1.0, n_bins=4)
+    shells = 4 / 3 * np.pi * np.diff(np.linspace(0, 1.0, 5) ** 3)
+    vol = 1000.0
+    counts = g * (F * n * (n - 1) * shells / vol)
+    assert int(round(counts.sum())) == F * n * (n - 1)
+    assert counts.sum() > 2 ** 24      # the regression actually bites
+
+
+def test_rdf_overlapping_selections_no_self_spike():
+    """A selection contained in another: shared atoms are never paired
+    with themselves and the normalization accounts for the overlap."""
+    rng = np.random.default_rng(19)
+    n = 120
+    traj = rng.uniform(0, 12.0, size=(30, n, 3))
+    cell = np.eye(3) * 12.0
+    sub = np.zeros(n, bool)
+    sub[:40] = True
+    r, g = corr.rdf(traj, cell, sub, np.ones(n, bool), n_bins=30)
+    assert g[0] < 5.0                   # no r=0 self spike
+    assert abs(g[5:].mean() - 1.0) < 0.1
+
+
+def test_r_max_validation():
+    cell = np.eye(3) * 8.0
+    traj = np.zeros((2, 3, 3))
+    mask = np.ones(3, bool)
+    with pytest.raises(ValueError, match="minimum-image validity"):
+        corr.rdf(traj, cell, mask, r_max=4.5)
+    # exact mode extends validity to the full height
+    corr.rdf(traj, cell, mask, r_max=4.5, exact=True)
+    with pytest.raises(ValueError, match="minimum-image validity"):
+        corr.rdf(traj, cell, mask, r_max=8.5, exact=True)
+    with pytest.raises(ValueError, match="minimum-image validity"):
+        corr.van_hove_distinct(traj, cell, mask, lags=[0], r_max=4.5)
+
+
+def test_van_hove_distinct_shared_origins():
+    rng = np.random.default_rng(29)
+    traj = rng.uniform(0, 9.0, size=(50, 8, 3))
+    cell = np.eye(3) * 9.0
+    # all lags share the origin grid of the largest lag; a max-lag with
+    # a huge stride still has origin 0
+    r, G = corr.van_hove_distinct(traj, cell, np.ones(8, bool),
+                                  lags=[0, 10, 40], n_bins=10)
+    assert G.shape == (3, 10)
+    r2, G2 = corr.van_hove_distinct(traj, cell, np.ones(8, bool),
+                                    lags=[49], origin_stride=60, n_bins=10)
+    assert np.isfinite(G2).all()
+
+
+def test_fit_window_single_source_of_truth():
+    from sitator_tpu.ops.msd import fit_window
+    assert fit_window(400, (0.0, 0.004)) == (1, 3)
+    assert fit_window(100, (0.2, 0.5)) == (20, 50)
+    assert fit_window(5, (0.2, 0.9)) == (1, 4)

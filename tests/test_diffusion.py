@@ -180,3 +180,29 @@ def test_arrhenius_input_validation():
         aa.run([500.0, 600.0], [1.0, -1.0])
     with pytest.raises(ValueError, match="errors"):
         aa.run([500.0, 600.0], [1.0, 1.0], errors=[0.1, 0.0])
+
+
+def test_conductivity_nan_on_nonpositive_collective_slope():
+    """In-phase oscillating ions give a negative collective MSD slope:
+    conductivity_ must come out NaN (with a warning), not negative."""
+    F, M = 200, 2
+    t = np.arange(F)
+    pos = np.zeros((F, M, 3))
+    pos[:, :, 0] = 3.0 * np.sin(2 * np.pi * t / 100)[:, None]
+    pos += np.random.default_rng(3).normal(scale=1e-3, size=pos.shape)
+    da = DiffusionAnalysis(temperature=600.0, verbose=False).run(
+        pos, mobile_mask=np.ones(M, bool), cell=np.eye(3) * 100.0)
+    assert da.D_collective_ < 0
+    assert np.isnan(da.conductivity_)
+    assert np.isnan(da.haven_ratio_)
+
+
+def test_site_diffusion_validates_fit_range():
+    with pytest.raises(ValueError, match="fit_range"):
+        SiteDiffusionAnalysis(fit_range=(0.5, 0.2))
+
+
+def test_arrhenius_duplicate_temperatures_rejected():
+    from sitator_tpu.dynamics import ArrheniusAnalysis
+    with pytest.raises(ValueError, match="distinct"):
+        ArrheniusAnalysis(verbose=False).run([600.0, 600.0], [1e-3, 2e-3])
