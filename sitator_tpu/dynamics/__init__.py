@@ -4,7 +4,7 @@ from sitator_tpu.dynamics.filters import RemoveUnoccupiedSites, \
     RemoveShortJumps
 from sitator_tpu.dynamics.vibrational import AverageVibrationalFrequency
 from sitator_tpu.dynamics.diffusion import DiffusionAnalysis, \
-    SiteDiffusionAnalysis
+    SiteDiffusionAnalysis, RelaxationAnalysis
 from sitator_tpu.dynamics.correlation import RDFAnalysis, VanHoveAnalysis
 from sitator_tpu.dynamics.arrhenius import ArrheniusAnalysis
 from sitator_tpu.network.merging import MergeSitesByDistance
@@ -13,6 +13,6 @@ __all__ = [
     "JumpAnalysis", "MergeSitesByDynamics", "MergeSitesByDistance",
     "RemoveUnoccupiedSites", "RemoveShortJumps",
     "AverageVibrationalFrequency", "DiffusionAnalysis",
-    "SiteDiffusionAnalysis", "RDFAnalysis", "VanHoveAnalysis",
-    "ArrheniusAnalysis",
+    "SiteDiffusionAnalysis", "RelaxationAnalysis", "RDFAnalysis",
+    "VanHoveAnalysis", "ArrheniusAnalysis",
 ]

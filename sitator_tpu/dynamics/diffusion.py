@@ -31,7 +31,8 @@ import numpy as np
 
 from sitator_tpu.ops import msd as msd_ops
 
-__all__ = ["DiffusionAnalysis", "SiteDiffusionAnalysis"]
+__all__ = ["DiffusionAnalysis", "SiteDiffusionAnalysis",
+           "RelaxationAnalysis"]
 
 logger = logging.getLogger(__name__)
 
@@ -218,3 +219,79 @@ class SiteDiffusionAnalysis:
         if self.verbose:
             logger.info("D_site = %.4g", self.D_site_)
         return self
+
+
+class RelaxationAnalysis:
+    """Dynamic-heterogeneity / relaxation observables of the mobile ions:
+    the non-Gaussian parameter α₂(t) and the (isotropically exact)
+    self-intermediate scattering function F_s(q, t).
+
+    Parameters
+    ----------
+    q : wavevector magnitude for F_s (same inverse-length unit as the
+        trajectory; a natural choice is 2π over the jump length).
+    lags : frame lags to evaluate (default: ~24 log-spaced lags up to
+        half the trajectory).
+    timestep, origin_stride : as elsewhere.
+
+    After ``run``: ``lags_``, ``times_``, ``msd_lags_``, ``alpha2_``,
+    ``fs_``, and ``tau_alpha_`` — the relaxation time where F_s first
+    crosses 1/e (linearly interpolated; NaN when it never does).
+    ``run`` accepts a SiteTrajectory with a real trajectory attached or
+    a raw array plus ``mobile_mask``/``cell``; returns ``self``.
+    """
+
+    def __init__(self, q, lags=None, timestep=1.0, origin_stride=1,
+                 exact_unwrap=False, verbose=True):
+        self.q = float(q)
+        if self.q <= 0:
+            raise ValueError("q must be positive")
+        self.lags = lags
+        self.timestep = float(timestep)
+        self.origin_stride = int(origin_stride)
+        self.exact_unwrap = bool(exact_unwrap)
+        self.verbose = verbose
+
+    @staticmethod
+    def _default_lags(n_frames, n=24):
+        grid = np.unique(np.round(np.logspace(
+            0, np.log10(max(2, n_frames // 2)), n)).astype(np.int64))
+        return np.concatenate([[0], grid])
+
+    def run(self, st_or_traj, mobile_mask=None, cell=None):
+        traj, mobile_mask, cell = DiffusionAnalysis._coerce(
+            st_or_traj, mobile_mask, cell)
+        pos = msd_ops.unwrap_trajectory(traj[:, mobile_mask, :], cell,
+                                        exact=self.exact_unwrap)
+        F = pos.shape[0]
+        lags = (self._default_lags(F) if self.lags is None
+                else np.asarray([int(l) for l in self.lags]))
+        self.lags_ = lags
+        self.times_ = lags * self.timestep
+        self.msd_lags_, _, self.alpha2_ = msd_ops.displacement_moments(
+            pos, lags, origin_stride=self.origin_stride)
+        self.fs_ = msd_ops.self_intermediate_scattering(
+            pos, self.q, lags, origin_stride=self.origin_stride)
+        self.tau_alpha_ = self._crossing_time(self.times_, self.fs_,
+                                              1.0 / np.e)
+        if self.verbose:
+            logger.info("alpha2 peak %.3g at t = %.4g; tau_alpha = %.4g",
+                        self.alpha2_.max(),
+                        self.times_[int(np.argmax(self.alpha2_))],
+                        self.tau_alpha_)
+        return self
+
+    @staticmethod
+    def _crossing_time(times, values, level):
+        """First downward crossing of ``level``, linearly interpolated."""
+        below = np.where(values < level)[0]
+        if len(below) == 0:
+            return float("nan")
+        j = below[0]
+        if j == 0:
+            return float(times[0])
+        t0, t1 = times[j - 1], times[j]
+        v0, v1 = values[j - 1], values[j]
+        if v0 == v1:
+            return float(t1)
+        return float(t0 + (v0 - level) / (v0 - v1) * (t1 - t0))

@@ -34,7 +34,8 @@ import numpy as np
 from sitator_tpu.ops.pbc import PBCCalculator
 
 __all__ = ["unwrap_trajectory", "msd_fft", "collective_msd_fft",
-           "fit_diffusivity", "fit_window"]
+           "fit_diffusivity", "fit_window", "displacement_moments",
+           "self_intermediate_scattering"]
 
 
 def fit_window(n_frames, fit_range):
@@ -109,6 +110,61 @@ def collective_msd_fft(pos):
     pos = np.asarray(pos, dtype=np.float64)
     R = (pos - pos[:1]).sum(axis=1, keepdims=True)   # (F, 1, 3)
     return msd_fft(R)[0]
+
+
+def _lagged_displacements(pos, lag, origin_stride):
+    """|Δr| magnitudes ``(n_origins * N,)`` at one lag (origins
+    subsampled by ``origin_stride``)."""
+    F = pos.shape[0]
+    if not 0 <= lag < F:
+        raise ValueError(f"lag {lag} outside 0..{F - 1}")
+    origins = np.arange(0, F - lag, int(origin_stride))
+    disp = pos[origins + lag] - pos[origins]
+    return np.sqrt((disp ** 2).sum(-1)).ravel()
+
+
+def displacement_moments(pos, lags, origin_stride=1):
+    """``<r²(t)>``, ``<r⁴(t)>`` and the non-Gaussian parameter
+    ``α₂(t) = 3<r⁴>/(5<r²>²) − 1`` at the given frame lags.
+
+    ``pos`` is an unwrapped ``(F, N, 3)`` trajectory.  α₂ vanishes for
+    Gaussian displacement distributions; a positive peak at intermediate
+    t is the standard signature of discrete-hop (dynamically
+    heterogeneous) motion.  Returns ``(m2, m4, alpha2)``, each
+    ``(len(lags),)``; α₂ at lag 0 (zero displacement) is defined as 0.
+    """
+    pos = np.asarray(pos, dtype=np.float64)
+    m2 = np.empty(len(lags))
+    m4 = np.empty(len(lags))
+    for k, lag in enumerate(lags):
+        r = _lagged_displacements(pos, int(lag), origin_stride)
+        r2 = r * r
+        m2[k] = r2.mean()
+        m4[k] = (r2 * r2).mean()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        alpha2 = np.where(m2 > 0, 3.0 * m4 / (5.0 * m2 ** 2) - 1.0, 0.0)
+    return m2, m4, alpha2
+
+
+def self_intermediate_scattering(pos, q, lags, origin_stride=1):
+    """Isotropically averaged self-intermediate scattering function
+    ``F_s(q, t)`` at wavevector magnitude ``q`` and the given lags.
+
+    Uses the exact powder average ``<exp(iq·Δr)>_Ω = <sinc(q|Δr|)>`` —
+    no sampled q-directions needed.  ``pos`` unwrapped ``(F, N, 3)``.
+    Returns ``(len(lags),)``; F_s(q, 0) = 1.
+    """
+    pos = np.asarray(pos, dtype=np.float64)
+    q = float(q)
+    if q <= 0:
+        raise ValueError("q must be positive")
+    out = np.empty(len(lags))
+    for k, lag in enumerate(lags):
+        r = _lagged_displacements(pos, int(lag), origin_stride)
+        qr = q * r
+        out[k] = np.mean(np.where(qr > 1e-12, np.sin(qr)
+                                  / np.where(qr > 1e-12, qr, 1.0), 1.0))
+    return out
 
 
 def fit_diffusivity(times, msd, fit_range=(0.2, 0.5), dim=3):

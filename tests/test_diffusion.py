@@ -206,3 +206,78 @@ def test_arrhenius_duplicate_temperatures_rejected():
     from sitator_tpu.dynamics import ArrheniusAnalysis
     with pytest.raises(ValueError, match="distinct"):
         ArrheniusAnalysis(verbose=False).run([600.0, 600.0], [1e-3, 2e-3])
+
+
+def test_alpha2_zero_for_gaussian_walk():
+    """Gaussian displacements: alpha2(t) ~ 0 at every lag; F_s(q,t)
+    matches the exact Gaussian form exp(-q^2 MSD / 6)."""
+    from sitator_tpu.ops.msd import (displacement_moments,
+                                     self_intermediate_scattering)
+    rng = np.random.default_rng(37)
+    F, N, D = 2000, 200, 0.1
+    pos = np.concatenate(
+        [np.zeros((1, N, 3)),
+         np.cumsum(rng.normal(scale=np.sqrt(2 * D),
+                              size=(F - 1, N, 3)), 0)], 0)
+    lags = [0, 5, 20, 80, 300]
+    m2, m4, a2 = displacement_moments(pos, lags, origin_stride=7)
+    assert a2[0] == 0.0
+    assert np.abs(a2[1:]).max() < 0.05
+    # m2 tracks 6 D t
+    t = np.array(lags, dtype=float)
+    np.testing.assert_allclose(m2[1:], 6 * D * t[1:], rtol=0.1)
+    q = 1.3
+    fs = self_intermediate_scattering(pos, q, lags, origin_stride=7)
+    assert fs[0] == pytest.approx(1.0)
+    np.testing.assert_allclose(fs, np.exp(-q ** 2 * m2 / 6), atol=0.01)
+
+
+def test_alpha2_positive_for_heterogeneous_dynamics():
+    """Half frozen + half diffusing ions: strongly non-Gaussian."""
+    from sitator_tpu.ops.msd import displacement_moments
+    rng = np.random.default_rng(41)
+    F, N = 500, 60
+    mobile = np.cumsum(rng.normal(scale=0.5, size=(F, N // 2, 3)), 0)
+    frozen = np.zeros((F, N // 2, 3))
+    pos = np.concatenate([mobile, frozen], axis=1)
+    _, _, a2 = displacement_moments(pos, [50], origin_stride=10)
+    # two-population limit: alpha2 -> 3*2/(5*1) * ... > 0 strongly
+    assert a2[0] > 0.5
+
+
+def test_relaxation_analysis_engine():
+    from sitator_tpu.dynamics import RelaxationAnalysis
+    rng = np.random.default_rng(43)
+    F, M, D, dt = 1500, 60, 0.08, 1.0
+    steps = rng.normal(scale=np.sqrt(2 * D * dt), size=(F - 1, M, 3))
+    traj = np.concatenate([np.zeros((1, M, 3)), np.cumsum(steps, 0)], 0)
+    cell = np.eye(3) * 500.0
+    q = 1.0
+    ra = RelaxationAnalysis(q=q, timestep=dt, origin_stride=11,
+                            verbose=False).run(
+        traj, mobile_mask=np.ones(M, bool), cell=cell)
+    assert ra.fs_[0] == pytest.approx(1.0)
+    # monotone decay down to the statistical noise floor
+    sig = ra.fs_ > 0.05
+    assert (np.diff(ra.fs_[sig]) < 1e-6).all()
+    # Gaussian prediction: F_s = 1/e at t = 6/(q^2 6 D) = 1/(q^2 D)
+    tau_theory = 1.0 / (q ** 2 * D)
+    assert ra.tau_alpha_ == pytest.approx(tau_theory, rel=0.25)
+    assert np.abs(ra.alpha2_).max() < 0.1
+    # explicit lags pass through; q validation
+    ra2 = RelaxationAnalysis(q=q, lags=[0, 10], verbose=False).run(
+        traj, mobile_mask=np.ones(M, bool), cell=cell)
+    np.testing.assert_array_equal(ra2.lags_, [0, 10])
+    with pytest.raises(ValueError, match="q must be positive"):
+        RelaxationAnalysis(q=0.0)
+
+
+def test_crossing_time_interpolation():
+    from sitator_tpu.dynamics import RelaxationAnalysis
+    t = np.array([0.0, 1.0, 2.0])
+    assert RelaxationAnalysis._crossing_time(
+        t, np.array([1.0, 0.5, 0.1]), 0.25) == pytest.approx(1.625)
+    assert np.isnan(RelaxationAnalysis._crossing_time(
+        t, np.array([1.0, 0.9, 0.8]), 0.25))
+    assert RelaxationAnalysis._crossing_time(
+        t, np.array([0.1, 0.05, 0.01]), 0.25) == 0.0
