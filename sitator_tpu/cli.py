@@ -1,0 +1,222 @@
+"""Command-line interface: ``python -m sitator_tpu <command> ...``.
+
+Production entry points over the library (no Python required):
+
+- ``info TRAJ``      — sniff the format, print frames/atoms/cell/species.
+- ``convert SRC OUT``— stream-convert any readable trajectory to
+  ``.npy`` (memmap) or a zarr store (by OUT extension), O(1) memory.
+- ``analyze TRAJ``   — the canonical pipeline (SURVEY.md §4.1):
+  Voronoi seeding → landmark analysis → optional merging/debounce →
+  jump statistics → optional diffusivity, saved as ``.npz`` results.
+
+Beyond-reference convenience: upstream ``sitator`` is library-only.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import numpy as np
+
+__all__ = ["main"]
+
+logger = logging.getLogger("sitator_tpu.cli")
+
+
+def _species_arg(s):
+    """Atomic number or chemical symbol → atomic number."""
+    from sitator_tpu.core.structure import symbol_to_number
+    try:
+        return int(s)
+    except ValueError:
+        return symbol_to_number(s)
+
+
+def _open(path, variable_cell=None):
+    from sitator_tpu.io import open_trajectory
+    kwargs = {}
+    if variable_cell:
+        kwargs["variable_cell"] = variable_cell
+    return open_trajectory(path, **kwargs)
+
+
+def _load_structure(args, reader):
+    """Structure from the trajectory file itself or --structure."""
+    if getattr(args, "structure", None):
+        from sitator_tpu.io import read_xyz
+        return read_xyz(args.structure)      # first frame as a Structure
+    structure = getattr(reader, "structure", None)
+    if structure is None:
+        raise SystemExit(
+            "this trajectory format carries no structure; pass "
+            "--structure FIRST_FRAME.xyz (species + cell)")
+    return structure
+
+
+def cmd_info(args):
+    from sitator_tpu.core.structure import number_to_symbol
+    from sitator_tpu.io.formats import sniff_format
+    fmt = sniff_format(args.traj)
+    reader = _open(args.traj, args.variable_cell)
+    print(f"format:  {fmt}")
+    print(f"frames:  {len(reader)}")
+    print(f"atoms:   {reader.n_atoms}")
+    structure = getattr(reader, "structure", None)
+    if structure is not None:
+        np.set_printoptions(precision=4, suppress=True)
+        print(f"cell:\n{structure.cell}")
+        zs, counts = np.unique(structure.species, return_counts=True)
+        comp = " ".join(f"{number_to_symbol(int(z))}{c}"
+                        for z, c in zip(zs, counts))
+        print(f"species: {comp}")
+    return 0
+
+
+def cmd_convert(args):
+    out = args.out
+    if out.endswith(".npy"):
+        from sitator_tpu.io import convert_to_npy
+        kw = {}
+        if args.variable_cell:
+            kw["variable_cell"] = args.variable_cell
+        convert_to_npy(args.traj, out, **kw)
+    elif out.endswith(".zarr") or args.zarr:
+        from sitator_tpu.io import convert_to_zarr
+        kw = {"zarr_format": 3 if args.zarr3 else 2}
+        if args.variable_cell:
+            kw["variable_cell"] = args.variable_cell
+        convert_to_zarr(args.traj, out, **kw)
+    else:
+        raise SystemExit("OUT must end in .npy or .zarr")
+    print(f"wrote {out}")
+    return 0
+
+
+def cmd_analyze(args):
+    from sitator_tpu import SiteNetwork
+    from sitator_tpu.dynamics import (
+        DiffusionAnalysis, JumpAnalysis, MergeSitesByDynamics,
+        RemoveShortJumps, RemoveUnoccupiedSites)
+    from sitator_tpu.landmark import LandmarkAnalysis
+    from sitator_tpu.voronoi import VoronoiSiteGenerator
+
+    reader = _open(args.traj, args.variable_cell)
+    structure = _load_structure(args, reader)
+    traj = reader[0:len(reader)]
+
+    mobile = np.isin(structure.species, args.mobile)
+    if not mobile.any():
+        raise SystemExit(f"no atoms of mobile species {args.mobile}")
+    static = ~mobile
+    print(f"{len(reader)} frames, {int(mobile.sum())} mobile / "
+          f"{int(static.sum())} static atoms")
+
+    sn = SiteNetwork(structure, static, mobile)
+    sn = VoronoiSiteGenerator(merge_tol=args.voronoi_merge_tol).run(sn)
+    print(f"landmark basis: {sn.n_sites} Voronoi sites")
+
+    la = LandmarkAnalysis(
+        cutoff_midpoint=args.cutoff_midpoint,
+        cutoff_steepness=args.cutoff_steepness,
+        minimum_site_occupancy=args.min_occupancy,
+        dynamic_lattice_mapping=args.dynamic_lattice_mapping,
+        verbose=args.verbose)
+    st = la.run(sn, traj)
+    print(f"assigned: {st.site_network.n_sites} sites, "
+          f"{st.percent_unassigned:.2f}% unassigned")
+
+    if args.merge_dynamics:
+        st = MergeSitesByDynamics(
+            distance_threshold=args.merge_dynamics).run(st)
+    if args.debounce:
+        st = RemoveShortJumps(frame_threshold=args.debounce).run(st)
+    if not args.keep_unoccupied:
+        st = RemoveUnoccupiedSites().run(st)
+    ja = JumpAnalysis(verbose=args.verbose)
+    ja.run(st)
+    sn2 = st.site_network
+    print(f"final: {sn2.n_sites} sites, {ja.n_jumps} jumps")
+
+    if args.timestep:
+        st.set_real_traj(traj)
+        da = DiffusionAnalysis(timestep=args.timestep,
+                               temperature=args.temperature,
+                               charge=args.charge,
+                               verbose=args.verbose).run(st)
+        print(f"D_tracer = {da.D_tracer_:.4g} ± {da.D_tracer_err_:.2g} "
+              f"(length²/time units of the input)")
+        if da.conductivity_ is not None:
+            print(f"sigma({args.temperature:g} K) = "
+                  f"{da.conductivity_:.4g} S/cm")
+
+    if args.out:
+        st.save(args.out)
+        print(f"results saved to {args.out}")
+    return 0
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="sitator_tpu",
+        description="TPU-native site-trajectory analysis pipeline")
+    p.add_argument("-v", "--verbose", action="store_true")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    q = sub.add_parser("info", help="describe a trajectory file")
+    q.add_argument("traj")
+    q.add_argument("--variable-cell", choices=["rescale"], default=None)
+    q.set_defaults(func=cmd_info)
+
+    c = sub.add_parser("convert",
+                       help="convert to .npy / zarr (O(1) memory)")
+    c.add_argument("traj")
+    c.add_argument("out")
+    c.add_argument("--variable-cell", choices=["rescale"], default=None)
+    c.add_argument("--zarr", action="store_true",
+                   help="force a zarr store regardless of extension")
+    c.add_argument("--zarr3", action="store_true",
+                   help="zarr v3 instead of v2")
+    c.set_defaults(func=cmd_convert)
+
+    a = sub.add_parser("analyze", help="run the full landmark pipeline")
+    a.add_argument("traj")
+    a.add_argument("--mobile", type=_species_arg, nargs="+",
+                   required=True, metavar="SPECIES",
+                   help="mobile species (symbol or atomic number)")
+    a.add_argument("--structure", default=None,
+                   help="first-frame .xyz with species + cell (for "
+                        "binary formats that carry no structure)")
+    a.add_argument("--variable-cell", choices=["rescale"], default=None)
+    a.add_argument("--cutoff-midpoint", type=float, default=3.0)
+    a.add_argument("--cutoff-steepness", type=float, default=4.0)
+    a.add_argument("--min-occupancy", type=float, default=0.01)
+    a.add_argument("--voronoi-merge-tol", type=float, default=0.05)
+    a.add_argument("--dynamic-lattice-mapping", action="store_true")
+    a.add_argument("--merge-dynamics", type=float, default=None,
+                   metavar="DIST",
+                   help="MergeSitesByDynamics distance threshold")
+    a.add_argument("--debounce", type=int, default=None, metavar="FRAMES",
+                   help="RemoveShortJumps frame threshold")
+    a.add_argument("--keep-unoccupied", action="store_true")
+    a.add_argument("--timestep", type=float, default=None,
+                   help="time between frames — enables DiffusionAnalysis")
+    a.add_argument("--temperature", type=float, default=None,
+                   help="kelvin — adds Nernst-Einstein conductivity")
+    a.add_argument("--charge", type=float, default=1.0)
+    a.add_argument("--out", default=None, metavar="OUT.npz",
+                   help="save the SiteTrajectory (+ network) here")
+    a.set_defaults(func=cmd_analyze)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(levelname)s %(name)s: %(message)s")
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,86 @@
+"""The command-line interface: info / convert / analyze drive the real
+pipeline and print the documented summary lines."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from sitator_tpu.cli import main
+from sitator_tpu.io import make_hopping_trajectory, write_xyz
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def xyz_file(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cli") / "md.xyz"
+    md = make_hopping_trajectory(n_cells=2, a=4.0, n_ions=2, n_frames=150,
+                                 jump_rate=0.03, seed=8)
+    write_xyz(str(path), md.structure, md.traj)
+    return str(path)
+
+
+def test_info(xyz_file, capsys):
+    assert main(["info", xyz_file]) == 0
+    out = capsys.readouterr().out
+    assert "format:  xyz" in out
+    assert "frames:  150" in out
+    assert "Li2" in out and "S8" in out
+
+
+def test_convert_npy_roundtrip(xyz_file, tmp_path, capsys):
+    out_npy = str(tmp_path / "md.npy")
+    assert main(["convert", xyz_file, out_npy]) == 0
+    arr = np.load(out_npy, mmap_mode="r")
+    assert arr.shape == (150, 10, 3)
+    with pytest.raises(SystemExit, match=".npy or .zarr"):
+        main(["convert", xyz_file, str(tmp_path / "md.bogus")])
+
+
+def test_convert_zarr(xyz_file, tmp_path):
+    pytest.importorskip("tensorstore")
+    out = str(tmp_path / "md.zarr")
+    assert main(["convert", xyz_file, out]) == 0
+    from sitator_tpu.io import TensorstoreTrajectory
+    r = TensorstoreTrajectory(out)
+    assert len(r) == 150
+
+
+def test_analyze_full_pipeline(xyz_file, tmp_path, capsys):
+    out = str(tmp_path / "result.npz")
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--timestep", "1.0", "--temperature", "600",
+               "--out", out])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "landmark basis:" in text
+    assert "final:" in text and "jumps" in text
+    assert "D_tracer" in text
+    from sitator_tpu.core.sitetraj import SiteTrajectory
+    st = SiteTrajectory.load(out)
+    assert st.site_network.n_sites > 0
+    assert st.n_frames == 150
+
+
+def test_analyze_species_validation(xyz_file):
+    with pytest.raises(SystemExit, match="no atoms of mobile species"):
+        main(["analyze", xyz_file, "--mobile", "79"])
+
+
+def test_mobile_accepts_symbols_and_numbers(xyz_file, capsys):
+    assert main(["analyze", xyz_file, "--mobile", "3"]) == 0
+    assert "mobile" in capsys.readouterr().out
+
+
+def test_module_entrypoint_subprocess(xyz_file):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    proc = subprocess.run(
+        [sys.executable, "-m", "sitator_tpu", "info", xyz_file],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert proc.returncode == 0, proc.stderr
+    assert "frames:  150" in proc.stdout
