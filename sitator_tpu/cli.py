@@ -103,7 +103,6 @@ def cmd_analyze(args):
 
     reader = _open(args.traj, args.variable_cell)
     structure = _load_structure(args, reader)
-    traj = reader[0:len(reader)]
 
     mobile = np.isin(structure.species, args.mobile)
     if not mobile.any():
@@ -115,6 +114,10 @@ def cmd_analyze(args):
     sn = SiteNetwork(structure, static, mobile)
     sn = VoronoiSiteGenerator(merge_tol=args.voronoi_merge_tol).run(sn)
     print(f"landmark basis: {sn.n_sites} Voronoi sites")
+
+    if args.streaming:
+        return _analyze_streaming(args, sn, reader)
+    traj = reader[0:len(reader)]
 
     la = LandmarkAnalysis(
         cutoff_midpoint=args.cutoff_midpoint,
@@ -153,6 +156,35 @@ def cmd_analyze(args):
     if args.out:
         st.save(args.out)
         print(f"results saved to {args.out}")
+    return 0
+
+
+def _analyze_streaming(args, sn, reader):
+    """Out-of-core route: the streaming engine never materializes the
+    trajectory (labels spill to ``OUT.labels.npy`` when --out is set).
+    Post-processing that needs the label array (merging, debounce,
+    diffusivity) is deliberately not run here — stats come from the
+    on-device accumulators."""
+    from sitator_tpu.landmark.streaming import StreamingLandmarkAnalysis
+
+    labels_path = (args.out + ".labels.npy") if args.out else None
+    eng = StreamingLandmarkAnalysis(
+        cutoff_midpoint=args.cutoff_midpoint,
+        cutoff_steepness=args.cutoff_steepness,
+        minimum_site_occupancy=args.min_occupancy,
+        dynamic_lattice_mapping=args.dynamic_lattice_mapping,
+        block_frames=args.block_frames,
+        store_labels=labels_path,
+        checkpoint_path=(args.out + ".ckpt") if args.out else None,
+        verbose=args.verbose)
+    sn2 = eng.run(sn, reader)
+    n_jumps = int(sn2.n_ij.sum() - np.trace(sn2.n_ij))
+    print(f"streamed {len(reader)} frames: {sn2.n_sites} sites, "
+          f"{n_jumps} jumps")
+    if args.out:
+        sn2.save(args.out)
+        print(f"site network saved to {args.out}; labels in "
+              f"{labels_path}")
     return 0
 
 
@@ -199,6 +231,12 @@ def build_parser():
     a.add_argument("--debounce", type=int, default=None, metavar="FRAMES",
                    help="RemoveShortJumps frame threshold")
     a.add_argument("--keep-unoccupied", action="store_true")
+    a.add_argument("--streaming", action="store_true",
+                   help="out-of-core streaming engine (huge files; "
+                        "stats from device accumulators, labels spill "
+                        "next to --out)")
+    a.add_argument("--block-frames", type=int, default=1024,
+                   help="frames per streamed device block")
     a.add_argument("--timestep", type=float, default=None,
                    help="time between frames — enables DiffusionAnalysis")
     a.add_argument("--temperature", type=float, default=None,

@@ -84,3 +84,27 @@ def test_module_entrypoint_subprocess(xyz_file):
         capture_output=True, text=True, timeout=300, env=env)
     assert proc.returncode == 0, proc.stderr
     assert "frames:  150" in proc.stdout
+
+
+def test_analyze_streaming_matches_eager(xyz_file, tmp_path, capsys):
+    """--streaming reproduces the eager pipeline's site count and jump
+    total (device accumulators vs in-memory run), and spills labels."""
+    out_s = str(tmp_path / "s.npz")
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--streaming", "--block-frames", "64", "--out", out_s])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "streamed 150 frames" in text
+    from sitator_tpu import SiteNetwork
+    sn_s = SiteNetwork.load(out_s)
+    labels = np.load(out_s + ".labels.npy")
+    assert labels.shape == (150, 2)
+
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--keep-unoccupied"])
+    assert rc == 0
+    eager = capsys.readouterr().out
+    jumps_s = int(sn_s.n_ij.sum() - np.trace(sn_s.n_ij))
+    assert f"{jumps_s} jumps" in eager
