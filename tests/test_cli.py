@@ -108,3 +108,23 @@ def test_analyze_streaming_matches_eager(xyz_file, tmp_path, capsys):
     eager = capsys.readouterr().out
     jumps_s = int(sn_s.n_ij.sum() - np.trace(sn_s.n_ij))
     assert f"{jumps_s} jumps" in eager
+
+
+@pytest.mark.parametrize("fmt", ["xdatcar", "lammps"])
+def test_cli_other_text_formats(fmt, tmp_path, capsys):
+    from sitator_tpu.io import write_xdatcar, write_lammps_dump
+    md = make_hopping_trajectory(n_cells=2, a=4.0, n_ions=2, n_frames=60,
+                                 jump_rate=0.03, seed=10)
+    if fmt == "xdatcar":
+        path = str(tmp_path / "XDATCAR")
+        write_xdatcar(path, md.structure, md.traj)
+    else:
+        path = str(tmp_path / "dump.lammpstrj")
+        write_lammps_dump(path, md.structure, md.traj)
+    assert main(["info", path]) == 0
+    out = capsys.readouterr().out
+    assert "frames:  60" in out
+    assert main(["analyze", path, "--mobile", "3",
+                 "--cutoff-midpoint", "4.0",
+                 "--cutoff-steepness", "3.0"]) == 0
+    assert "final:" in capsys.readouterr().out
