@@ -7,6 +7,7 @@ from sitator_tpu.dynamics.diffusion import DiffusionAnalysis, \
     SiteDiffusionAnalysis, RelaxationAnalysis
 from sitator_tpu.dynamics.correlation import RDFAnalysis, VanHoveAnalysis
 from sitator_tpu.dynamics.arrhenius import ArrheniusAnalysis
+from sitator_tpu.dynamics.energetics import SiteFreeEnergyAnalysis
 from sitator_tpu.network.merging import MergeSitesByDistance
 
 __all__ = [
@@ -14,5 +15,5 @@ __all__ = [
     "RemoveUnoccupiedSites", "RemoveShortJumps",
     "AverageVibrationalFrequency", "DiffusionAnalysis",
     "SiteDiffusionAnalysis", "RelaxationAnalysis", "RDFAnalysis",
-    "VanHoveAnalysis", "ArrheniusAnalysis",
+    "VanHoveAnalysis", "ArrheniusAnalysis", "SiteFreeEnergyAnalysis",
 ]
