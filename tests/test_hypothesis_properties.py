@@ -308,3 +308,74 @@ def test_jump_stats_exact_agrees(traj, policy):
     for k in ("n_ij", "lag_sum", "res_sum", "res_cnt", "occ_counts"):
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
                                       err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# kinetics ops: MSD / unwrap / RDF invariants
+# ---------------------------------------------------------------------------
+
+@given(data=st.data())
+@settings(**{**SETTINGS, "max_examples": 25})
+def test_msd_fft_equals_brute_force_property(data):
+    """The FFT identity equals the O(F^2) time-origin average for
+    arbitrary trajectories (any F, including odd and tiny)."""
+    from sitator_tpu.ops.msd import msd_fft
+    F = data.draw(st.integers(2, 40))
+    N = data.draw(st.integers(1, 4))
+    flat = data.draw(st.lists(
+        st.floats(-50, 50, allow_nan=False, width=32),
+        min_size=F * N * 3, max_size=F * N * 3))
+    pos = np.asarray(flat, np.float64).reshape(F, N, 3)
+    msd, per_atom = msd_fft(pos)
+    brute = np.zeros(F)
+    for m in range(1, F):
+        d = pos[m:] - pos[:-m]
+        brute[m] = (d ** 2).sum(-1).mean()
+    np.testing.assert_allclose(msd, brute, rtol=1e-8, atol=1e-6)
+
+
+@given(data=st.data(), cell=triclinic_cells())
+@settings(**{**SETTINGS, "max_examples": 25})
+def test_unwrap_inverts_wrapping_property(data, cell):
+    """Any continuous path with sub-half-cell steps survives
+    wrap -> unwrap exactly (up to the frame-0 image offset)."""
+    from sitator_tpu.ops.msd import unwrap_trajectory
+    F, N = 30, 2
+    # steps bounded well inside the minimum-image radius of this cell
+    h = 1.0 / np.linalg.norm(np.linalg.inv(cell), axis=0).min()
+    flat = data.draw(st.lists(
+        st.floats(-0.25, 0.25, allow_nan=False, width=32),
+        min_size=(F - 1) * N * 3, max_size=(F - 1) * N * 3))
+    steps = np.asarray(flat, np.float64).reshape(F - 1, N, 3) * (h / 4)
+    truth = np.concatenate([np.zeros((1, N, 3)),
+                            np.cumsum(steps, axis=0)], axis=0)
+    frac = truth @ np.linalg.inv(cell)
+    wrapped = (frac - np.floor(frac)) @ cell
+    un = unwrap_trajectory(wrapped, cell)
+    shift = truth[0] - un[0]
+    np.testing.assert_allclose(un + shift, truth, atol=1e-7)
+
+
+@given(data=st.data())
+@settings(**{**SETTINGS, "max_examples": 15})
+def test_rdf_rotation_invariance_property(data):
+    """g(r) is invariant under a rigid rotation of cell + positions."""
+    from scipy.spatial.transform import Rotation
+    from sitator_tpu.ops.correlation import rdf
+    cell = np.diag([7.0, 8.0, 9.0])
+    flat = data.draw(st.lists(
+        st.floats(0.0, 1.0, allow_nan=False, width=32,
+                  exclude_max=True),
+        min_size=2 * 12 * 3, max_size=2 * 12 * 3))
+    frac = np.asarray(flat, np.float64).reshape(2, 12, 3)
+    traj = frac @ cell
+    seed = data.draw(st.integers(0, 2 ** 16))
+    R = Rotation.random(rng=np.random.default_rng(seed)).as_matrix()
+    mask = np.ones(12, bool)
+    r1, g1 = rdf(traj, cell, mask, r_max=3.0, n_bins=12)
+    r2, g2 = rdf(traj @ R.T, cell @ R.T, mask, r_max=3.0, n_bins=12)
+    # f32 distances may jitter counts across bin edges; compare with a
+    # one-count tolerance in the un-normalized domain
+    shells = 4 / 3 * np.pi * np.diff(np.linspace(0, 3.0, 13) ** 3)
+    norm = 2 * 12 * 11 * shells / abs(np.linalg.det(cell))
+    np.testing.assert_allclose(g1 * norm, g2 * norm, atol=2.0)
