@@ -75,18 +75,20 @@ def cmd_info(args):
 
 def cmd_convert(args):
     out = args.out
-    if out.endswith(".npy"):
-        from sitator_tpu.io import convert_to_npy
-        kw = {}
-        if args.variable_cell:
-            kw["variable_cell"] = args.variable_cell
-        convert_to_npy(args.traj, out, **kw)
-    elif out.endswith(".zarr") or args.zarr:
+    kw = {}
+    if args.variable_cell:
+        kw["variable_cell"] = args.variable_cell
+    # --zarr/--zarr3 force a zarr store even for a .npy-suffixed OUT
+    if args.zarr or args.zarr3 or out.endswith(".zarr"):
         from sitator_tpu.io import convert_to_zarr
-        kw = {"zarr_format": 3 if args.zarr3 else 2}
-        if args.variable_cell:
-            kw["variable_cell"] = args.variable_cell
-        convert_to_zarr(args.traj, out, **kw)
+        convert_to_zarr(args.traj, out,
+                        zarr_format=3 if args.zarr3 else 2, **kw)
+    elif out.endswith(".npy"):
+        from sitator_tpu.io import convert_to_npy
+        from sitator_tpu.io.formats import structure_sidecar_path
+        structure, _ = convert_to_npy(args.traj, out, **kw)
+        if structure is not None:
+            print(f"structure sidecar: {structure_sidecar_path(out)}")
     else:
         raise SystemExit("OUT must end in .npy or .zarr")
     print(f"wrote {out}")
@@ -116,6 +118,19 @@ def cmd_analyze(args):
     print(f"landmark basis: {sn.n_sites} Voronoi sites")
 
     if args.streaming:
+        ignored = [name for name, val in [
+            ("--timestep", args.timestep),
+            ("--temperature", args.temperature),
+            ("--merge-dynamics", args.merge_dynamics),
+            ("--debounce", args.debounce),
+            ("--keep-unoccupied", args.keep_unoccupied or None),
+        ] if val is not None]
+        if ignored:
+            print(f"warning: {', '.join(ignored)} ignored with "
+                  "--streaming (post-processing that needs the full "
+                  "label array is not run on the streaming route; "
+                  "stats come from the on-device accumulators)",
+                  file=sys.stderr)
         return _analyze_streaming(args, sn, reader)
     traj = reader[0:len(reader)]
 
@@ -127,7 +142,7 @@ def cmd_analyze(args):
         verbose=args.verbose)
     st = la.run(sn, traj)
     print(f"assigned: {st.site_network.n_sites} sites, "
-          f"{st.percent_unassigned:.2f}% unassigned")
+          f"{100 * st.percent_unassigned:.2f}% unassigned")
 
     if args.merge_dynamics:
         st = MergeSitesByDynamics(

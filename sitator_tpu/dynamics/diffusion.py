@@ -254,8 +254,11 @@ class RelaxationAnalysis:
 
     @staticmethod
     def _default_lags(n_frames, n=24):
+        # largest usable lag: half the trajectory, but never past F-1
+        # (a 2-frame trajectory has exactly one nonzero lag)
+        hi = min(max(1, n_frames // 2), n_frames - 1)
         grid = np.unique(np.round(np.logspace(
-            0, np.log10(max(2, n_frames // 2)), n)).astype(np.int64))
+            0, np.log10(hi), n)).astype(np.int64))
         return np.concatenate([[0], grid])
 
     def run(self, st_or_traj, mobile_mask=None, cell=None):
@@ -264,14 +267,17 @@ class RelaxationAnalysis:
         pos = msd_ops.unwrap_trajectory(traj[:, mobile_mask, :], cell,
                                         exact=self.exact_unwrap)
         F = pos.shape[0]
+        if F < 2:
+            raise ValueError(
+                f"RelaxationAnalysis needs at least 2 frames, got {F}")
         lags = (self._default_lags(F) if self.lags is None
                 else np.asarray([int(l) for l in self.lags]))
         self.lags_ = lags
         self.times_ = lags * self.timestep
-        self.msd_lags_, _, self.alpha2_ = msd_ops.displacement_moments(
-            pos, lags, origin_stride=self.origin_stride)
-        self.fs_ = msd_ops.self_intermediate_scattering(
-            pos, self.q, lags, origin_stride=self.origin_stride)
+        # one pass over the per-lag |Δr| arrays serves both the moments
+        # and F_s (they dominate the host cost on long trajectories)
+        self.msd_lags_, _, self.alpha2_, self.fs_ = msd_ops.lag_statistics(
+            pos, lags, origin_stride=self.origin_stride, q=self.q)
         self.tau_alpha_ = self._crossing_time(self.times_, self.fs_,
                                               1.0 / np.e)
         if self.verbose:

@@ -76,10 +76,15 @@ class SiteFreeEnergyAnalysis:
 
     def run(self, st):
         sn = st.site_network
-        if "occupancies" not in sn.site_attributes or \
-                "n_ij" not in sn.edge_attributes:
-            raise ValueError("run JumpAnalysis first (needs occupancies "
-                             "and n_ij)")
+        needed = ["occupancies", "n_ij"]
+        if self.attempt_frequency is not None:
+            needed.append("total_corrected_residences")
+        missing = [a for a in needed
+                   if a not in sn.site_attributes
+                   and a not in sn.edge_attributes]
+        if missing:
+            raise ValueError("run JumpAnalysis first (needs "
+                             + ", ".join(missing) + ")")
         kT = _K_B_EV * self.temperature
         occ = np.asarray(sn.occupancies, dtype=np.float64)
 

@@ -17,6 +17,7 @@ not available here, so sitator_tpu owns its formats:
 from __future__ import annotations
 
 import logging
+import os
 import re
 import threading
 import queue as _queue
@@ -33,6 +34,7 @@ __all__ = [
     "read_xdatcar", "read_lammps_dump",
     "write_xdatcar", "write_lammps_dump",
     "iread_xdatcar", "iread_lammps_dump", "convert_to_npy",
+    "structure_sidecar_path",
     "NpyTrajectory", "NpzTrajectory", "H5Trajectory", "XYZTrajectory",
     "XDATCARTrajectory", "LammpsDumpTrajectory",
     "ArrayTrajectory", "open_trajectory", "ChunkedFeeder",
@@ -618,16 +620,33 @@ def iter_text_frames(path, fmt, variable_cell="error"):
     yield from it(path, variable_cell=variable_cell)
 
 
+def structure_sidecar_path(npy_path):
+    """Path of the ``.structure.xyz`` sidecar next to a ``.npy``
+    trajectory.  ``.npy`` files carry bare positions; the sidecar (one
+    extxyz frame: species + cell) makes them self-describing, the same
+    role ``structure.npz`` plays inside zarr stores."""
+    return str(npy_path) + ".structure.xyz"
+
+
 def convert_to_npy(src, out_path, dtype=np.float32, verbose=False,
-                   variable_cell="error"):
+                   variable_cell="error", structure_sidecar=True):
     """Convert any trajectory source to a memmapped ``.npy`` — the
     preferred format for the streaming engine (zero-copy random block
     reads).  ``src``: a path (extxyz / XDATCAR / LAMMPS dump, streamed
     with O(1) memory in two passes) or any ``TrajectoryReader``.
     ``variable_cell='rescale'`` bakes the NPT → fixed-cell affine bridge
     into the converted file, so the streaming engine never sees per-frame
-    cells.  Returns ``(Structure or None, out_path)``.
+    cells.  When the source structure is known and ``structure_sidecar``
+    is true (default), a one-frame ``OUT.npy.structure.xyz`` sidecar is
+    written so ``NpyTrajectory``/``open_trajectory`` can recover species
+    and cell without a separate ``--structure`` file.
+    Returns ``(Structure or None, out_path)``.
     """
+
+    def _finish(structure, out_path):
+        if structure_sidecar and structure is not None:
+            write_xyz(structure_sidecar_path(out_path), structure)
+        return structure, out_path
 
     def frame_iter():
         p = str(src)
@@ -660,7 +679,7 @@ def convert_to_npy(src, out_path, dtype=np.float32, verbose=False,
                     print(f"wrote {len(reader)} frames x "
                           f"{reader.n_atoms} atoms to {out_path} "
                           "(native decoder)")
-                return structure, out_path
+                return _finish(structure, out_path)
         # pass 1: count frames + shapes; pass 2: fill the memmap
         n_frames = 0
         structure = None
@@ -677,7 +696,7 @@ def convert_to_npy(src, out_path, dtype=np.float32, verbose=False,
         if verbose:
             print(f"wrote {n_frames} frames x {structure.n_atoms} atoms "
                   f"to {out_path}")
-        return structure, out_path
+        return _finish(structure, out_path)
     # a TrajectoryReader: length known, stream blockwise
     reader = src
     n_frames = len(reader)
@@ -688,7 +707,7 @@ def convert_to_npy(src, out_path, dtype=np.float32, verbose=False,
     for lo in range(0, n_frames, B):
         out[lo:lo + B] = reader[lo:min(lo + B, n_frames)]
     out.flush()
-    return getattr(reader, "structure", None), out_path
+    return _finish(getattr(reader, "structure", None), out_path)
 
 
 # ---------------------------------------------------------------- readers --
@@ -723,9 +742,15 @@ class ArrayTrajectory(TrajectoryReader):
 
 class NpyTrajectory(ArrayTrajectory):
     """Memory-mapped ``.npy`` of shape (F, A, 3) — zero-copy block reads,
-    the preferred large-trajectory format."""
+    the preferred large-trajectory format.  If a ``PATH.structure.xyz``
+    sidecar exists (written by :func:`convert_to_npy`), it is loaded
+    automatically so ``.structure`` carries species and cell."""
 
     def __init__(self, path, structure=None):
+        if structure is None:
+            sidecar = structure_sidecar_path(path)
+            if os.path.exists(sidecar):
+                structure = read_xyz(sidecar)
         super().__init__(np.load(path, mmap_mode="r"), structure)
 
 

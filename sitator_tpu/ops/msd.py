@@ -123,6 +123,38 @@ def _lagged_displacements(pos, lag, origin_stride):
     return np.sqrt((disp ** 2).sum(-1)).ravel()
 
 
+def lag_statistics(pos, lags, origin_stride=1, q=None):
+    """Per-lag displacement statistics from ONE pass over the |Δr|
+    magnitudes (each lag's array is built exactly once — the dominant
+    O(lags·F·N) cost of the relaxation analyses).
+
+    Returns ``(m2, m4, alpha2, fs)``: the second and fourth displacement
+    moments, the non-Gaussian parameter ``α₂ = 3<r⁴>/(5<r²>²) − 1``, and
+    — when ``q`` is given — the exact powder-averaged self-intermediate
+    scattering ``F_s(q,t) = <sinc(q|Δr|)>`` (else ``fs`` is None).
+    """
+    pos = np.asarray(pos, dtype=np.float64)
+    if q is not None:
+        q = float(q)
+        if q <= 0:
+            raise ValueError("q must be positive")
+    m2 = np.empty(len(lags))
+    m4 = np.empty(len(lags))
+    fs = np.empty(len(lags)) if q is not None else None
+    for k, lag in enumerate(lags):
+        r = _lagged_displacements(pos, int(lag), origin_stride)
+        r2 = r * r
+        m2[k] = r2.mean()
+        m4[k] = (r2 * r2).mean()
+        if q is not None:
+            qr = q * r
+            fs[k] = np.mean(np.where(qr > 1e-12, np.sin(qr)
+                                     / np.where(qr > 1e-12, qr, 1.0), 1.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        alpha2 = np.where(m2 > 0, 3.0 * m4 / (5.0 * m2 ** 2) - 1.0, 0.0)
+    return m2, m4, alpha2, fs
+
+
 def displacement_moments(pos, lags, origin_stride=1):
     """``<r²(t)>``, ``<r⁴(t)>`` and the non-Gaussian parameter
     ``α₂(t) = 3<r⁴>/(5<r²>²) − 1`` at the given frame lags.
@@ -133,16 +165,7 @@ def displacement_moments(pos, lags, origin_stride=1):
     heterogeneous) motion.  Returns ``(m2, m4, alpha2)``, each
     ``(len(lags),)``; α₂ at lag 0 (zero displacement) is defined as 0.
     """
-    pos = np.asarray(pos, dtype=np.float64)
-    m2 = np.empty(len(lags))
-    m4 = np.empty(len(lags))
-    for k, lag in enumerate(lags):
-        r = _lagged_displacements(pos, int(lag), origin_stride)
-        r2 = r * r
-        m2[k] = r2.mean()
-        m4[k] = (r2 * r2).mean()
-    with np.errstate(divide="ignore", invalid="ignore"):
-        alpha2 = np.where(m2 > 0, 3.0 * m4 / (5.0 * m2 ** 2) - 1.0, 0.0)
+    m2, m4, alpha2, _ = lag_statistics(pos, lags, origin_stride)
     return m2, m4, alpha2
 
 
@@ -154,17 +177,7 @@ def self_intermediate_scattering(pos, q, lags, origin_stride=1):
     no sampled q-directions needed.  ``pos`` unwrapped ``(F, N, 3)``.
     Returns ``(len(lags),)``; F_s(q, 0) = 1.
     """
-    pos = np.asarray(pos, dtype=np.float64)
-    q = float(q)
-    if q <= 0:
-        raise ValueError("q must be positive")
-    out = np.empty(len(lags))
-    for k, lag in enumerate(lags):
-        r = _lagged_displacements(pos, int(lag), origin_stride)
-        qr = q * r
-        out[k] = np.mean(np.where(qr > 1e-12, np.sin(qr)
-                                  / np.where(qr > 1e-12, qr, 1.0), 1.0))
-    return out
+    return lag_statistics(pos, lags, origin_stride, q=q)[3]
 
 
 def fit_diffusivity(times, msd, fit_range=(0.2, 0.5), dim=3):

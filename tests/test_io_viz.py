@@ -265,6 +265,37 @@ def test_convert_to_npy(tmp_path):
     np.testing.assert_allclose(open_trajectory(out2)[0:11], traj, atol=1e-6)
 
 
+def test_npy_structure_sidecar(tmp_path):
+    """convert_to_npy writes a .structure.xyz sidecar; NpyTrajectory and
+    open_trajectory recover species + cell from it automatically."""
+    from sitator_tpu.io import convert_to_npy, open_trajectory, write_xyz
+    from sitator_tpu.io.formats import structure_sidecar_path
+    rng = np.random.default_rng(11)
+    cell = np.array([[8.0, 0, 0], [0.4, 7.0, 0], [0.1, 0.2, 6.0]])
+    s = Structure(rng.uniform(0, 5, (4, 3)), ["Li", "S", "S", "S"], cell)
+    traj = rng.uniform(0, 5, size=(6, 4, 3)).astype(np.float32)
+    src = tmp_path / "sc.extxyz"
+    write_xyz(src, s, traj=traj)
+    _, out = convert_to_npy(str(src), str(tmp_path / "sc.npy"))
+    sidecar = structure_sidecar_path(out)
+    assert sidecar == out + ".structure.xyz"
+    import os as _os
+    assert _os.path.exists(sidecar)
+    r = open_trajectory(out)
+    assert r.structure is not None
+    np.testing.assert_allclose(r.structure.cell, cell, atol=1e-6)
+    np.testing.assert_array_equal(r.structure.species, s.species)
+    # explicit structure= wins over the sidecar
+    from sitator_tpu.io import NpyTrajectory
+    r2 = NpyTrajectory(out, structure=None)
+    assert r2.structure is not None
+    # opt-out: no sidecar written
+    _, out3 = convert_to_npy(str(src), str(tmp_path / "ns.npy"),
+                             structure_sidecar=False)
+    assert not _os.path.exists(structure_sidecar_path(out3))
+    assert open_trajectory(out3).structure is None
+
+
 def test_iread_lammps_dump_streaming(tmp_path):
     from sitator_tpu.io import convert_to_npy, iread_lammps_dump
     rng = np.random.default_rng(8)
