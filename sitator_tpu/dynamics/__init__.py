@@ -8,6 +8,7 @@ from sitator_tpu.dynamics.diffusion import DiffusionAnalysis, \
 from sitator_tpu.dynamics.correlation import RDFAnalysis, VanHoveAnalysis
 from sitator_tpu.dynamics.arrhenius import ArrheniusAnalysis
 from sitator_tpu.dynamics.energetics import SiteFreeEnergyAnalysis
+from sitator_tpu.dynamics.kmc import KineticMonteCarlo
 from sitator_tpu.network.merging import MergeSitesByDistance
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "AverageVibrationalFrequency", "DiffusionAnalysis",
     "SiteDiffusionAnalysis", "RelaxationAnalysis", "RDFAnalysis",
     "VanHoveAnalysis", "ArrheniusAnalysis", "SiteFreeEnergyAnalysis",
+    "KineticMonteCarlo",
 ]

@@ -1,0 +1,157 @@
+"""KineticMonteCarlo: resampling the measured site-network Markov chain
+must reproduce the statistics it was built from (closure), and the
+site-discretized diffusivity of a resampled lattice walk must match the
+analytic random-walk value."""
+import numpy as np
+import pytest
+
+from sitator_tpu import SiteNetwork
+from sitator_tpu.core.sitetraj import SiteTrajectory
+from sitator_tpu.core.structure import Structure
+from sitator_tpu.dynamics import (JumpAnalysis, KineticMonteCarlo,
+                                  SiteDiffusionAnalysis)
+from sitator_tpu.dynamics.kmc import transition_matrix_from_network
+
+
+def _network(centers, cell_size=20.0, species=16):
+    S = len(centers)
+    structure = Structure(np.zeros((2, 3)), [species, 3],
+                          np.eye(3) * cell_size)
+    sn = SiteNetwork(structure, np.array([1, 0], bool),
+                     np.array([0, 1], bool))
+    sn.centers = np.asarray(centers, dtype=np.float64)
+    return sn
+
+
+def test_transition_matrix_from_network():
+    sn = _network([[1.0, 1, 1], [3.0, 3, 3], [5.0, 5, 5]])
+    n_ij = np.array([[0, 10, 0], [5, 0, 5], [0, 10, 0]], np.float64)
+    t_i = np.array([100.0, 50.0, 0.0])   # site 2 never visited
+    sn.add_edge_attribute("n_ij", n_ij)
+    sn.add_site_attribute("total_corrected_residences", t_i)
+    P = transition_matrix_from_network(sn)
+    np.testing.assert_allclose(P[0], [0.9, 0.1, 0.0])
+    np.testing.assert_allclose(P[1], [0.1, 0.8, 0.1])
+    np.testing.assert_allclose(P[2], [0.0, 0.0, 1.0])   # absorbing
+    np.testing.assert_allclose(P.sum(1), 1.0)
+    # missing attributes -> instructive error
+    sn2 = _network([[1.0, 1, 1]])
+    with pytest.raises(ValueError, match="JumpAnalysis first"):
+        transition_matrix_from_network(sn2)
+
+
+def test_kmc_closure_on_explicit_chain():
+    """JumpAnalysis on the resampled trajectory recovers the chain it
+    was generated from: per-frame jump rates and stationary occupancy."""
+    sn = _network([[2.0, 2, 2], [6.0, 6, 6], [10.0, 10, 10]])
+    P = np.array([[0.96, 0.03, 0.01],
+                  [0.02, 0.95, 0.03],
+                  [0.02, 0.02, 0.96]])
+    kmc = KineticMonteCarlo(n_walkers=64, n_frames=6000, seed=1,
+                            start="stationary", transition_matrix=P,
+                            verbose=False)
+    st = kmc.run(sn)
+    assert st.traj.shape == (6000, 64)
+    assert st.site_network.n_mobile == 64
+    ja = JumpAnalysis(verbose=False).run(st)
+    sn2 = st.site_network
+    P_meas = transition_matrix_from_network(sn2)
+    # ~4e5 walker-frames: rates to ~3 sigma of their Poisson error
+    np.testing.assert_allclose(P_meas, P, atol=0.004)
+    occ = np.asarray(sn2.occupancies, dtype=np.float64)
+    occ = occ / occ.sum()
+    np.testing.assert_allclose(occ, kmc.stationary_, atol=0.02)
+
+
+def test_kmc_from_jump_analysis_attributes():
+    """Full closure loop: measured MD stats -> KMC resample -> re-measured
+    stats agree (the transition matrix round-trips through JumpAnalysis)."""
+    # generate a ground-truth chain, measure it, resample the measurement
+    sn = _network([[2.0, 2, 2], [6.0, 6, 6]])
+    P_true = np.array([[0.97, 0.03], [0.05, 0.95]])
+    st0 = KineticMonteCarlo(n_walkers=16, n_frames=8000, seed=7,
+                            start="stationary", transition_matrix=P_true,
+                            verbose=False).run(sn)
+    JumpAnalysis(verbose=False).run(st0)
+    kmc = KineticMonteCarlo(n_walkers=32, n_frames=8000, seed=8,
+                            verbose=False)
+    st1 = kmc.run(st0.site_network)
+    JumpAnalysis(verbose=False).run(st1)
+    P0 = transition_matrix_from_network(st0.site_network)
+    P1 = transition_matrix_from_network(st1.site_network)
+    np.testing.assert_allclose(P1, P0, atol=0.006)
+
+
+def test_kmc_site_diffusivity_matches_random_walk():
+    """Resampled nearest-neighbour walk on a 4x4x4 SC site lattice:
+    SiteDiffusionAnalysis recovers the analytic D = p * a^2."""
+    n, a = 4, 3.0
+    L = n * a
+    grid = np.stack(np.meshgrid(*[np.arange(n)] * 3,
+                                indexing="ij"), -1).reshape(-1, 3)
+    centers = (grid + 0.5) * a
+    sn = _network(centers, cell_size=L)
+    S = len(centers)
+    p = 0.05                      # per-frame hop prob to EACH neighbor
+    P = np.zeros((S, S))
+    idx = {tuple(g): i for i, g in enumerate(grid)}
+    for i, g in enumerate(grid):
+        for d in range(3):
+            for sgn in (-1, 1):
+                h = g.copy()
+                h[d] = (h[d] + sgn) % n
+                P[i, idx[tuple(h)]] += p
+        P[i, i] = 1.0 - 6 * p
+    st = KineticMonteCarlo(n_walkers=128, n_frames=4000, seed=3,
+                           start="stationary", transition_matrix=P,
+                           verbose=False).run(sn)
+    # short-lag fit window: many independent time origins -> the
+    # statistical error on D is ~1-2% (the default long-lag window
+    # scatters ~8% at this sample size)
+    da = SiteDiffusionAnalysis(timestep=1.0, fit_range=(0.02, 0.2),
+                               verbose=False).run(st)
+    D_theory = p * a ** 2
+    assert da.D_site_ == pytest.approx(D_theory, rel=0.05)
+
+
+def test_kmc_determinism_and_validation():
+    sn = _network([[2.0, 2, 2], [6.0, 6, 6]])
+    P = np.array([[0.9, 0.1], [0.2, 0.8]])
+    kw = dict(n_walkers=8, n_frames=50, seed=5, transition_matrix=P,
+              start="stationary", verbose=False)
+    t1 = KineticMonteCarlo(**kw).run(sn).traj
+    t2 = KineticMonteCarlo(**kw).run(sn).traj
+    np.testing.assert_array_equal(t1, t2)
+    with pytest.raises(ValueError, match="row-stochastic"):
+        KineticMonteCarlo(transition_matrix=np.eye(2) * 0.5,
+                          verbose=False).run(sn)
+    with pytest.raises(ValueError, match="n_walkers"):
+        KineticMonteCarlo(n_walkers=0)
+    with pytest.raises(ValueError, match="must be \\(n_walkers"):
+        KineticMonteCarlo(n_walkers=4, start=np.array([0, 1]))
+    with pytest.raises(ValueError, match="out of range"):
+        KineticMonteCarlo(n_walkers=2, transition_matrix=P,
+                          start=np.array([0, 5]), verbose=False).run(sn)
+    with pytest.raises(ValueError, match="no sites"):
+        KineticMonteCarlo(verbose=False).run(
+            SiteNetwork(sn.structure, sn.static_mask, sn.mobile_mask))
+
+
+def test_kmc_pseudo_network_structure():
+    """The pseudo-network carries the host lattice, centers, types, and
+    places walkers at their initial site centers."""
+    sn = _network([[2.0, 2, 2], [6.0, 6, 6]])
+    sn.site_types = np.array([0, 1], np.int32)
+    P = np.array([[0.9, 0.1], [0.2, 0.8]])
+    st = KineticMonteCarlo(n_walkers=5, n_frames=10, seed=2,
+                           start=np.array([1, 0, 1, 1, 0]),
+                           transition_matrix=P, verbose=False).run(sn)
+    sn2 = st.site_network
+    assert sn2.n_mobile == 5 and sn2.n_static == sn.n_static
+    np.testing.assert_allclose(sn2.centers, sn.centers)
+    np.testing.assert_array_equal(sn2.site_types, [0, 1])
+    walkers = sn2.structure.positions[sn2.mobile_mask]
+    np.testing.assert_allclose(walkers,
+                               sn.centers[np.array([1, 0, 1, 1, 0])])
+    # first frame is the initial state
+    np.testing.assert_array_equal(st.traj[0], [1, 0, 1, 1, 0])
