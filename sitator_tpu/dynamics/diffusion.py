@@ -179,6 +179,17 @@ class SiteDiffusionAnalysis:
     back-filled), the resulting center path is unwrapped minimum-image,
     and the same FFT-MSD estimator is fitted.  After ``run(st)``:
     ``times_``, ``msd_``, ``D_site_``; returns ``self``.
+
+    When the network carries JumpAnalysis attributes (``n_ij``,
+    ``total_corrected_residences``), also computes the **uncorrelated
+    jump-diffusion estimate** ``D_jump_ = Σ n_ij·|ℓ_ij|² / (6·M·T)``
+    (``ℓ_ij`` = minimum-image center separation, ``T`` the trajectory
+    time span) and the **correlation factor** ``f_ = D_site_/D_jump_``
+    — the standard measure of hop-sequence correlation in solid
+    electrolytes: ``f ≈ 1`` for uncorrelated (random-walk) hopping,
+    ``f < 1`` for back-correlated motion (e.g. flickering between two
+    sites gives ``f → 0``).  Both are NaN when the attributes are
+    absent or no jumps were recorded.
     """
 
     def __init__(self, timestep=1.0, fit_range=(0.2, 0.5), verbose=True):
@@ -216,9 +227,33 @@ class SiteDiffusionAnalysis:
         self.times_ = np.arange(F, dtype=np.float64) * self.timestep
         self.D_site_, _ = msd_ops.fit_diffusivity(
             self.times_, self.msd_, self.fit_range)
+        self.D_jump_, self.f_ = self._jump_diffusivity(sn, st)
         if self.verbose:
-            logger.info("D_site = %.4g", self.D_site_)
+            logger.info("D_site = %.4g (D_jump = %.4g, f = %.3g)",
+                        self.D_site_, self.D_jump_, self.f_)
         return self
+
+    def _jump_diffusivity(self, sn, st):
+        """Uncorrelated jump-diffusion estimate and correlation factor
+        from the network's JumpAnalysis attributes (NaN when absent)."""
+        if not (sn.has_attribute("n_ij")
+                and sn.has_attribute("total_corrected_residences")):
+            return float("nan"), float("nan")
+        n_ij = np.asarray(sn.n_ij, dtype=np.float64).copy()
+        np.fill_diagonal(n_ij, 0.0)
+        centers = np.asarray(sn.centers, dtype=np.float64)
+        cell = np.asarray(sn.structure.cell, dtype=np.float64)
+        d = centers[None, :, :] - centers[:, None, :]
+        frac = d @ np.linalg.inv(cell)
+        d = (frac - np.round(frac)) @ cell            # min-image ℓ_ij
+        l2 = (d ** 2).sum(-1)
+        T = (st.n_frames - 1) * self.timestep
+        M = st.n_mobile
+        if T <= 0 or n_ij.sum() == 0:
+            return float("nan"), float("nan")
+        D_jump = float((n_ij * l2).sum() / (6.0 * M * T))
+        f = self.D_site_ / D_jump if D_jump > 0 else float("nan")
+        return D_jump, float(f)
 
 
 class RelaxationAnalysis:

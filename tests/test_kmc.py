@@ -155,3 +155,50 @@ def test_kmc_pseudo_network_structure():
                                sn.centers[np.array([1, 0, 1, 1, 0])])
     # first frame is the initial state
     np.testing.assert_array_equal(st.traj[0], [1, 0, 1, 1, 0])
+
+
+def test_correlation_factor_random_walk_is_one():
+    """An uncorrelated lattice walk has correlation factor f ~= 1: the
+    site-MSD diffusivity equals the jump-rate estimate."""
+    n, a = 4, 3.0
+    grid = np.stack(np.meshgrid(*[np.arange(n)] * 3,
+                                indexing="ij"), -1).reshape(-1, 3)
+    sn = _network((grid + 0.5) * a, cell_size=n * a)
+    S, p = len(grid), 0.05
+    P = np.zeros((S, S))
+    idx = {tuple(g): i for i, g in enumerate(grid)}
+    for i, g in enumerate(grid):
+        for d in range(3):
+            for sgn in (-1, 1):
+                h = g.copy()
+                h[d] = (h[d] + sgn) % n
+                P[i, idx[tuple(h)]] += p
+        P[i, i] = 1.0 - 6 * p
+    st = KineticMonteCarlo(n_walkers=128, n_frames=4000, seed=3,
+                           start="stationary", transition_matrix=P,
+                           verbose=False).run(sn)
+    JumpAnalysis(verbose=False).run(st)
+    da = SiteDiffusionAnalysis(timestep=1.0, fit_range=(0.02, 0.2),
+                               verbose=False).run(st)
+    assert np.isfinite(da.D_jump_)
+    assert da.f_ == pytest.approx(1.0, abs=0.06)
+
+
+def test_correlation_factor_flicker_is_zero():
+    """Pure two-site flicker: jumps happen constantly but transport is
+    bounded, so D_site ~= 0 and f ~= 0 while D_jump > 0."""
+    sn = _network([[2.0, 2, 2], [5.0, 2, 2]])
+    F = 2000
+    labels = (np.arange(F) % 2).astype(np.int32)[:, None]
+    st = SiteTrajectory(sn, labels)
+    JumpAnalysis(verbose=False).run(st)
+    da = SiteDiffusionAnalysis(timestep=1.0, verbose=False).run(st)
+    assert da.D_jump_ > 0.1
+    assert abs(da.f_) < 1e-3
+
+
+def test_correlation_factor_nan_without_jump_attrs():
+    sn = _network([[2.0, 2, 2], [6.0, 6, 6]])
+    labels = np.zeros((50, 1), np.int32)
+    da = SiteDiffusionAnalysis(verbose=False).run(SiteTrajectory(sn, labels))
+    assert np.isnan(da.D_jump_) and np.isnan(da.f_)
