@@ -73,4 +73,31 @@ D_theory = G * 4.0 ** 2 / 6.0
 print(f"random-walk theory: D = {D_theory:.4g} Å²/ps "
       f"(measured/theory = {da.D_tracer_ / D_theory:.3g})")
 assert 0.7 < da.D_tracer_ / D_theory < 1.3
+
+# --- 6. correlation factor: SiteDiffusionAnalysis also reports the
+# uncorrelated jump-rate estimate D_jump = Σ n_ij·|ℓ_ij|²/(6MT) and
+# f = D_site/D_jump.  Uncorrelated hopping (this system) gives f ≈ 1;
+# back-correlated motion (flicker, correlated returns) gives f < 1.
+print(f"D_jump       = {sd.D_jump_:.4g} Å²/ps   "
+      f"(correlation factor f = {sd.f_:.3g})")
+assert 0.6 < sd.f_ < 1.4
+
+# --- 7. kinetic Monte Carlo closure: resample the measured Markov chain
+# (P[i,j] = n_ij/t_i, one on-device lax.scan) with 4x the walkers and
+# frames, and check the re-measured statistics agree — the whole site
+# decomposition is self-consistent, and rare-event statistics can be
+# tightened without more MD.
+from sitator_tpu.dynamics import KineticMonteCarlo
+from sitator_tpu.dynamics.kmc import transition_matrix_from_network
+
+kmc = KineticMonteCarlo(n_walkers=4 * md.n_ions, n_frames=4 * md.n_frames,
+                        seed=0, verbose=False)
+st_kmc = kmc.run(st.site_network)
+JumpAnalysis(verbose=False).run(st_kmc)
+P_md = transition_matrix_from_network(st.site_network)
+P_kmc = transition_matrix_from_network(st_kmc.site_network)
+closure = np.abs(P_kmc - P_md).max()
+print(f"KMC closure: max |P_resampled - P_measured| = {closure:.4f} "
+      f"({kmc.n_walkers} walkers x {kmc.n_frames} frames)")
+assert closure < 0.02
 print("Diffusion walkthrough complete.")
