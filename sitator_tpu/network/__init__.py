@@ -1,6 +1,11 @@
 from sitator_tpu.network.merging import MergeSitesBase, MergeSitesByDistance
 from sitator_tpu.network.pathways import DiffusionPathwayAnalysis
 from sitator_tpu.network.site_volumes import SiteVolumes
+from sitator_tpu.network.compare import (match_sites,
+                                         compare_site_networks,
+                                         min_image_distance_matrix)
 
 __all__ = ["MergeSitesBase", "MergeSitesByDistance",
-           "DiffusionPathwayAnalysis", "SiteVolumes"]
+           "DiffusionPathwayAnalysis", "SiteVolumes",
+           "match_sites", "compare_site_networks",
+           "min_image_distance_matrix"]
