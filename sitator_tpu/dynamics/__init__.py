@@ -9,6 +9,7 @@ from sitator_tpu.dynamics.correlation import RDFAnalysis, VanHoveAnalysis
 from sitator_tpu.dynamics.arrhenius import ArrheniusAnalysis
 from sitator_tpu.dynamics.energetics import SiteFreeEnergyAnalysis
 from sitator_tpu.dynamics.kmc import KineticMonteCarlo
+from sitator_tpu.dynamics.residence import ResidenceTimeAnalysis
 from sitator_tpu.network.merging import MergeSitesByDistance
 
 __all__ = [
@@ -17,5 +18,5 @@ __all__ = [
     "AverageVibrationalFrequency", "DiffusionAnalysis",
     "SiteDiffusionAnalysis", "RelaxationAnalysis", "RDFAnalysis",
     "VanHoveAnalysis", "ArrheniusAnalysis", "SiteFreeEnergyAnalysis",
-    "KineticMonteCarlo",
+    "KineticMonteCarlo", "ResidenceTimeAnalysis",
 ]
