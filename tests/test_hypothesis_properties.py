@@ -379,3 +379,96 @@ def test_rdf_rotation_invariance_property(data):
     shells = 4 / 3 * np.pi * np.diff(np.linspace(0, 3.0, 13) ** 3)
     norm = 2 * 12 * 11 * shells / abs(np.linalg.det(cell))
     np.testing.assert_allclose(g1 * norm, g2 * norm, atol=2.0)
+
+
+# ---------------------------------------------------------------------------
+# site matching and residence segmentation properties
+# ---------------------------------------------------------------------------
+
+@given(data=st.data(), cell=triclinic_cells())
+@settings(**{**SETTINGS, "max_examples": 25})
+def test_match_sites_recovers_permutation_property(data, cell):
+    """A permuted + sub-separation-jittered + rewrapped copy of any
+    center set is matched by the inverse permutation."""
+    from sitator_tpu import SiteNetwork
+    from sitator_tpu.core.structure import Structure
+    from sitator_tpu.network import match_sites, min_image_distance_matrix
+
+    S = 8
+    # centers on a fractional grid (guaranteed separation), then jitter
+    frac = (np.stack(np.meshgrid([0.1, 0.6], [0.15, 0.65], [0.2, 0.7],
+                                 indexing="ij"), -1).reshape(-1, 3))
+    centers = frac @ cell
+    D = min_image_distance_matrix(centers, centers, cell)
+    np.fill_diagonal(D, np.inf)
+    sep = D.min()
+    perm = np.asarray(data.draw(st.permutations(range(S))))
+    jit_flat = data.draw(st.lists(
+        st.floats(-1.0, 1.0, allow_nan=False, width=32),
+        min_size=3 * S, max_size=3 * S))
+    jitter = np.asarray(jit_flat, np.float64).reshape(S, 3)
+    # bound each jitter VECTOR's norm by 0.2*sep (< sep/2 guarantees the
+    # optimal matching is the identity pairing)
+    jitter *= 0.2 * sep / max(1e-9,
+                              np.linalg.norm(jitter, axis=1).max())
+    moved = centers[perm] + jitter
+    # rewrap into the cell (matching must be wrap-invariant)
+    f = moved @ np.linalg.inv(cell)
+    moved = (f - np.floor(f)) @ cell
+
+    def _net(c):
+        structure = Structure(np.zeros((1, 3)), [16], cell)
+        sn = SiteNetwork(structure, np.ones(1, bool), np.zeros(1, bool))
+        sn.centers = c
+        return sn
+
+    mapping, dists = match_sites(_net(centers), _net(moved))
+    np.testing.assert_array_equal(mapping, np.argsort(perm))
+    assert np.nanmax(dists) <= 0.21 * sep
+
+
+@given(data=st.data())
+@settings(**{**SETTINGS, "max_examples": 40})
+def test_residence_segments_match_bruteforce_property(data):
+    """Run-length segmentation with censoring equals a direct per-ion
+    Python scan, for arbitrary label arrays including -1 runs."""
+    from sitator_tpu.dynamics.residence import residence_segments
+
+    F = data.draw(st.integers(2, 40))
+    M = data.draw(st.integers(1, 3))
+    n_sites = 3
+    flat = data.draw(st.lists(st.integers(-1, n_sites - 1),
+                              min_size=F * M, max_size=F * M))
+    labels = np.asarray(flat, np.int64).reshape(F, M)
+
+    def oracle(labels):
+        segs = [[] for _ in range(n_sites)]
+        for m in range(labels.shape[1]):
+            lab = labels[:, m].copy()
+            # persist fill
+            last = -1
+            for t in range(len(lab)):
+                if lab[t] >= 0:
+                    last = lab[t]
+                else:
+                    lab[t] = last
+            runs = []
+            t = 0
+            while t < len(lab):
+                u = t
+                while u < len(lab) and lab[u] == lab[t]:
+                    u += 1
+                runs.append((lab[t], u - t))
+                t = u
+            for k in range(1, len(runs) - 1):
+                s, n = runs[k]
+                if s >= 0 and runs[k - 1][0] >= 0 and runs[k + 1][0] >= 0:
+                    segs[s].append(n)
+        return segs
+
+    got = residence_segments(labels, unknown_policy="persist")
+    want = oracle(labels)
+    got += [np.empty(0, np.int64)] * (n_sites - len(got))
+    for s in range(n_sites):
+        np.testing.assert_array_equal(np.sort(got[s]), np.sort(want[s]),
+                                      err_msg=f"site {s}")
