@@ -6,7 +6,8 @@ from sitator_tpu.dynamics.vibrational import AverageVibrationalFrequency
 from sitator_tpu.dynamics.diffusion import DiffusionAnalysis, \
     SiteDiffusionAnalysis, RelaxationAnalysis
 from sitator_tpu.dynamics.correlation import RDFAnalysis, VanHoveAnalysis
-from sitator_tpu.dynamics.arrhenius import ArrheniusAnalysis
+from sitator_tpu.dynamics.arrhenius import (ArrheniusAnalysis,
+                                            EdgeArrheniusAnalysis)
 from sitator_tpu.dynamics.energetics import SiteFreeEnergyAnalysis
 from sitator_tpu.dynamics.kmc import KineticMonteCarlo
 from sitator_tpu.dynamics.residence import ResidenceTimeAnalysis
@@ -19,4 +20,5 @@ __all__ = [
     "SiteDiffusionAnalysis", "RelaxationAnalysis", "RDFAnalysis",
     "VanHoveAnalysis", "ArrheniusAnalysis", "SiteFreeEnergyAnalysis",
     "KineticMonteCarlo", "ResidenceTimeAnalysis",
+    "EdgeArrheniusAnalysis",
 ]
