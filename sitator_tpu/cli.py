@@ -124,6 +124,7 @@ def cmd_analyze(args):
             ("--merge-dynamics", args.merge_dynamics),
             ("--debounce", args.debounce),
             ("--keep-unoccupied", args.keep_unoccupied or None),
+            ("--diagnose", args.diagnose or None),
         ] if val is not None]
         if ignored:
             print(f"warning: {', '.join(ignored)} ignored with "
@@ -156,6 +157,17 @@ def cmd_analyze(args):
     sn2 = st.site_network
     print(f"final: {sn2.n_sites} sites, {ja.n_jumps} jumps")
 
+    if args.diagnose:
+        from sitator_tpu.dynamics import ResidenceTimeAnalysis
+        ra = ResidenceTimeAnalysis(verbose=args.verbose).run(st)
+        tested = int(np.isfinite(ra.p_value_).sum())
+        flagged = ra.non_exponential_sites_
+        print(f"diagnose: {tested} sites tested for memoryless "
+              f"residences; {flagged.size} flagged"
+              + (f" (sites {flagged.tolist()} — likely over-merged; "
+                 "consider lower merge thresholds)" if flagged.size
+                 else ""))
+
     if args.timestep:
         st.set_real_traj(traj)
         da = DiffusionAnalysis(timestep=args.timestep,
@@ -167,6 +179,13 @@ def cmd_analyze(args):
         if da.conductivity_ is not None:
             print(f"sigma({args.temperature:g} K) = "
                   f"{da.conductivity_:.4g} S/cm")
+        if args.diagnose:
+            from sitator_tpu.dynamics import SiteDiffusionAnalysis
+            sd = SiteDiffusionAnalysis(timestep=args.timestep,
+                                       verbose=args.verbose).run(st)
+            print(f"diagnose: D_site/D_tracer = "
+                  f"{sd.D_site_ / da.D_tracer_:.3g}, correlation "
+                  f"factor f = {sd.f_:.3g}")
 
     if args.out:
         st.save(args.out)
@@ -246,6 +265,10 @@ def build_parser():
     a.add_argument("--debounce", type=int, default=None, metavar="FRAMES",
                    help="RemoveShortJumps frame threshold")
     a.add_argument("--keep-unoccupied", action="store_true")
+    a.add_argument("--diagnose", action="store_true",
+                   help="residence-time memorylessness check (flags "
+                        "over-merged sites) and, with --timestep, the "
+                        "site-discretization/correlation-factor report")
     a.add_argument("--streaming", action="store_true",
                    help="out-of-core streaming engine (huge files; "
                         "stats from device accumulators, labels spill "

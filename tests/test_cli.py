@@ -199,3 +199,13 @@ def test_main_module_import_is_safe():
                        capture_output=True, text=True, timeout=120)
     assert r.returncode == 0
     assert "imported-ok" in r.stdout
+
+
+def test_analyze_diagnose(xyz_file, capsys):
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--timestep", "1.0", "--diagnose"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sites tested for memoryless residences" in out
+    assert "correlation factor f =" in out

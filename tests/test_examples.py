@@ -33,6 +33,9 @@ EXAMPLES = {
     "diffusion_kinetics.py": [
         "D_tracer", "Haven ratio", "Nernst-Einstein",
         "Diffusion walkthrough complete."],
+    "temperature_series.py": [
+        "site match", "tracer-D Arrhenius", "edge Arrhenius",
+        "Temperature-series walkthrough complete."],
 }
 
 
