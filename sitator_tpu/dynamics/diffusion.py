@@ -239,14 +239,12 @@ class SiteDiffusionAnalysis:
         if not (sn.has_attribute("n_ij")
                 and sn.has_attribute("total_corrected_residences")):
             return float("nan"), float("nan")
+        from sitator_tpu.network.compare import min_image_distance_matrix
         n_ij = np.asarray(sn.n_ij, dtype=np.float64).copy()
         np.fill_diagonal(n_ij, 0.0)
         centers = np.asarray(sn.centers, dtype=np.float64)
         cell = np.asarray(sn.structure.cell, dtype=np.float64)
-        d = centers[None, :, :] - centers[:, None, :]
-        frac = d @ np.linalg.inv(cell)
-        d = (frac - np.round(frac)) @ cell            # min-image ℓ_ij
-        l2 = (d ** 2).sum(-1)
+        l2 = min_image_distance_matrix(centers, centers, cell) ** 2
         T = (st.n_frames - 1) * self.timestep
         M = st.n_mobile
         if T <= 0 or n_ij.sum() == 0:

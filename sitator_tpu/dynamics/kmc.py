@@ -129,12 +129,34 @@ class KineticMonteCarlo:
     # -- chain setup ---------------------------------------------------
     @staticmethod
     def _stationary(P):
-        """Stationary distribution: left eigenvector of eigenvalue 1."""
-        w, v = np.linalg.eig(P.T)
-        k = int(np.argmin(np.abs(w - 1.0)))
-        pi = np.real(v[:, k])
-        pi = np.abs(pi)
-        return pi / pi.sum()
+        """Stationary distribution by power iteration.
+
+        An eigen-decomposition is wrong for reducible chains: the
+        matrices :func:`transition_matrix_from_network` builds make
+        never-visited sites *absorbing* (eigenvalue 1 is degenerate) and
+        ``argmin(|w-1|)`` could return all-mass-on-an-unreachable-site.
+        Instead start uniform over states that are plausibly recurrent —
+        excluding unreachable absorbing states (no in-flow, self-loop 1,
+        which is exactly how unvisited sites are encoded) — and iterate
+        ``pi @ P``; for a reducible chain with several fed recurrent
+        classes this converges to the basin-weighted mixture, which is
+        the physically sensible resampling default."""
+        S = len(P)
+        inflow = P.sum(axis=0) - np.diag(P)
+        isolated = (inflow <= 0) & (np.diag(P) >= 1.0 - 1e-12)
+        pi = np.where(isolated, 0.0, 1.0)
+        if pi.sum() == 0:
+            pi = np.ones(S)
+        pi = pi / pi.sum()
+        # lazy chain (P+I)/2: same stationary distribution, provably
+        # aperiodic, so the iteration converges even for cyclic P
+        for _ in range(20000):
+            nxt = 0.5 * (pi + pi @ P)
+            nxt = nxt / nxt.sum()
+            if np.abs(nxt - pi).max() < 1e-13:
+                return nxt
+            pi = nxt
+        return pi
 
     def _initial_sites(self, sn, P, rng):
         if not isinstance(self.start, str):

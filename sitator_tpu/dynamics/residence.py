@@ -80,17 +80,22 @@ def residence_segments(labels, unknown_policy="persist"):
 def _ks_vs_geometric(x, p):
     """KS statistic of integer samples ``x`` against Geometric(p)
     (support 1, 2, ...; CDF(k) = 1 - (1-p)^k).  Both CDFs are
-    right-continuous step functions jumping only at integers, so the
-    exact sup-norm is the max over integer support points — the
-    continuous-KS order-statistic formula would be wrong here (it
-    compares F at a jump with the empirical CDF's left limit, inflating
-    the statistic by up to one atom's mass)."""
+    right-continuous step functions, so the exact sup-norm is attained
+    either at a distinct sample value v (|F_emp(v) - F(v)|) or just
+    below one (|F_emp(v-1) - F(v-1)|, where F_emp is constant on the
+    gap and F keeps growing) — the continuous-KS order-statistic
+    formula would be wrong here, and a dense scan over 1..max(x) would
+    cost O(max residence) per call (this runs n_mc times per site in
+    the bootstrap)."""
     x = np.asarray(x, dtype=np.int64)
     n = len(x)
-    ks = np.arange(1, int(x.max()) + 1, dtype=np.int64)
-    f_emp = np.searchsorted(np.sort(x), ks, side="right") / n
-    f_mod = 1.0 - (1.0 - p) ** ks
-    return float(np.abs(f_emp - f_mod).max())
+    v = np.unique(x)
+    f_emp = np.searchsorted(np.sort(x), v, side="right") / n
+    f_emp_prev = np.concatenate([[0.0], f_emp[:-1]])
+    q = 1.0 - p
+    d_at = np.abs(f_emp - (1.0 - q ** v))
+    d_below = np.abs(f_emp_prev - (1.0 - q ** (v - 1)))
+    return float(max(d_at.max(), d_below.max()))
 
 
 class ResidenceTimeAnalysis:

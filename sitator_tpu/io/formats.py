@@ -644,8 +644,14 @@ def convert_to_npy(src, out_path, dtype=np.float32, verbose=False,
     """
 
     def _finish(structure, out_path):
+        sidecar = structure_sidecar_path(out_path)
         if structure_sidecar and structure is not None:
-            write_xyz(structure_sidecar_path(out_path), structure)
+            write_xyz(sidecar, structure)
+        elif os.path.exists(sidecar):
+            # overwriting the .npy without writing a sidecar: a stale
+            # one from a previous conversion would silently describe
+            # the wrong system
+            os.remove(sidecar)
         return structure, out_path
 
     def frame_iter():
@@ -747,11 +753,18 @@ class NpyTrajectory(ArrayTrajectory):
     automatically so ``.structure`` carries species and cell."""
 
     def __init__(self, path, structure=None):
+        arr = np.load(path, mmap_mode="r")
         if structure is None:
             sidecar = structure_sidecar_path(path)
             if os.path.exists(sidecar):
                 structure = read_xyz(sidecar)
-        super().__init__(np.load(path, mmap_mode="r"), structure)
+                if arr.ndim >= 2 and structure.n_atoms != arr.shape[1]:
+                    logger.warning(
+                        "ignoring stale sidecar %s: %d atoms vs %d in "
+                        "the trajectory (rewrite it or re-convert)",
+                        sidecar, structure.n_atoms, arr.shape[1])
+                    structure = None
+        super().__init__(arr, structure)
 
 
 class NpzTrajectory(ArrayTrajectory):

@@ -34,8 +34,8 @@ import numpy as np
 from sitator_tpu.ops.pbc import PBCCalculator
 
 __all__ = ["unwrap_trajectory", "msd_fft", "collective_msd_fft",
-           "fit_diffusivity", "fit_window", "displacement_moments",
-           "self_intermediate_scattering"]
+           "fit_diffusivity", "fit_window", "lag_statistics",
+           "displacement_moments", "self_intermediate_scattering"]
 
 
 def fit_window(n_frames, fit_range):

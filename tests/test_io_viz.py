@@ -627,3 +627,27 @@ def test_native_rejects_mixed_properties_layouts(tmp_path, rng):
             fh.write("%.8f %.8f %.8f Li\n" % tuple(p))
     r = open_trajectory(f)
     np.testing.assert_allclose(r[0:2], pos, atol=1e-5)
+
+
+def test_npy_sidecar_staleness_guards(tmp_path):
+    """Re-converting without a structure removes a stale sidecar, and a
+    mismatched sidecar is ignored with a warning (review finding r4)."""
+    import os
+    from sitator_tpu.io import convert_to_npy, open_trajectory, write_xyz
+    from sitator_tpu.io.formats import structure_sidecar_path
+    rng = np.random.default_rng(2)
+    s3 = Structure(rng.uniform(0, 5, (3, 3)), ["S"] * 3, np.eye(3) * 8.0)
+    src = tmp_path / "a.extxyz"
+    write_xyz(src, s3, traj=rng.uniform(0, 5, (4, 3, 3)))
+    out = str(tmp_path / "t.npy")
+    convert_to_npy(str(src), out)
+    assert os.path.exists(structure_sidecar_path(out))
+    # overwrite the npy with a DIFFERENT system (7 atoms) out-of-band
+    np.save(out, rng.uniform(0, 5, (5, 7, 3)).astype(np.float32))
+    r = open_trajectory(out)
+    assert r.structure is None          # stale 3-atom sidecar ignored
+    # re-converting from a structureless reader must remove the sidecar
+    from sitator_tpu.io import ArrayTrajectory
+    convert_to_npy(ArrayTrajectory(rng.uniform(0, 5, (5, 7, 3))), out)
+    assert not os.path.exists(structure_sidecar_path(out))
+    assert open_trajectory(out).structure is None

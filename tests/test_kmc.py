@@ -202,3 +202,35 @@ def test_correlation_factor_nan_without_jump_attrs():
     labels = np.zeros((50, 1), np.int32)
     da = SiteDiffusionAnalysis(verbose=False).run(SiteTrajectory(sn, labels))
     assert np.isnan(da.D_jump_) and np.isnan(da.f_)
+
+
+def test_stationary_reducible_chain_ignores_unreachable_absorbers():
+    """transition_matrix_from_network makes never-visited sites
+    absorbing; the stationary solver must put NO mass on them (review
+    finding r4: an eigenvector pick could return all-mass-on-one)."""
+    sn = _network([[1.0, 1, 1], [3.0, 3, 3], [5.0, 5, 5],
+                   [7.0, 7, 7], [9.0, 9, 9]])
+    n_ij = np.zeros((5, 5))
+    n_ij[0, 1] = n_ij[1, 2] = n_ij[2, 0] = 10.0
+    t_i = np.array([100.0, 50.0, 200.0, 0.0, 0.0])   # sites 3,4 unvisited
+    sn.add_edge_attribute("n_ij", n_ij)
+    sn.add_site_attribute("total_corrected_residences", t_i)
+    kmc = KineticMonteCarlo(n_walkers=16, n_frames=30, seed=4,
+                            start="stationary", verbose=False)
+    st = kmc.run(sn)
+    assert kmc.stationary_[3] == 0.0 and kmc.stationary_[4] == 0.0
+    assert kmc.stationary_.sum() == pytest.approx(1.0)
+    # no walker ever lands on an unvisited site
+    assert not np.isin(st.traj, [3, 4]).any()
+    # stationarity: pi P = pi on the recurrent class
+    P = kmc.transition_matrix_
+    np.testing.assert_allclose(kmc.stationary_ @ P, kmc.stationary_,
+                               atol=1e-10)
+
+
+def test_stationary_periodic_chain_converges():
+    """A deterministic 2-cycle has no eigengap — the lazy iteration must
+    still converge to the uniform stationary distribution."""
+    P = np.array([[0.0, 1.0], [1.0, 0.0]])
+    pi = KineticMonteCarlo._stationary(P)
+    np.testing.assert_allclose(pi, [0.5, 0.5], atol=1e-10)

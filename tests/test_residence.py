@@ -101,3 +101,18 @@ def test_min_samples_guard():
     assert np.isnan(ra.p_value_).all()
     with pytest.raises(ValueError, match="alpha"):
         ResidenceTimeAnalysis(alpha=2.0)
+
+
+def test_ks_sparse_support_matches_dense_scan():
+    """The O(n log n) sup over sample support points equals the dense
+    O(max) integer scan (review finding r4 replaced the latter)."""
+    rng = np.random.default_rng(3)
+    for p_true in (0.5, 0.05):
+        x = rng.geometric(p_true, size=200)
+        x[0] = 400                      # a far outlier widens the gaps
+        for p_fit in (p_true, 0.3 * p_true):
+            ks = np.arange(1, int(x.max()) + 1)
+            f_emp = np.searchsorted(np.sort(x), ks, side="right") / len(x)
+            dense = np.abs(f_emp - (1 - (1 - p_fit) ** ks)).max()
+            assert _ks_vs_geometric(x, p_fit) == pytest.approx(dense,
+                                                               abs=1e-12)
