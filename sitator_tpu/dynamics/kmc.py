@@ -39,7 +39,8 @@ from sitator_tpu.core.structure import Structure
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["KineticMonteCarlo", "transition_matrix_from_network"]
+__all__ = ["KineticMonteCarlo", "transition_matrix_from_network",
+           "mean_first_passage_times"]
 
 
 def transition_matrix_from_network(sn):
@@ -79,6 +80,48 @@ def transition_matrix_from_network(sn):
     P[idx, idx] = 1.0 - out_mass
     # never-visited sites: absorbing rows (diagonal already 1 from above)
     return P
+
+
+def mean_first_passage_times(P):
+    """Mean first-passage time matrix of a discrete-time Markov chain.
+
+    ``M[i, j]`` = expected number of frames for a walker at site ``i``
+    to first reach site ``j`` (``M[i, i] = 0``; the mean *recurrence*
+    time is ``1/pi_i``).  Computed exactly through the fundamental
+    matrix ``Z = (I - P + 1 pi)^{-1}`` (Kemeny & Snell):
+    ``M[i, j] = (Z[j, j] - Z[i, j]) / pi_j``.
+
+    Unreachable absorbing states (how never-visited sites are encoded by
+    :func:`transition_matrix_from_network`) carry no stationary mass and
+    their rows/columns are returned as ``inf``.  The remaining states
+    must form ONE recurrent class (the normal case for a chain measured
+    from data — every visited site was entered and left); a chain with
+    several disconnected recurrent classes makes cross-class passage
+    times undefined and raises ``LinAlgError`` from the singular
+    fundamental-matrix solve.
+    """
+    P = np.asarray(P, dtype=np.float64)
+    S = len(P)
+    if P.shape != (S, S):
+        raise ValueError("P must be square")
+    if not np.allclose(P.sum(axis=1), 1.0, atol=1e-8):
+        raise ValueError("transition matrix must be row-stochastic")
+    pi = KineticMonteCarlo._stationary(P)
+    M = np.full((S, S), np.inf)
+    live = pi > 0
+    if not live.any():
+        return M
+    idx = np.flatnonzero(live)
+    Ps = P[np.ix_(idx, idx)]
+    # renormalize in case tiny mass leaks to dead states
+    Ps = Ps / Ps.sum(axis=1, keepdims=True)
+    pis = pi[idx] / pi[idx].sum()
+    n = len(idx)
+    Z = np.linalg.inv(np.eye(n) - Ps + np.outer(np.ones(n), pis))
+    Ms = (np.diag(Z)[None, :] - Z) / pis[None, :]
+    np.fill_diagonal(Ms, 0.0)
+    M[np.ix_(idx, idx)] = Ms
+    return M
 
 
 class KineticMonteCarlo:

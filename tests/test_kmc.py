@@ -234,3 +234,44 @@ def test_stationary_periodic_chain_converges():
     P = np.array([[0.0, 1.0], [1.0, 0.0]])
     pi = KineticMonteCarlo._stationary(P)
     np.testing.assert_allclose(pi, [0.5, 0.5], atol=1e-10)
+
+
+def test_mfpt_two_state_analytic():
+    """2-state chain: M[0,1] = 1/p01, M[1,0] = 1/p10, exactly."""
+    from sitator_tpu.dynamics.kmc import mean_first_passage_times
+    P = np.array([[0.9, 0.1], [0.3, 0.7]])
+    M = mean_first_passage_times(P)
+    np.testing.assert_allclose(M, [[0.0, 10.0], [1.0 / 0.3, 0.0]],
+                               rtol=1e-9)
+    with pytest.raises(ValueError, match="row-stochastic"):
+        mean_first_passage_times(np.eye(2) * 0.5)
+
+
+def test_mfpt_matches_kmc_sampling():
+    """The fundamental-matrix MFPT agrees with empirical first-passage
+    times sampled from the chain itself."""
+    from sitator_tpu.dynamics.kmc import mean_first_passage_times
+    sn = _network([[2.0, 2, 2], [6.0, 6, 6], [10.0, 10, 10]])
+    P = np.array([[0.90, 0.08, 0.02],
+                  [0.05, 0.90, 0.05],
+                  [0.03, 0.07, 0.90]])
+    M = mean_first_passage_times(P)
+    st = KineticMonteCarlo(n_walkers=256, n_frames=4000, seed=9,
+                           start=np.zeros(256, np.int64),
+                           transition_matrix=P, verbose=False).run(sn)
+    # empirical: first frame each walker reaches site 2, starting at 0
+    hit = (st.traj == 2).argmax(axis=0).astype(np.float64)
+    reached = (st.traj == 2).any(axis=0)
+    assert reached.all()
+    emp = hit[reached].mean()
+    assert emp == pytest.approx(M[0, 2], rel=0.08)
+
+
+def test_mfpt_unvisited_sites_are_inf():
+    from sitator_tpu.dynamics.kmc import mean_first_passage_times
+    P = np.array([[0.9, 0.1, 0.0],
+                  [0.2, 0.8, 0.0],
+                  [0.0, 0.0, 1.0]])       # site 2 unreachable absorbing
+    M = mean_first_passage_times(P)
+    assert np.isinf(M[0, 2]) and np.isinf(M[2, 0])
+    assert M[0, 1] == pytest.approx(10.0)
