@@ -14,6 +14,7 @@ from sitator_tpu.visualization.kinetics import (
     plot_arrhenius,
     plot_msd,
     plot_rdf,
+    plot_residence_survival,
     plot_van_hove,
 )
 
@@ -21,5 +22,5 @@ __all__ = [
     "plotter", "layers", "species_color", "plot_atoms", "plot_points",
     "SiteNetworkPlotter", "plot_frame", "plot_site",
     "plot_particle_trajectory", "plot_msd", "plot_arrhenius", "plot_rdf",
-    "plot_van_hove",
+    "plot_van_hove", "plot_residence_survival",
 ]

@@ -11,7 +11,8 @@ import numpy as np
 
 from sitator_tpu.visualization.common import plotter
 
-__all__ = ["plot_msd", "plot_arrhenius", "plot_rdf", "plot_van_hove"]
+__all__ = ["plot_msd", "plot_arrhenius", "plot_rdf", "plot_van_hove",
+           "plot_residence_survival"]
 
 _K_B_EV = 8.617333262e-5
 
@@ -71,6 +72,47 @@ def plot_rdf(ra, fig=None, ax=None, **plot_kwargs):
     ax.axhline(1.0, color="0.7", lw=0.8, zorder=1)
     ax.set_xlabel("r")
     ax.set_ylabel("g(r)")
+
+
+@plotter(is3D=False)
+def plot_residence_survival(ra, sites=None, fig=None, ax=None,
+                            cmap="viridis", show_fit=True):
+    """Per-site residence-time survival curves ``P(residence > k)`` on a
+    log scale, from a fitted
+    :class:`~sitator_tpu.dynamics.residence.ResidenceTimeAnalysis` —
+    a memoryless (geometric) site is a straight line; curvature or a
+    knee reveals the hidden sub-basins the analysis flags.  ``sites``
+    selects which sites to draw (default: all tested sites, flagged
+    ones with a thicker line)."""
+    import matplotlib.pyplot as plt
+    if sites is None:
+        sites = [s for s in range(len(ra.segments_))
+                 if np.isfinite(ra.p_value_[s])]
+    if not len(sites):
+        raise ValueError("no tested sites to plot (need >= min_samples "
+                         "completed residences)")
+    colors = plt.get_cmap(cmap)(np.linspace(0.15, 0.9, len(sites)))
+    flagged = set(int(s) for s in ra.non_exponential_sites_)
+    for s, c in zip(sites, colors):
+        v = np.sort(ra.segments_[s])
+        if not len(v):
+            continue
+        n = len(v)
+        surv = 1.0 - np.arange(1, n + 1) / n
+        label = f"site {s}"
+        if s in flagged:
+            label += " (non-memoryless)"
+        ax.step(v, np.maximum(surv, 0.5 / n), where="post", color=c,
+                lw=2.2 if s in flagged else 1.2, label=label)
+        if show_fit:
+            p = 1.0 / ra.mean_[s]
+            ks = np.linspace(1, v.max(), 64)
+            ax.plot(ks, (1.0 - p) ** ks, color=c, ls="--", lw=0.8,
+                    zorder=1)
+    ax.set_yscale("log")
+    ax.set_xlabel("residence [frames]")
+    ax.set_ylabel("P(residence > t)")
+    ax.legend(fontsize="small")
 
 
 @plotter(is3D=False)

@@ -71,10 +71,16 @@ class SiteNetworkPlotter:
         e = np.asarray(sn.get_edge_attribute(self.edge_attr), dtype=float)
         sym = e + e.T
         calc = PBCCalculator(sn.structure.cell)
-        vmax = sym.max()
+        # NaN-padded attributes (e.g. Ea_ij on unfittable edges) must
+        # neither poison vmax nor draw: treat NaN as below threshold
+        finite = np.isfinite(sym)
+        if not finite.any():
+            return
+        vmax = sym[finite].max()
         if vmax <= self.edge_threshold:
             return
-        ii, jj = np.nonzero(np.triu(sym > self.edge_threshold, k=1))
+        ii, jj = np.nonzero(np.triu(finite
+                                    & (sym > self.edge_threshold), k=1))
         if len(ii) == 0:
             return
         a = sn.centers[ii]

@@ -137,3 +137,25 @@ def test_unmatched_sites_stay_nan():
     assert np.isnan(ea.Ea_ij_[2, :]).all()
     assert np.isnan(ea.Ea_ij_[:, 2]).all()
     assert np.isfinite(ea.Ea_ij_[0, 1])
+
+
+def test_network_plotter_handles_nan_edge_attr(tmp_path):
+    """SiteNetworkPlotter can draw the NaN-padded Ea_ij edge attribute
+    (NaN must neither poison the width scale nor draw an edge)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from sitator_tpu.visualization import SiteNetworkPlotter
+    sn = _exact_network(600.0, np.array([0, 1, 2]))
+    ea = np.full((3, 3), np.nan)
+    ea[0, 1] = 0.2
+    ea[1, 2] = 0.4
+    sn.add_edge_attribute("Ea_ij", ea)
+    fig = SiteNetworkPlotter(edge_attr="Ea_ij").plot(sn)
+    fig.savefig(tmp_path / "ea.png")
+    assert (tmp_path / "ea.png").stat().st_size > 1000
+    # all-NaN attribute: nothing drawn, no crash
+    sn.remove_attribute("Ea_ij")
+    sn.add_edge_attribute("Ea_ij", np.full((3, 3), np.nan))
+    fig = SiteNetworkPlotter(edge_attr="Ea_ij").plot(sn)
+    import matplotlib.pyplot as plt
+    plt.close("all")

@@ -116,3 +116,22 @@ def test_ks_sparse_support_matches_dense_scan():
             dense = np.abs(f_emp - (1 - (1 - p_fit) ** ks)).max()
             assert _ks_vs_geometric(x, p_fit) == pytest.approx(dense,
                                                                abs=1e-12)
+
+
+def test_residence_survival_plot_smoke(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    from sitator_tpu.visualization import plot_residence_survival
+    sn = _st(np.zeros((2, 2), np.int32), 2).site_network
+    P = np.array([[0.9, 0.1], [0.15, 0.85]])
+    st = KineticMonteCarlo(n_walkers=8, n_frames=3000, seed=1,
+                           start="stationary", transition_matrix=P,
+                           verbose=False).run(sn)
+    ra = ResidenceTimeAnalysis(verbose=False).run(st)
+    fig = plot_residence_survival(ra)
+    fig.savefig(tmp_path / "surv.png")
+    assert (tmp_path / "surv.png").stat().st_size > 1000
+    import matplotlib.pyplot as plt
+    plt.close("all")
+    with pytest.raises(ValueError, match="no tested sites"):
+        plot_residence_survival(ra, sites=[])
