@@ -472,3 +472,26 @@ def test_residence_segments_match_bruteforce_property(data):
     for s in range(n_sites):
         np.testing.assert_array_equal(np.sort(got[s]), np.sort(want[s]),
                                       err_msg=f"site {s}")
+
+
+@given(data=st.data())
+@settings(**{**SETTINGS, "max_examples": 30})
+def test_mfpt_kemeny_constant_property(data):
+    """For ANY ergodic chain, sum_j pi_j * M[i, j] is independent of the
+    start site i (the Kemeny constant) — a sharp identity of the
+    fundamental-matrix MFPT computation."""
+    from sitator_tpu.dynamics.kmc import (KineticMonteCarlo,
+                                          mean_first_passage_times)
+    S = data.draw(st.integers(2, 6))
+    flat = data.draw(st.lists(st.floats(0.0625, 1.0, width=32),
+                              min_size=S * S, max_size=S * S))
+    P = np.asarray(flat, np.float64).reshape(S, S)
+    P = P / P.sum(axis=1, keepdims=True)   # strictly positive => ergodic
+    M = mean_first_passage_times(P)
+    pi = KineticMonteCarlo._stationary(P)
+    kemeny = M @ pi                         # (S,) of identical values
+    np.testing.assert_allclose(kemeny, kemeny[0], rtol=1e-8)
+    # sanity: diagonal zero, off-diagonal positive and finite
+    assert (np.diag(M) == 0).all()
+    off = ~np.eye(S, dtype=bool)
+    assert (M[off] > 0).all() and np.isfinite(M[off]).all()
