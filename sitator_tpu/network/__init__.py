@@ -4,8 +4,9 @@ from sitator_tpu.network.site_volumes import SiteVolumes
 from sitator_tpu.network.compare import (match_sites,
                                          compare_site_networks,
                                          min_image_distance_matrix)
+from sitator_tpu.network.graph import to_networkx
 
 __all__ = ["MergeSitesBase", "MergeSitesByDistance",
            "DiffusionPathwayAnalysis", "SiteVolumes",
            "match_sites", "compare_site_networks",
-           "min_image_distance_matrix"]
+           "min_image_distance_matrix", "to_networkx"]

@@ -124,3 +124,37 @@ def test_engine_to_engine_site_agreement():
     assert rep["n_matched"] >= min(st1.site_network.n_sites,
                                    sn2.n_sites) - 1
     assert rep["mean_distance"] < 0.5
+
+
+def test_to_networkx_export():
+    """Graph export: nodes carry centers/types/scalar attrs, edges carry
+    weight + min-image distance + other finite scalar edge attrs."""
+    nx = pytest.importorskip("networkx")
+    from sitator_tpu.network import to_networkx
+    sn = _net([[1.0, 1, 1], [9.5, 1, 1], [5.0, 5, 5]],
+              types=[0, 0, 1])
+    n_ij = np.array([[0.0, 4, 0], [2, 0, 1], [0, 3, 0]])
+    sn.add_edge_attribute("n_ij", n_ij)
+    ea = np.full((3, 3), np.nan)
+    ea[0, 1] = 0.25
+    sn.add_edge_attribute("Ea_ij", ea)
+    sn.add_site_attribute("occupancies", np.array([0.5, 0.3, 0.2]))
+    sn.add_site_attribute("vectors", np.ones((3, 4)))   # skipped (2-D)
+    g = to_networkx(sn, edge_threshold=1.5)
+    assert g.number_of_nodes() == 3
+    assert g.nodes[0]["site_type"] == 0
+    assert g.nodes[1]["occupancies"] == pytest.approx(0.3)
+    assert "vectors" not in g.nodes[0]
+    # edges above threshold 1.5 only: (0,1)=4, (1,0)=2, (2,1)=3 — not (1,2)=1
+    assert set(g.edges) == {(0, 1), (1, 0), (2, 1)}
+    assert g.edges[0, 1]["weight"] == 4.0
+    # min-image: sites 0 and 1 are 1.5 apart across the boundary
+    assert g.edges[0, 1]["distance"] == pytest.approx(1.5)
+    assert g.edges[0, 1]["Ea_ij"] == pytest.approx(0.25)
+    assert "Ea_ij" not in g.edges[1, 0]                 # NaN dropped
+    # nodes-only export and validation
+    assert to_networkx(sn, edge_attr=None).number_of_edges() == 0
+    with pytest.raises(ValueError, match="no edge attribute"):
+        to_networkx(sn, edge_attr="bogus")
+    # composes with networkx algorithms
+    assert nx.has_path(g.to_undirected(), 0, 2)
