@@ -702,3 +702,33 @@ def test_streaming_packed_drift_with_rollback_and_labels(md_system,
     np.testing.assert_array_equal(outs[0].n_ij, outs[3].n_ij)
     np.testing.assert_allclose(outs[0].occupancies, outs[3].occupancies,
                                atol=1e-12)
+
+
+def test_spilled_labels_feed_postprocessing_engines(md_system, tmp_path):
+    """Composability: the spilled label memmap reconstructs a
+    SiteTrajectory whose JumpAnalysis statistics equal the streaming
+    engine's on-device accumulators, and the label-based diagnostics
+    (ResidenceTimeAnalysis) run on it directly."""
+    md, seeds = md_system
+    from sitator_tpu.core.sitetraj import SiteTrajectory
+    from sitator_tpu.dynamics import JumpAnalysis, ResidenceTimeAnalysis
+
+    eng = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0,
+                                    block_frames=128,
+                                    store_labels=str(tmp_path / "l.npy"),
+                                    verbose=False)
+    sn2 = eng.run(seeds, ArrayTrajectory(md.traj))
+    labels = np.load(tmp_path / "l.npy", mmap_mode="r")
+    assert labels.shape == (md.traj.shape[0], int(md.mobile_mask.sum()))
+
+    st = SiteTrajectory(sn2, np.asarray(labels))
+    ja = JumpAnalysis(verbose=False)
+    # re-deriving on the host from the spilled labels must reproduce the
+    # device accumulators exactly
+    n_dev = np.asarray(sn2.n_ij).copy()
+    ja.run(st)
+    np.testing.assert_array_equal(np.asarray(st.site_network.n_ij),
+                                  n_dev)
+    ra = ResidenceTimeAnalysis(min_samples=5, verbose=False).run(st)
+    assert np.isfinite(ra.p_value_).sum() >= 1
