@@ -95,27 +95,61 @@ def cmd_convert(args):
     return 0
 
 
-def cmd_analyze(args):
+def _seed_network(args, traj_path):
+    """Open + structure + masks + Voronoi seeding; shared by analyze
+    and arrhenius.  Returns ``(reader, seeded SiteNetwork)``."""
     from sitator_tpu import SiteNetwork
-    from sitator_tpu.dynamics import (
-        DiffusionAnalysis, JumpAnalysis, MergeSitesByDynamics,
-        RemoveShortJumps, RemoveUnoccupiedSites)
-    from sitator_tpu.landmark import LandmarkAnalysis
     from sitator_tpu.voronoi import VoronoiSiteGenerator
 
-    reader = _open(args.traj, args.variable_cell)
+    reader = _open(traj_path, args.variable_cell)
     structure = _load_structure(args, reader)
-
     mobile = np.isin(structure.species, args.mobile)
     if not mobile.any():
         raise SystemExit(f"no atoms of mobile species {args.mobile}")
     static = ~mobile
     print(f"{len(reader)} frames, {int(mobile.sum())} mobile / "
           f"{int(static.sum())} static atoms")
-
     sn = SiteNetwork(structure, static, mobile)
     sn = VoronoiSiteGenerator(merge_tol=args.voronoi_merge_tol).run(sn)
     print(f"landmark basis: {sn.n_sites} Voronoi sites")
+    return reader, sn
+
+
+def _eager_pipeline(args, sn, traj):
+    """landmark → optional merge/debounce → drop unoccupied →
+    JumpAnalysis.  Returns the final SiteTrajectory (jump stats on its
+    network)."""
+    from sitator_tpu.dynamics import (
+        JumpAnalysis, MergeSitesByDynamics, RemoveShortJumps,
+        RemoveUnoccupiedSites)
+    from sitator_tpu.landmark import LandmarkAnalysis
+
+    la = LandmarkAnalysis(
+        cutoff_midpoint=args.cutoff_midpoint,
+        cutoff_steepness=args.cutoff_steepness,
+        minimum_site_occupancy=args.min_occupancy,
+        dynamic_lattice_mapping=args.dynamic_lattice_mapping,
+        verbose=args.verbose)
+    st = la.run(sn, traj)
+    print(f"assigned: {st.site_network.n_sites} sites, "
+          f"{100 * st.percent_unassigned:.2f}% unassigned")
+    if args.merge_dynamics:
+        st = MergeSitesByDynamics(
+            distance_threshold=args.merge_dynamics).run(st)
+    if args.debounce:
+        st = RemoveShortJumps(frame_threshold=args.debounce).run(st)
+    if not getattr(args, "keep_unoccupied", False):
+        st = RemoveUnoccupiedSites().run(st)
+    ja = JumpAnalysis(verbose=args.verbose)
+    ja.run(st)
+    print(f"final: {st.site_network.n_sites} sites, {ja.n_jumps} jumps")
+    return st
+
+
+def cmd_analyze(args):
+    from sitator_tpu.dynamics import DiffusionAnalysis
+
+    reader, sn = _seed_network(args, args.traj)
 
     if args.streaming:
         ignored = [name for name, val in [
@@ -134,28 +168,7 @@ def cmd_analyze(args):
                   file=sys.stderr)
         return _analyze_streaming(args, sn, reader)
     traj = reader[0:len(reader)]
-
-    la = LandmarkAnalysis(
-        cutoff_midpoint=args.cutoff_midpoint,
-        cutoff_steepness=args.cutoff_steepness,
-        minimum_site_occupancy=args.min_occupancy,
-        dynamic_lattice_mapping=args.dynamic_lattice_mapping,
-        verbose=args.verbose)
-    st = la.run(sn, traj)
-    print(f"assigned: {st.site_network.n_sites} sites, "
-          f"{100 * st.percent_unassigned:.2f}% unassigned")
-
-    if args.merge_dynamics:
-        st = MergeSitesByDynamics(
-            distance_threshold=args.merge_dynamics).run(st)
-    if args.debounce:
-        st = RemoveShortJumps(frame_threshold=args.debounce).run(st)
-    if not args.keep_unoccupied:
-        st = RemoveUnoccupiedSites().run(st)
-    ja = JumpAnalysis(verbose=args.verbose)
-    ja.run(st)
-    sn2 = st.site_network
-    print(f"final: {sn2.n_sites} sites, {ja.n_jumps} jumps")
+    st = _eager_pipeline(args, sn, traj)
 
     if args.diagnose:
         from sitator_tpu.dynamics import ResidenceTimeAnalysis
@@ -222,6 +235,67 @@ def _analyze_streaming(args, sn, reader):
     return 0
 
 
+def cmd_arrhenius(args):
+    from sitator_tpu.dynamics import (ArrheniusAnalysis,
+                                      DiffusionAnalysis,
+                                      EdgeArrheniusAnalysis)
+    series, temps, Ds, Derrs = [], [], [], []
+    for spec in args.series:
+        if "=" not in spec:
+            raise SystemExit(
+                f"series entries must be TEMP=PATH (got {spec!r}), "
+                "e.g. 700=md700.xyz 900=md900.xyz")
+        t_str, path = spec.split("=", 1)
+        try:
+            T = float(t_str)
+        except ValueError:
+            raise SystemExit(f"bad temperature in {spec!r}")
+        print(f"--- T = {T:g} K: {path}")
+        reader, sn = _seed_network(args, path)
+        traj = reader[0:len(reader)]
+        st = _eager_pipeline(args, sn, traj)
+        series.append((T, st.site_network))
+        if args.timestep:
+            st.set_real_traj(traj)
+            da = DiffusionAnalysis(timestep=args.timestep,
+                                   verbose=args.verbose).run(st)
+            print(f"D_tracer = {da.D_tracer_:.4g} ± "
+                  f"{da.D_tracer_err_:.2g}")
+            temps.append(T)
+            Ds.append(da.D_tracer_)
+            Derrs.append(da.D_tracer_err_)
+
+    if args.timestep:
+        if len(Ds) >= 2 and all(d > 0 for d in Ds):
+            aa = ArrheniusAnalysis(verbose=args.verbose).run(
+                temps, Ds, errors=Derrs)
+            print(f"tracer-D Arrhenius: Ea = {aa.Ea_ev_:.4g} ± "
+                  f"{aa.Ea_err_ev_:.2g} eV "
+                  f"(prefactor {aa.prefactor_:.4g})")
+        else:
+            print("warning: non-positive D in the series — scalar "
+                  "Arrhenius fit skipped", file=sys.stderr)
+
+    ea = EdgeArrheniusAnalysis(min_counts=args.min_counts,
+                               match_cutoff=args.match_cutoff,
+                               verbose=args.verbose).run(series)
+    fitted = int(np.isfinite(ea.Ea_ij_).sum())
+    if fitted:
+        print(f"edge Arrhenius: {fitted} pathways fitted; "
+              f"median Ea = {np.nanmedian(ea.Ea_ij_):.4g} eV; "
+              f"site-level median = "
+              f"{np.nanmedian(ea.Ea_site_):.4g} eV")
+    else:
+        print("edge Arrhenius: no pathway observed at enough "
+              "temperatures (lower --min-counts or collect more "
+              "frames)")
+    if args.out:
+        series[0][1].save(args.out)
+        print(f"reference network (with Ea_ij/Ea_site) saved to "
+              f"{args.out}")
+    return 0
+
+
 def build_parser():
     p = argparse.ArgumentParser(
         prog="sitator_tpu",
@@ -245,26 +319,35 @@ def build_parser():
                    help="zarr v3 instead of v2")
     c.set_defaults(func=cmd_convert)
 
-    a = sub.add_parser("analyze", help="run the full landmark pipeline")
+    # options shared by the analyze and arrhenius pipelines
+    pipe = argparse.ArgumentParser(add_help=False)
+    pipe.add_argument("--mobile", type=_species_arg, nargs="+",
+                      required=True, metavar="SPECIES",
+                      help="mobile species (symbol or atomic number)")
+    pipe.add_argument("--structure", default=None,
+                      help="first-frame .xyz with species + cell (for "
+                           "binary formats that carry no structure)")
+    pipe.add_argument("--variable-cell", choices=["rescale"],
+                      default=None)
+    pipe.add_argument("--cutoff-midpoint", type=float, default=3.0)
+    pipe.add_argument("--cutoff-steepness", type=float, default=4.0)
+    pipe.add_argument("--min-occupancy", type=float, default=0.01)
+    pipe.add_argument("--voronoi-merge-tol", type=float, default=0.05)
+    pipe.add_argument("--dynamic-lattice-mapping", action="store_true")
+    pipe.add_argument("--merge-dynamics", type=float, default=None,
+                      metavar="DIST",
+                      help="MergeSitesByDynamics distance threshold")
+    pipe.add_argument("--debounce", type=int, default=None,
+                      metavar="FRAMES",
+                      help="RemoveShortJumps frame threshold")
+    pipe.add_argument("--keep-unoccupied", action="store_true")
+    pipe.add_argument("--timestep", type=float, default=None,
+                      help="time between frames — enables "
+                           "DiffusionAnalysis")
+
+    a = sub.add_parser("analyze", parents=[pipe],
+                       help="run the full landmark pipeline")
     a.add_argument("traj")
-    a.add_argument("--mobile", type=_species_arg, nargs="+",
-                   required=True, metavar="SPECIES",
-                   help="mobile species (symbol or atomic number)")
-    a.add_argument("--structure", default=None,
-                   help="first-frame .xyz with species + cell (for "
-                        "binary formats that carry no structure)")
-    a.add_argument("--variable-cell", choices=["rescale"], default=None)
-    a.add_argument("--cutoff-midpoint", type=float, default=3.0)
-    a.add_argument("--cutoff-steepness", type=float, default=4.0)
-    a.add_argument("--min-occupancy", type=float, default=0.01)
-    a.add_argument("--voronoi-merge-tol", type=float, default=0.05)
-    a.add_argument("--dynamic-lattice-mapping", action="store_true")
-    a.add_argument("--merge-dynamics", type=float, default=None,
-                   metavar="DIST",
-                   help="MergeSitesByDynamics distance threshold")
-    a.add_argument("--debounce", type=int, default=None, metavar="FRAMES",
-                   help="RemoveShortJumps frame threshold")
-    a.add_argument("--keep-unoccupied", action="store_true")
     a.add_argument("--diagnose", action="store_true",
                    help="residence-time memorylessness check (flags "
                         "over-merged sites) and, with --timestep, the "
@@ -275,14 +358,31 @@ def build_parser():
                         "next to --out)")
     a.add_argument("--block-frames", type=int, default=1024,
                    help="frames per streamed device block")
-    a.add_argument("--timestep", type=float, default=None,
-                   help="time between frames — enables DiffusionAnalysis")
     a.add_argument("--temperature", type=float, default=None,
                    help="kelvin — adds Nernst-Einstein conductivity")
     a.add_argument("--charge", type=float, default=1.0)
     a.add_argument("--out", default=None, metavar="OUT.npz",
                    help="save the SiteTrajectory (+ network) here")
     a.set_defaults(func=cmd_analyze)
+
+    r = sub.add_parser(
+        "arrhenius", parents=[pipe],
+        help="activation energies from a temperature series "
+             "(independent runs, site-matched)")
+    r.add_argument("series", nargs="+", metavar="TEMP=PATH",
+                   help="temperature (kelvin) and trajectory pairs, "
+                        "e.g. 700=md700.xyz 900=md900.xyz")
+    r.add_argument("--min-counts", type=int, default=3,
+                   help="minimum hops for a (T, edge) point to enter "
+                        "its fit")
+    r.add_argument("--match-cutoff", type=float, default=2.0,
+                   metavar="DIST",
+                   help="max site-matching distance across "
+                        "temperatures")
+    r.add_argument("--out", default=None, metavar="OUT.npz",
+                   help="save the reference network (with Ea_ij / "
+                        "Ea_site attributes) here")
+    r.set_defaults(func=cmd_arrhenius)
     return p
 
 

@@ -209,3 +209,40 @@ def test_analyze_diagnose(xyz_file, capsys):
     out = capsys.readouterr().out
     assert "sites tested for memoryless residences" in out
     assert "correlation factor f =" in out
+
+
+def test_arrhenius_subcommand(tmp_path, capsys):
+    """The arrhenius subcommand recovers a programmed activation energy
+    from a TEMP=PATH series and saves the Ea-annotated network."""
+    from sitator_tpu.io import make_hopping_trajectory, write_xyz
+    KB = 8.617333262e-5
+    EA, NU = 0.25, 0.5
+    specs = []
+    for i, T in enumerate([700.0, 900.0, 1200.0]):
+        rate = NU * np.exp(-EA / (KB * T))
+        md = make_hopping_trajectory(n_cells=3, a=4.0, n_ions=8,
+                                     n_frames=8000, jump_rate=rate,
+                                     seed=40 + i)
+        path = str(tmp_path / f"md{int(T)}.xyz")
+        write_xyz(path, md.structure, md.traj)
+        specs.append(f"{T:g}={path}")
+    out = str(tmp_path / "ref.npz")
+    rc = main(["arrhenius", *specs, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--timestep", "1.0", "--out", out])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "tracer-D Arrhenius: Ea =" in text
+    assert "edge Arrhenius:" in text and "pathways fitted" in text
+    import re
+    m = re.search(r"site-level median = ([\d.eE+-]+) eV", text)
+    assert m and abs(float(m.group(1)) - EA) < 0.06
+    from sitator_tpu import SiteNetwork
+    ref = SiteNetwork.load(out)
+    assert "Ea_ij" in ref.edge_attributes
+    assert "Ea_site" in ref.site_attributes
+    # malformed series entries
+    with pytest.raises(SystemExit, match="TEMP=PATH"):
+        main(["arrhenius", "bogus", "--mobile", "Li"])
+    with pytest.raises(SystemExit, match="bad temperature"):
+        main(["arrhenius", "hot=md.xyz", "--mobile", "Li"])
