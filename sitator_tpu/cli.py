@@ -239,7 +239,8 @@ def cmd_arrhenius(args):
     from sitator_tpu.dynamics import (ArrheniusAnalysis,
                                       DiffusionAnalysis,
                                       EdgeArrheniusAnalysis)
-    series, temps, Ds, Derrs = [], [], [], []
+    # parse + validate the whole series BEFORE any expensive analysis
+    parsed = []
     for spec in args.series:
         if "=" not in spec:
             raise SystemExit(
@@ -247,9 +248,16 @@ def cmd_arrhenius(args):
                 "e.g. 700=md700.xyz 900=md900.xyz")
         t_str, path = spec.split("=", 1)
         try:
-            T = float(t_str)
+            parsed.append((float(t_str), path))
         except ValueError:
             raise SystemExit(f"bad temperature in {spec!r}")
+    if len(parsed) < 2:
+        raise SystemExit("need at least 2 TEMP=PATH entries")
+    if len({t for t, _ in parsed}) < 2:
+        raise SystemExit("need at least 2 distinct temperatures")
+
+    series, temps, Ds, Derrs = [], [], [], []
+    for T, path in parsed:
         print(f"--- T = {T:g} K: {path}")
         reader, sn = _seed_network(args, path)
         traj = reader[0:len(reader)]
@@ -266,7 +274,7 @@ def cmd_arrhenius(args):
             Derrs.append(da.D_tracer_err_)
 
     if args.timestep:
-        if len(Ds) >= 2 and all(d > 0 for d in Ds):
+        if all(d > 0 for d in Ds):
             aa = ArrheniusAnalysis(verbose=args.verbose).run(
                 temps, Ds, errors=Derrs)
             print(f"tracer-D Arrhenius: Ea = {aa.Ea_ev_:.4g} ± "

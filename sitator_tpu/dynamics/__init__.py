@@ -9,7 +9,8 @@ from sitator_tpu.dynamics.correlation import RDFAnalysis, VanHoveAnalysis
 from sitator_tpu.dynamics.arrhenius import (ArrheniusAnalysis,
                                             EdgeArrheniusAnalysis)
 from sitator_tpu.dynamics.energetics import SiteFreeEnergyAnalysis
-from sitator_tpu.dynamics.kmc import KineticMonteCarlo
+from sitator_tpu.dynamics.kmc import (KineticMonteCarlo,
+                                      mean_first_passage_times)
 from sitator_tpu.dynamics.residence import ResidenceTimeAnalysis
 from sitator_tpu.network.merging import MergeSitesByDistance
 
@@ -20,5 +21,5 @@ __all__ = [
     "SiteDiffusionAnalysis", "RelaxationAnalysis", "RDFAnalysis",
     "VanHoveAnalysis", "ArrheniusAnalysis", "SiteFreeEnergyAnalysis",
     "KineticMonteCarlo", "ResidenceTimeAnalysis",
-    "EdgeArrheniusAnalysis",
+    "EdgeArrheniusAnalysis", "mean_first_passage_times",
 ]

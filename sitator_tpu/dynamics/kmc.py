@@ -91,14 +91,15 @@ def mean_first_passage_times(P):
     matrix ``Z = (I - P + 1 pi)^{-1}`` (Kemeny & Snell):
     ``M[i, j] = (Z[j, j] - Z[i, j]) / pi_j``.
 
-    Unreachable absorbing states (how never-visited sites are encoded by
-    :func:`transition_matrix_from_network`) carry no stationary mass and
-    their rows/columns are returned as ``inf``.  The remaining states
+    States without stationary mass — unreachable absorbing states (how
+    never-visited sites are encoded by
+    :func:`transition_matrix_from_network`) and *transient* states
+    (visited early, abandoned, never re-entered) — are excluded: their
+    rows and columns are returned as ``inf``.  The remaining states
     must form ONE recurrent class (the normal case for a chain measured
-    from data — every visited site was entered and left); a chain with
-    several disconnected recurrent classes makes cross-class passage
-    times undefined and raises ``LinAlgError`` from the singular
-    fundamental-matrix solve.
+    from data); a chain with several disconnected recurrent classes
+    makes cross-class passage times undefined and raises
+    ``LinAlgError`` from the singular fundamental-matrix solve.
     """
     P = np.asarray(P, dtype=np.float64)
     S = len(P)
@@ -108,7 +109,11 @@ def mean_first_passage_times(P):
         raise ValueError("transition matrix must be row-stochastic")
     pi = KineticMonteCarlo._stationary(P)
     M = np.full((S, S), np.inf)
-    live = pi > 0
+    # relative threshold: transient states' power-iterated mass decays
+    # to the convergence floor (~1e-13), not to exact zero — a bare
+    # pi > 0 would keep them and divide by that floor, producing huge
+    # finite garbage instead of the documented inf
+    live = pi > 1e-9 * pi.max()
     if not live.any():
         return M
     idx = np.flatnonzero(live)

@@ -69,10 +69,17 @@ class SiteNetworkPlotter:
         if not self.edge_attr or self.edge_attr not in sn.edge_attributes:
             return
         e = np.asarray(sn.get_edge_attribute(self.edge_attr), dtype=float)
-        sym = e + e.T
+        # NaN-aware symmetrization: attributes like Ea_ij are often
+        # finite in only one direction (the reverse hops missed
+        # min_counts) — a bare e + e.T would NaN-poison exactly the
+        # edges worth drawing.  Sum where both directions are finite,
+        # take the finite one where only one is, NaN when neither.
+        et = e.T
+        both = np.isfinite(e) & np.isfinite(et)
+        sym = np.where(both, e + et,
+                       np.where(np.isfinite(e), e, et))
         calc = PBCCalculator(sn.structure.cell)
-        # NaN-padded attributes (e.g. Ea_ij on unfittable edges) must
-        # neither poison vmax nor draw: treat NaN as below threshold
+        # remaining NaNs must neither poison vmax nor draw
         finite = np.isfinite(sym)
         if not finite.any():
             return

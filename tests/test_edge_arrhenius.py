@@ -139,23 +139,38 @@ def test_unmatched_sites_stay_nan():
     assert np.isfinite(ea.Ea_ij_[0, 1])
 
 
+def _edge_collections(fig):
+    from mpl_toolkits.mplot3d.art3d import Line3DCollection
+    return [c for ax in fig.axes for c in ax.collections
+            if isinstance(c, Line3DCollection)]
+
+
 def test_network_plotter_handles_nan_edge_attr(tmp_path):
-    """SiteNetworkPlotter can draw the NaN-padded Ea_ij edge attribute
-    (NaN must neither poison the width scale nor draw an edge)."""
+    """SiteNetworkPlotter DRAWS the finite entries of a NaN-padded,
+    one-directional Ea_ij edge attribute (NaN in the reverse direction
+    must not poison the symmetrization, nor NaN the width scale)."""
     import matplotlib
     matplotlib.use("Agg")
     from sitator_tpu.visualization import SiteNetworkPlotter
     sn = _exact_network(600.0, np.array([0, 1, 2]))
     ea = np.full((3, 3), np.nan)
-    ea[0, 1] = 0.2
-    ea[1, 2] = 0.4
+    ea[0, 1] = 0.2                       # reverse directions are NaN —
+    ea[1, 2] = 0.4                       # the common EdgeArrhenius shape
     sn.add_edge_attribute("Ea_ij", ea)
     fig = SiteNetworkPlotter(edge_attr="Ea_ij").plot(sn)
+    cols = _edge_collections(fig)
+    assert len(cols) == 1
+    fig.canvas.draw()       # 3D segments project into 2D at draw time
+    segs = cols[0].get_segments()
+    assert len(segs) == 2                # both finite edges drawn
+    widths = np.asarray(cols[0].get_linewidths())
+    assert np.isfinite(widths).all()
     fig.savefig(tmp_path / "ea.png")
     assert (tmp_path / "ea.png").stat().st_size > 1000
     # all-NaN attribute: nothing drawn, no crash
     sn.remove_attribute("Ea_ij")
     sn.add_edge_attribute("Ea_ij", np.full((3, 3), np.nan))
     fig = SiteNetworkPlotter(edge_attr="Ea_ij").plot(sn)
+    assert len(_edge_collections(fig)) == 0
     import matplotlib.pyplot as plt
     plt.close("all")

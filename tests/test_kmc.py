@@ -275,3 +275,14 @@ def test_mfpt_unvisited_sites_are_inf():
     M = mean_first_passage_times(P)
     assert np.isinf(M[0, 2]) and np.isinf(M[2, 0])
     assert M[0, 1] == pytest.approx(10.0)
+
+
+def test_mfpt_transient_state_is_inf():
+    """A visited-then-abandoned (transient) state has no stationary
+    mass; passage times INTO it must be inf, not huge finite garbage
+    from the power iteration's convergence floor (review finding r4)."""
+    from sitator_tpu.dynamics import mean_first_passage_times
+    P = np.array([[0.5, 0.5], [0.0, 1.0]])   # state 0 transient
+    M = mean_first_passage_times(P)
+    assert np.isinf(M[1, 0])
+    assert M[1, 1] == 0.0
