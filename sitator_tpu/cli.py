@@ -115,10 +115,26 @@ def _seed_network(args, traj_path):
     return reader, sn
 
 
+def _print_residence_diagnose(args, st):
+    """Memorylessness check.  Runs on the PRE-debounce labels: the
+    debounce filter removes short residences by construction, which
+    would make every site reject the geometric model for the filter's
+    reason rather than a physical one."""
+    from sitator_tpu.dynamics import ResidenceTimeAnalysis
+    ra = ResidenceTimeAnalysis(verbose=args.verbose).run(st)
+    tested = int(np.isfinite(ra.p_value_).sum())
+    flagged = ra.non_exponential_sites_
+    print(f"diagnose: {tested} sites tested for memoryless "
+          f"residences; {flagged.size} flagged"
+          + (f" (sites {flagged.tolist()} — likely over-merged; "
+             "consider lower merge thresholds)" if flagged.size
+             else ""))
+
+
 def _eager_pipeline(args, sn, traj):
-    """landmark → optional merge/debounce → drop unoccupied →
-    JumpAnalysis.  Returns the final SiteTrajectory (jump stats on its
-    network)."""
+    """landmark → optional merge (+ --diagnose residence check) →
+    optional debounce → drop unoccupied → JumpAnalysis.  Returns the
+    final SiteTrajectory (jump stats on its network)."""
     from sitator_tpu.dynamics import (
         JumpAnalysis, MergeSitesByDynamics, RemoveShortJumps,
         RemoveUnoccupiedSites)
@@ -136,6 +152,8 @@ def _eager_pipeline(args, sn, traj):
     if args.merge_dynamics:
         st = MergeSitesByDynamics(
             distance_threshold=args.merge_dynamics).run(st)
+    if getattr(args, "diagnose", False):
+        _print_residence_diagnose(args, st)
     if args.debounce:
         st = RemoveShortJumps(frame_threshold=args.debounce).run(st)
     if not getattr(args, "keep_unoccupied", False):
@@ -155,31 +173,25 @@ def cmd_analyze(args):
         ignored = [name for name, val in [
             ("--timestep", args.timestep),
             ("--temperature", args.temperature),
-            ("--merge-dynamics", args.merge_dynamics),
-            ("--debounce", args.debounce),
-            ("--keep-unoccupied", args.keep_unoccupied or None),
-            ("--diagnose", args.diagnose or None),
         ] if val is not None]
         if ignored:
             print(f"warning: {', '.join(ignored)} ignored with "
-                  "--streaming (post-processing that needs the full "
-                  "label array is not run on the streaming route; "
-                  "stats come from the on-device accumulators)",
+                  "--streaming (diffusivity needs the materialized "
+                  "positions, unavailable out-of-core)",
+                  file=sys.stderr)
+        needs_labels = [name for name, val in [
+            ("--merge-dynamics", args.merge_dynamics),
+            ("--debounce", args.debounce),
+            ("--diagnose", args.diagnose or None),
+        ] if val is not None]
+        if needs_labels and not args.out:
+            print(f"warning: {', '.join(needs_labels)} ignored with "
+                  "--streaming unless --out is set (they post-process "
+                  "the spilled label file, written next to --out)",
                   file=sys.stderr)
         return _analyze_streaming(args, sn, reader)
     traj = reader[0:len(reader)]
     st = _eager_pipeline(args, sn, traj)
-
-    if args.diagnose:
-        from sitator_tpu.dynamics import ResidenceTimeAnalysis
-        ra = ResidenceTimeAnalysis(verbose=args.verbose).run(st)
-        tested = int(np.isfinite(ra.p_value_).sum())
-        flagged = ra.non_exponential_sites_
-        print(f"diagnose: {tested} sites tested for memoryless "
-              f"residences; {flagged.size} flagged"
-              + (f" (sites {flagged.tolist()} — likely over-merged; "
-                 "consider lower merge thresholds)" if flagged.size
-                 else ""))
 
     if args.timestep:
         st.set_real_traj(traj)
@@ -208,10 +220,10 @@ def cmd_analyze(args):
 
 def _analyze_streaming(args, sn, reader):
     """Out-of-core route: the streaming engine never materializes the
-    trajectory (labels spill to ``OUT.labels.npy`` when --out is set).
-    Post-processing that needs the label array (merging, debounce,
-    diffusivity) is deliberately not run here — stats come from the
-    on-device accumulators."""
+    trajectory; labels spill to ``OUT.labels.npy`` when --out is set.
+    Label-based post-processing (merging, debounce, --diagnose) runs
+    from the spilled file afterwards — only diffusivity (which needs
+    the real positions) is unavailable out-of-core."""
     from sitator_tpu.landmark.streaming import StreamingLandmarkAnalysis
 
     labels_path = (args.out + ".labels.npy") if args.out else None
@@ -228,10 +240,41 @@ def _analyze_streaming(args, sn, reader):
     n_jumps = int(sn2.n_ij.sum() - np.trace(sn2.n_ij))
     print(f"streamed {len(reader)} frames: {sn2.n_sites} sites, "
           f"{n_jumps} jumps")
+
+    post_wanted = (args.merge_dynamics or args.debounce
+                   or args.diagnose)
+    st = None
+    if post_wanted and labels_path:
+        from sitator_tpu.core.sitetraj import SiteTrajectory
+        from sitator_tpu.dynamics import (
+            JumpAnalysis, MergeSitesByDynamics, RemoveShortJumps,
+            RemoveUnoccupiedSites)
+        # labels are int32 (F, M) — tiny next to the positions the
+        # engine deliberately never materialized
+        st = SiteTrajectory(sn2, np.load(labels_path))
+        if args.merge_dynamics:
+            st = MergeSitesByDynamics(
+                distance_threshold=args.merge_dynamics).run(st)
+        if args.diagnose:
+            _print_residence_diagnose(args, st)
+        if args.debounce:
+            st = RemoveShortJumps(frame_threshold=args.debounce).run(st)
+        if not args.keep_unoccupied:
+            st = RemoveUnoccupiedSites().run(st)
+        ja = JumpAnalysis(verbose=args.verbose)
+        ja.run(st)
+        print(f"post-processed from spilled labels: "
+              f"{st.site_network.n_sites} sites, {ja.n_jumps} jumps")
+
     if args.out:
-        sn2.save(args.out)
-        print(f"site network saved to {args.out}; labels in "
-              f"{labels_path}")
+        if st is not None:
+            st.save(args.out)
+            print(f"site trajectory saved to {args.out}; raw labels in "
+                  f"{labels_path}")
+        else:
+            sn2.save(args.out)
+            print(f"site network saved to {args.out}; labels in "
+                  f"{labels_path}")
     return 0
 
 

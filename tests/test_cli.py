@@ -250,3 +250,31 @@ def test_arrhenius_subcommand(tmp_path, capsys):
         main(["arrhenius", "700=md.xyz", "--mobile", "Li"])
     with pytest.raises(SystemExit, match="distinct temperatures"):
         main(["arrhenius", "700=a.xyz", "700=b.xyz", "--mobile", "Li"])
+
+
+def test_streaming_postprocesses_from_spilled_labels(xyz_file, tmp_path,
+                                                     capsys):
+    """With --out set, the streaming route runs label-based
+    post-processing (debounce + diagnose) from the spilled label file
+    and saves a SiteTrajectory."""
+    out = str(tmp_path / "sres.npz")
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--streaming", "--block-frames", "64",
+               "--debounce", "2", "--diagnose", "--out", out])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "post-processed from spilled labels:" in text
+    assert "sites tested for memoryless residences" in text
+    assert "site trajectory saved to" in text
+    from sitator_tpu.core.sitetraj import SiteTrajectory
+    st = SiteTrajectory.load(out)
+    assert st.n_frames == 150
+    assert "n_ij" in st.site_network.edge_attributes
+    # without --out, those options warn instead
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--streaming",
+               "--block-frames", "64", "--debounce", "2"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "unless --out is set" in err
