@@ -7,7 +7,12 @@ Production entry points over the library (no Python required):
   ``.npy`` (memmap) or a zarr store (by OUT extension), O(1) memory.
 - ``analyze TRAJ``   — the canonical pipeline (SURVEY.md §4.1):
   Voronoi seeding → landmark analysis → optional merging/debounce →
-  jump statistics → optional diffusivity, saved as ``.npz`` results.
+  jump statistics → optional diffusivity (+ ``--diagnose`` health
+  checks), saved as ``.npz`` results; ``--streaming`` runs the
+  out-of-core engine and post-processes from the spilled label file.
+- ``arrhenius T=PATH [T=PATH ...]`` — the temperature-series workflow:
+  one full analysis per file, cross-temperature site matching, scalar
+  tracer-D Arrhenius and per-jump-pathway ``Ea_ij``.
 
 Beyond-reference convenience: upstream ``sitator`` is library-only.
 """
