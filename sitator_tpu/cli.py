@@ -120,29 +120,60 @@ def _seed_network(args, traj_path):
     return reader, sn
 
 
-def _print_residence_diagnose(args, st):
-    """Memorylessness check.  Runs on the PRE-debounce labels: the
-    debounce filter removes short residences by construction, which
-    would make every site reject the geometric model for the filter's
-    reason rather than a physical one."""
+def _print_residence_diagnose(args, st, pre_debounce=False):
+    """Memorylessness check.  Runs on PRE-debounce labels: the debounce
+    filter removes short residences by construction, which would make
+    every site reject the geometric model for the filter's reason
+    rather than a physical one."""
     from sitator_tpu.dynamics import ResidenceTimeAnalysis
     ra = ResidenceTimeAnalysis(verbose=args.verbose).run(st)
     tested = int(np.isfinite(ra.p_value_).sum())
     flagged = ra.non_exponential_sites_
+    note = ""
+    if flagged.size:
+        note = (f" (sites {flagged.tolist()} — likely over-merged; "
+                "consider lower merge thresholds)")
+        if pre_debounce:
+            # debouncing may empty a site and renumber afterwards
+            note = note[:-1] + "; indices refer to the pre-debounce " \
+                               "network)"
     print(f"diagnose: {tested} sites tested for memoryless "
-          f"residences; {flagged.size} flagged"
-          + (f" (sites {flagged.tolist()} — likely over-merged; "
-             "consider lower merge thresholds)" if flagged.size
-             else ""))
+          f"residences; {flagged.size} flagged" + note)
 
 
-def _eager_pipeline(args, sn, traj):
-    """landmark → optional merge (+ --diagnose residence check) →
-    optional debounce → drop unoccupied → JumpAnalysis.  Returns the
-    final SiteTrajectory (jump stats on its network)."""
+def _postprocess(args, st):
+    """Shared label-based tail of both routes: optional merge →
+    drop unoccupied → --diagnose (in the surviving index space) →
+    optional debounce (then re-drop newly emptied sites) →
+    JumpAnalysis.  Returns the final SiteTrajectory."""
     from sitator_tpu.dynamics import (
         JumpAnalysis, MergeSitesByDynamics, RemoveShortJumps,
         RemoveUnoccupiedSites)
+
+    debounce = getattr(args, "debounce", None)
+    keep = getattr(args, "keep_unoccupied", False)
+    if getattr(args, "merge_dynamics", None) is not None:
+        st = MergeSitesByDynamics(
+            distance_threshold=args.merge_dynamics).run(st)
+    if not keep:
+        st = RemoveUnoccupiedSites().run(st)
+    if getattr(args, "diagnose", False):
+        _print_residence_diagnose(args, st,
+                                  pre_debounce=debounce is not None)
+    if debounce is not None:
+        st = RemoveShortJumps(frame_threshold=debounce).run(st)
+        if not keep:
+            # debouncing can empty a rarely-visited site
+            st = RemoveUnoccupiedSites().run(st)
+    ja = JumpAnalysis(verbose=args.verbose)
+    ja.run(st)
+    print(f"final: {st.site_network.n_sites} sites, {ja.n_jumps} jumps")
+    return st
+
+
+def _eager_pipeline(args, sn, traj):
+    """landmark assignment, then the shared post-processing tail.
+    Returns the final SiteTrajectory (jump stats on its network)."""
     from sitator_tpu.landmark import LandmarkAnalysis
 
     la = LandmarkAnalysis(
@@ -154,19 +185,7 @@ def _eager_pipeline(args, sn, traj):
     st = la.run(sn, traj)
     print(f"assigned: {st.site_network.n_sites} sites, "
           f"{100 * st.percent_unassigned:.2f}% unassigned")
-    if args.merge_dynamics:
-        st = MergeSitesByDynamics(
-            distance_threshold=args.merge_dynamics).run(st)
-    if getattr(args, "diagnose", False):
-        _print_residence_diagnose(args, st)
-    if args.debounce:
-        st = RemoveShortJumps(frame_threshold=args.debounce).run(st)
-    if not getattr(args, "keep_unoccupied", False):
-        st = RemoveUnoccupiedSites().run(st)
-    ja = JumpAnalysis(verbose=args.verbose)
-    ja.run(st)
-    print(f"final: {st.site_network.n_sites} sites, {ja.n_jumps} jumps")
-    return st
+    return _postprocess(args, st)
 
 
 def cmd_analyze(args):
@@ -184,11 +203,11 @@ def cmd_analyze(args):
                   "--streaming (diffusivity needs the materialized "
                   "positions, unavailable out-of-core)",
                   file=sys.stderr)
-        needs_labels = [name for name, val in [
-            ("--merge-dynamics", args.merge_dynamics),
-            ("--debounce", args.debounce),
-            ("--diagnose", args.diagnose or None),
-        ] if val is not None]
+        needs_labels = [name for name, wanted in [
+            ("--merge-dynamics", args.merge_dynamics is not None),
+            ("--debounce", args.debounce is not None),
+            ("--diagnose", args.diagnose),
+        ] if wanted]
         if needs_labels and not args.out:
             print(f"warning: {', '.join(needs_labels)} ignored with "
                   "--streaming unless --out is set (they post-process "
@@ -246,30 +265,23 @@ def _analyze_streaming(args, sn, reader):
     print(f"streamed {len(reader)} frames: {sn2.n_sites} sites, "
           f"{n_jumps} jumps")
 
-    post_wanted = (args.merge_dynamics or args.debounce
-                   or args.diagnose)
+    # transforming flags change the artifact (labels relabeled, stats
+    # recomputed); --diagnose alone is observational and must not
+    transform = (args.merge_dynamics is not None
+                 or args.debounce is not None)
     st = None
-    if post_wanted and labels_path:
+    if labels_path and (transform or args.diagnose):
         from sitator_tpu.core.sitetraj import SiteTrajectory
-        from sitator_tpu.dynamics import (
-            JumpAnalysis, MergeSitesByDynamics, RemoveShortJumps,
-            RemoveUnoccupiedSites)
-        # labels are int32 (F, M) — tiny next to the positions the
-        # engine deliberately never materialized
-        st = SiteTrajectory(sn2, np.load(labels_path))
-        if args.merge_dynamics:
-            st = MergeSitesByDynamics(
-                distance_threshold=args.merge_dynamics).run(st)
-        if args.diagnose:
-            _print_residence_diagnose(args, st)
-        if args.debounce:
-            st = RemoveShortJumps(frame_threshold=args.debounce).run(st)
-        if not args.keep_unoccupied:
-            st = RemoveUnoccupiedSites().run(st)
-        ja = JumpAnalysis(verbose=args.verbose)
-        ja.run(st)
-        print(f"post-processed from spilled labels: "
-              f"{st.site_network.n_sites} sites, {ja.n_jumps} jumps")
+        # mmap: the labels are int32 (F, M) — small next to the
+        # positions this route deliberately never materializes, but a
+        # north-star-scale run's labels are still GB-scale
+        labels = np.load(labels_path, mmap_mode="r")
+        if transform:
+            print("post-processing from the spilled label file")
+            st = _postprocess(args, SiteTrajectory(sn2, labels))
+        else:
+            _print_residence_diagnose(
+                args, SiteTrajectory(sn2, labels))
 
     if args.out:
         if st is not None:

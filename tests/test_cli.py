@@ -264,14 +264,27 @@ def test_streaming_postprocesses_from_spilled_labels(xyz_file, tmp_path,
                "--debounce", "2", "--diagnose", "--out", out])
     assert rc == 0
     text = capsys.readouterr().out
-    assert "post-processed from spilled labels:" in text
+    assert "post-processing from the spilled label file" in text
     assert "sites tested for memoryless residences" in text
     assert "site trajectory saved to" in text
     from sitator_tpu.core.sitetraj import SiteTrajectory
     st = SiteTrajectory.load(out)
     assert st.n_frames == 150
     assert "n_ij" in st.site_network.edge_attributes
-    # without --out, those options warn instead
+    # --diagnose ALONE is observational: it must not flip the saved
+    # artifact from a SiteNetwork to a SiteTrajectory (review finding)
+    out2 = str(tmp_path / "sdiag.npz")
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--streaming", "--block-frames", "64",
+               "--diagnose", "--out", out2])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "sites tested for memoryless residences" in text
+    assert "site network saved to" in text
+    from sitator_tpu import SiteNetwork
+    assert SiteNetwork.load(out2).n_sites > 0
+    # without --out, label-needing options warn instead
     rc = main(["analyze", xyz_file, "--mobile", "Li",
                "--cutoff-midpoint", "4.0", "--streaming",
                "--block-frames", "64", "--debounce", "2"])
