@@ -12,6 +12,7 @@ from sitator_tpu.dynamics.energetics import SiteFreeEnergyAnalysis
 from sitator_tpu.dynamics.kmc import (KineticMonteCarlo,
                                       mean_first_passage_times)
 from sitator_tpu.dynamics.residence import ResidenceTimeAnalysis
+from sitator_tpu.dynamics.vacancy import VacancyAnalysis
 from sitator_tpu.network.merging import MergeSitesByDistance
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "VanHoveAnalysis", "ArrheniusAnalysis", "SiteFreeEnergyAnalysis",
     "KineticMonteCarlo", "ResidenceTimeAnalysis",
     "EdgeArrheniusAnalysis", "mean_first_passage_times",
+    "VacancyAnalysis",
 ]
