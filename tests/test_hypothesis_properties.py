@@ -495,3 +495,41 @@ def test_mfpt_kemeny_constant_property(data):
     assert (np.diag(M) == 0).all()
     off = ~np.eye(S, dtype=bool)
     assert (M[off] > 0).all() and np.isfinite(M[off]).all()
+
+
+@given(data=st.data())
+@settings(**{**SETTINGS, "max_examples": 30})
+def test_vacancy_complement_invariant_property(data):
+    """For ANY label array: in every frame the tracked vacancy sites are
+    exactly the complement of the occupied sites (strict policy), each
+    listed once, and identity columns never change site without the
+    site being vacant."""
+    from sitator_tpu import SiteNetwork
+    from sitator_tpu.core.sitetraj import SiteTrajectory
+    from sitator_tpu.core.structure import Structure
+    from sitator_tpu.dynamics import VacancyAnalysis
+
+    S, M = 8, 5
+    F = data.draw(st.integers(2, 20))
+    flat = data.draw(st.lists(st.integers(-1, S - 1),
+                              min_size=F * M, max_size=F * M))
+    labels = np.asarray(flat, np.int64).reshape(F, M)
+    # guarantee at least one vacancy exists somewhere (M < S already
+    # guarantees it per frame)
+    structure = Structure(np.zeros((M + 1, 3)), [16] + [3] * M,
+                          np.eye(3) * 11.0)
+    mask = np.zeros(M + 1, bool)
+    mask[0] = True
+    sn = SiteNetwork(structure, mask, ~mask)
+    sn.centers = np.random.default_rng(0).uniform(0, 11, (S, 3))
+    va = VacancyAnalysis(unknown_policy="strict", verbose=False)
+    vt = va.run(SiteTrajectory(sn, labels))
+    out = vt.traj
+    for f in range(F):
+        occupied = set(labels[f][labels[f] >= 0].tolist())
+        expect = set(range(S)) - occupied
+        tracked = out[f][out[f] >= 0].tolist()
+        assert len(tracked) == len(set(tracked))      # one slot per site
+        assert set(tracked) == expect
+    assert va.n_vacancies_.tolist() == [S - len(set(
+        labels[f][labels[f] >= 0].tolist())) for f in range(F)]
