@@ -168,7 +168,26 @@ def _postprocess(args, st):
     ja = JumpAnalysis(verbose=args.verbose)
     ja.run(st)
     print(f"final: {st.site_network.n_sites} sites, {ja.n_jumps} jumps")
+    if getattr(args, "vacancies", False):
+        _print_vacancy_report(args, st)
     return st
+
+
+def _print_vacancy_report(args, st):
+    from sitator_tpu.dynamics import JumpAnalysis, VacancyAnalysis
+    try:
+        va = VacancyAnalysis(verbose=args.verbose)
+        vt = va.run(st)
+    except ValueError as e:
+        print(f"vacancies: none ({e})")
+        return
+    jv = JumpAnalysis(verbose=False)
+    jv.run(vt)
+    print(f"vacancies: {va.n_vacancies_.min()}-"
+          f"{va.n_vacancies_.max()} per frame, "
+          f"{va.n_identities_} identities "
+          f"({va.n_rebirths_} rebirths), "
+          f"{jv.n_jumps} vacancy jumps")
 
 
 def _eager_pipeline(args, sn, traj):
@@ -207,6 +226,7 @@ def cmd_analyze(args):
             ("--merge-dynamics", args.merge_dynamics is not None),
             ("--debounce", args.debounce is not None),
             ("--diagnose", args.diagnose),
+            ("--vacancies", args.vacancies),
         ] if wanted]
         if needs_labels and not args.out:
             print(f"warning: {', '.join(needs_labels)} ignored with "
@@ -270,7 +290,7 @@ def _analyze_streaming(args, sn, reader):
     transform = (args.merge_dynamics is not None
                  or args.debounce is not None)
     st = None
-    if labels_path and (transform or args.diagnose):
+    if labels_path and (transform or args.diagnose or args.vacancies):
         from sitator_tpu.core.sitetraj import SiteTrajectory
         # mmap: the labels are int32 (F, M) — small next to the
         # positions this route deliberately never materializes, but a
@@ -280,8 +300,11 @@ def _analyze_streaming(args, sn, reader):
             print("post-processing from the spilled label file")
             st = _postprocess(args, SiteTrajectory(sn2, labels))
         else:
-            _print_residence_diagnose(
-                args, SiteTrajectory(sn2, labels))
+            st_obs = SiteTrajectory(sn2, labels)
+            if args.diagnose:
+                _print_residence_diagnose(args, st_obs)
+            if args.vacancies:
+                _print_vacancy_report(args, st_obs)
 
     if args.out:
         if st is not None:
@@ -420,6 +443,9 @@ def build_parser():
                    help="residence-time memorylessness check (flags "
                         "over-merged sites) and, with --timestep, the "
                         "site-discretization/correlation-factor report")
+    a.add_argument("--vacancies", action="store_true",
+                   help="track vacancies as identity-labeled "
+                        "quasi-particles and report their jump count")
     a.add_argument("--streaming", action="store_true",
                    help="out-of-core streaming engine (huge files; "
                         "stats from device accumulators, labels spill "

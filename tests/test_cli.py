@@ -291,3 +291,22 @@ def test_streaming_postprocesses_from_spilled_labels(xyz_file, tmp_path,
     assert rc == 0
     err = capsys.readouterr().err
     assert "unless --out is set" in err
+
+
+def test_vacancies_flag(xyz_file, tmp_path, capsys):
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--vacancies"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "vacancies:" in out
+    # streaming observational route: vacancies from the spilled labels
+    o = str(tmp_path / "v.npz")
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--streaming", "--block-frames", "64",
+               "--vacancies", "--out", o])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "vacancies:" in out
+    assert "site network saved to" in out      # artifact type unchanged
