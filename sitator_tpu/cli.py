@@ -175,6 +175,16 @@ def _postprocess(args, st):
 
 def _print_vacancy_report(args, st):
     from sitator_tpu.dynamics import JumpAnalysis, VacancyAnalysis
+    # identity tracking is O(F * V^3) host work (V = vacancies/frame,
+    # upper-bounded by sites - ions): guard the huge-run case the
+    # streaming route exists for
+    est_v = max(1, st.site_network.n_sites - st.n_mobile)
+    if st.n_frames * est_v ** 3 > 2e11:
+        print("warning: skipping --vacancies — identity tracking would "
+              f"cost ~{st.n_frames} frames x {est_v}^3 Hungarian work; "
+              "run VacancyAnalysis on a frame slice or a reduced site "
+              "set instead", file=sys.stderr)
+        return
     try:
         va = VacancyAnalysis(verbose=args.verbose)
         vt = va.run(st)

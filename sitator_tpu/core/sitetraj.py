@@ -19,6 +19,34 @@ from sitator_tpu.core.sitenet import SiteNetwork
 logger = logging.getLogger(__name__)
 
 
+def forward_fill_labels(labels, leading="unknown"):
+    """Forward-fill ``SITE_UNKNOWN`` (-1) labels along the frame axis —
+    the one shared implementation of the 'persist' policy used by the
+    jump, diffusion, residence, and vacancy engines.
+
+    ``leading`` controls frames before an ion's first assignment:
+    ``'unknown'`` keeps them at -1; ``'first'`` back-fills them with the
+    ion's first known site (raising if an ion is never assigned
+    anywhere).  Returns an int64 copy of shape ``(F, M)``.
+    """
+    labels = np.asarray(labels, dtype=np.int64).copy()
+    F, M = labels.shape
+    known = labels >= 0
+    idx = np.where(known, np.arange(F)[:, None], -1)
+    ff = np.maximum.accumulate(idx, axis=0)
+    out = np.where(ff >= 0,
+                   np.take_along_axis(labels, np.maximum(ff, 0), axis=0),
+                   -1)
+    if leading == "first":
+        if (labels < 0).all(axis=0).any():
+            raise ValueError("an ion has no assigned site in any frame")
+        first = labels[known.argmax(axis=0), np.arange(M)]
+        out = np.where(out >= 0, out, first[None, :])
+    elif leading != "unknown":
+        raise ValueError("leading must be 'unknown' or 'first'")
+    return out
+
+
 class SiteTrajectory:
     SITE_UNKNOWN = -1
 

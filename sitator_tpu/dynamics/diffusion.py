@@ -201,18 +201,8 @@ class SiteDiffusionAnalysis:
     def _filled_labels(labels):
         """Forward-fill -1 labels; leading unknowns take the first known
         site (an ion never assigned anywhere raises)."""
-        labels = np.array(labels, dtype=np.int64)      # (F, M) copy
-        F, M = labels.shape
-        if (labels < 0).all(axis=0).any():
-            raise ValueError("an ion has no assigned site in any frame")
-        known = labels >= 0
-        idx = np.where(known, np.arange(F)[:, None], -1)
-        ff = np.maximum.accumulate(idx, axis=0)
-        # back-fill the leading gap with each ion's first known label
-        first = labels[known.argmax(axis=0), np.arange(M)]
-        out = np.where(ff >= 0, labels[np.maximum(ff, 0),
-                                       np.arange(M)[None, :]], first)
-        return out
+        from sitator_tpu.core.sitetraj import forward_fill_labels
+        return forward_fill_labels(labels, leading="first")
 
     def run(self, st):
         sn = st.site_network

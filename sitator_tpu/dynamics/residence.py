@@ -50,15 +50,11 @@ def residence_segments(labels, unknown_policy="persist"):
     n_sites = int(labels.max()) + 1 if labels.size else 0
     out = [[] for _ in range(n_sites)]
     F, M = labels.shape
+    if unknown_policy == "persist":
+        from sitator_tpu.core.sitetraj import forward_fill_labels
+        labels = forward_fill_labels(labels, leading="unknown")
     for m in range(M):
         lab = labels[:, m].astype(np.int64)
-        if unknown_policy == "persist":
-            known = lab >= 0
-            if not known.any():
-                continue
-            idx = np.where(known, np.arange(F), -1)
-            ff = np.maximum.accumulate(idx)
-            lab = np.where(ff >= 0, lab[np.maximum(ff, 0)], -1)
         # run-length encode
         change = np.flatnonzero(np.diff(lab) != 0) + 1
         starts = np.concatenate([[0], change])

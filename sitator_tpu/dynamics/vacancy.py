@@ -59,6 +59,13 @@ class VacancyAnalysis:
     vacancy annihilates while another appears elsewhere.  After
     ``run``: ``n_vacancies_`` (per-frame count), ``n_identities_``,
     ``n_rebirths_`` (identities born after frame 0).
+
+    Caveat: ``SiteDiffusionAnalysis`` on the output is unbiased only
+    for STABLE identities (``n_rebirths_ == 0``) — its label filling
+    holds a dead/unborn column at a constant position, diluting the
+    column-averaged MSD slope; ``run`` warns when identities churn.
+    Jump statistics and residence analyses are lifetime-aware and
+    remain exact.
     """
 
     def __init__(self, unknown_policy="persist", max_step=None,
@@ -73,15 +80,8 @@ class VacancyAnalysis:
     @staticmethod
     def _filled(labels):
         """Forward-fill -1 ion labels (JumpAnalysis 'persist' parity)."""
-        labels = np.asarray(labels, dtype=np.int64)
-        F = labels.shape[0]
-        known = labels >= 0
-        idx = np.where(known, np.arange(F)[:, None], -1)
-        ff = np.maximum.accumulate(idx, axis=0)
-        out = np.where(ff >= 0,
-                       np.take_along_axis(labels, np.maximum(ff, 0),
-                                          axis=0), -1)
-        return out
+        from sitator_tpu.core.sitetraj import forward_fill_labels
+        return forward_fill_labels(labels, leading="unknown")
 
     def run(self, st):
         from scipy.optimize import linear_sum_assignment
@@ -124,12 +124,12 @@ class VacancyAnalysis:
             alive = [i for i, s in enumerate(ident_site) if s >= 0]
             record = []
             taken = np.zeros(len(cur), dtype=bool)
+            matched = {}
             if alive and len(cur):
                 cost = D[np.ix_([ident_site[i] for i in alive], cur)]
                 if self.max_step is not None:
                     cost = np.where(cost > self.max_step, big, cost)
                 rows, cols = linear_sum_assignment(cost)
-                matched = {}
                 for r, c in zip(rows, cols):
                     if (self.max_step is not None
                             and D[ident_site[alive[r]],
@@ -137,12 +137,16 @@ class VacancyAnalysis:
                         continue
                     matched[alive[r]] = int(cur[c])
                     taken[c] = True
-                for i in alive:
-                    if i in matched:
-                        ident_site[i] = matched[i]
-                        record.append((i, matched[i]))
-                    else:
-                        ident_site[i] = -1          # death
+            # deaths happen OUTSIDE the matching guard: on a
+            # zero-vacancy frame every identity annihilates — keeping
+            # it alive would resurrect it at a later vacancy's site and
+            # fake the very teleport-jump this tracking prevents
+            for i in alive:
+                if i in matched:
+                    ident_site[i] = matched[i]
+                    record.append((i, matched[i]))
+                else:
+                    ident_site[i] = -1              # death
             for c in np.flatnonzero(~taken):
                 ident_site.append(int(cur[c]))      # birth
                 record.append((len(ident_site) - 1, int(cur[c])))
@@ -162,6 +166,13 @@ class VacancyAnalysis:
         self.n_vacancies_ = counts
         self.n_identities_ = n_ident
         self.n_rebirths_ = rebirths
+        if rebirths:
+            logger.warning(
+                "%d vacancy identity rebirth(s): columns have finite "
+                "lifetimes, so a naive column-averaged MSD "
+                "(SiteDiffusionAnalysis) underestimates D_vac — use "
+                "jump statistics, or analyze stretches with stable "
+                "identities", rebirths)
         if self.verbose:
             logger.info(
                 "vacancies: %d identit%s, count %d-%d per frame, %d "

@@ -181,3 +181,28 @@ def test_max_step_rebirth():
     assert va.n_identities_ == 2
     np.testing.assert_array_equal(vt.traj[:, 0], [0, 0, -1, -1])
     np.testing.assert_array_equal(vt.traj[:, 1], [-1, -1, 63, 63])
+
+
+def test_identity_continuity_and_death_without_teleport():
+    """Identity continuity across moves, and death-without-teleport when
+    a vacancy annihilates: a short-lived second vacancy is born and
+    dies in place rather than resurrecting elsewhere (review finding
+    r4: deaths must also happen when the match set is empty)."""
+    structure = Structure(np.zeros((3, 3)), [16, 3, 3], np.eye(3) * 12.0)
+    mask = np.array([1, 0, 0], bool)
+    sn = SiteNetwork(structure, mask, ~mask)
+    sn.centers = np.array([[1.0, 1, 1], [2.0, 1, 1], [9.0, 9, 9]])
+    # 2 ions over 3 sites: one identity walks 2 -> 1 -> 0
+    lab = np.array([[0, 1], [0, 2], [1, 2]], np.int64)
+    va = VacancyAnalysis(verbose=False)
+    vt = va.run(SiteTrajectory(sn, lab))
+    assert va.n_identities_ == 1
+    np.testing.assert_array_equal(vt.traj[:, 0], [2, 1, 0])
+    # multiple occupancy opens a second vacancy for one frame: it must
+    # be born at site 1 and die there, never teleporting onward
+    lab2 = np.array([[0, 1], [0, 0], [0, 1]], np.int64)
+    va2 = VacancyAnalysis(max_step=4.0, verbose=False)
+    vt2 = va2.run(SiteTrajectory(sn, lab2))
+    cols = [tuple(vt2.traj[:, k]) for k in range(va2.n_identities_)]
+    assert (2, 2, 2) in cols
+    assert (-1, 1, -1) in cols
