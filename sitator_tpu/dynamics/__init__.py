@@ -13,6 +13,7 @@ from sitator_tpu.dynamics.kmc import (KineticMonteCarlo,
                                       mean_first_passage_times)
 from sitator_tpu.dynamics.residence import ResidenceTimeAnalysis
 from sitator_tpu.dynamics.vacancy import VacancyAnalysis
+from sitator_tpu.dynamics.concerted import ConcertedJumpAnalysis
 from sitator_tpu.network.merging import MergeSitesByDistance
 
 __all__ = [
@@ -23,5 +24,5 @@ __all__ = [
     "VanHoveAnalysis", "ArrheniusAnalysis", "SiteFreeEnergyAnalysis",
     "KineticMonteCarlo", "ResidenceTimeAnalysis",
     "EdgeArrheniusAnalysis", "mean_first_passage_times",
-    "VacancyAnalysis",
+    "VacancyAnalysis", "ConcertedJumpAnalysis",
 ]
