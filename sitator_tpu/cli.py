@@ -170,6 +170,8 @@ def _postprocess(args, st):
     print(f"final: {st.site_network.n_sites} sites, {ja.n_jumps} jumps")
     if getattr(args, "vacancies", False):
         _print_vacancy_report(args, st)
+    if getattr(args, "concerted", False):
+        _print_concerted_report(args, st)
     return st
 
 
@@ -198,6 +200,23 @@ def _print_vacancy_report(args, st):
           f"{va.n_identities_} identities "
           f"({va.n_rebirths_} rebirths), "
           f"{jv.n_jumps} vacancy jumps")
+
+
+def _print_concerted_report(args, st):
+    from sitator_tpu.dynamics import ConcertedJumpAnalysis
+    cja = ConcertedJumpAnalysis(window=args.concerted_window,
+                                verbose=args.verbose)
+    cja.run(st)
+    if cja.n_jumps_ == 0:
+        print("concerted: no jumps")
+        return
+    largest = (int(cja.event_n_ions_.max())
+               if cja.n_events_ else 0)
+    print(f"concerted: {100 * cja.cooperativity_fraction_:.1f}% of "
+          f"{cja.n_jumps_} jumps cooperative "
+          f"(window {args.concerted_window}); "
+          f"{cja.n_ring_events_} rings, {cja.n_chain_events_} chains, "
+          f"largest event {largest} ions")
 
 
 def _eager_pipeline(args, sn, traj):
@@ -237,6 +256,7 @@ def cmd_analyze(args):
             ("--debounce", args.debounce is not None),
             ("--diagnose", args.diagnose),
             ("--vacancies", args.vacancies),
+            ("--concerted", args.concerted),
         ] if wanted]
         if needs_labels and not args.out:
             print(f"warning: {', '.join(needs_labels)} ignored with "
@@ -300,7 +320,8 @@ def _analyze_streaming(args, sn, reader):
     transform = (args.merge_dynamics is not None
                  or args.debounce is not None)
     st = None
-    if labels_path and (transform or args.diagnose or args.vacancies):
+    if labels_path and (transform or args.diagnose or args.vacancies
+                        or args.concerted):
         from sitator_tpu.core.sitetraj import SiteTrajectory
         # mmap: the labels are int32 (F, M) — small next to the
         # positions this route deliberately never materializes, but a
@@ -315,6 +336,8 @@ def _analyze_streaming(args, sn, reader):
                 _print_residence_diagnose(args, st_obs)
             if args.vacancies:
                 _print_vacancy_report(args, st_obs)
+            if args.concerted:
+                _print_concerted_report(args, st_obs)
 
     if args.out:
         if st is not None:
@@ -456,6 +479,13 @@ def build_parser():
     a.add_argument("--vacancies", action="store_true",
                    help="track vacancies as identity-labeled "
                         "quasi-particles and report their jump count")
+    a.add_argument("--concerted", action="store_true",
+                   help="group jumps into cooperative events via site "
+                        "handoffs; report the cooperativity fraction "
+                        "and ring/chain split")
+    a.add_argument("--concerted-window", type=int, default=1,
+                   metavar="FRAMES",
+                   help="max frame separation for a handoff link")
     a.add_argument("--streaming", action="store_true",
                    help="out-of-core streaming engine (huge files; "
                         "stats from device accumulators, labels spill "

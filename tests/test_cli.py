@@ -310,3 +310,29 @@ def test_vacancies_flag(xyz_file, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "vacancies:" in out
     assert "site network saved to" in out      # artifact type unchanged
+
+
+def test_concerted_flag(tmp_path, capsys):
+    path = str(tmp_path / "hoppy.xyz")
+    md = make_hopping_trajectory(n_cells=3, a=4.0, n_ions=8, n_frames=600,
+                                 jump_rate=0.08, seed=5)
+    write_xyz(path, md.structure, md.traj)
+    rc = main(["analyze", path, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--concerted"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "concerted:" in out
+    assert "cooperative" in out and "window 1" in out
+    # streaming observational route: events from the spilled labels,
+    # artifact type unchanged
+    o = str(tmp_path / "c.npz")
+    rc = main(["analyze", path, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--streaming", "--block-frames", "64",
+               "--concerted", "--concerted-window", "2", "--out", o])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "concerted:" in out
+    assert "window 2" in out
+    assert "site network saved to" in out
