@@ -35,6 +35,13 @@ Host-side post-processing over the discrete jump list (one pass, tiny
 compared to assignment; same design stance as
 :mod:`sitator_tpu.ops.msd` — exactness over device residency for
 once-per-trajectory reductions).
+
+Diagnostic pairing: running this analysis on a
+:class:`~sitator_tpu.dynamics.KineticMonteCarlo` resample of the same
+network gives the *chance-coincidence baseline* (KMC walkers are
+independent by construction); MD cooperativity above that baseline is
+mechanistic signal the single-particle Markov model cannot carry
+(``tests/test_concerted.py::test_kmc_resample_gives_chance_baseline``).
 """
 from __future__ import annotations
 

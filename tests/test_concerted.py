@@ -206,3 +206,62 @@ def test_agrees_with_jump_analysis_totals():
     assert int(cja.event_n_jumps_.sum()) == cja.n_jumps_
     covered = np.concatenate(cja.event_jumps_)
     assert len(np.unique(covered)) == cja.n_jumps_
+
+
+def test_kmc_resample_gives_chance_baseline():
+    """Cooperativity is mechanistic signal the Markov model cannot carry:
+    KineticMonteCarlo advances walkers independently, so measuring
+    ConcertedJumpAnalysis on a resample of a highly cooperative MD
+    (single-vacancy exchange: every hop is a handoff into the hole)
+    yields only the chance-coincidence baseline, far below the MD value.
+    """
+    from sitator_tpu.core.structure import Structure
+    from sitator_tpu.dynamics import JumpAnalysis, KineticMonteCarlo
+
+    rng = np.random.default_rng(11)
+    n, a = 3, 3.0
+    grid = np.stack(np.meshgrid(*[np.arange(n)] * 3,
+                                indexing="ij"), -1).reshape(-1, 3)
+    S = len(grid)
+    idx = {tuple(g): i for i, g in enumerate(grid)}
+    neigh = [[idx[tuple((g + d) % n)] for d in
+              [(1, 0, 0), (-1, 0, 0), (0, 1, 0),
+               (0, -1, 0), (0, 0, 1), (0, 0, -1)]] for g in grid]
+    site_of_ion = np.arange(1, S)
+    ion_at = {s: i for i, s in enumerate(site_of_ion)}
+    vac = 0
+    F = 3000
+    labels = np.empty((F, S - 1), np.int32)
+    for f in range(F):
+        labels[f] = site_of_ion
+        if rng.random() < 0.5:
+            nxt = neigh[vac][rng.integers(6)]
+            i = ion_at.pop(nxt)
+            site_of_ion[i] = vac
+            ion_at[vac] = i
+            vac = nxt
+
+    nat = S
+    structure = Structure(np.zeros((nat, 3)), [16] + [3] * (S - 1),
+                          np.eye(3) * n * a)
+    static = np.zeros(nat, bool)
+    static[0] = True
+    sn = SiteNetwork(structure, static, ~static)
+    sn.centers = (grid + 0.5) * a
+    st = SiteTrajectory(sn, labels)
+
+    window = 2
+    md_c = ConcertedJumpAnalysis(window=window, verbose=False)
+    md_c.run(st)
+    # P(a hop links to neither temporal neighbor) = (0.5**window)**2
+    assert md_c.cooperativity_fraction_ > 0.85
+
+    JumpAnalysis(verbose=False).run(st)
+    kmc = KineticMonteCarlo(n_walkers=S - 1, n_frames=F, seed=0,
+                            verbose=False)
+    st_kmc = kmc.run(sn)
+    kmc_c = ConcertedJumpAnalysis(window=window, verbose=False)
+    kmc_c.run(st_kmc)
+    # independent walkers: handoffs only by site/time coincidence
+    assert (kmc_c.cooperativity_fraction_
+            < md_c.cooperativity_fraction_ - 0.3)
