@@ -31,7 +31,7 @@ EXAMPLES = {
     "multichip_mesh.py": [
         "8-device run is bit-identical to the single-device run."],
     "diffusion_kinetics.py": [
-        "D_tracer", "Haven ratio", "Nernst-Einstein",
+        "D_tracer", "Haven ratio", "Nernst-Einstein", "cooperativity:",
         "Diffusion walkthrough complete."],
     "temperature_series.py": [
         "site match", "tracer-D Arrhenius", "edge Arrhenius",
