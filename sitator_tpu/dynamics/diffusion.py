@@ -77,6 +77,14 @@ class DiffusionAnalysis:
     over atoms), ``D_collective_`` (per ion), ``haven_ratio_``
     (= D_tracer / D_collective), ``conductivity_`` (S/cm or None).
     ``run`` returns ``self``.
+
+    Anisotropy (layered / 1-D-channel conductors): ``msd_tensor_``
+    (F, 3, 3) displacement-covariance curves, ``D_tensor_`` (3, 3)
+    fitted over the same lag window (``trace(D_tensor_)/3 ==
+    D_tracer_`` up to fit noise — same estimator), ``D_eigvals_`` /
+    ``D_eigvecs_`` (ascending, from ``eigh``: the principal transport
+    axes), and ``anisotropy_`` = λ_max/λ_min (1 for isotropic motion;
+    NaN when λ_min ≤ 0, i.e. a direction shows no diffusive signal).
     """
 
     def __init__(self, timestep=1.0, fit_range=(0.2, 0.5),
@@ -144,6 +152,22 @@ class DiffusionAnalysis:
         self.haven_ratio_ = (
             float(self.D_tracer_ / self.D_collective_)
             if self.D_collective_ > 0 else float("nan"))
+
+        # anisotropy: per-component-pair slopes over the SAME window;
+        # each component is 1-D, so D_ab = slope_ab / 2
+        self.msd_tensor_ = msd_ops.msd_tensor_fft(unwrapped)
+        D_t = np.empty((3, 3))
+        for a in range(3):
+            for b in range(a, 3):
+                D_ab, _ = msd_ops.fit_diffusivity(
+                    self.times_, self.msd_tensor_[:, a, b],
+                    self.fit_range, dim=1)
+                D_t[a, b] = D_t[b, a] = D_ab
+        self.D_tensor_ = D_t
+        self.D_eigvals_, self.D_eigvecs_ = np.linalg.eigh(D_t)
+        lo_ev, hi_ev = self.D_eigvals_[0], self.D_eigvals_[-1]
+        self.anisotropy_ = (float(hi_ev / lo_ev) if lo_ev > 0
+                            else float("nan"))
 
         self.conductivity_ = None
         if self.temperature is not None:

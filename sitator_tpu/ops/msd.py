@@ -33,9 +33,10 @@ import numpy as np
 
 from sitator_tpu.ops.pbc import PBCCalculator
 
-__all__ = ["unwrap_trajectory", "msd_fft", "collective_msd_fft",
-           "fit_diffusivity", "fit_window", "lag_statistics",
-           "displacement_moments", "self_intermediate_scattering"]
+__all__ = ["unwrap_trajectory", "msd_fft", "msd_tensor_fft",
+           "collective_msd_fft", "fit_diffusivity", "fit_window",
+           "lag_statistics", "displacement_moments",
+           "self_intermediate_scattering"]
 
 
 def fit_window(n_frames, fit_range):
@@ -101,6 +102,44 @@ def msd_fft(pos):
     per_atom = (head + tail - 2.0 * acf) / (F - m)
     per_atom[:, 0] = 0.0                             # exact zero at lag 0
     return per_atom.mean(axis=0), per_atom
+
+
+def msd_tensor_fft(pos):
+    """Time-origin-averaged displacement-covariance tensor of an
+    unwrapped ``(F, N, 3)`` trajectory:
+    ``T[m, a, b] = < (Δr_a)(Δr_b) >`` over all origins and atoms at lag
+    ``m`` — the anisotropic generalization of :func:`msd_fft` (whose
+    scalar MSD is this tensor's trace; asserted in
+    ``tests/test_diffusion.py``).  Returns ``(F, 3, 3)``, symmetric in
+    ``(a, b)``, exactly the O(F²) all-origins average (same S1/S2
+    identity per component pair; the cross term uses the symmetrized
+    FFT cross-correlation).  Fit each component's slope over a lag
+    window to get the diffusion tensor ``D_ab = slope_ab / 2``.
+    """
+    pos = np.asarray(pos, dtype=np.float64)
+    F = pos.shape[0]
+    x = np.moveaxis(pos, 0, -1)                      # (N, 3, F)
+    n = 2 * F
+    X = np.fft.rfft(x, n=n, axis=-1)                 # (N, 3, Fr)
+    m = np.arange(F)
+    denom = (F - m).astype(np.float64)
+    out = np.empty((F, 3, 3))
+    for a in range(3):
+        for b in range(a, 3):
+            # S2_sym(m) = Σ_t x_a(t+m)x_b(t) + x_b(t+m)x_a(t)
+            spec = X[:, a] * np.conj(X[:, b])
+            cross = np.fft.irfft(spec + np.conj(spec), n=n,
+                                 axis=-1)[..., :F]   # (N, F)
+            d = x[:, a] * x[:, b]                    # (N, F)
+            csum = np.concatenate(
+                [np.zeros((d.shape[0], 1)), np.cumsum(d, axis=1)], axis=1)
+            total = csum[:, -1:]
+            head = csum[:, F - m]
+            tail = total - csum[:, m]
+            per_atom = (head + tail - cross) / denom
+            per_atom[:, 0] = 0.0
+            out[:, a, b] = out[:, b, a] = per_atom.mean(axis=0)
+    return out
 
 
 def collective_msd_fft(pos):

@@ -298,3 +298,85 @@ def test_crossing_time_interpolation():
         t, np.array([1.0, 0.9, 0.8]), 0.25))
     assert RelaxationAnalysis._crossing_time(
         t, np.array([0.1, 0.05, 0.01]), 0.25) == 0.0
+
+
+def brute_msd_tensor(pos):
+    """O(F^2) time-origin-averaged displacement-covariance oracle,
+    (F, 3, 3) mean over atoms."""
+    F = pos.shape[0]
+    out = np.zeros((F, 3, 3))
+    for m in range(1, F):
+        d = pos[m:] - pos[:-m]                      # (F-m, N, 3)
+        out[m] = np.einsum('tna,tnb->ab', d, d) / (d.shape[0] * d.shape[1])
+    return out
+
+
+def test_msd_tensor_matches_brute_force_and_trace():
+    rng = np.random.default_rng(29)
+    pos = np.cumsum(rng.normal(size=(57, 5, 3)), axis=0)   # odd F
+    pos[..., 1] *= 2.3                                     # anisotropic
+    pos[..., 2] += 0.7 * pos[..., 0]                       # correlated xz
+    T = msd_ops.msd_tensor_fft(pos)
+    ref = brute_msd_tensor(pos)
+    np.testing.assert_allclose(T, ref, rtol=1e-8, atol=1e-8)
+    # symmetric, zero at lag 0, trace == scalar MSD
+    np.testing.assert_allclose(T, np.swapaxes(T, 1, 2), rtol=0, atol=0)
+    assert np.all(T[0] == 0.0)
+    mean_msd, _ = msd_ops.msd_fft(pos)
+    np.testing.assert_allclose(np.trace(T, axis1=1, axis2=2),
+                               np.asarray(mean_msd), rtol=1e-8, atol=1e-8)
+
+
+def test_diffusion_anisotropy_recovers_principal_axes():
+    """Walk with diagonal D = (0.6, 0.15, 0.05) rotated into a skew
+    frame: eigvals of D_tensor_ recover the inputs, eigvecs recover the
+    rotated axes, trace/3 == D_tracer_ (same estimator), and
+    anisotropy_ ~ 12."""
+    rng = np.random.default_rng(31)
+    D_diag = np.array([0.05, 0.15, 0.6])                   # ascending
+    dt, F, M = 1.0, 4000, 60
+    steps = rng.normal(size=(F - 1, M, 3)) * np.sqrt(2 * D_diag * dt)
+    # rotate by a fixed non-trivial rotation
+    ang = 0.7
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0],
+                  [0, 0, 1.0]])
+    traj = np.concatenate(
+        [np.zeros((1, M, 3)), np.cumsum(steps @ R.T, 0)], 0)
+    da = DiffusionAnalysis(timestep=dt, fit_range=(0.05, 0.25),
+                           verbose=False).run(
+        traj, mobile_mask=np.ones(M, bool), cell=np.eye(3) * 1e4)
+    # trace identity is exact: same window, same least-squares fit
+    assert np.trace(da.D_tensor_) / 3 == pytest.approx(da.D_tracer_,
+                                                       rel=1e-9)
+    np.testing.assert_allclose(da.D_eigvals_, D_diag, rtol=0.2)
+    assert da.anisotropy_ == pytest.approx(D_diag[-1] / D_diag[0],
+                                           rel=0.35)
+    # principal axes: |cos| of each eigvec with the true rotated axis
+    true_axes = R  # column a of R is the lab direction of walk axis a
+    for a in range(3):
+        align = abs(float(da.D_eigvecs_[:, a] @ true_axes[:, a]))
+        assert align > 0.97, (a, align)
+    # isotropic control: anisotropy_ ~ 1
+    iso = np.concatenate([np.zeros((1, M, 3)), np.cumsum(
+        rng.normal(scale=np.sqrt(2 * 0.3 * dt), size=(F - 1, M, 3)), 0)], 0)
+    da2 = DiffusionAnalysis(timestep=dt, fit_range=(0.05, 0.25),
+                            verbose=False).run(
+        iso, mobile_mask=np.ones(M, bool), cell=np.eye(3) * 1e4)
+    assert 1.0 <= da2.anisotropy_ < 1.5
+
+
+def test_anisotropy_nan_when_direction_not_diffusive():
+    """Ions confined to the xy plane: lambda_min ~ 0 (can be slightly
+    negative from fit noise) -> anisotropy_ is NaN, not a huge/negative
+    ratio."""
+    rng = np.random.default_rng(37)
+    F, M = 1500, 20
+    steps = rng.normal(scale=0.5, size=(F - 1, M, 3))
+    steps[..., 2] = 0.0
+    traj = np.concatenate([np.zeros((1, M, 3)), np.cumsum(steps, 0)], 0)
+    da = DiffusionAnalysis(timestep=1.0, verbose=False).run(
+        traj, mobile_mask=np.ones(M, bool), cell=np.eye(3) * 1e4)
+    assert abs(da.D_eigvals_[0]) < 1e-6
+    assert np.isnan(da.anisotropy_)
+    assert da.D_eigvals_[-1] == pytest.approx(0.125, rel=0.2)
