@@ -214,6 +214,17 @@ class SiteDiffusionAnalysis:
     ``f < 1`` for back-correlated motion (e.g. flickering between two
     sites gives ``f → 0``).  Both are NaN when the attributes are
     absent or no jumps were recorded.
+
+    Independently of JumpAnalysis attributes, the **jump-vector
+    directional correlation** is computed straight from the label
+    stream: ``cos_theta_`` is the mean cosine between consecutive
+    minimum-image jump vectors of the same ion (over
+    ``n_jump_vector_pairs_`` pairs) and ``f_angular_ =
+    (1 + ⟨cosθ⟩)/(1 − ⟨cosθ⟩)`` — the sequential-correlation-walk
+    correlation factor, exact when all jumps have equal length (cubic
+    site lattices; an approximation otherwise).  ``f_angular_ ≈ f_``
+    is a strong consistency check; flicker drives both to 0.  NaN when
+    no ion makes two jumps.
     """
 
     def __init__(self, timestep=1.0, fit_range=(0.2, 0.5), verbose=True):
@@ -242,10 +253,45 @@ class SiteDiffusionAnalysis:
         self.D_site_, _ = msd_ops.fit_diffusivity(
             self.times_, self.msd_, self.fit_range)
         self.D_jump_, self.f_ = self._jump_diffusivity(sn, st)
+        (self.cos_theta_, self.f_angular_,
+         self.n_jump_vector_pairs_) = self._jump_vector_correlation(
+            sn, labels)
         if self.verbose:
-            logger.info("D_site = %.4g (D_jump = %.4g, f = %.3g)",
-                        self.D_site_, self.D_jump_, self.f_)
+            logger.info("D_site = %.4g (D_jump = %.4g, f = %.3g, "
+                        "f_angular = %.3g over %d jump pairs)",
+                        self.D_site_, self.D_jump_, self.f_,
+                        self.f_angular_, self.n_jump_vector_pairs_)
         return self
+
+    @staticmethod
+    def _jump_vector_correlation(sn, labels):
+        """Mean cosine between consecutive minimum-image jump vectors
+        per ion, and the sequential-correlation-walk factor
+        ``(1+c)/(1-c)`` (clamped to 0 at c <= -1; NaN with < 1 pair)."""
+        centers = np.asarray(sn.centers, dtype=np.float64)
+        cell = np.asarray(sn.structure.cell, dtype=np.float64)
+        inv = np.linalg.inv(cell)
+        cos_sum, n_pairs = 0.0, 0
+        for m in range(labels.shape[1]):
+            seq = labels[:, m]
+            keep = np.concatenate([[True], seq[1:] != seq[:-1]])
+            sites = seq[keep]
+            if len(sites) < 3:            # < 2 jumps -> no pair
+                continue
+            d = centers[sites[1:]] - centers[sites[:-1]]
+            frac = d @ inv
+            d = (frac - np.round(frac)) @ cell
+            norms = np.linalg.norm(d, axis=1)
+            u = d / np.maximum(norms, 1e-300)[:, None]
+            c = (u[1:] * u[:-1]).sum(1)
+            ok = (norms[1:] > 0) & (norms[:-1] > 0)
+            cos_sum += float(c[ok].sum())
+            n_pairs += int(ok.sum())
+        if n_pairs == 0:
+            return float("nan"), float("nan"), 0
+        c = cos_sum / n_pairs
+        f_ang = (1.0 + c) / (1.0 - c) if c < 1.0 else float("inf")
+        return float(c), float(max(f_ang, 0.0)), n_pairs
 
     def _jump_diffusivity(self, sn, st):
         """Uncorrelated jump-diffusion estimate and correlation factor

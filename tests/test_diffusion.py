@@ -300,6 +300,57 @@ def test_crossing_time_interpolation():
         t, np.array([0.1, 0.05, 0.01]), 0.25) == 0.0
 
 
+def _site_st(centers, labels, a=50.0):
+    """Minimal SiteNetwork+SiteTrajectory on an a-cubed cell."""
+    from sitator_tpu import SiteNetwork, SiteTrajectory, Structure
+    centers = np.asarray(centers, dtype=np.float64)
+    M = labels.shape[1]
+    pos = np.concatenate([np.full((2, 3), a / 2), centers[labels[0]]])
+    species = np.array([16] * 2 + [3] * M)
+    s = Structure(pos, species, np.eye(3) * a)
+    sn = SiteNetwork(s, s.species == 16, s.species == 3)
+    sn.centers = centers
+    return SiteTrajectory(sn, labels)
+
+
+def test_jump_vector_correlation_flicker_and_square():
+    # flicker between 2 sites: antiparallel jumps -> cos=-1, f_angular=0
+    centers = np.array([[10.0, 10, 10], [13.0, 10, 10]])
+    labels = np.tile([0, 1], 20)[:, None]
+    sd = SiteDiffusionAnalysis(verbose=False).run(_site_st(centers, labels))
+    assert sd.cos_theta_ == pytest.approx(-1.0)
+    assert sd.f_angular_ == pytest.approx(0.0)
+    assert sd.n_jump_vector_pairs_ == 38
+    # square circuit: consecutive jumps at 90 deg -> cos=0, f_angular=1
+    sq = np.array([[10.0, 10, 10], [13.0, 10, 10],
+                   [13.0, 13, 10], [10.0, 13, 10]])
+    labels = np.tile([0, 1, 2, 3], 10)[:, None]
+    sd = SiteDiffusionAnalysis(verbose=False).run(_site_st(sq, labels))
+    assert sd.cos_theta_ == pytest.approx(0.0, abs=1e-12)
+    assert sd.f_angular_ == pytest.approx(1.0)
+
+
+def test_jump_vector_correlation_uses_minimum_image():
+    """Collinear +x marching through the periodic boundary: every jump
+    vector is +x under minimum image (cos=+1) even though the raw
+    center difference of the wrap jump points -x."""
+    a = 10.0
+    centers = np.array([[1.0, 5, 5], [4.0, 5, 5], [7.0, 5, 5]])
+    labels = np.tile([0, 1, 2], 12)[:, None]
+    sd = SiteDiffusionAnalysis(verbose=False).run(
+        _site_st(centers, labels, a=a))
+    assert sd.cos_theta_ == pytest.approx(1.0)
+    assert sd.f_angular_ == float("inf")
+
+
+def test_jump_vector_correlation_nan_without_pairs():
+    centers = np.array([[10.0, 10, 10], [13.0, 10, 10]])
+    labels = np.array([[0]] * 10 + [[1]] * 10)   # a single jump
+    sd = SiteDiffusionAnalysis(verbose=False).run(_site_st(centers, labels))
+    assert np.isnan(sd.cos_theta_) and np.isnan(sd.f_angular_)
+    assert sd.n_jump_vector_pairs_ == 0
+
+
 def brute_msd_tensor(pos):
     """O(F^2) time-origin-averaged displacement-covariance oracle,
     (F, 3, 3) mean over atoms."""
