@@ -5,7 +5,9 @@ from sitator_tpu.dynamics.filters import RemoveUnoccupiedSites, \
 from sitator_tpu.dynamics.vibrational import AverageVibrationalFrequency
 from sitator_tpu.dynamics.diffusion import DiffusionAnalysis, \
     SiteDiffusionAnalysis, RelaxationAnalysis
-from sitator_tpu.dynamics.correlation import RDFAnalysis, VanHoveAnalysis
+from sitator_tpu.dynamics.correlation import (RDFAnalysis,
+                                              VanHoveAnalysis,
+                                              ScatteringAnalysis)
 from sitator_tpu.dynamics.arrhenius import (ArrheniusAnalysis,
                                             EdgeArrheniusAnalysis)
 from sitator_tpu.dynamics.energetics import SiteFreeEnergyAnalysis
@@ -21,7 +23,7 @@ __all__ = [
     "RemoveUnoccupiedSites", "RemoveShortJumps",
     "AverageVibrationalFrequency", "DiffusionAnalysis",
     "SiteDiffusionAnalysis", "RelaxationAnalysis", "RDFAnalysis",
-    "VanHoveAnalysis", "ArrheniusAnalysis", "SiteFreeEnergyAnalysis",
+    "VanHoveAnalysis", "ScatteringAnalysis", "ArrheniusAnalysis", "SiteFreeEnergyAnalysis",
     "KineticMonteCarlo", "ResidenceTimeAnalysis",
     "EdgeArrheniusAnalysis", "mean_first_passage_times",
     "VacancyAnalysis", "ConcertedJumpAnalysis",

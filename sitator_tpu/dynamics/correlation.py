@@ -12,8 +12,9 @@ import logging
 import numpy as np
 
 from sitator_tpu.ops import correlation as corr_ops
+from sitator_tpu.ops import scattering as scat_ops
 
-__all__ = ["RDFAnalysis", "VanHoveAnalysis"]
+__all__ = ["RDFAnalysis", "VanHoveAnalysis", "ScatteringAnalysis"]
 
 logger = logging.getLogger(__name__)
 
@@ -105,4 +106,70 @@ class VanHoveAnalysis:
         if self.verbose:
             logger.info("van Hove over lags %s computed (%d bins)",
                         self.lags, self.n_bins)
+        return self
+
+
+class ScatteringAnalysis:
+    """Reciprocal-space structure and kinetics on the lattice-
+    commensurate q-grid (exact under PBC — no minimum-image truncation;
+    see :mod:`sitator_tpu.ops.scattering` for the TPU mapping).
+
+    Computes, shell-averaged over ``n_shells`` |q| shells up to
+    ``q_max`` (inverse length units of the trajectory):
+
+    - ``S_q_``: the static structure factor ⟨|ρ_q|²⟩/N,
+    - ``F_``: the coherent intermediate scattering function
+      F(q, t) = ⟨Re ρ_q(t₀+t)ρ_q*(t₀)⟩/N, shape ``(n_shells, F)``
+      over ALL time origins (``F_[:, 0] == S_q_``),
+    - ``phi_``: F(q, t)/S(q), the normalized relaxation of each shell,
+    - ``tau_q_``: per-shell 1/e crossing time of ``phi_`` (linearly
+      interpolated; NaN where it never decays that far) — the
+      q-dependent structural relaxation time (de Gennes narrowing
+      makes it peak at the structure-factor maximum).
+
+    Also: ``q_`` (shell-mean |q|), ``n_q_`` (modes per shell; empty
+    shells are NaN rows), ``times_``.  ``run`` needs a SiteTrajectory
+    with a real trajectory attached (``set_real_traj``);
+    returns ``self``.
+    """
+
+    def __init__(self, q_max, n_shells=24, q_min=0.0, select="mobile",
+                 timestep=1.0, verbose=True):
+        self.q_max = float(q_max)
+        if self.q_max <= 0:
+            raise ValueError("q_max must be positive")
+        self.n_shells = int(n_shells)
+        if self.n_shells < 1:
+            raise ValueError("n_shells must be >= 1")
+        self.q_min = float(q_min)
+        self.select = select
+        self.timestep = float(timestep)
+        self.verbose = verbose
+
+    def run(self, st):
+        traj, sn = _real_traj_of(st)
+        mask = _resolve_mask(self.select, sn)
+        self.q_, self.F_, self.n_q_ = scat_ops.coherent_scattering(
+            traj, sn.structure.cell, mask, self.q_max,
+            n_shells=self.n_shells, q_min=self.q_min)
+        self.S_q_ = self.F_[:, 0].copy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.phi_ = self.F_ / self.S_q_[:, None]
+        F = self.F_.shape[1]
+        self.times_ = np.arange(F, dtype=np.float64) * self.timestep
+        from sitator_tpu.dynamics.diffusion import RelaxationAnalysis
+        self.tau_q_ = np.array([
+            RelaxationAnalysis._crossing_time(
+                self.times_, self.phi_[s], 1.0 / np.e)
+            if np.isfinite(self.phi_[s]).all() else float("nan")
+            for s in range(self.n_shells)])
+        if self.verbose:
+            ok = np.isfinite(self.S_q_)
+            if ok.any():
+                peak = int(np.nanargmax(np.where(ok, self.S_q_, -np.inf)))
+                logger.info(
+                    "S(q): %d modes in %d shells; peak S=%.3g at "
+                    "q=%.3g; tau there %.3g",
+                    int(self.n_q_.sum()), self.n_shells,
+                    self.S_q_[peak], self.q_[peak], self.tau_q_[peak])
         return self
