@@ -2,7 +2,8 @@ from sitator_tpu.dynamics.jump_analysis import JumpAnalysis
 from sitator_tpu.dynamics.merge_dynamics import MergeSitesByDynamics
 from sitator_tpu.dynamics.filters import RemoveUnoccupiedSites, \
     RemoveShortJumps
-from sitator_tpu.dynamics.vibrational import AverageVibrationalFrequency
+from sitator_tpu.dynamics.vibrational import (
+    AverageVibrationalFrequency, VibrationalSpectrumAnalysis)
 from sitator_tpu.dynamics.diffusion import DiffusionAnalysis, \
     SiteDiffusionAnalysis, RelaxationAnalysis
 from sitator_tpu.dynamics.correlation import (RDFAnalysis,
@@ -21,7 +22,7 @@ from sitator_tpu.network.merging import MergeSitesByDistance
 __all__ = [
     "JumpAnalysis", "MergeSitesByDynamics", "MergeSitesByDistance",
     "RemoveUnoccupiedSites", "RemoveShortJumps",
-    "AverageVibrationalFrequency", "DiffusionAnalysis",
+    "AverageVibrationalFrequency", "VibrationalSpectrumAnalysis", "DiffusionAnalysis",
     "SiteDiffusionAnalysis", "RelaxationAnalysis", "RDFAnalysis",
     "VanHoveAnalysis", "ScatteringAnalysis", "ArrheniusAnalysis", "SiteFreeEnergyAnalysis",
     "KineticMonteCarlo", "ResidenceTimeAnalysis",

@@ -1,17 +1,53 @@
-"""``AverageVibrationalFrequency`` — attempt-frequency estimate.
+"""Vibrational observables of the mobile ions.
 
-Reference parity: ``sitator/dynamics/AverageVibrationalFrequency``
-(SURVEY.md §3.4 ⚠ low-confidence component): the spectrally-averaged
-vibrational frequency of the mobile ions, used to normalize jump rates into
-attempt frequencies.  Computed as the power-spectrum-weighted mean frequency
-of the mobile-ion velocity signal (FFT of minimum-image frame-difference
-velocities).
+- :class:`AverageVibrationalFrequency` — attempt-frequency estimate
+  (reference parity: ``sitator/dynamics/AverageVibrationalFrequency``,
+  SURVEY.md §3.4 ⚠ low-confidence component): the spectrally-averaged
+  vibrational frequency, used to normalize jump rates into attempt
+  frequencies.  Power-spectrum-weighted mean frequency of the
+  mobile-ion velocity signal (FFT of minimum-image frame-difference
+  velocities).
+- :class:`VibrationalSpectrumAnalysis` (beyond the reference surface) —
+  the full velocity autocorrelation function, the vibrational density
+  of states, and the Green–Kubo diffusivity, from the same
+  frame-difference velocities.
 """
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 
 from sitator_tpu.ops.pbc import PBCCalculator
+
+logger = logging.getLogger(__name__)
+
+
+def _frame_diff_velocities(st_or_traj, mobile_mask, cell, timestep,
+                           min_frames=3):
+    """Shared input handling: minimum-image frame-difference velocities
+    ``(F-1, M, 3)`` float64 of the mobile ions."""
+    if hasattr(st_or_traj, "real_trajectory"):
+        st = st_or_traj
+        traj = st.real_trajectory
+        if traj is None:
+            raise ValueError("SiteTrajectory has no real trajectory")
+        sn = st.site_network
+        mobile_mask = sn.mobile_mask
+        cell = sn.structure.cell
+    else:
+        traj = np.asarray(st_or_traj)
+        if mobile_mask is None or cell is None:
+            raise ValueError("raw trajectory needs mobile_mask and cell")
+    if traj.shape[0] < min_frames:
+        raise ValueError(f"need at least {min_frames} frames")
+    calc = PBCCalculator(cell)
+    pos = traj[:, np.asarray(mobile_mask, dtype=bool), :].astype(
+        np.float64)
+    disp = (pos[1:] - pos[:-1]).reshape(-1, 3)
+    disp = np.asarray(calc._min_image_disp(disp)).reshape(
+        len(pos) - 1, -1, 3)
+    return disp / float(timestep)
 
 
 class AverageVibrationalFrequency:
@@ -33,26 +69,10 @@ class AverageVibrationalFrequency:
         Returns the average vibrational frequency (float).  When given a
         SiteTrajectory, also writes site attribute-independent scalar onto
         ``site_network`` as ``avg_vibrational_freq`` metadata."""
-        if hasattr(st_or_traj, "real_trajectory"):
-            st = st_or_traj
-            traj = st.real_trajectory
-            if traj is None:
-                raise ValueError("SiteTrajectory has no real trajectory")
-            sn = st.site_network
-            mobile_mask = sn.mobile_mask
-            cell = sn.structure.cell
-        else:
-            st = None
-            traj = np.asarray(st_or_traj)
-            if mobile_mask is None or cell is None:
-                raise ValueError("raw trajectory needs mobile_mask and cell")
-
-        calc = PBCCalculator(cell)
-        pos = traj[:, mobile_mask, :].astype(np.float64)
-        disp = pos[1:] - pos[:-1]
-        disp = disp.reshape(-1, 3)
-        disp = calc._min_image_disp(disp).reshape(len(pos) - 1, -1, 3)
-        v = disp / self.timestep                      # (F-1, M, 3)
+        st = (st_or_traj if hasattr(st_or_traj, "real_trajectory")
+              else None)
+        v = _frame_diff_velocities(st_or_traj, mobile_mask, cell,
+                                   self.timestep, min_frames=2)
 
         spec = np.abs(np.fft.rfft(v - v.mean(0), axis=0)) ** 2
         power = spec.sum(axis=(1, 2))                 # (F//2+1,)
@@ -75,3 +95,79 @@ class AverageVibrationalFrequency:
             sn.add_site_attribute(
                 "avg_vibrational_freq", np.full(sn.n_sites, nu))
         return nu
+
+
+class VibrationalSpectrumAnalysis:
+    """VACF, vibrational density of states, and Green–Kubo diffusivity
+    of the mobile ions (beyond the reference surface — the short-time /
+    spectral complement of the MSD route in
+    :class:`~sitator_tpu.dynamics.diffusion.DiffusionAnalysis`).
+
+    Velocities are minimum-image frame differences (no stored
+    velocities needed).  After ``run(st)`` (or a raw trajectory plus
+    ``mobile_mask``/``cell``):
+
+    - ``times_``, ``vacf_``: the all-origins velocity autocorrelation
+      Z(t) (``vacf_[0]`` = mean squared speed) and ``psi_`` = Z/Z(0);
+    - ``freqs_``, ``vdos_``: the vibrational density of states — the
+      atom/component-summed velocity power spectrum (Wiener–Khinchin
+      pair of the VACF, positive by construction), normalized to
+      integrate to 1 over frequency (cycles per time unit);
+    - ``D_gk_running_``: the running Green–Kubo integral
+      (1/3)∫₀ᵗ Z dt' (trapezoid), and ``D_gk_`` — its mean over the
+      ``integral_window`` fraction of the lag axis.  For
+      frame-difference velocities of a jump process this matches the
+      MSD diffusivity in expectation (tested against
+      :class:`~sitator_tpu.dynamics.diffusion.DiffusionAnalysis`);
+      for bound (oscillatory) motion it averages to ~0.
+
+    GK plateau caveat: the running integral only plateaus once the VACF
+    has decayed; ``integral_window`` defaults to (0.1, 0.5) of the lag
+    axis — inspect ``D_gk_running_`` when in doubt (long-lag origins
+    are noisy, which is why the window stops at half).
+    """
+
+    def __init__(self, timestep=1.0, max_lag=None,
+                 integral_window=(0.1, 0.5), verbose=True):
+        self.timestep = float(timestep)
+        self.max_lag = max_lag
+        lo, hi = (float(integral_window[0]), float(integral_window[1]))
+        if not 0.0 <= lo < hi <= 1.0:
+            raise ValueError("integral_window must satisfy "
+                             "0 <= lo < hi <= 1")
+        self.integral_window = (lo, hi)
+        self.verbose = verbose
+
+    def run(self, st_or_traj, mobile_mask=None, cell=None):
+        from sitator_tpu.ops import msd as msd_ops
+        v = _frame_diff_velocities(st_or_traj, mobile_mask, cell,
+                                   self.timestep)
+        n_lags = v.shape[0]
+        if self.max_lag is not None:
+            n_lags = min(n_lags, int(self.max_lag) + 1)
+        Z, _ = msd_ops.vacf_fft(v)
+        self.vacf_ = Z[:n_lags]
+        self.psi_ = (self.vacf_ / self.vacf_[0] if self.vacf_[0] > 0
+                     else np.full_like(self.vacf_, np.nan))
+        self.times_ = np.arange(n_lags, dtype=np.float64) * self.timestep
+
+        # VDOS: periodogram of the velocity signal (positive, equals
+        # the cosine transform of the VACF in expectation)
+        spec = (np.abs(np.fft.rfft(v, axis=0)) ** 2).sum(axis=(1, 2))
+        self.freqs_ = np.fft.rfftfreq(v.shape[0], d=self.timestep)
+        df = (self.freqs_[1] if len(self.freqs_) > 1 else 1.0)
+        norm = spec.sum() * df
+        self.vdos_ = spec / norm if norm > 0 else spec
+
+        # Green–Kubo running integral, D(t) = (1/3) int_0^t Z
+        incr = 0.5 * (self.vacf_[1:] + self.vacf_[:-1]) * self.timestep
+        self.D_gk_running_ = np.concatenate(
+            [[0.0], np.cumsum(incr)]) / 3.0
+        lo = int(round(self.integral_window[0] * (n_lags - 1)))
+        hi = max(lo + 1, int(round(self.integral_window[1] * (n_lags - 1))))
+        self.D_gk_ = float(self.D_gk_running_[lo:hi + 1].mean())
+        if self.verbose:
+            peak = float(self.freqs_[int(np.argmax(self.vdos_))])
+            logger.info("VACF/VDOS: peak at %.4g cycles/time, "
+                        "D_GK = %.4g", peak, self.D_gk_)
+        return self

@@ -34,8 +34,8 @@ import numpy as np
 from sitator_tpu.ops.pbc import PBCCalculator
 
 __all__ = ["unwrap_trajectory", "msd_fft", "msd_tensor_fft",
-           "collective_msd_fft", "fit_diffusivity", "fit_window",
-           "lag_statistics", "displacement_moments",
+           "collective_msd_fft", "vacf_fft", "fit_diffusivity",
+           "fit_window", "lag_statistics", "displacement_moments",
            "self_intermediate_scattering"]
 
 
@@ -140,6 +140,21 @@ def msd_tensor_fft(pos):
             per_atom[:, 0] = 0.0
             out[:, a, b] = out[:, b, a] = per_atom.mean(axis=0)
     return out
+
+
+def vacf_fft(vel):
+    """Time-origin-averaged velocity autocorrelation of ``(F, N, 3)``
+    velocities: ``Z[m] = < v(t+m) · v(t) >`` over all origins and
+    atoms.  Returns ``(Z, Z_per_atom)`` — ``(F,)`` and ``(N, F)``.
+    ``Z[0]`` is the mean squared speed; the Green–Kubo diffusivity is
+    ``D = (1/3) ∫ Z dt`` (see
+    :class:`~sitator_tpu.dynamics.vibrational.VibrationalSpectrumAnalysis`).
+    """
+    vel = np.asarray(vel, dtype=np.float64)
+    F = vel.shape[0]
+    x = np.moveaxis(vel, 0, -1)                      # (N, 3, F)
+    per_atom = _acf_fft(x).sum(axis=1) / (F - np.arange(F))
+    return per_atom.mean(axis=0), per_atom
 
 
 def collective_msd_fft(pos):

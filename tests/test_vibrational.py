@@ -1,0 +1,123 @@
+"""VACF / VDOS / Green-Kubo: FFT estimator vs brute force, harmonic
+oscillator spectral recovery, and GK-vs-MSD diffusivity agreement."""
+import numpy as np
+import pytest
+
+from sitator_tpu.ops import msd as msd_ops
+from sitator_tpu.dynamics import (AverageVibrationalFrequency,
+                                  DiffusionAnalysis,
+                                  VibrationalSpectrumAnalysis)
+
+
+def test_vacf_fft_matches_brute_force():
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(41, 5, 3))
+    Z, per_atom = msd_ops.vacf_fft(v)
+    F = len(v)
+    ref = np.empty(F)
+    for m in range(F):
+        ref[m] = np.einsum("tnc,tnc->", v[m:], v[:F - m]) / (
+            (F - m) * v.shape[1])
+    np.testing.assert_allclose(Z, ref, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(per_atom.mean(0), Z, rtol=1e-12)
+
+
+def _run_raw(traj, dt=1.0, **kw):
+    M = traj.shape[1]
+    return VibrationalSpectrumAnalysis(timestep=dt, verbose=False,
+                                       **kw).run(
+        traj, mobile_mask=np.ones(M, bool), cell=np.eye(3) * 1e6)
+
+
+def test_harmonic_oscillator_spectrum():
+    """Pure f0 oscillation: VDOS peaks exactly at f0 (on-grid), the
+    normalized VACF is cos(2 pi f0 t), and D_GK ~ 0."""
+    rng = np.random.default_rng(7)
+    F, M, dt = 1025, 12, 1.0
+    k = 96                                  # on-grid: f0 = k / (F-1)
+    f0 = k / ((F - 1) * dt)
+    t = np.arange(F) * dt
+    phase = rng.uniform(0, 2 * np.pi, size=(M, 3))
+    A = 0.3
+    traj = A * np.cos(2 * np.pi * f0 * t[:, None, None] + phase)
+    vs = _run_raw(traj, dt)
+    assert vs.freqs_[np.argmax(vs.vdos_)] == pytest.approx(f0)
+    # normalized VACF is a cosine at f0 (frame-diff velocities keep
+    # the frequency; check the first quarter period)
+    lags = np.arange(1, int(0.25 / f0))
+    np.testing.assert_allclose(vs.psi_[lags],
+                               np.cos(2 * np.pi * f0 * lags * dt),
+                               atol=0.02)
+    # bound motion: GK integral oscillates around ~0
+    v_amp2 = vs.vacf_[0]
+    assert abs(vs.D_gk_) < 0.05 * v_amp2 / (2 * np.pi * f0)
+    # VDOS integrates to 1
+    df = vs.freqs_[1]
+    assert vs.vdos_.sum() * df == pytest.approx(1.0)
+    # consistency: AverageVibrationalFrequency sees the same peak
+    nu = AverageVibrationalFrequency(timestep=dt, verbose=False).run(
+        traj, mobile_mask=np.ones(M, bool), cell=np.eye(3) * 1e6)
+    assert nu == pytest.approx(f0, rel=0.02)
+
+
+def test_green_kubo_matches_msd_diffusivity():
+    """Uncorrelated Gaussian steps: D_GK == D_true exactly in
+    expectation (Z(0)=6D/dt, Z(m>0)=0) and agrees with the MSD route."""
+    rng = np.random.default_rng(11)
+    D_true, dt, F, M = 0.25, 2.0, 4000, 30
+    steps = rng.normal(scale=np.sqrt(2 * D_true * dt), size=(F - 1, M, 3))
+    traj = np.concatenate([np.zeros((1, M, 3)), np.cumsum(steps, 0)], 0)
+    # memoryless VACF decays in one step: read the plateau early (the
+    # running integral accumulates noise ~ sqrt(lag) beyond it)
+    vs = _run_raw(traj, dt, integral_window=(0.002, 0.02))
+    assert vs.D_gk_ == pytest.approx(D_true, rel=0.05)
+    da = DiffusionAnalysis(timestep=dt, fit_range=(0.05, 0.25),
+                           verbose=False).run(
+        traj, mobile_mask=np.ones(M, bool), cell=np.eye(3) * 1e6)
+    assert vs.D_gk_ == pytest.approx(da.D_tracer_, rel=0.1)
+    # the running integral stays near D after the first step — unbiased
+    # plateau, with noise growing ~ sqrt(lag) but bounded here
+    tail = vs.D_gk_running_[10:F // 2]
+    assert np.abs(tail - D_true).max() < 0.5 * D_true
+
+
+def test_oscillation_plus_walk_separates_scales():
+    """Walk + fast oscillation: VDOS peak at the oscillation frequency,
+    D_GK still recovers the walk's diffusivity (the oscillatory part
+    integrates to ~0)."""
+    rng = np.random.default_rng(13)
+    D_true, dt, F, M = 0.1, 1.0, 4097, 24
+    k = 1024
+    f0 = k / ((F - 1) * dt)
+    t = np.arange(F) * dt
+    phase = rng.uniform(0, 2 * np.pi, size=(M, 3))
+    steps = rng.normal(scale=np.sqrt(2 * D_true * dt), size=(F - 1, M, 3))
+    traj = (np.concatenate([np.zeros((1, M, 3)), np.cumsum(steps, 0)], 0)
+            + 0.2 * np.cos(2 * np.pi * f0 * t[:, None, None] + phase))
+    vs = _run_raw(traj, dt)
+    assert vs.freqs_[np.argmax(vs.vdos_)] == pytest.approx(f0, rel=0.01)
+    assert vs.D_gk_ == pytest.approx(D_true, rel=0.15)
+
+
+def test_vibrational_spectrum_validation_and_st_route():
+    with pytest.raises(ValueError, match="integral_window"):
+        VibrationalSpectrumAnalysis(integral_window=(0.5, 0.2))
+    with pytest.raises(ValueError, match="at least 3"):
+        _run_raw(np.zeros((2, 2, 3)))
+    with pytest.raises(ValueError, match="mobile_mask"):
+        VibrationalSpectrumAnalysis(verbose=False).run(np.zeros((9, 2, 3)))
+    # SiteTrajectory route + max_lag truncation
+    from sitator_tpu import SiteNetwork, SiteTrajectory, Structure
+    rng = np.random.default_rng(17)
+    traj = rng.normal(size=(50, 5, 3)) + 25.0
+    pos = np.concatenate([np.zeros((2, 3)), traj[0]])
+    species = np.array([16] * 2 + [3] * 5)
+    s = Structure(pos, species, np.eye(3) * 50.0)
+    sn = SiteNetwork(s, s.species == 16, s.species == 3)
+    sn.centers = np.zeros((1, 3))
+    st = SiteTrajectory(sn, np.zeros((50, 5), dtype=int))
+    st.set_real_traj(np.concatenate([np.zeros((50, 2, 3)), traj], axis=1))
+    vs = VibrationalSpectrumAnalysis(max_lag=10, verbose=False).run(st)
+    assert len(vs.vacf_) == 11 and len(vs.times_) == 11
+    assert len(vs.D_gk_running_) == 11
+    assert np.isfinite(vs.D_gk_)
