@@ -15,7 +15,9 @@ from sitator_tpu.visualization.kinetics import (
     plot_msd,
     plot_rdf,
     plot_residence_survival,
+    plot_structure_factor,
     plot_van_hove,
+    plot_vdos,
 )
 
 __all__ = [
@@ -23,4 +25,5 @@ __all__ = [
     "SiteNetworkPlotter", "plot_frame", "plot_site",
     "plot_particle_trajectory", "plot_msd", "plot_arrhenius", "plot_rdf",
     "plot_van_hove", "plot_residence_survival",
+    "plot_structure_factor", "plot_vdos",
 ]

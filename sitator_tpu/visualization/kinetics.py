@@ -12,7 +12,8 @@ import numpy as np
 from sitator_tpu.visualization.common import plotter
 
 __all__ = ["plot_msd", "plot_arrhenius", "plot_rdf", "plot_van_hove",
-           "plot_residence_survival"]
+           "plot_residence_survival", "plot_structure_factor",
+           "plot_vdos"]
 
 _K_B_EV = 8.617333262e-5
 
@@ -113,6 +114,42 @@ def plot_residence_survival(ra, sites=None, fig=None, ax=None,
     ax.set_xlabel("residence [frames]")
     ax.set_ylabel("P(residence > t)")
     ax.legend(fontsize="small")
+
+
+@plotter(is3D=False)
+def plot_structure_factor(sa, show_tau=True, fig=None, ax=None):
+    """S(q) — and, on a twin axis, the per-shell relaxation time
+    τ(q) — from a fitted
+    :class:`~sitator_tpu.dynamics.correlation.ScatteringAnalysis`;
+    de Gennes narrowing shows as the τ(q) peak tracking the S(q)
+    maximum.  Empty shells are skipped."""
+    ok = np.asarray(sa.n_q_) > 0
+    ax.plot(sa.q_[ok], sa.S_q_[ok], "o-", color="C0", label="S(q)")
+    ax.axhline(1.0, color="0.7", lw=0.8, zorder=1)
+    ax.set_xlabel("q")
+    ax.set_ylabel("S(q)", color="C0")
+    if show_tau and np.isfinite(sa.tau_q_[ok]).any():
+        ax2 = ax.twinx()
+        ax2.plot(sa.q_[ok], sa.tau_q_[ok], "s--", color="C3",
+                 label="τ(q)")
+        ax2.set_ylabel("τ(q)  [1/e time]", color="C3")
+
+
+@plotter(is3D=False)
+def plot_vdos(vs, show_gk=True, fig=None, ax=None):
+    """Vibrational density of states — and, on a twin axis, the running
+    Green–Kubo integral — from a fitted
+    :class:`~sitator_tpu.dynamics.vibrational.VibrationalSpectrumAnalysis`."""
+    ax.plot(vs.freqs_, vs.vdos_, color="C0", label="VDOS")
+    ax.set_xlabel("frequency  [cycles/time]")
+    ax.set_ylabel("VDOS")
+    if show_gk:
+        # different x variable (lag time, not frequency) -> inset, not twinx
+        ia = ax.inset_axes([0.55, 0.55, 0.42, 0.38])
+        ia.plot(vs.times_, vs.D_gk_running_, color="C3", lw=1.0)
+        ia.axhline(vs.D_gk_, color="C3", ls="--", lw=0.8)
+        ia.set_title(f"D_GK(t) → {vs.D_gk_:.3g}", fontsize="small")
+        ia.tick_params(labelsize="x-small")
 
 
 @plotter(is3D=False)

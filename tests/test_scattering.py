@@ -157,6 +157,23 @@ def test_frozen_structure_never_relaxes():
     assert np.isnan(sa.tau_q_[ok]).all()
 
 
+def test_plot_structure_factor_draws():
+    import matplotlib
+    matplotlib.use("Agg")
+    rng = np.random.default_rng(19)
+    D, F, M = 0.3, 300, 24
+    steps = rng.normal(scale=np.sqrt(2 * D), size=(F - 1, M, 3))
+    traj = np.concatenate([rng.uniform(0, 9, size=(1, M, 3)),
+                           np.zeros((F - 1, M, 3))], 0)
+    traj[1:] = traj[:1] + np.cumsum(steps, 0)
+    sa = ScatteringAnalysis(q_max=2.5, n_shells=3, verbose=False).run(
+        _gas_st(traj, np.eye(3) * 9.0))
+    from sitator_tpu.visualization import plot_structure_factor
+    fig = plot_structure_factor(sa)
+    fig.canvas.draw()
+    assert any(len(a.get_lines()) for a in fig.axes)
+
+
 def test_scattering_validation():
     with pytest.raises(ValueError, match="q_max"):
         ScatteringAnalysis(q_max=0.0)

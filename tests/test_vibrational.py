@@ -99,6 +99,22 @@ def test_oscillation_plus_walk_separates_scales():
     assert vs.D_gk_ == pytest.approx(D_true, rel=0.15)
 
 
+def test_plot_vdos_draws():
+    import matplotlib
+    matplotlib.use("Agg")
+    rng = np.random.default_rng(23)
+    traj = np.cumsum(rng.normal(scale=0.2, size=(200, 6, 3)), axis=0)
+    vs = _run_raw(traj)
+    from sitator_tpu.visualization import plot_vdos
+    fig = plot_vdos(vs)
+    fig.canvas.draw()
+    # main VDOS line plus the GK inset curve (inset registers as a
+    # child axes of the parent, not on fig.axes)
+    assert len(fig.axes[0].get_lines()) >= 1
+    insets = fig.axes[0].child_axes
+    assert insets and len(insets[0].get_lines()) >= 1
+
+
 def test_vibrational_spectrum_validation_and_st_route():
     with pytest.raises(ValueError, match="integral_window"):
         VibrationalSpectrumAnalysis(integral_window=(0.5, 0.2))
