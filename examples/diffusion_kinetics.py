@@ -143,7 +143,6 @@ from sitator_tpu.dynamics import (ScatteringAnalysis,
 
 sa = ScatteringAnalysis(q_max=2.5, n_shells=4, timestep=1.0,
                         verbose=False).run(st)
-finite = np.isfinite(sa.tau_q_)
 print("S(q) shells:", np.round(sa.S_q_, 2),
       "| tau_q:", np.round(sa.tau_q_, 1))
 vs = VibrationalSpectrumAnalysis(timestep=1.0, max_lag=800,

@@ -275,8 +275,7 @@ def cmd_analyze(args):
                                verbose=args.verbose).run(st)
         print(f"D_tracer = {da.D_tracer_:.4g} ± {da.D_tracer_err_:.2g} "
               f"(length²/time units of the input)")
-        import numpy as _np
-        if _np.isfinite(da.anisotropy_):
+        if np.isfinite(da.anisotropy_):
             print(f"anisotropy λ_max/λ_min = {da.anisotropy_:.3g} "
                   f"(principal D: "
                   f"{', '.join(f'{v:.3g}' for v in da.D_eigvals_[::-1])})")

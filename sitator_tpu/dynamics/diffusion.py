@@ -124,9 +124,12 @@ class DiffusionAnalysis:
 
         unwrapped = msd_ops.unwrap_trajectory(pos, cell,
                                               exact=self.exact_unwrap)
-        mean_msd, per_atom = msd_ops.msd_fft(unwrapped)
+        # one FFT pass yields the covariance tensor AND the scalar
+        # curves (trace); msd_fft would duplicate the diagonal work
+        self.msd_tensor_, per_atom = msd_ops.msd_tensor_fft(
+            unwrapped, per_atom_trace=True)
         coll = msd_ops.collective_msd_fft(unwrapped)
-        self.msd_ = np.asarray(mean_msd, dtype=np.float64)
+        self.msd_ = np.trace(self.msd_tensor_, axis1=1, axis2=2)
         self.msd_per_atom_ = np.asarray(per_atom, dtype=np.float64)
         coll = np.asarray(coll, dtype=np.float64) / M   # per ion
         self.times_ = np.arange(F, dtype=np.float64) * self.timestep
@@ -155,7 +158,6 @@ class DiffusionAnalysis:
 
         # anisotropy: per-component-pair slopes over the SAME window;
         # each component is 1-D, so D_ab = slope_ab / 2
-        self.msd_tensor_ = msd_ops.msd_tensor_fft(unwrapped)
         D_t = np.empty((3, 3))
         for a in range(3):
             for b in range(a, 3):

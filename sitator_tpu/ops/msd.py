@@ -104,7 +104,7 @@ def msd_fft(pos):
     return per_atom.mean(axis=0), per_atom
 
 
-def msd_tensor_fft(pos):
+def msd_tensor_fft(pos, per_atom_trace=False):
     """Time-origin-averaged displacement-covariance tensor of an
     unwrapped ``(F, N, 3)`` trajectory:
     ``T[m, a, b] = < (Δr_a)(Δr_b) >`` over all origins and atoms at lag
@@ -115,6 +115,11 @@ def msd_tensor_fft(pos):
     identity per component pair; the cross term uses the symmetrized
     FFT cross-correlation).  Fit each component's slope over a lag
     window to get the diffusion tensor ``D_ab = slope_ab / 2``.
+
+    With ``per_atom_trace=True`` also returns the ``(N, F)`` per-atom
+    scalar MSD curves (the per-atom tensor trace) — callers that need
+    both the tensor and :func:`msd_fft`'s outputs get them from ONE
+    FFT pass instead of two.
     """
     pos = np.asarray(pos, dtype=np.float64)
     F = pos.shape[0]
@@ -124,6 +129,7 @@ def msd_tensor_fft(pos):
     m = np.arange(F)
     denom = (F - m).astype(np.float64)
     out = np.empty((F, 3, 3))
+    trace_pa = None
     for a in range(3):
         for b in range(a, 3):
             # S2_sym(m) = Σ_t x_a(t+m)x_b(t) + x_b(t+m)x_a(t)
@@ -139,6 +145,11 @@ def msd_tensor_fft(pos):
             per_atom = (head + tail - cross) / denom
             per_atom[:, 0] = 0.0
             out[:, a, b] = out[:, b, a] = per_atom.mean(axis=0)
+            if per_atom_trace and a == b:
+                trace_pa = (per_atom if trace_pa is None
+                            else trace_pa + per_atom)
+    if per_atom_trace:
+        return out, trace_pa
     return out
 
 

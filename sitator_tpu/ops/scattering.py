@@ -78,7 +78,11 @@ def _rho_chunk(frac, n_t):
     (C, Nq, 2) ion-summed (cos, sin).  One MXU matmul + fused VPU
     mod-1/trig/reduce."""
     C, M, _ = frac.shape
-    u = frac.reshape(C * M, 3) @ n_t                   # (C*M, Nq)
+    # HIGHEST: the TPU MXU default truncates f32 operands to bf16,
+    # which would blow the documented ~1e-5 rad phase budget to ~0.1 rad
+    # at high |n| (same trap as the SOAP einsums, soap.py)
+    u = jnp.matmul(frac.reshape(C * M, 3), n_t,
+                   precision=jax.lax.Precision.HIGHEST)  # (C*M, Nq)
     theta = (2 * jnp.pi) * (u - jnp.floor(u))
     cos = jnp.cos(theta).reshape(C, M, -1).sum(axis=1)
     sin = jnp.sin(theta).reshape(C, M, -1).sum(axis=1)
