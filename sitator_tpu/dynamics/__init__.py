@@ -12,6 +12,7 @@ from sitator_tpu.dynamics.correlation import (RDFAnalysis,
 from sitator_tpu.dynamics.arrhenius import (ArrheniusAnalysis,
                                             EdgeArrheniusAnalysis)
 from sitator_tpu.dynamics.energetics import SiteFreeEnergyAnalysis
+from sitator_tpu.dynamics.onsager import OnsagerAnalysis
 from sitator_tpu.dynamics.kmc import (KineticMonteCarlo,
                                       mean_first_passage_times)
 from sitator_tpu.dynamics.residence import ResidenceTimeAnalysis
@@ -25,6 +26,7 @@ __all__ = [
     "AverageVibrationalFrequency", "VibrationalSpectrumAnalysis", "DiffusionAnalysis",
     "SiteDiffusionAnalysis", "RelaxationAnalysis", "RDFAnalysis",
     "VanHoveAnalysis", "ScatteringAnalysis", "ArrheniusAnalysis", "SiteFreeEnergyAnalysis",
+    "OnsagerAnalysis",
     "KineticMonteCarlo", "ResidenceTimeAnalysis",
     "EdgeArrheniusAnalysis", "mean_first_passage_times",
     "VacancyAnalysis", "ConcertedJumpAnalysis",

@@ -34,9 +34,9 @@ import numpy as np
 from sitator_tpu.ops.pbc import PBCCalculator
 
 __all__ = ["unwrap_trajectory", "msd_fft", "msd_tensor_fft",
-           "collective_msd_fft", "vacf_fft", "fit_diffusivity",
-           "fit_window", "lag_statistics", "displacement_moments",
-           "self_intermediate_scattering"]
+           "collective_msd_fft", "cross_msd_fft", "vacf_fft",
+           "fit_diffusivity", "fit_window", "lag_statistics",
+           "displacement_moments", "self_intermediate_scattering"]
 
 
 def fit_window(n_frames, fit_range):
@@ -150,6 +150,32 @@ def msd_tensor_fft(pos, per_atom_trace=False):
                             else trace_pa + per_atom)
     if per_atom_trace:
         return out, trace_pa
+    return out
+
+
+def cross_msd_fft(xa, xb):
+    """Time-origin-averaged displacement cross-correlation of two
+    vector time series ``(F, 3)``:
+    ``C[m] = < Δx_a(t→t+m) · Δx_b(t→t+m) >`` over all origins — the
+    Onsager cross term (``cross_msd_fft(x, x)`` is the MSD of ``x``).
+    Same S1 − S2_sym identity as :func:`msd_tensor_fft`, with the dot
+    product summed over components.  Returns ``(F,)`` float64.
+    """
+    xa = np.asarray(xa, dtype=np.float64).T            # (3, F)
+    xb = np.asarray(xb, dtype=np.float64).T
+    F = xa.shape[-1]
+    n = 2 * F
+    Xa = np.fft.rfft(xa, n=n, axis=-1)
+    Xb = np.fft.rfft(xb, n=n, axis=-1)
+    spec = (Xa * np.conj(Xb)).sum(axis=0)              # dot over comps
+    cross = np.fft.irfft(spec + np.conj(spec), n=n)[:F]
+    d = (xa * xb).sum(axis=0)                          # (F,)
+    csum = np.concatenate([[0.0], np.cumsum(d)])
+    m = np.arange(F)
+    head = csum[F - m]
+    tail = csum[-1] - csum[m]
+    out = (head + tail - cross) / (F - m)
+    out[0] = 0.0
     return out
 
 
