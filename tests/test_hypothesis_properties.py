@@ -533,3 +533,81 @@ def test_vacancy_complement_invariant_property(data):
         assert set(tracked) == expect
     assert va.n_vacancies_.tolist() == [S - len(set(
         labels[f][labels[f] >= 0].tolist())) for f in range(F)]
+
+
+@given(data=st.data())
+@settings(**{**SETTINGS, "max_examples": 25})
+def test_msd_tensor_trace_and_psd_property(data):
+    """For arbitrary trajectories the covariance tensor is symmetric,
+    its trace equals the scalar MSD, and every lag's tensor is positive
+    semidefinite (it is an average of outer products)."""
+    from sitator_tpu.ops.msd import msd_fft, msd_tensor_fft
+    F = data.draw(st.integers(2, 30))
+    N = data.draw(st.integers(1, 3))
+    flat = data.draw(st.lists(
+        st.floats(-50, 50, allow_nan=False, width=32),
+        min_size=F * N * 3, max_size=F * N * 3))
+    pos = np.asarray(flat, np.float64).reshape(F, N, 3)
+    T, trace_pa = msd_tensor_fft(pos, per_atom_trace=True)
+    msd, per_atom = msd_fft(pos)
+    np.testing.assert_allclose(T, np.swapaxes(T, 1, 2), rtol=0, atol=0)
+    np.testing.assert_allclose(np.trace(T, axis1=1, axis2=2), msd,
+                               rtol=1e-8, atol=1e-6)
+    np.testing.assert_allclose(trace_pa, per_atom, rtol=1e-8, atol=1e-6)
+    scale = max(float(np.abs(T).max()), 1e-12)
+    for m in range(F):
+        evals = np.linalg.eigvalsh(T[m])
+        assert evals.min() > -1e-9 * scale, (m, evals)
+
+
+@given(data=st.data())
+@settings(**{**SETTINGS, "max_examples": 25})
+def test_cross_msd_bilinear_and_cauchy_schwarz_property(data):
+    """cross_msd is symmetric, cross(x,x) is the MSD of x, and every
+    lag obeys |C_ab| <= sqrt(C_aa C_bb) (Cauchy–Schwarz over the
+    origin average)."""
+    from sitator_tpu.ops.msd import cross_msd_fft
+    F = data.draw(st.integers(2, 40))
+    flat = data.draw(st.lists(
+        st.floats(-30, 30, allow_nan=False, width=32),
+        min_size=F * 6, max_size=F * 6))
+    arr = np.asarray(flat, np.float64).reshape(2, F, 3)
+    xa, xb = arr
+    c_ab = cross_msd_fft(xa, xb)
+    c_aa = cross_msd_fft(xa, xa)
+    c_bb = cross_msd_fft(xb, xb)
+    np.testing.assert_allclose(c_ab, cross_msd_fft(xb, xa), rtol=1e-10,
+                               atol=1e-10)
+    assert (c_aa >= -1e-8).all() and (c_bb >= -1e-8).all()
+    slack = 1e-7 * (1 + np.abs(c_aa) + np.abs(c_bb))
+    assert (np.abs(c_ab) <= np.sqrt(np.maximum(c_aa, 0)
+                                    * np.maximum(c_bb, 0)) + slack).all()
+
+
+@given(data=st.data())
+@settings(**{**SETTINGS, "max_examples": 20})
+def test_density_modes_parseval_property(data):
+    """rho_q invariants for arbitrary positions: |rho_q| <= N for every
+    mode, rho at n and at -n are conjugates (checked via a doubled call),
+    and lattice-translation invariance of |rho_q|."""
+    from sitator_tpu.ops.scattering import (allowed_wavevectors,
+                                            collective_density_modes)
+    cell = data.draw(triclinic_cells())
+    N = data.draw(st.integers(1, 6))
+    flat = data.draw(st.lists(
+        st.floats(-20, 20, allow_nan=False, width=32),
+        min_size=N * 3, max_size=N * 3))
+    pos = np.asarray(flat, np.float64).reshape(1, N, 3)
+    n, q, mag = allowed_wavevectors(cell, q_max=3.0)
+    if len(n) == 0:
+        return
+    mask = np.ones(N, bool)
+    rho = collective_density_modes(pos, cell, mask, n)[0]
+    assert (np.abs(rho) <= N + 1e-3 * N).all()
+    neg = collective_density_modes(pos, cell, mask, -n)[0]
+    np.testing.assert_allclose(neg, np.conj(rho), atol=2e-3 * N)
+    # translating every atom by a lattice vector leaves rho unchanged
+    shift = data.draw(st.tuples(*[st.integers(-2, 2)] * 3))
+    pos2 = pos + np.asarray(shift, np.float64) @ cell
+    rho2 = collective_density_modes(pos2, cell, mask, n)[0]
+    np.testing.assert_allclose(rho2, rho, atol=2e-3 * N)
