@@ -245,6 +245,7 @@ def cmd_analyze(args):
         ignored = [name for name, val in [
             ("--timestep", args.timestep),
             ("--temperature", args.temperature),
+            ("--onsager", args.onsager),
         ] if val is not None]
         if ignored:
             print(f"warning: {', '.join(ignored)} ignored with "
@@ -290,10 +291,53 @@ def cmd_analyze(args):
                   f"{sd.D_site_ / da.D_tracer_:.3g}, correlation "
                   f"factor f = {sd.f_:.3g}")
 
+    if args.onsager:
+        _run_onsager(args, sn, traj)
+
     if args.out:
         st.save(args.out)
         print(f"results saved to {args.out}")
     return 0
+
+
+def _run_onsager(args, sn, traj):
+    """--onsager "SPECIES:CHARGE,..." → Onsager matrix, transference
+    numbers, and (with --timestep and --temperature) conductivity."""
+    from sitator_tpu.dynamics import OnsagerAnalysis
+    groups, charges, names = [], [], []
+    for part in args.onsager.split(","):
+        sp, sep, ch = part.partition(":")
+        sp = sp.strip()
+        if not sep or not ch.strip():
+            raise SystemExit(f"--onsager: '{part}' is not "
+                             "SPECIES:CHARGE (e.g. Li:+1,Cl:-1)")
+        num = _species_arg(sp)
+        mask = np.asarray(sn.structure.species) == num
+        if not mask.any():
+            raise SystemExit(f"--onsager: no atoms of species {sp!r}")
+        groups.append(mask)
+        charges.append(float(ch))
+        names.append(sp)
+    temperature = args.temperature
+    if temperature is not None and not args.timestep:
+        print("warning: --onsager conductivity needs --timestep (ps) "
+              "for physical units; skipping sigma", file=sys.stderr)
+        temperature = None
+    oa = OnsagerAnalysis(groups, timestep=args.timestep or 1.0,
+                         temperature=temperature, charges=charges,
+                         verbose=args.verbose).run(
+        traj, cell=sn.structure.cell)
+    unit = "Å²/ps" if args.timestep else "Å²/frame"
+    print(f"Onsager matrix ({unit}, extensive):")
+    for i, name in enumerate(names):
+        row = "  ".join(f"{v:10.4g}" for v in oa.L_[i])
+        print(f"  {name:>4s} [{row}]")
+    tr = ", ".join(f"t_{n} = {t:.3f}"
+                   for n, t in zip(names, oa.transference_))
+    print(f"transference: {tr}")
+    if oa.conductivity_ is not None:
+        print(f"sigma_Onsager({temperature:g} K) = "
+              f"{oa.conductivity_:.4g} S/cm")
 
 
 def _analyze_streaming(args, sn, reader):
@@ -496,6 +540,11 @@ def build_parser():
                         "next to --out)")
     a.add_argument("--block-frames", type=int, default=1024,
                    help="frames per streamed device block")
+    a.add_argument("--onsager", default=None, metavar="SPEC:Q,...",
+                   help="Onsager matrix between species groups, e.g. "
+                        "'Li:+1,Cl:-1' — transference numbers and "
+                        "(with --timestep/--temperature) the "
+                        "pairing-aware conductivity")
     a.add_argument("--temperature", type=float, default=None,
                    help="kelvin — adds Nernst-Einstein conductivity")
     a.add_argument("--charge", type=float, default=1.0)

@@ -336,3 +336,40 @@ def test_concerted_flag(tmp_path, capsys):
     assert "concerted:" in out
     assert "window 2" in out
     assert "site network saved to" in out
+
+
+def test_onsager_flag(xyz_file, capsys):
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--timestep", "1.0", "--temperature", "600",
+               "--onsager", "Li:+1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Onsager matrix (Å²/ps" in out
+    assert "t_Li = 1.000" in out
+    assert "sigma_Onsager(600 K)" in out
+    # without --timestep: matrix in frame units, sigma skipped + warning
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--temperature", "600", "--onsager", "3:1"])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "Å²/frame" in cap.out
+    assert "sigma_Onsager" not in cap.out
+    assert "needs --timestep" in cap.err
+
+
+def test_onsager_flag_validation(xyz_file):
+    with pytest.raises(SystemExit, match="SPECIES:CHARGE"):
+        main(["analyze", xyz_file, "--mobile", "Li",
+              "--onsager", "Li"])
+    with pytest.raises(SystemExit, match="no atoms"):
+        main(["analyze", xyz_file, "--mobile", "Li",
+              "--onsager", "Au:+1"])
+
+
+def test_onsager_streaming_warns_ignored(xyz_file, capsys):
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--streaming", "--block-frames", "64",
+               "--onsager", "Li:+1"])
+    assert rc == 0
+    assert "--onsager" in capsys.readouterr().err
