@@ -265,6 +265,9 @@ def cmd_analyze(args):
                   "the spilled label file, written next to --out)",
                   file=sys.stderr)
         return _analyze_streaming(args, sn, reader)
+    # fail on a malformed --onsager spec BEFORE the expensive pipeline
+    onsager_spec = (_parse_onsager_spec(args.onsager, sn)
+                    if args.onsager else None)
     traj = reader[0:len(reader)]
     st = _eager_pipeline(args, sn, traj)
 
@@ -291,8 +294,8 @@ def cmd_analyze(args):
                   f"{sd.D_site_ / da.D_tracer_:.3g}, correlation "
                   f"factor f = {sd.f_:.3g}")
 
-    if args.onsager:
-        _run_onsager(args, sn, traj)
+    if onsager_spec is not None:
+        _run_onsager(args, sn, traj, onsager_spec)
 
     if args.out:
         st.save(args.out)
@@ -300,24 +303,41 @@ def cmd_analyze(args):
     return 0
 
 
-def _run_onsager(args, sn, traj):
-    """--onsager "SPECIES:CHARGE,..." → Onsager matrix, transference
-    numbers, and (with --timestep and --temperature) conductivity."""
-    from sitator_tpu.dynamics import OnsagerAnalysis
+def _parse_onsager_spec(spec, sn):
+    """Validate "SPECIES:CHARGE,..." against the structure — returns
+    (groups, charges, names).  Raises SystemExit with a usage message
+    on any malformed part, so callers can run it BEFORE the pipeline."""
     groups, charges, names = [], [], []
-    for part in args.onsager.split(","):
+    for part in spec.split(","):
         sp, sep, ch = part.partition(":")
         sp = sp.strip()
         if not sep or not ch.strip():
             raise SystemExit(f"--onsager: '{part}' is not "
                              "SPECIES:CHARGE (e.g. Li:+1,Cl:-1)")
-        num = _species_arg(sp)
+        if sp in names:
+            raise SystemExit(f"--onsager: species {sp!r} listed twice")
+        try:
+            num = _species_arg(sp)
+        except ValueError as e:
+            raise SystemExit(f"--onsager: {e}")
         mask = np.asarray(sn.structure.species) == num
         if not mask.any():
             raise SystemExit(f"--onsager: no atoms of species {sp!r}")
+        try:
+            charges.append(float(ch))
+        except ValueError:
+            raise SystemExit(f"--onsager: bad charge {ch.strip()!r} in "
+                             f"'{part}' (expected e.g. Li:+1)")
         groups.append(mask)
-        charges.append(float(ch))
         names.append(sp)
+    return groups, charges, names
+
+
+def _run_onsager(args, sn, traj, spec):
+    """--onsager "SPECIES:CHARGE,..." → Onsager matrix, transference
+    numbers, and (with --timestep and --temperature) conductivity."""
+    from sitator_tpu.dynamics import OnsagerAnalysis
+    groups, charges, names = spec
     temperature = args.temperature
     if temperature is not None and not args.timestep:
         print("warning: --onsager conductivity needs --timestep (ps) "

@@ -139,12 +139,11 @@ class OnsagerAnalysis:
         self.transference_ = None
         if self.charges is not None:
             z = self.charges
-            zLz = float(z @ self.L_ @ z)
+            zLz_raw = float(z @ self.L_ @ z)
             # catastrophic cancellation (perfect ion pairing) leaves an
             # fp residue ~1e-16 of the gross scale: treat as zero
             gross = float(np.abs(z) @ np.abs(self.L_) @ np.abs(z))
-            if zLz <= 1e-12 * gross:
-                zLz = 0.0
+            zLz = 0.0 if zLz_raw <= 1e-12 * gross else zLz_raw
             if zLz > 0:
                 self.transference_ = (z * (self.L_ @ z)) / zLz
             else:
@@ -160,7 +159,7 @@ class OnsagerAnalysis:
                     logger.warning(
                         "charge-weighted Onsager sum is non-positive "
                         "(%.3g) — conductivity_ set to NaN (ion pairing "
-                        "or insufficient statistics)", zLz)
+                        "or insufficient statistics)", zLz_raw)
         if self.verbose:
             logger.info("Onsager matrix (extensive):\n%s", self.L_)
         return self

@@ -365,6 +365,15 @@ def test_onsager_flag_validation(xyz_file):
     with pytest.raises(SystemExit, match="no atoms"):
         main(["analyze", xyz_file, "--mobile", "Li",
               "--onsager", "Au:+1"])
+    with pytest.raises(SystemExit, match="bad charge"):
+        main(["analyze", xyz_file, "--mobile", "Li",
+              "--onsager", "Li:x"])
+    with pytest.raises(SystemExit, match="listed twice"):
+        main(["analyze", xyz_file, "--mobile", "Li",
+              "--onsager", "Li:+1,Li:-1"])
+    with pytest.raises(SystemExit, match="--onsager"):
+        main(["analyze", xyz_file, "--mobile", "Li",
+              "--onsager", "Zz:+1"])
 
 
 def test_onsager_streaming_warns_ignored(xyz_file, capsys):

@@ -17,6 +17,11 @@ import jax
 import jax.numpy as jnp
 
 print("backend:", jax.default_backend(), flush=True)
+# a silent CPU fallback (tunnel down / grant held) makes the bf16-MXU
+# failure mode under test impossible — fail loudly instead of passing
+# vacuously (the r3 SOAP mismeasurement was exactly this trap)
+assert jax.default_backend() == "axon", (
+    "not on the TPU — got backend " + jax.default_backend())
 
 # health probe
 x = jnp.ones((1024, 1024), jnp.float32)
