@@ -246,6 +246,7 @@ def cmd_analyze(args):
             ("--timestep", args.timestep),
             ("--temperature", args.temperature),
             ("--onsager", args.onsager),
+            ("--drift-correction", args.drift_correction),
         ] if val is not None]
         if ignored:
             print(f"warning: {', '.join(ignored)} ignored with "
@@ -276,6 +277,7 @@ def cmd_analyze(args):
         da = DiffusionAnalysis(timestep=args.timestep,
                                temperature=args.temperature,
                                charge=args.charge,
+                               drift_correction=args.drift_correction,
                                verbose=args.verbose).run(st)
         print(f"D_tracer = {da.D_tracer_:.4g} ± {da.D_tracer_err_:.2g} "
               f"(length²/time units of the input)")
@@ -343,8 +345,12 @@ def _run_onsager(args, sn, traj, spec):
         print("warning: --onsager conductivity needs --timestep (ps) "
               "for physical units; skipping sigma", file=sys.stderr)
         temperature = None
+    drift = args.drift_correction
+    if drift == "static":                  # raw-traj mode needs a mask
+        drift = np.asarray(sn.static_mask, dtype=bool)
     oa = OnsagerAnalysis(groups, timestep=args.timestep or 1.0,
                          temperature=temperature, charges=charges,
+                         drift_correction=drift,
                          verbose=args.verbose).run(
         traj, cell=sn.structure.cell)
     unit = "Å²/ps" if args.timestep else "Å²/frame"
@@ -565,6 +571,11 @@ def build_parser():
                         "'Li:+1,Cl:-1' — transference numbers and "
                         "(with --timestep/--temperature) the "
                         "pairing-aware conductivity")
+    a.add_argument("--drift-correction", choices=["static", "all"],
+                   default=None,
+                   help="pin diffusivity/Onsager analyses to the mean "
+                        "frame of the host lattice ('static') or all "
+                        "atoms ('all') — removes thermostat/host drift")
     a.add_argument("--temperature", type=float, default=None,
                    help="kelvin — adds Nernst-Einstein conductivity")
     a.add_argument("--charge", type=float, default=1.0)

@@ -47,6 +47,33 @@ def _check_fit_range(fit_range):
     return (float(lo), float(hi))
 
 
+def _apply_drift_correction(unwrapped, traj, mobile_mask, cell, spec,
+                            exact):
+    """Shift ``unwrapped`` (F, M, 3) into the mean frame of the
+    reference group named by ``spec``: ``'static'`` (all non-mobile
+    atoms — the host lattice), ``'all'``, or a boolean ``(n_atoms,)``
+    mask over the full trajectory.  Returns ``(corrected, drift)``
+    with ``drift`` the (F, 3) subtracted curve (``None`` when
+    ``spec`` is None)."""
+    if spec is None:
+        return unwrapped, None
+    if isinstance(spec, str):
+        if spec == "all":
+            mask = None
+        elif spec == "static":
+            mask = ~np.asarray(mobile_mask, dtype=bool)
+            if not mask.any():
+                raise ValueError("drift_correction='static': every atom "
+                                 "is mobile — no host frame to pin to")
+        else:
+            raise ValueError(f"unknown drift_correction {spec!r} "
+                             "(use 'static', 'all', or a boolean mask)")
+    else:
+        mask = spec
+    drift = msd_ops.drift_curve(traj, cell, mask, exact=exact)
+    return unwrapped - drift[:, None, :], drift
+
+
 def _per_signal_slopes(times, curves, lo, hi):
     """Least-squares slopes of each row of ``curves`` over ``times[lo:hi]``
     (vectorized normal equations — one pass, no per-row solve)."""
@@ -71,6 +98,13 @@ class DiffusionAnalysis:
     charge : mobile-ion charge in elementary charges (for conductivity).
     exact_unwrap : use the exact 27-image minimum-image displacement for
         unwrapping (very skewed triclinic cells).
+    drift_correction : ``None`` (default — lab frame), ``'static'``
+        (subtract the mean displacement of the non-mobile atoms: the
+        host-lattice frame), ``'all'``, or a boolean ``(n_atoms,)``
+        mask.  Thermostat / barostat / host drift enters the MSD as a
+        spurious ``(v·t)²`` term that inflates the fitted D; pinning
+        to the host frame is standard practice for solid electrolytes.
+        The subtracted curve lands in ``drift_`` ((F, 3), or None).
 
     After ``run``: ``times_`` (F,), ``msd_`` (F,), ``msd_per_atom_``
     (M, F), ``D_tracer_``, ``D_tracer_err_`` (jackknife standard error
@@ -89,12 +123,13 @@ class DiffusionAnalysis:
 
     def __init__(self, timestep=1.0, fit_range=(0.2, 0.5),
                  temperature=None, charge=1.0, exact_unwrap=False,
-                 verbose=True):
+                 drift_correction=None, verbose=True):
         self.timestep = float(timestep)
         self.fit_range = _check_fit_range(fit_range)
         self.temperature = temperature
         self.charge = float(charge)
         self.exact_unwrap = bool(exact_unwrap)
+        self.drift_correction = drift_correction
         self.verbose = verbose
 
     # -- input plumbing ----------------------------------------------
@@ -124,6 +159,9 @@ class DiffusionAnalysis:
 
         unwrapped = msd_ops.unwrap_trajectory(pos, cell,
                                               exact=self.exact_unwrap)
+        unwrapped, self.drift_ = _apply_drift_correction(
+            unwrapped, traj, mobile_mask, cell, self.drift_correction,
+            self.exact_unwrap)
         # one FFT pass yields the covariance tensor AND the scalar
         # curves (trace); msd_fft would duplicate the diagonal work
         self.msd_tensor_, per_atom = msd_ops.msd_tensor_fft(
@@ -328,6 +366,8 @@ class RelaxationAnalysis:
     lags : frame lags to evaluate (default: ~24 log-spaced lags up to
         half the trajectory).
     timestep, origin_stride : as elsewhere.
+    drift_correction : as in :class:`DiffusionAnalysis` — long-lag
+        α₂/F_s are especially drift-sensitive.
 
     After ``run``: ``lags_``, ``times_``, ``msd_lags_``, ``alpha2_``,
     ``fs_``, and ``tau_alpha_`` — the relaxation time where F_s first
@@ -337,7 +377,7 @@ class RelaxationAnalysis:
     """
 
     def __init__(self, q, lags=None, timestep=1.0, origin_stride=1,
-                 exact_unwrap=False, verbose=True):
+                 exact_unwrap=False, drift_correction=None, verbose=True):
         self.q = float(q)
         if self.q <= 0:
             raise ValueError("q must be positive")
@@ -345,6 +385,7 @@ class RelaxationAnalysis:
         self.timestep = float(timestep)
         self.origin_stride = int(origin_stride)
         self.exact_unwrap = bool(exact_unwrap)
+        self.drift_correction = drift_correction
         self.verbose = verbose
 
     @staticmethod
@@ -361,6 +402,9 @@ class RelaxationAnalysis:
             st_or_traj, mobile_mask, cell)
         pos = msd_ops.unwrap_trajectory(traj[:, mobile_mask, :], cell,
                                         exact=self.exact_unwrap)
+        pos, self.drift_ = _apply_drift_correction(
+            pos, traj, mobile_mask, cell, self.drift_correction,
+            self.exact_unwrap)
         F = pos.shape[0]
         if F < 2:
             raise ValueError(

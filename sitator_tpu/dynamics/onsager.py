@@ -56,12 +56,24 @@ class OnsagerAnalysis:
       transference numbers t_a = Σ_b z_a z_b Λ_ab / Σ_cd z_c z_d Λ_cd
       (sum to 1 when defined).
 
+    ``drift_correction`` picks the reference frame the matrix is
+    measured in — Onsager coefficients (unlike the conductivity of a
+    charge-neutral system) are frame-dependent, so this matters for
+    transference numbers: ``None`` (lab/simulation frame, default),
+    ``'all'`` (the unweighted mean frame of every atom — the standard
+    barycentric convention for equal-mass accounting; makes the
+    group-summed displacement vanish identically when the groups
+    partition all atoms), ``'static'``/``'mobile'``/a species number
+    (SiteTrajectory input only), or a boolean ``(n_atoms,)`` mask
+    (e.g. the host lattice).  Each group coordinate is shifted by
+    ``N_a ×`` the reference drift; the curve lands in ``drift_``.
+
     ``run`` returns ``self``.
     """
 
     def __init__(self, groups, timestep=1.0, fit_range=(0.2, 0.5),
                  temperature=None, charges=None, exact_unwrap=False,
-                 verbose=True):
+                 drift_correction=None, verbose=True):
         groups = list(groups)
         if len(groups) < 1:
             raise ValueError("need at least one species group")
@@ -76,6 +88,7 @@ class OnsagerAnalysis:
                 raise ValueError("charges must have one entry per group")
         self.charges = charges
         self.exact_unwrap = bool(exact_unwrap)
+        self.drift_correction = drift_correction
         self.verbose = verbose
 
     def _masks(self, st_or_traj, cell):
@@ -87,7 +100,8 @@ class OnsagerAnalysis:
                     "SiteTrajectory has no real trajectory (set_real_traj)")
             sn = st.site_network
             masks = [_resolve_mask(g, sn) for g in self.groups]
-            return np.asarray(traj), masks, np.asarray(sn.structure.cell)
+            return (np.asarray(traj), masks,
+                    np.asarray(sn.structure.cell), sn)
         traj = np.asarray(st_or_traj)
         if cell is None:
             raise ValueError("raw trajectory needs cell")
@@ -99,10 +113,27 @@ class OnsagerAnalysis:
                     "raw-trajectory groups must be (n_atoms,) boolean "
                     "masks (named selections need a SiteTrajectory)")
             masks.append(m)
-        return traj, masks, np.asarray(cell)
+        return traj, masks, np.asarray(cell), None
+
+    def _drift_mask(self, traj, sn):
+        """Resolve ``drift_correction`` to a reference mask (None =
+        every atom); raises for named selections without a network."""
+        spec = self.drift_correction
+        if isinstance(spec, str) and spec == "all":
+            return None
+        if isinstance(spec, str) or np.isscalar(spec):
+            if sn is None:
+                raise ValueError(
+                    f"drift_correction={spec!r} needs a SiteTrajectory "
+                    "input (raw trajectories take 'all' or a mask)")
+            return _resolve_mask(spec, sn)
+        mask = np.asarray(spec, dtype=bool)
+        if mask.shape != (traj.shape[1],):
+            raise ValueError("drift_correction mask must be (n_atoms,)")
+        return mask
 
     def run(self, st_or_traj, cell=None):
-        traj, masks, cell = self._masks(st_or_traj, cell)
+        traj, masks, cell, sn = self._masks(st_or_traj, cell)
         n = len(masks)
         stacked = np.stack(masks)
         if (stacked.sum(axis=0) > 1).any():
@@ -123,6 +154,14 @@ class OnsagerAnalysis:
         # summed (collective) coordinate per group, (n, F, 3)
         R = np.stack([unwrapped[:, idx_in_union[m], :].sum(axis=1)
                       for m in masks])
+        self.drift_ = None
+        if self.drift_correction is not None:
+            self.drift_ = msd_ops.drift_curve(
+                traj, cell, self._drift_mask(traj, sn),
+                exact=self.exact_unwrap)
+            # R_a is a sum over N_a atoms — the frame shift scales by N_a
+            R = R - (self.n_atoms_[:, None, None].astype(np.float64)
+                     * self.drift_[None, :, :])
 
         self.times_ = np.arange(F, dtype=np.float64) * self.timestep
         self.msd_cross_ = np.empty((n, n, F))

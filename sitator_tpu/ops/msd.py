@@ -33,10 +33,11 @@ import numpy as np
 
 from sitator_tpu.ops.pbc import PBCCalculator
 
-__all__ = ["unwrap_trajectory", "msd_fft", "msd_tensor_fft",
-           "collective_msd_fft", "cross_msd_fft", "vacf_fft",
-           "fit_diffusivity", "fit_window", "lag_statistics",
-           "displacement_moments", "self_intermediate_scattering"]
+__all__ = ["unwrap_trajectory", "drift_curve", "msd_fft",
+           "msd_tensor_fft", "collective_msd_fft", "cross_msd_fft",
+           "vacf_fft", "fit_diffusivity", "fit_window",
+           "lag_statistics", "displacement_moments",
+           "self_intermediate_scattering"]
 
 
 def fit_window(n_frames, fit_range):
@@ -67,6 +68,28 @@ def unwrap_trajectory(traj, cell, exact: bool = False):
     np.cumsum(disp, axis=0, out=out[1:])
     out[1:] += traj[0]
     return out
+
+
+def drift_curve(traj, cell, mask=None, exact: bool = False):
+    """Rigid drift of a reference atom group: the ``(F, 3)`` mean
+    displacement (relative to frame 0) of the ``mask``-selected atoms
+    of a wrapped ``(F, N, 3)`` trajectory (``mask=None`` → all atoms).
+
+    Subtracting this from an unwrapped trajectory moves the analysis
+    into the reference group's mean frame — removing thermostat /
+    host-lattice drift, which otherwise contaminates every MSD with a
+    spurious ``(v·t)²`` term.  Frame-0 positions are unchanged.
+    """
+    traj = np.asarray(traj, dtype=np.float64)
+    if mask is not None:
+        mask = np.asarray(mask, dtype=bool)
+        if mask.shape != (traj.shape[1],):
+            raise ValueError("drift reference mask must be (n_atoms,)")
+        if not mask.any():
+            raise ValueError("drift reference mask selects no atoms")
+        traj = traj[:, mask, :]
+    u = unwrap_trajectory(traj, cell, exact=exact)
+    return u.mean(axis=1) - u[0].mean(axis=0)
 
 
 def _acf_fft(x):

@@ -382,3 +382,18 @@ def test_onsager_streaming_warns_ignored(xyz_file, capsys):
                "--onsager", "Li:+1"])
     assert rc == 0
     assert "--onsager" in capsys.readouterr().err
+
+
+def test_drift_correction_flag(xyz_file, capsys):
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--timestep", "1.0", "--drift-correction", "static",
+               "--onsager", "Li:+1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "D_tracer" in out
+    assert "Onsager matrix" in out
+    rc = main(["analyze", xyz_file, "--mobile", "Li", "--streaming",
+               "--block-frames", "64", "--drift-correction", "all"])
+    assert rc == 0
+    assert "--drift-correction" in capsys.readouterr().err

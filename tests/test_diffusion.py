@@ -431,3 +431,99 @@ def test_anisotropy_nan_when_direction_not_diffusive():
     assert abs(da.D_eigvals_[0]) < 1e-6
     assert np.isnan(da.anisotropy_)
     assert da.D_eigvals_[-1] == pytest.approx(0.125, rel=0.2)
+
+
+def _drift_system(rng, F=800, M=6, S=10, v=(0.05, -0.03, 0.04),
+                  cell_size=40.0):
+    """Mobile Gaussian walkers + frozen host atoms, and the same system
+    with a uniform drift v·t applied to EVERY atom (then wrapped).
+    Returns (wrapped_still, wrapped_drifted, mobile_mask, cell, drift)."""
+    cell = np.eye(3) * cell_size
+    steps = rng.normal(scale=0.3, size=(F - 1, M, 3))
+    mobile = np.concatenate([np.full((1, M, 3), cell_size / 2),
+                             cell_size / 2 + np.cumsum(steps, 0)], 0)
+    static = np.broadcast_to(
+        rng.uniform(5, cell_size - 5, (1, S, 3)), (F, S, 3))
+    traj = np.concatenate([mobile, static], axis=1)
+    drift = np.arange(F)[:, None] * np.asarray(v)[None, :]     # (F, 3)
+    drifted = traj + drift[:, None, :]
+    inv = np.linalg.inv(cell)
+
+    def wrap(t):
+        frac = t @ inv
+        return (frac - np.floor(frac)) @ cell
+
+    mask = np.zeros(M + S, bool)
+    mask[:M] = True
+    return wrap(traj), wrap(drifted), mask, cell, drift
+
+
+def test_drift_correction_restores_undrifted_msd():
+    """A uniform drift inflates the MSD; pinning to the (frozen) host
+    frame removes it EXACTLY — the corrected curve matches the
+    undrifted run to float precision, and drift_ is the injected v·t."""
+    rng = np.random.default_rng(23)
+    still, drifted, mask, cell, drift = _drift_system(rng)
+    base = DiffusionAnalysis(verbose=False).run(still, mobile_mask=mask,
+                                                cell=cell)
+    raw = DiffusionAnalysis(verbose=False).run(drifted, mobile_mask=mask,
+                                               cell=cell)
+    fixed = DiffusionAnalysis(drift_correction="static",
+                              verbose=False).run(drifted,
+                                                 mobile_mask=mask,
+                                                 cell=cell)
+    assert base.drift_ is None
+    # the (v t)^2 term dominates the long-lag MSD
+    assert raw.D_tracer_ > 3 * base.D_tracer_
+    np.testing.assert_allclose(fixed.drift_, drift, atol=1e-9)
+    np.testing.assert_allclose(fixed.msd_, base.msd_, atol=1e-8)
+    assert fixed.D_tracer_ == pytest.approx(base.D_tracer_, rel=1e-9)
+    # an explicit host mask is the same reference frame
+    fixed2 = DiffusionAnalysis(drift_correction=~mask,
+                               verbose=False).run(drifted,
+                                                  mobile_mask=mask,
+                                                  cell=cell)
+    np.testing.assert_array_equal(fixed2.msd_, fixed.msd_)
+
+
+def test_drift_correction_all_frame_and_validation():
+    rng = np.random.default_rng(29)
+    still, drifted, mask, cell, _ = _drift_system(rng, F=200)
+    # 'all' mixes the walkers' own wander into the reference, but still
+    # removes the rigid drift: the corrected D is near the base value,
+    # far from the drift-inflated one
+    base = DiffusionAnalysis(verbose=False).run(still, mobile_mask=mask,
+                                                cell=cell)
+    fixed = DiffusionAnalysis(drift_correction="all", verbose=False).run(
+        drifted, mobile_mask=mask, cell=cell)
+    assert fixed.D_tracer_ == pytest.approx(base.D_tracer_, rel=0.3)
+    with pytest.raises(ValueError, match="unknown drift_correction"):
+        DiffusionAnalysis(drift_correction="host", verbose=False).run(
+            drifted, mobile_mask=mask, cell=cell)
+    with pytest.raises(ValueError, match="no host frame"):
+        DiffusionAnalysis(drift_correction="static", verbose=False).run(
+            drifted[:, mask], mobile_mask=np.ones(mask.sum(), bool),
+            cell=cell)
+    with pytest.raises(ValueError, match="must be"):
+        DiffusionAnalysis(drift_correction=np.ones(3, bool),
+                          verbose=False).run(drifted, mobile_mask=mask,
+                                             cell=cell)
+    with pytest.raises(ValueError, match="selects no atoms"):
+        DiffusionAnalysis(drift_correction=np.zeros(mask.shape, bool),
+                          verbose=False).run(drifted, mobile_mask=mask,
+                                             cell=cell)
+
+
+def test_relaxation_drift_correction():
+    """F_s(q, t) decays spuriously under drift; the host-frame pin
+    restores the undrifted curve exactly."""
+    from sitator_tpu.dynamics import RelaxationAnalysis
+    rng = np.random.default_rng(31)
+    still, drifted, mask, cell, _ = _drift_system(rng, F=400)
+    base = RelaxationAnalysis(q=2.0, verbose=False).run(
+        still, mobile_mask=mask, cell=cell)
+    fixed = RelaxationAnalysis(q=2.0, drift_correction="static",
+                               verbose=False).run(
+        drifted, mobile_mask=mask, cell=cell)
+    np.testing.assert_allclose(fixed.fs_, base.fs_, atol=1e-8)
+    np.testing.assert_allclose(fixed.alpha2_, base.alpha2_, atol=1e-6)

@@ -133,3 +133,69 @@ def test_onsager_sitetrajectory_route_with_species_numbers():
     np.testing.assert_array_equal(oa.n_atoms_, [5, 5])
     assert np.isfinite(oa.conductivity_)
     assert oa.transference_.sum() == pytest.approx(1.0, rel=1e-9)
+
+
+def _walk_in_cell(rng, F, M, scale, size=50.0):
+    steps = rng.normal(scale=scale, size=(F - 1, M, 3))
+    traj = size / 2 + np.concatenate(
+        [np.zeros((1, M, 3)), np.cumsum(steps, 0)], 0)
+    frac = traj / size
+    return (frac - np.floor(frac)) * size
+
+
+def test_onsager_all_frame_row_sums_vanish():
+    """When the groups partition every atom and the matrix is taken in
+    the 'all' mean frame, the total displacement is identically zero —
+    every row of the cross-MSD curves (hence of Λ) vanishes."""
+    rng = np.random.default_rng(41)
+    F, M = 400, 12
+    traj = _walk_in_cell(rng, F, M, 0.3)
+    ga = np.zeros(M, bool); ga[:5] = True
+    gb = np.zeros(M, bool); gb[5:9] = True
+    gc = ~(ga | gb)
+    oa = OnsagerAnalysis([ga, gb, gc], drift_correction="all",
+                         verbose=False).run(traj, cell=np.eye(3) * 50.0)
+    assert oa.drift_ is not None
+    np.testing.assert_allclose(oa.msd_cross_.sum(axis=1), 0.0,
+                               atol=1e-8)
+    np.testing.assert_allclose(oa.L_.sum(axis=1), 0.0, atol=1e-10)
+
+
+def test_onsager_host_frame_removes_injected_drift():
+    """A rigid drift applied to all atoms changes the lab-frame matrix;
+    pinning to the frozen host atoms restores the undrifted Λ exactly."""
+    rng = np.random.default_rng(43)
+    F, M, S = 500, 8, 6
+    size = 50.0
+    mobile = size / 2 + np.concatenate(
+        [np.zeros((1, M, 3)),
+         np.cumsum(rng.normal(scale=0.3, size=(F - 1, M, 3)), 0)], 0)
+    host = np.broadcast_to(rng.uniform(5, 45, (1, S, 3)), (F, S, 3))
+    traj = np.concatenate([mobile, host], axis=1)
+    drift = np.arange(F)[:, None] * np.array([0.05, -0.03, 0.04])
+    drifted = traj + drift[:, None, :]
+    wrap = lambda t: (t / size - np.floor(t / size)) * size
+    g = np.zeros(M + S, bool); g[:M] = True
+    host_mask = ~g
+    cell = np.eye(3) * size
+    base = OnsagerAnalysis([g], verbose=False).run(wrap(traj), cell=cell)
+    raw = OnsagerAnalysis([g], verbose=False).run(wrap(drifted),
+                                                  cell=cell)
+    fixed = OnsagerAnalysis([g], drift_correction=host_mask,
+                            verbose=False).run(wrap(drifted), cell=cell)
+    assert raw.L_[0, 0] > 2 * base.L_[0, 0]        # frame-dependent
+    np.testing.assert_allclose(fixed.drift_, drift, atol=1e-9)
+    np.testing.assert_allclose(fixed.L_, base.L_, rtol=1e-9)
+
+
+def test_onsager_drift_correction_validation():
+    rng = np.random.default_rng(47)
+    traj = _walk_in_cell(rng, 50, 4, 0.2)
+    m = np.ones(4, bool)
+    cell = np.eye(3) * 50.0
+    with pytest.raises(ValueError, match="needs a SiteTrajectory"):
+        OnsagerAnalysis([m], drift_correction="static",
+                        verbose=False).run(traj, cell=cell)
+    with pytest.raises(ValueError, match="must be"):
+        OnsagerAnalysis([m], drift_correction=np.ones(7, bool),
+                        verbose=False).run(traj, cell=cell)
