@@ -14,6 +14,8 @@ single-core; vectorized NumPy with multithreaded BLAS is a generous
 stand-in) on the same config.
 """
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -243,7 +245,31 @@ def tpu_fps(cell, verts, frames, centers, n_static, mode="mxu"):
     return reps, basis
 
 
+def _ensure_tpu_backend():
+    """The axon tunnel can be down for minutes to hours; when it is,
+    JAX silently falls back to CPU and the headline would be recorded
+    as a ~1000x 'regression'.  Re-exec (fresh backend init) a bounded
+    number of times, then run anyway — the JSON carries ``backend`` so
+    a degraded record is self-describing, never silent."""
+    import jax
+    backend = jax.default_backend()
+    if backend == "axon" or "tpu" in backend.lower():
+        return backend
+    tries = int(os.environ.get("SITATOR_BENCH_TPU_RETRY", "0"))
+    if tries < 2:
+        print(f"bench: backend is {backend!r}, not the TPU — retry "
+              f"{tries + 1}/2 in 180 s", file=sys.stderr, flush=True)
+        time.sleep(180)
+        env = dict(os.environ, SITATOR_BENCH_TPU_RETRY=str(tries + 1))
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    print(f"bench: no TPU after retries — measuring on {backend!r} "
+          "(tunnel outage; NOT a chip number)", file=sys.stderr,
+          flush=True)
+    return backend
+
+
 def main():
+    backend = _ensure_tpu_backend()
     cell, verts, frames, centers, n_static = build_system()
     # the axon tunnel occasionally fails transiently (session-grant races);
     # one retry after a cooldown keeps the bench robust
@@ -271,6 +297,7 @@ def main():
                    if flops is not None else None),
         "mfu": (round(fps * flops / peak, 3)
                 if flops is not None and peak is not None else None),
+        "backend": backend,
     }))
 
 
