@@ -295,6 +295,9 @@ def cmd_analyze(args):
             print(f"diagnose: D_site/D_tracer = "
                   f"{sd.D_site_ / da.D_tracer_:.3g}, correlation "
                   f"factor f = {sd.f_:.3g}")
+            print(f"diagnose: MSD exponent = {da.msd_exponent_:.2f} "
+                  f"(diffusive ~1), stationarity D2/D1 = "
+                  f"{da.stationarity_ratio_:.2f} (stationary ~1)")
 
     if onsager_spec is not None:
         _run_onsager(args, sn, traj, onsager_spec)

@@ -112,6 +112,15 @@ class DiffusionAnalysis:
     (= D_tracer / D_collective), ``conductivity_`` (S/cm or None).
     ``run`` returns ``self``.
 
+    Equilibration / stationarity diagnostics (computed always):
+    ``msd_exponent_`` — the log-log slope of the MSD over the fit
+    window (≈1 for diffusive motion; ≫1 flags ballistic or drift
+    contamination, ≪1 subdiffusive/caged dynamics — in either case the
+    fitted D is not a diffusivity), and ``stationarity_ratio_`` — the
+    tracer D of the second half of the trajectory over the first
+    (≈1 when stationary; far from 1 flags an unequilibrated or aging
+    run, NaN when either half-window slope is non-positive).
+
     Anisotropy (layered / 1-D-channel conductors): ``msd_tensor_``
     (F, 3, 3) displacement-covariance curves, ``D_tensor_`` (3, 3)
     fitted over the same lag window (``trace(D_tensor_)/3 ==
@@ -194,6 +203,11 @@ class DiffusionAnalysis:
             float(self.D_tracer_ / self.D_collective_)
             if self.D_collective_ > 0 else float("nan"))
 
+        # equilibration / stationarity diagnostics
+        self.msd_exponent_ = self._loglog_slope(
+            self.times_[lo:hi], self.msd_[lo:hi])
+        self.stationarity_ratio_ = self._split_half_ratio(unwrapped)
+
         # anisotropy: per-component-pair slopes over the SAME window;
         # each component is 1-D, so D_ab = slope_ab / 2
         D_t = np.empty((3, 3))
@@ -208,6 +222,14 @@ class DiffusionAnalysis:
         lo_ev, hi_ev = self.D_eigvals_[0], self.D_eigvals_[-1]
         self.anisotropy_ = (float(hi_ev / lo_ev) if lo_ev > 0
                             else float("nan"))
+
+        if self.verbose and not (0.8 <= self.msd_exponent_ <= 1.2):
+            logger.warning(
+                "MSD exponent over the fit window is %.2f (diffusive "
+                "motion gives ~1) — the fitted D is suspect; check "
+                "equilibration, drift (drift_correction=), or move "
+                "fit_range past the ballistic/caged knee",
+                self.msd_exponent_)
 
         self.conductivity_ = None
         if self.temperature is not None:
@@ -233,6 +255,36 @@ class DiffusionAnalysis:
                 self.D_tracer_, self.D_tracer_err_, self.D_collective_,
                 self.haven_ratio_)
         return self
+
+    @staticmethod
+    def _loglog_slope(t, y):
+        """Least-squares slope of log y vs log t (NaN when fewer than
+        two strictly positive points survive)."""
+        ok = (t > 0) & (y > 0)
+        if ok.sum() < 2:
+            return float("nan")
+        lt, ly = np.log(t[ok]), np.log(y[ok])
+        lt_c = lt - lt.mean()
+        return float((ly - ly.mean()) @ lt_c / (lt_c @ lt_c))
+
+    def _split_half_ratio(self, unwrapped):
+        """Tracer D of the second half over the first, both fitted over
+        the same fractional lag window (each half re-unwraps nothing:
+        the input is already continuous)."""
+        F = unwrapped.shape[0]
+        half = F // 2
+        if half < 8:
+            return float("nan")
+        Ds = []
+        for seg in (unwrapped[:half], unwrapped[F - half:]):
+            msd, _ = msd_ops.msd_fft(seg)
+            times = np.arange(half, dtype=np.float64) * self.timestep
+            D, _ = msd_ops.fit_diffusivity(times, np.asarray(msd),
+                                           self.fit_range)
+            Ds.append(D)
+        if Ds[0] <= 0 or Ds[1] <= 0:
+            return float("nan")
+        return float(Ds[1] / Ds[0])
 
 
 class SiteDiffusionAnalysis:

@@ -209,6 +209,8 @@ def test_analyze_diagnose(xyz_file, capsys):
     out = capsys.readouterr().out
     assert "sites tested for memoryless residences" in out
     assert "correlation factor f =" in out
+    assert "MSD exponent" in out
+    assert "stationarity D2/D1" in out
 
 
 def test_arrhenius_subcommand(tmp_path, capsys):

@@ -527,3 +527,48 @@ def test_relaxation_drift_correction():
         drifted, mobile_mask=mask, cell=cell)
     np.testing.assert_allclose(fixed.fs_, base.fs_, atol=1e-8)
     np.testing.assert_allclose(fixed.alpha2_, base.alpha2_, atol=1e-6)
+
+
+def test_msd_exponent_and_stationarity_diagnostics():
+    """Gaussian walk → exponent ≈ 1, split-half ratio ≈ 1; a strongly
+    drifted run → exponent well above 1; an 'aging' run whose step size
+    halves at the midpoint → ratio ≈ 1/4 (D ∝ step variance)."""
+    rng = np.random.default_rng(53)
+    F, M, size = 2000, 20, 60.0
+    cell = np.eye(3) * size
+
+    def wrap(t):
+        frac = t @ np.linalg.inv(cell)
+        return (frac - np.floor(frac)) @ cell
+
+    steps = rng.normal(scale=0.3, size=(F - 1, M, 3))
+    walk = size / 2 + np.concatenate(
+        [np.zeros((1, M, 3)), np.cumsum(steps, 0)], 0)
+    da = DiffusionAnalysis(verbose=False).run(
+        wrap(walk), mobile_mask=np.ones(M, bool), cell=cell)
+    assert da.msd_exponent_ == pytest.approx(1.0, abs=0.15)
+    assert da.stationarity_ratio_ == pytest.approx(1.0, abs=0.35)
+
+    drift = np.arange(F)[:, None] * np.array([0.08, 0.0, 0.06])
+    da_d = DiffusionAnalysis(verbose=False).run(
+        wrap(walk + drift[:, None, :]), mobile_mask=np.ones(M, bool),
+        cell=cell)
+    assert da_d.msd_exponent_ > 1.5
+
+    aging_steps = steps.copy()
+    aging_steps[(F - 1) // 2:] *= 0.5
+    aging = size / 2 + np.concatenate(
+        [np.zeros((1, M, 3)), np.cumsum(aging_steps, 0)], 0)
+    da_a = DiffusionAnalysis(verbose=False).run(
+        wrap(aging), mobile_mask=np.ones(M, bool), cell=cell)
+    assert da_a.stationarity_ratio_ == pytest.approx(0.25, abs=0.15)
+
+
+def test_stationarity_nan_on_tiny_trajectories():
+    rng = np.random.default_rng(59)
+    cell = np.eye(3) * 30.0
+    walk = 15.0 + np.cumsum(rng.normal(scale=0.2, size=(12, 3, 3)), 0)
+    da = DiffusionAnalysis(verbose=False).run(
+        walk, mobile_mask=np.ones(3, bool), cell=cell)
+    assert np.isnan(da.stationarity_ratio_)      # halves < 8 frames
+    assert np.isfinite(da.msd_exponent_)
