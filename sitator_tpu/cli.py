@@ -115,8 +115,16 @@ def _seed_network(args, traj_path):
     print(f"{len(reader)} frames, {int(mobile.sum())} mobile / "
           f"{int(static.sum())} static atoms")
     sn = SiteNetwork(structure, static, mobile)
-    sn = VoronoiSiteGenerator(merge_tol=args.voronoi_merge_tol).run(sn)
-    print(f"landmark basis: {sn.n_sites} Voronoi sites")
+    if args.sites == "density":
+        from sitator_tpu.network import DensitySiteGenerator
+        n = min(len(reader), args.density_frames)
+        sn = DensitySiteGenerator(verbose=args.verbose).run(
+            sn, reader[0:n])
+        print(f"landmark basis: {sn.n_sites} density sites "
+              f"(from {n} frames)")
+    else:
+        sn = VoronoiSiteGenerator(merge_tol=args.voronoi_merge_tol).run(sn)
+        print(f"landmark basis: {sn.n_sites} Voronoi sites")
     return reader, sn
 
 
@@ -534,6 +542,14 @@ def build_parser():
     pipe.add_argument("--cutoff-steepness", type=float, default=4.0)
     pipe.add_argument("--min-occupancy", type=float, default=0.01)
     pipe.add_argument("--voronoi-merge-tol", type=float, default=0.05)
+    pipe.add_argument("--sites", choices=["voronoi", "density"],
+                      default="voronoi",
+                      help="landmark-basis seeding: empty-lattice "
+                           "Voronoi nodes (default) or mobile-ion "
+                           "density maxima (occupied basins only; "
+                           "finds interstitials geometry misses)")
+    pipe.add_argument("--density-frames", type=int, default=2000,
+                      help="frames sampled for --sites density")
     pipe.add_argument("--dynamic-lattice-mapping", action="store_true")
     pipe.add_argument("--merge-dynamics", type=float, default=None,
                       metavar="DIST",

@@ -399,3 +399,13 @@ def test_drift_correction_flag(xyz_file, capsys):
                "--block-frames", "64", "--drift-correction", "all"])
     assert rc == 0
     assert "--drift-correction" in capsys.readouterr().err
+
+
+def test_sites_density_seeding(xyz_file, capsys):
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--sites", "density", "--density-frames", "100",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "density sites (from 100 frames)" in out
+    assert "final:" in out
