@@ -36,6 +36,10 @@ EXAMPLES = {
     "temperature_series.py": [
         "site match", "tracer-D Arrhenius", "edge Arrhenius",
         "Temperature-series walkthrough complete."],
+    "density_sites.py": [
+        "matched within 0.5 Angstrom",
+        "interstitial basin recovered",
+        "Density-seeding walkthrough complete."],
 }
 
 
