@@ -68,7 +68,10 @@ class DensitySiteGenerator:
         self.verbose = verbose
 
     def run(self, sn: SiteNetwork, traj) -> SiteNetwork:
-        traj = np.asarray(traj)
+        """``traj`` may be an in-memory ``(F, N, 3)`` array or any
+        sliceable trajectory reader (``NpyTrajectory``,
+        ``TensorstoreTrajectory``, ...) — the density pass is chunked
+        and never materializes the trajectory."""
         cell = np.asarray(sn.structure.cell, dtype=np.float64)
         grid = density_ops.density_grid(
             traj, cell, mask=sn.mobile_mask, n_bins=self.n_bins,
@@ -96,5 +99,5 @@ class DensitySiteGenerator:
             logger.info(
                 "DensitySiteGenerator: %d sites from a %d^3 grid over "
                 "%d frames (max count %d)", out.n_sites, self.n_bins,
-                traj.shape[0], int(grid.max()))
+                len(traj), int(grid.max()))
         return out

@@ -55,15 +55,18 @@ def density_grid(traj, cell, mask=None, n_bins=48, chunk=2048):
     space (bin ``[i,j,k]`` covers fractional ``[i/n, (i+1)/n)`` etc.).
 
     ``traj`` is ``(F, N, 3)`` cartesian (wrapped or not — coordinates
-    are wrapped into the cell here); ``mask`` selects the atoms to
-    count (default: all).  Device scatter-add in exact int32 chunks,
-    host accumulation in int64.
+    are wrapped into the cell here): an in-memory array OR any sliceable
+    trajectory reader (``len()`` + ``reader[lo:hi] -> (C, N, 3)``, e.g.
+    ``NpyTrajectory`` / ``TensorstoreTrajectory``) — readers are swept
+    chunkwise without ever materializing the trajectory.  ``mask``
+    selects the atoms to count (default: all).  Device scatter-add in
+    exact int32 chunks, host accumulation in int64.
     """
-    traj = np.asarray(traj)
     if mask is not None:
         mask = np.asarray(mask, dtype=bool)
-        traj = traj[:, mask, :]
-    F, M = traj.shape[:2]
+    F = len(traj)
+    probe = np.asarray(traj[0:1])
+    M = int(mask.sum()) if mask is not None else probe.shape[1]
     if M == 0:
         raise ValueError("density_grid: no atoms selected")
     if n_bins < 2:
@@ -74,7 +77,10 @@ def density_grid(traj, cell, mask=None, n_bins=48, chunk=2048):
     chunk = max(1, min(int(chunk), _MAX_CHUNK_POINTS // M))
     grid = np.zeros(n_bins ** 3, dtype=np.int64)
     for lo in range(0, F, chunk):
-        part = jnp.asarray(traj[lo:lo + chunk].astype(np.float32))
+        part = np.asarray(traj[lo:lo + chunk])
+        if mask is not None:
+            part = part[:, mask, :]
+        part = jnp.asarray(part.astype(np.float32))
         grid += np.asarray(_grid_chunk(part, cell_inv, n_bins),
                            dtype=np.int64)
     assert grid.sum() == F * M                       # nothing dropped

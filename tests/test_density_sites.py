@@ -136,3 +136,24 @@ def test_generator_validation():
     sn = DensitySiteGenerator(min_distance=100.0, verbose=False).run(
         sn0, md.traj)
     assert sn.n_sites == 1
+
+
+def test_density_grid_out_of_core_reader(tmp_path):
+    """A disk-backed reader sweeps chunkwise to the identical grid —
+    the generator never materializes the trajectory."""
+    from sitator_tpu.io import write_xyz, open_trajectory
+    md = make_hopping_trajectory(n_cells=2, a=4.0, n_ions=3,
+                                 n_frames=257, jump_rate=0.04, seed=13)
+    path = str(tmp_path / "md.npy")
+    np.save(path, md.traj.astype(np.float32))
+    reader = open_trajectory(path)
+    cell = md.structure.cell
+    a = density_ops.density_grid(md.traj.astype(np.float32), cell,
+                                 mask=md.mobile_mask, n_bins=16,
+                                 chunk=64)
+    b = density_ops.density_grid(reader, cell, mask=md.mobile_mask,
+                                 n_bins=16, chunk=64)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    sn0 = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+    sn = DensitySiteGenerator(n_bins=24, verbose=False).run(sn0, reader)
+    assert sn.n_sites >= 1
