@@ -615,3 +615,39 @@ def test_density_modes_parseval_property(data):
     pos2 = pos + np.asarray(shift, np.float64) @ cell
     rho2 = collective_density_modes(pos2, cell, mask, n)[0]
     np.testing.assert_allclose(rho2, rho, atol=2e-3 * N)
+
+
+@given(data=st.data())
+@settings(**{**SETTINGS, "max_examples": 20})
+def test_density_grid_properties(data):
+    """For arbitrary positions: counts conserve F*M, disjoint masks add
+    (grid(a) + grid(b) == grid(a|b)), and integer-lattice translations
+    leave the periodic grid's multiset of counts invariant (the grid
+    itself rolls)."""
+    from sitator_tpu.ops.density import density_grid
+    F = data.draw(st.integers(1, 12))
+    N = data.draw(st.integers(2, 6))
+    n_bins = data.draw(st.sampled_from([2, 4, 8]))
+    cell = np.diag(data.draw(st.lists(
+        st.floats(4.0, 20.0), min_size=3, max_size=3)))
+    # positions at bin centers (arbitrary periodic images): binning is
+    # float32, so a point *at* a bin seam may legally land either side
+    # under translation — keep the property exact by staying off seams
+    bins = data.draw(st.lists(st.integers(-3 * n_bins, 4 * n_bins),
+                              min_size=F * N * 3, max_size=F * N * 3))
+    frac = (np.asarray(bins, np.float64).reshape(F, N, 3) + 0.5) / n_bins
+    pos = frac * np.diag(cell)
+    grid = np.asarray(density_grid(pos, cell, n_bins=n_bins))
+    assert grid.sum() == F * N
+    mask_a = np.zeros(N, bool)
+    mask_a[: N // 2] = True
+    ga = np.asarray(density_grid(pos, cell, mask=mask_a, n_bins=n_bins))
+    gb = np.asarray(density_grid(pos, cell, mask=~mask_a,
+                                 n_bins=n_bins))
+    if mask_a.any():
+        np.testing.assert_array_equal(ga + gb, grid)
+    shift_bins = data.draw(st.integers(0, n_bins - 1))
+    shift = np.array([shift_bins * cell[0, 0] / n_bins, 0.0, 0.0])
+    rolled = np.asarray(density_grid(pos + shift, cell, n_bins=n_bins))
+    np.testing.assert_array_equal(
+        rolled, np.roll(grid, shift_bins, axis=0))
