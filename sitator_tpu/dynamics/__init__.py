@@ -3,7 +3,8 @@ from sitator_tpu.dynamics.merge_dynamics import MergeSitesByDynamics
 from sitator_tpu.dynamics.filters import RemoveUnoccupiedSites, \
     RemoveShortJumps
 from sitator_tpu.dynamics.vibrational import (
-    AverageVibrationalFrequency, VibrationalSpectrumAnalysis)
+    AverageVibrationalFrequency, VibrationalSpectrumAnalysis,
+    ConductivitySpectrumAnalysis)
 from sitator_tpu.dynamics.diffusion import DiffusionAnalysis, \
     SiteDiffusionAnalysis, RelaxationAnalysis
 from sitator_tpu.dynamics.correlation import (RDFAnalysis,
@@ -23,7 +24,8 @@ from sitator_tpu.network.merging import MergeSitesByDistance
 __all__ = [
     "JumpAnalysis", "MergeSitesByDynamics", "MergeSitesByDistance",
     "RemoveUnoccupiedSites", "RemoveShortJumps",
-    "AverageVibrationalFrequency", "VibrationalSpectrumAnalysis", "DiffusionAnalysis",
+    "AverageVibrationalFrequency", "VibrationalSpectrumAnalysis",
+    "ConductivitySpectrumAnalysis", "DiffusionAnalysis",
     "SiteDiffusionAnalysis", "RelaxationAnalysis", "RDFAnalysis",
     "VanHoveAnalysis", "ScatteringAnalysis", "ArrheniusAnalysis", "SiteFreeEnergyAnalysis",
     "OnsagerAnalysis",

@@ -11,6 +11,11 @@
   the full velocity autocorrelation function, the vibrational density
   of states, and the Green–Kubo diffusivity, from the same
   frame-difference velocities.
+- :class:`ConductivitySpectrumAnalysis` (beyond the reference surface) —
+  the frequency-dependent ionic conductivity σ(ω) from the
+  charge-current autocorrelation (the Green–Kubo route; the quantity
+  impedance spectroscopy measures), whose ω→0 limit is the Onsager /
+  collective-diffusion DC conductivity.
 """
 from __future__ import annotations
 
@@ -18,6 +23,7 @@ import logging
 
 import numpy as np
 
+from sitator_tpu.dynamics.diffusion import _E_CHARGE, _K_B
 from sitator_tpu.ops.pbc import PBCCalculator
 
 logger = logging.getLogger(__name__)
@@ -171,3 +177,155 @@ class VibrationalSpectrumAnalysis:
             logger.info("VACF/VDOS: peak at %.4g cycles/time, "
                         "D_GK = %.4g", peak, self.D_gk_)
         return self
+
+
+class ConductivitySpectrumAnalysis:
+    """Frequency-dependent ionic conductivity σ(ω) from the
+    charge-current autocorrelation (beyond the reference surface).
+
+    The Green–Kubo linear-response expression
+
+        σ(ω) = (1 / 3 V k_B T) ∫₀^∞ ⟨J(0)·J(t)⟩ cos(ωt) dt,
+        J(t) = Σ_i q_i v_i(t),
+
+    is the quantity AC impedance spectroscopy measures; its ω → 0 limit
+    is the DC conductivity of
+    :class:`~sitator_tpu.dynamics.onsager.OnsagerAnalysis` (the full
+    charge-weighted Onsager sum — ion-pairing cross-correlations
+    included, since J sums every charge).  Units follow the house
+    convention (Å / ps / e / K → S/cm).
+
+    Parameters
+    ----------
+    groups, charges : species groups (as in ``OnsagerAnalysis``: named
+        selections with a SiteTrajectory input, boolean masks with a raw
+        one) and their charges in units of e.
+    timestep : ps between stored frames.
+    temperature : kelvin.
+    n_segments : Welch segmentation of the spectrum — the one-shot
+        periodogram has O(100%) variance per bin; averaging ``n``
+        non-overlapping segments cuts it ~√n at the cost of frequency
+        resolution (lowest resolvable frequency rises n-fold).
+    integral_window : (lo, hi) fractions of the lag axis over which the
+        running Green–Kubo integral is averaged for ``sigma_dc_``
+        (plateau readout).  The default (0.01, 0.1) reads shortly after
+        a typical current decorrelates — the charge current is a SINGLE
+        signal (no per-atom averaging), so every further lag integrates
+        pure noise and the long-window variance grows linearly
+        (measured 4× std reduction vs (0.1, 0.5) on hopping MD).
+        Inspect ``sigma_dc_running_`` and widen it when the current
+        decays slowly (strongly back-correlated / viscous systems).
+
+    After ``run``: ``freqs_`` (cycles/ps) and ``sigma_`` (S/cm,
+    Welch-averaged, positive by construction); ``times_`` / ``jacf_``
+    (the charge-current ACF, e²Å²/ps²); ``sigma_dc_running_``,
+    ``sigma_dc_`` (GK plateau, unbiased but single-signal noisy) and
+    ``sigma_dc_spectral_`` (mean of the lowest nonzero Welch bins —
+    the lowest-variance DC readout, biased high when the conductivity
+    still disperses below the segment's frequency resolution).
+    ``run`` returns ``self``.
+    """
+
+    def __init__(self, groups, charges, timestep=1.0, temperature=300.0,
+                 n_segments=8, integral_window=(0.01, 0.1), verbose=True):
+        groups = list(groups)
+        charges = np.asarray(charges, dtype=np.float64)
+        if charges.shape != (len(groups),):
+            raise ValueError("charges must have one entry per group")
+        if not groups:
+            raise ValueError("need at least one species group")
+        self.groups = groups
+        self.charges = charges
+        self.timestep = float(timestep)
+        self.temperature = float(temperature)
+        self.n_segments = int(n_segments)
+        if self.n_segments < 1:
+            raise ValueError("n_segments must be >= 1")
+        lo, hi = (float(integral_window[0]), float(integral_window[1]))
+        if not 0.0 <= lo < hi <= 1.0:
+            raise ValueError("integral_window must satisfy "
+                             "0 <= lo < hi <= 1")
+        self.integral_window = (lo, hi)
+        self.verbose = verbose
+
+    def _charge_current(self, st_or_traj, cell):
+        """J(t) = Σ q_i v_i(t) as ``(F-1, 3)`` float64, plus the cell."""
+        if hasattr(st_or_traj, "real_trajectory"):
+            sn = st_or_traj.site_network
+            cell = sn.structure.cell
+            from sitator_tpu.dynamics.correlation import _resolve_mask
+            masks = [_resolve_mask(g, sn) for g in self.groups]
+            traj = st_or_traj.real_trajectory
+            if traj is None:
+                raise ValueError("SiteTrajectory has no real trajectory")
+        else:
+            traj = np.asarray(st_or_traj)
+            if cell is None:
+                raise ValueError("raw trajectory needs cell")
+            masks = []
+            for g in self.groups:
+                m = np.asarray(g)
+                if m.dtype != bool or m.shape != (traj.shape[1],):
+                    raise ValueError(
+                        "raw-trajectory groups must be (n_atoms,) "
+                        "boolean masks")
+                masks.append(m)
+        stacked = np.stack(masks)
+        if (stacked.sum(axis=0) > 1).any():
+            raise ValueError("species groups overlap")
+        J = None
+        for m, q in zip(masks, self.charges):
+            v = _frame_diff_velocities(np.asarray(traj), m, cell,
+                                       self.timestep)
+            contrib = q * v.sum(axis=1)                # (F-1, 3)
+            J = contrib if J is None else J + contrib
+        return J, np.asarray(cell, dtype=np.float64)
+
+    def run(self, st_or_traj, cell=None):
+        from sitator_tpu.ops import msd as msd_ops
+        J, cell = self._charge_current(st_or_traj, cell)
+        n = J.shape[0]
+        if n < 2 * self.n_segments:
+            raise ValueError(
+                f"{n} velocity frames cannot support "
+                f"{self.n_segments} Welch segments")
+        # house unit factor: e²·Å²/ps integrated ACF → S/cm, exactly the
+        # 1e-8 (Å²/ps → m²/s) + 1e-30 (Å³ → m³) + /100 (S/m → S/cm)
+        # convention of DiffusionAnalysis/OnsagerAnalysis
+        vol_m3 = float(abs(np.linalg.det(cell))) * 1e-30
+        pref = (_E_CHARGE ** 2 * 1e-8
+                / (3.0 * vol_m3 * _K_B * self.temperature)) / 100.0
+
+        # charge-current ACF (all origins) and its running GK integral
+        Z, _ = msd_ops.vacf_fft(J[:, None, :])
+        self.jacf_ = Z
+        self.times_ = np.arange(n, dtype=np.float64) * self.timestep
+        incr = 0.5 * (Z[1:] + Z[:-1]) * self.timestep
+        self.sigma_dc_running_ = pref * np.concatenate(
+            [[0.0], np.cumsum(incr)])
+        lo = int(round(self.integral_window[0] * (n - 1)))
+        hi = max(lo + 1, int(round(self.integral_window[1] * (n - 1))))
+        self.sigma_dc_ = float(self.sigma_dc_running_[lo:hi + 1].mean())
+
+        # Welch-averaged spectrum.  Wiener–Khinchin: the two-sided PSD
+        # of each component is S_c(f) = ∫ C_c(t) e^{-2πift} dt, so the
+        # one-sided cosine transform entering σ is (1/2)·Σ_c S_c(f);
+        # the periodogram estimator of S_c is (dt/N)·|FFT(J_c)|².
+        seg = n // self.n_segments
+        specs = []
+        for s in range(self.n_segments):
+            part = J[s * seg:(s + 1) * seg]
+            specs.append((np.abs(np.fft.rfft(part, axis=0)) ** 2)
+                         .sum(axis=1))
+        psd = np.mean(specs, axis=0) * self.timestep / seg
+        self.freqs_ = np.fft.rfftfreq(seg, d=self.timestep)
+        self.sigma_ = 0.5 * pref * psd
+        n_low = min(3, len(self.sigma_) - 1)
+        self.sigma_dc_spectral_ = (float(self.sigma_[1:1 + n_low].mean())
+                                   if n_low > 0 else float("nan"))
+        if self.verbose:
+            logger.info("sigma(omega): DC plateau %.4g S/cm; spectrum "
+                        "over %d segments of %d frames", self.sigma_dc_,
+                        self.n_segments, seg)
+        return self
+

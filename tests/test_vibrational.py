@@ -137,3 +137,117 @@ def test_vibrational_spectrum_validation_and_st_route():
     assert len(vs.vacf_) == 11 and len(vs.times_) == 11
     assert len(vs.D_gk_running_) == 11
     assert np.isfinite(vs.D_gk_)
+
+
+def _white_noise_system(rng, F=4096, M=16, step=0.3, size=50.0):
+    steps = rng.normal(scale=step, size=(F - 1, M, 3))
+    traj = size / 2 + np.concatenate(
+        [np.zeros((1, M, 3)), np.cumsum(steps, 0)], 0)
+    frac = traj / size
+    return (frac - np.floor(frac)) * size, np.eye(3) * size
+
+
+def test_conductivity_spectrum_white_noise_closed_form():
+    """Independent random walkers: J is white noise, so σ(ω) is flat
+    and both the GK plateau and the spectrum equal the Nernst–Einstein
+    closed form σ = M e² D / (V k_B T) with D = step²/(2 dt)."""
+    from sitator_tpu.dynamics import ConductivitySpectrumAnalysis
+    rng = np.random.default_rng(61)
+    F, M, step, size, T = 4096, 16, 0.3, 50.0, 600.0
+    traj, cell = _white_noise_system(rng, F, M, step, size)
+    mask = np.ones(M, bool)
+    ca = ConductivitySpectrumAnalysis(
+        [mask], charges=[1.0], timestep=1.0, temperature=T,
+        verbose=False).run(traj, cell=cell)
+    e, kb = 1.602176634e-19, 1.380649e-23
+    D = step ** 2 / 2.0                     # Å²/ps per component pair
+    sigma_ne = (M * e ** 2 * (D * 1e-8)
+                / (size ** 3 * 1e-30 * kb * T)) / 100.0
+    assert ca.sigma_dc_ == pytest.approx(sigma_ne, rel=0.15)
+    # flat spectrum: the mean over all frequencies is the same number,
+    # and no broad trend (low-f vs high-f halves agree)
+    body = ca.sigma_[1:]
+    assert body.mean() == pytest.approx(sigma_ne, rel=0.1)
+    lo, hi = body[: len(body) // 2].mean(), body[len(body) // 2:].mean()
+    assert lo == pytest.approx(hi, rel=0.15)
+    assert (ca.sigma_ >= 0).all()            # periodogram positivity
+
+
+def test_conductivity_spectrum_oscillator_peak():
+    """Bound oscillating charges: σ peaks at the oscillation frequency
+    and the DC plateau is ~0 (no net transport)."""
+    from sitator_tpu.dynamics import ConductivitySpectrumAnalysis
+    rng = np.random.default_rng(67)
+    F, M, size, f0 = 2048, 8, 30.0, 0.125   # cycles per frame
+    t = np.arange(F)[:, None, None]
+    phase = rng.uniform(0, 2 * np.pi, (1, M, 3))
+    base = rng.uniform(5, 25, (1, M, 3))
+    traj = base + 0.3 * np.cos(2 * np.pi * f0 * t + phase)
+    ca = ConductivitySpectrumAnalysis(
+        [np.ones(M, bool)], charges=[1.0], timestep=1.0,
+        temperature=300.0, n_segments=4, verbose=False).run(
+        traj, cell=np.eye(3) * size)
+    peak_f = ca.freqs_[int(np.argmax(ca.sigma_))]
+    assert peak_f == pytest.approx(f0, abs=2 * (ca.freqs_[1]))
+    assert abs(ca.sigma_dc_) < 0.05 * ca.sigma_.max()
+
+
+def test_conductivity_spectrum_two_species_and_validation():
+    from sitator_tpu.dynamics import ConductivitySpectrumAnalysis
+    rng = np.random.default_rng(71)
+    traj, cell = _white_noise_system(rng, F=512, M=8)
+    ga = np.zeros(8, bool); ga[:4] = True
+    # a perfectly paired +/- system: J == 0 identically -> sigma == 0
+    paired = traj.copy()
+    paired[:, 4:, :] = traj[:, :4, :]       # anion rides on its cation
+    ca = ConductivitySpectrumAnalysis(
+        [ga, ~ga], charges=[1.0, -1.0], timestep=1.0,
+        temperature=300.0, verbose=False).run(paired, cell=cell)
+    assert abs(ca.sigma_dc_) < 1e-12
+    np.testing.assert_allclose(ca.sigma_, 0.0, atol=1e-15)
+    with pytest.raises(ValueError, match="overlap"):
+        ConductivitySpectrumAnalysis(
+            [ga, ga], charges=[1.0, -1.0], verbose=False).run(
+            traj, cell=cell)
+    with pytest.raises(ValueError, match="one entry per group"):
+        ConductivitySpectrumAnalysis([ga], charges=[1.0, 2.0])
+    with pytest.raises(ValueError, match="needs cell"):
+        ConductivitySpectrumAnalysis([ga], charges=[1.0],
+                                     verbose=False).run(traj)
+    with pytest.raises(ValueError, match="Welch segments"):
+        ConductivitySpectrumAnalysis(
+            [ga], charges=[1.0], n_segments=8, verbose=False).run(
+            traj[:10], cell=cell)
+
+
+def test_conductivity_dc_estimators_agree_on_hopping_md():
+    """On real hopping MD the GK-plateau and lowest-Welch-bin DC
+    readouts agree (seed-averaged) with the tracer Nernst–Einstein
+    anchor — the per-ion-averaged estimator with tight error bars
+    (near-independent walkers, Haven ratio ≈ 1).  The collective
+    single-signal estimators cannot be pinned tighter than this; the
+    exact normalization is pinned by the white-noise closed form."""
+    from sitator_tpu.io import make_hopping_trajectory
+    from sitator_tpu.dynamics import (ConductivitySpectrumAnalysis,
+                                      DiffusionAnalysis)
+    e, kb = 1.602176634e-19, 1.380649e-23
+    gk, sp, ne = [], [], []
+    for seed in (5, 6, 7, 8):
+        md = make_hopping_trajectory(n_cells=3, a=4.0, n_ions=8,
+                                     n_frames=6000, jump_rate=0.05,
+                                     seed=seed)
+        cell = md.structure.cell
+        ca = ConductivitySpectrumAnalysis(
+            [md.mobile_mask], charges=[1.0], timestep=1.0,
+            temperature=600.0, verbose=False).run(md.traj, cell=cell)
+        da = DiffusionAnalysis(timestep=1.0, verbose=False).run(
+            md.traj, mobile_mask=md.mobile_mask, cell=cell)
+        vol = abs(np.linalg.det(cell)) * 1e-30
+        ne.append((8 * e ** 2 * da.D_tracer_ * 1e-8
+                   / (vol * kb * 600.0)) / 100.0)
+        gk.append(ca.sigma_dc_)
+        sp.append(ca.sigma_dc_spectral_)
+    gk, sp, ne = (float(np.mean(v)) for v in (gk, sp, ne))
+    assert gk == pytest.approx(ne, rel=0.5)
+    assert sp == pytest.approx(ne, rel=0.5)
+    assert gk == pytest.approx(sp, rel=0.5)
