@@ -18,6 +18,7 @@ from sitator_tpu.visualization.kinetics import (
     plot_structure_factor,
     plot_van_hove,
     plot_vdos,
+    plot_conductivity_spectrum,
 )
 
 __all__ = [
@@ -26,4 +27,5 @@ __all__ = [
     "plot_particle_trajectory", "plot_msd", "plot_arrhenius", "plot_rdf",
     "plot_van_hove", "plot_residence_survival",
     "plot_structure_factor", "plot_vdos",
+    "plot_conductivity_spectrum",
 ]

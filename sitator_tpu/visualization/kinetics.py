@@ -13,7 +13,7 @@ from sitator_tpu.visualization.common import plotter
 
 __all__ = ["plot_msd", "plot_arrhenius", "plot_rdf", "plot_van_hove",
            "plot_residence_survival", "plot_structure_factor",
-           "plot_vdos"]
+           "plot_vdos", "plot_conductivity_spectrum"]
 
 _K_B_EV = 8.617333262e-5
 
@@ -150,6 +150,26 @@ def plot_vdos(vs, show_gk=True, fig=None, ax=None):
         ia.axhline(vs.D_gk_, color="C3", ls="--", lw=0.8)
         ia.set_title(f"D_GK(t) → {vs.D_gk_:.3g}", fontsize="small")
         ia.tick_params(labelsize="x-small")
+
+
+@plotter(is3D=False)
+def plot_conductivity_spectrum(ca, show_dc=True, fig=None, ax=None):
+    """σ(ω) (log-log) — with the DC readouts marked — from a fitted
+    :class:`~sitator_tpu.dynamics.vibrational.ConductivitySpectrumAnalysis`."""
+    ax.loglog(ca.freqs_[1:], ca.sigma_[1:], color="C0", label="σ(ω)")
+    ax.set_xlabel("frequency  [cycles/time]")
+    ax.set_ylabel("σ  [S/cm]")
+    if show_dc:
+        if np.isfinite(ca.sigma_dc_) and ca.sigma_dc_ > 0:
+            ax.axhline(ca.sigma_dc_, color="C3", ls="--", lw=0.8,
+                       label=f"σ_DC (GK) = {ca.sigma_dc_:.3g}")
+        if (np.isfinite(ca.sigma_dc_spectral_)
+                and ca.sigma_dc_spectral_ > 0):
+            ax.axhline(ca.sigma_dc_spectral_, color="C2", ls=":",
+                       lw=0.8,
+                       label=f"σ_DC (spectral) = "
+                             f"{ca.sigma_dc_spectral_:.3g}")
+        ax.legend(fontsize="small")
 
 
 @plotter(is3D=False)

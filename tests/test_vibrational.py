@@ -251,3 +251,21 @@ def test_conductivity_dc_estimators_agree_on_hopping_md():
     assert gk == pytest.approx(ne, rel=0.5)
     assert sp == pytest.approx(ne, rel=0.5)
     assert gk == pytest.approx(sp, rel=0.5)
+
+
+def test_plot_conductivity_spectrum_draws():
+    import matplotlib
+    matplotlib.use("Agg")
+    from sitator_tpu.dynamics import ConductivitySpectrumAnalysis
+    from sitator_tpu.visualization import plot_conductivity_spectrum
+    rng = np.random.default_rng(73)
+    traj, cell = _white_noise_system(rng, F=512, M=6)
+    ca = ConductivitySpectrumAnalysis(
+        [np.ones(6, bool)], charges=[1.0], timestep=1.0,
+        temperature=300.0, n_segments=4, verbose=False).run(
+        traj, cell=cell)
+    fig = plot_conductivity_spectrum(ca)
+    fig.canvas.draw()
+    lines = fig.axes[0].get_lines()
+    assert len(lines) >= 2                 # sigma(w) + at least one DC line
+    assert fig.axes[0].get_legend() is not None
