@@ -53,7 +53,7 @@ st = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
 st = JumpAnalysis(verbose=False).run(st)
 n_ij = st.site_network.n_ij
 jumps = int(n_ij.sum() - np.trace(n_ij))
-print(f"landmark on density basis: {st.percent_unassigned:.2f}% "
+print(f"landmark on density basis: {100 * st.percent_unassigned:.2f}% "
       f"unassigned, {jumps} jumps (ground truth {int(md.true_n_ij.sum())})")
 
 # --- 5. an interstitial the geometry doesn't know about: park one ion

@@ -117,11 +117,15 @@ def _seed_network(args, traj_path):
     sn = SiteNetwork(structure, static, mobile)
     if args.sites == "density":
         from sitator_tpu.network import DensitySiteGenerator
-        n = min(len(reader), args.density_frames)
-        sn = DensitySiteGenerator(verbose=args.verbose).run(
-            sn, reader[0:n])
+        # strided whole-run subsample, swept out-of-core off the reader
+        # (a bounded PREFIX would both materialize frames and miss
+        # sites first visited late in a long run)
+        stride = max(1, len(reader) // max(1, args.density_frames))
+        sn = DensitySiteGenerator(stride=stride,
+                                  verbose=args.verbose).run(sn, reader)
+        n = len(range(0, len(reader), stride))
         print(f"landmark basis: {sn.n_sites} density sites "
-              f"(from {n} frames)")
+              f"(sampled {n}/{len(reader)} frames)")
     else:
         sn = VoronoiSiteGenerator(merge_tol=args.voronoi_merge_tol).run(sn)
         print(f"landmark basis: {sn.n_sites} Voronoi sites")
@@ -549,7 +553,8 @@ def build_parser():
                            "density maxima (occupied basins only; "
                            "finds interstitials geometry misses)")
     pipe.add_argument("--density-frames", type=int, default=2000,
-                      help="frames sampled for --sites density")
+                      help="~frames sampled for --sites density "
+                           "(strided across the whole run)")
     pipe.add_argument("--dynamic-lattice-mapping", action="store_true")
     pipe.add_argument("--merge-dynamics", type=float, default=None,
                       metavar="DIST",

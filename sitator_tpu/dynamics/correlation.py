@@ -47,6 +47,43 @@ def _real_traj_of(st):
     return np.asarray(traj), st.site_network
 
 
+def resolve_species_groups(st_or_traj, groups, cell):
+    """Shared group handling for the multi-species transport engines
+    (``OnsagerAnalysis``, ``ConductivitySpectrumAnalysis``):
+    SiteTrajectory inputs resolve named selections via
+    :func:`_resolve_mask`; raw trajectories take boolean masks.
+    Validates mask shapes, pairwise disjointness, and that every group
+    selects at least one atom.  Returns ``(traj, masks, cell, sn)``
+    with ``sn`` None for raw input."""
+    if hasattr(st_or_traj, "real_trajectory"):
+        traj, sn = _real_traj_of(st_or_traj)
+        masks = [_resolve_mask(g, sn) for g in groups]
+        cell = np.asarray(sn.structure.cell)
+    else:
+        traj = np.asarray(st_or_traj)
+        if cell is None:
+            raise ValueError("raw trajectory needs cell")
+        cell = np.asarray(cell)
+        sn = None
+        masks = []
+        for g in groups:
+            m = np.asarray(g)
+            if m.dtype != bool or m.shape != (traj.shape[1],):
+                raise ValueError(
+                    "raw-trajectory groups must be (n_atoms,) boolean "
+                    "masks (named selections need a SiteTrajectory)")
+            masks.append(m)
+    stacked = np.stack(masks)
+    if (stacked.sum(axis=0) > 1).any():
+        raise ValueError("species groups overlap — an atom may "
+                         "belong to at most one group")
+    counts = stacked.sum(axis=1)
+    if (counts == 0).any():
+        raise ValueError(
+            f"group {int(np.argmin(counts))} selects no atoms")
+    return traj, masks, cell, sn
+
+
 class RDFAnalysis:
     """Radial distribution function g(r) between two selections
     (defaults: mobile–mobile).  After ``run(st)``: ``r_``, ``g_``;

@@ -29,7 +29,8 @@ import logging
 import numpy as np
 
 from sitator_tpu.ops import msd as msd_ops
-from sitator_tpu.dynamics.correlation import _resolve_mask
+from sitator_tpu.dynamics.correlation import (_resolve_mask,
+                                              resolve_species_groups)
 from sitator_tpu.dynamics.diffusion import (_check_fit_range, _E_CHARGE,
                                             _K_B)
 
@@ -91,30 +92,6 @@ class OnsagerAnalysis:
         self.drift_correction = drift_correction
         self.verbose = verbose
 
-    def _masks(self, st_or_traj, cell):
-        if hasattr(st_or_traj, "real_trajectory"):
-            st = st_or_traj
-            traj = st.real_trajectory
-            if traj is None:
-                raise ValueError(
-                    "SiteTrajectory has no real trajectory (set_real_traj)")
-            sn = st.site_network
-            masks = [_resolve_mask(g, sn) for g in self.groups]
-            return (np.asarray(traj), masks,
-                    np.asarray(sn.structure.cell), sn)
-        traj = np.asarray(st_or_traj)
-        if cell is None:
-            raise ValueError("raw trajectory needs cell")
-        masks = []
-        for g in self.groups:
-            m = np.asarray(g)
-            if m.dtype != bool or m.shape != (traj.shape[1],):
-                raise ValueError(
-                    "raw-trajectory groups must be (n_atoms,) boolean "
-                    "masks (named selections need a SiteTrajectory)")
-            masks.append(m)
-        return traj, masks, np.asarray(cell), None
-
     def _drift_mask(self, traj, sn):
         """Resolve ``drift_correction`` to a reference mask (None =
         every atom); raises for named selections without a network."""
@@ -133,16 +110,11 @@ class OnsagerAnalysis:
         return mask
 
     def run(self, st_or_traj, cell=None):
-        traj, masks, cell, sn = self._masks(st_or_traj, cell)
+        traj, masks, cell, sn = resolve_species_groups(
+            st_or_traj, self.groups, cell)
         n = len(masks)
         stacked = np.stack(masks)
-        if (stacked.sum(axis=0) > 1).any():
-            raise ValueError("species groups overlap — an atom may "
-                             "belong to at most one group")
         self.n_atoms_ = stacked.sum(axis=1).astype(int)
-        if (self.n_atoms_ == 0).any():
-            empty = int(np.argmin(self.n_atoms_))
-            raise ValueError(f"group {empty} selects no atoms")
         F = traj.shape[0]
         if F < 8:
             raise ValueError(f"need at least 8 frames, got {F}")

@@ -250,33 +250,12 @@ class ConductivitySpectrumAnalysis:
 
     def _charge_current(self, st_or_traj, cell):
         """J(t) = Σ q_i v_i(t) as ``(F-1, 3)`` float64, plus the cell."""
-        if hasattr(st_or_traj, "real_trajectory"):
-            sn = st_or_traj.site_network
-            cell = sn.structure.cell
-            from sitator_tpu.dynamics.correlation import _resolve_mask
-            masks = [_resolve_mask(g, sn) for g in self.groups]
-            traj = st_or_traj.real_trajectory
-            if traj is None:
-                raise ValueError("SiteTrajectory has no real trajectory")
-        else:
-            traj = np.asarray(st_or_traj)
-            if cell is None:
-                raise ValueError("raw trajectory needs cell")
-            masks = []
-            for g in self.groups:
-                m = np.asarray(g)
-                if m.dtype != bool or m.shape != (traj.shape[1],):
-                    raise ValueError(
-                        "raw-trajectory groups must be (n_atoms,) "
-                        "boolean masks")
-                masks.append(m)
-        stacked = np.stack(masks)
-        if (stacked.sum(axis=0) > 1).any():
-            raise ValueError("species groups overlap")
+        from sitator_tpu.dynamics.correlation import resolve_species_groups
+        traj, masks, cell, _ = resolve_species_groups(
+            st_or_traj, self.groups, cell)
         J = None
         for m, q in zip(masks, self.charges):
-            v = _frame_diff_velocities(np.asarray(traj), m, cell,
-                                       self.timestep)
+            v = _frame_diff_velocities(traj, m, cell, self.timestep)
             contrib = q * v.sum(axis=1)                # (F-1, 3)
             J = contrib if J is None else J + contrib
         return J, np.asarray(cell, dtype=np.float64)

@@ -288,7 +288,11 @@ class LandmarkAnalysis:
                 n_ok = f_rel
             if n_ok:
                 lv_all[pos:pos + n_ok] = np.asarray(lv_n)[:n_ok]
-                zn = np.asarray(norms)[:n_ok] == 0
+                # <= the normalize floor: below it the row could not be
+                # normalized (stays sub-unit garbage), which is exactly
+                # "saw no landmark" — an exact ==0 test lets ~1e-13 raw
+                # norms through and they later poison cosine clustering
+                zn = np.asarray(norms)[:n_ok] <= 1e-12
                 if zn.any():
                     n_zero += int(zn.sum())
                     if first_zero is None:
@@ -307,7 +311,7 @@ class LandmarkAnalysis:
                     # accept it (prevents a no-progress remap loop)
                     f = n_ok
                     lv_all[pos + f] = np.asarray(lv_n)[f]
-                    zrow = np.asarray(norms)[f] == 0
+                    zrow = np.asarray(norms)[f] <= 1e-12
                     if zrow.any():
                         n_zero += int(zrow.sum())
                         if first_zero is None:

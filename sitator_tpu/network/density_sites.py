@@ -50,11 +50,14 @@ class DensitySiteGenerator:
     n_vertices : static atoms attached to each site as its landmark
         vertex set (nearest by minimum image).
     chunk : frames per device scatter-add dispatch.
+    stride : count every ``stride``-th frame only — an unbiased
+        whole-run subsample for long trajectories (the sweep stays
+        chunked/out-of-core either way).
     """
 
     def __init__(self, n_bins=48, sigma=0.5, threshold=0.05,
                  min_distance=1.0, n_vertices=8, chunk=2048,
-                 verbose=True):
+                 stride=1, verbose=True):
         if not 0.0 <= threshold < 1.0:
             raise ValueError("threshold must be in [0, 1)")
         if n_vertices < 1:
@@ -65,6 +68,7 @@ class DensitySiteGenerator:
         self.min_distance = float(min_distance)
         self.n_vertices = int(n_vertices)
         self.chunk = int(chunk)
+        self.stride = int(stride)
         self.verbose = verbose
 
     def run(self, sn: SiteNetwork, traj) -> SiteNetwork:
@@ -75,7 +79,7 @@ class DensitySiteGenerator:
         cell = np.asarray(sn.structure.cell, dtype=np.float64)
         grid = density_ops.density_grid(
             traj, cell, mask=sn.mobile_mask, n_bins=self.n_bins,
-            chunk=self.chunk)
+            chunk=self.chunk, stride=self.stride)
         smoothed = density_ops.smooth_density(grid, cell, self.sigma)
         centers, weights = density_ops.find_density_peaks(
             smoothed, cell, threshold_rel=self.threshold,

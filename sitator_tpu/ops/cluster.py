@@ -44,6 +44,11 @@ def _seed(X, valid, k_max, cluster_threshold):
         c = X[seed_idx]
         centers = jax.lax.dynamic_update_index_in_dim(centers, c, k, axis=0)
         sims = X @ c
+        # progress guarantee: the seed itself is covered by fiat — a
+        # sub-unit row's self-similarity is its norm², which can sit
+        # below the threshold forever and would re-seed the same sample
+        # until k_max otherwise
+        sims = sims.at[seed_idx].set(jnp.inf)
         return centers, k + 1, jnp.maximum(max_sim, sims)
 
     centers0 = jnp.zeros((k_max, d), dtype=X.dtype)
@@ -93,12 +98,16 @@ def dotprod_fit(X, k_max, cluster_threshold, min_samples=1, n_iters=10,
                 valid=None):
     """Fit threshold-based cosine clusters on row-normalized ``X (n, D)``.
 
-    ``valid`` masks samples eligible to seed clusters (default: nonzero rows).
-    Returns a :class:`ClusterResult`; use
-    :func:`sitator_tpu.ops.landmark.assign_to_centers` for prediction.
+    ``valid`` masks samples eligible to seed clusters.  Regardless of
+    ``valid``, samples whose row norm is below ``cluster_threshold``
+    never seed: ``sim(x, c) ≤ |x|`` for unit centers, so such a sample
+    can never be covered by ANY center — seeding it would spin the
+    greedy pass on an uncoverable point (they simply end unassigned at
+    prediction).  Rows are expected ~unit-normalized; sub-unit rows are
+    tolerated but treated as above.
     """
-    if valid is None:
-        valid = jnp.sum(X * X, axis=1) > 0
+    coverable = jnp.sum(X * X, axis=1) >= cluster_threshold ** 2
+    valid = coverable if valid is None else (valid & coverable)
     centers, k = _seed(X, valid, k_max, cluster_threshold)
     centers, counts = dotprod_refine(X, centers, k, k_max, cluster_threshold,
                                      n_iters=n_iters)

@@ -40,7 +40,12 @@ _MAX_CHUNK_POINTS = 2 ** 31 - 2 ** 24
 def _grid_chunk(pos, cell_inv, n_bins):
     """Bin a ``(C, M, 3)`` cartesian chunk into a flat ``(n_bins³,)``
     int32 periodic histogram."""
-    frac = pos.reshape(-1, 3) @ cell_inv
+    # precision pin: the TPU's default f32 matmul runs on the MXU at
+    # bf16 (~1e-3 relative) — enough to move seam-adjacent atoms a
+    # whole bin and break the exact-count contract (the same trap as
+    # the r3 SOAP einsums; see ops/scattering.py's identical pin)
+    frac = jnp.matmul(pos.reshape(-1, 3), cell_inv,
+                      precision=jax.lax.Precision.HIGHEST)
     frac = frac - jnp.floor(frac)                     # wrap into [0, 1)
     idx = jnp.clip((frac * n_bins).astype(jnp.int32), 0, n_bins - 1)
     flat = (idx[:, 0] * n_bins + idx[:, 1]) * n_bins + idx[:, 2]
@@ -49,10 +54,13 @@ def _grid_chunk(pos, cell_inv, n_bins):
         num_segments=n_bins ** 3)
 
 
-def density_grid(traj, cell, mask=None, n_bins=48, chunk=2048):
+def density_grid(traj, cell, mask=None, n_bins=48, chunk=2048, stride=1):
     """Periodic occupancy histogram of the selected atoms over the whole
     trajectory: ``(n_bins, n_bins, n_bins)`` int64 counts in fractional
     space (bin ``[i,j,k]`` covers fractional ``[i/n, (i+1)/n)`` etc.).
+    ``stride`` counts every ``stride``-th frame only — an unbiased
+    whole-run subsample for seeding from long trajectories (reads stay
+    chunked; skipped frames in a chunk are fetched but not binned).
 
     ``traj`` is ``(F, N, 3)`` cartesian (wrapped or not — coordinates
     are wrapped into the cell here): an in-memory array OR any sliceable
@@ -71,19 +79,28 @@ def density_grid(traj, cell, mask=None, n_bins=48, chunk=2048):
         raise ValueError("density_grid: no atoms selected")
     if n_bins < 2:
         raise ValueError("n_bins must be at least 2")
+    stride = int(stride)
+    if stride < 1:
+        raise ValueError("stride must be at least 1")
     cell_inv = jnp.asarray(
         np.linalg.inv(np.asarray(cell, dtype=np.float64)).astype(
             np.float32))
     chunk = max(1, min(int(chunk), _MAX_CHUNK_POINTS // M))
+    # chunk boundaries on stride multiples keep the global subsample
+    # (frames 0, stride, 2·stride, ...) aligned across chunks
+    chunk = max(stride, (chunk // stride) * stride)
     grid = np.zeros(n_bins ** 3, dtype=np.int64)
+    counted = 0
     for lo in range(0, F, chunk):
-        part = np.asarray(traj[lo:lo + chunk])
+        part = np.asarray(traj[lo:lo + chunk])[::stride]
         if mask is not None:
             part = part[:, mask, :]
+        counted += part.shape[0]
         part = jnp.asarray(part.astype(np.float32))
         grid += np.asarray(_grid_chunk(part, cell_inv, n_bins),
                            dtype=np.int64)
-    assert grid.sum() == F * M                       # nothing dropped
+    assert counted == len(range(0, F, stride))
+    assert grid.sum() == counted * M                 # nothing dropped
     return grid.reshape(n_bins, n_bins, n_bins)
 
 

@@ -407,5 +407,11 @@ def test_sites_density_seeding(xyz_file, capsys):
                "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0"])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "density sites (from 100 frames)" in out
+    # 150 frames / target 100 -> stride 1: all frames sampled
+    assert "density sites (sampled 150/150 frames)" in out
     assert "final:" in out
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--sites", "density", "--density-frames", "50",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0"])
+    assert rc == 0
+    assert "sampled 50/150 frames" in capsys.readouterr().out

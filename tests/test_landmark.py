@@ -378,3 +378,44 @@ def test_suggest_cutoff_recovers_physics(synthetic_run):
     site_map = d.argmin(axis=1)
     mapped = np.where(st2.traj >= 0, site_map[st2.traj], -1)
     assert (mapped == md.true_assignments).mean() > 0.95
+
+
+def test_clustering_robust_to_subunit_rows():
+    """A row whose norm is below the clustering threshold can never be
+    covered (sim <= |x|); it must end unassigned WITHOUT poisoning the
+    seeding pass (review finding r4-late: a 0.35-norm first row re-seeded
+    itself k_max times and every cluster count came back zero)."""
+    from sitator_tpu.landmark.cluster.dotprod import do_landmark_clustering
+    rng = np.random.default_rng(3)
+    a = np.zeros(12); a[0] = 1.0
+    b = np.zeros(12); b[5] = 1.0
+    rows = [0.3 * (a + 0.01)]     # uncoverable (< both thresholds), FIRST
+    for _ in range(60):
+        for base in (a, b):
+            v = base + rng.normal(scale=0.03, size=12)
+            rows.append(v / np.linalg.norm(v))
+    X = np.asarray(rows, np.float32)
+    counts, labels, confs, centers = do_landmark_clustering(
+        X, None, 5, verbose=False)
+    assert len(counts) == 2, counts
+    assert labels[0] == -1                        # weak row unassigned
+    assert (labels[1:] >= 0).all()
+    assert sorted(counts.tolist()) == [60, 60]
+
+
+def test_zero_landmark_detector_catches_subeps_norms():
+    """Raw landmark norms below the normalize floor (1e-12) count as
+    'saw no landmark' — an exact ==0 test let ~1e-13 rows through as
+    sub-unit garbage (review finding r4-late)."""
+    from sitator_tpu import SiteNetwork
+    from sitator_tpu.io import make_hopping_trajectory
+    from sitator_tpu.util.errors import ZeroLandmarkError
+    from sitator_tpu.voronoi import VoronoiSiteGenerator
+    md = make_hopping_trajectory(n_cells=2, a=4.0, n_ions=2,
+                                 n_frames=40, jump_rate=0.02, seed=2)
+    sn = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+    sn = VoronoiSiteGenerator(verbose=False).run(sn)
+    # a cutoff so tight the product is ~e^{-large} but not exactly 0
+    with pytest.raises(ZeroLandmarkError):
+        LandmarkAnalysis(cutoff_midpoint=0.4, cutoff_steepness=12.0,
+                         verbose=False).run(sn, md.traj)

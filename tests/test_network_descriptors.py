@@ -494,3 +494,24 @@ def test_soap_gauss_small_sigma_approaches_delta():
                                sigma=0.06, n_max=4, l_max=3,
                                radial_basis="poly", density="gauss")[0]
     assert float(d_delta @ d_gauss) > 0.999
+
+
+def test_recenter_trajectory_large_total_drift():
+    """Accumulated drift far beyond half a cell vector: the chained
+    minimum-image unwrap keeps the correction exact where a frame-0
+    minimum image would wrap (review finding r4-late)."""
+    rng = np.random.default_rng(2)
+    L = 8.0
+    cell = np.eye(3) * L
+    F, N = 200, 5
+    base = rng.uniform(1, 7, size=(N, 3))
+    # total drift ~ 0.15 * 200 = 30 Å ≈ 3.75 cells along x
+    drift = np.cumsum(np.full((F, 1, 3), [0.15, 0.0, 0.05]), axis=0)
+    jitter = rng.normal(scale=0.03, size=(F, N, 3))
+    traj_unwrapped = base[None] + drift + jitter
+    out = RecenterTrajectory().run(np.ones(N, bool),
+                                   traj_unwrapped % L, cell=cell)
+    ref = RecenterTrajectory().run(np.ones(N, bool), traj_unwrapped)
+    d = (out - ref) @ np.linalg.inv(cell)
+    d -= np.round(d)
+    np.testing.assert_allclose(d @ cell, 0, atol=1e-8)
