@@ -269,3 +269,32 @@ def test_plot_conductivity_spectrum_draws():
     lines = fig.axes[0].get_lines()
     assert len(lines) >= 2                 # sigma(w) + at least one DC line
     assert fig.axes[0].get_legend() is not None
+
+
+def test_conductivity_spectrum_parseval_identity():
+    """Exact Parseval closure: mean_k |FFT(J_c)_k|² = N·Σ_t J_c(t)², so
+    the average of σ over the rfft grid (with the two-sided bins double
+    counted) must equal pref/2 · dt · mean|J|² to float precision —
+    pinning the spectrum normalization independently of any physics."""
+    from sitator_tpu.dynamics import ConductivitySpectrumAnalysis
+    rng = np.random.default_rng(79)
+    F, M = 257, 5                           # odd segment length on purpose
+    traj, cell = _white_noise_system(rng, F=F, M=M, size=20.0)
+    ca = ConductivitySpectrumAnalysis(
+        [np.ones(M, bool)], charges=[1.0], timestep=1.0,
+        temperature=300.0, n_segments=1, verbose=False).run(
+        traj, cell=cell)
+    seg = F - 1                              # velocity frames, one segment
+    # reconstruct J exactly as the engine does
+    J, _ = ca._charge_current(traj, cell)
+    # two-sided sum over the full FFT grid via rfft weights
+    w = np.full(len(ca.freqs_), 2.0)
+    w[0] = 1.0
+    if seg % 2 == 0:
+        w[-1] = 1.0                          # Nyquist bin is unique
+    e, kb = 1.602176634e-19, 1.380649e-23
+    vol = abs(np.linalg.det(cell)) * 1e-30
+    pref = (e ** 2 * 1e-8 / (3.0 * vol * kb * 300.0)) / 100.0
+    lhs = (w * ca.sigma_).sum() / seg
+    rhs = 0.5 * pref * (J ** 2).sum() / seg
+    assert lhs == pytest.approx(rhs, rel=1e-9)
