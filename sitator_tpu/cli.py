@@ -509,6 +509,47 @@ def cmd_arrhenius(args):
     return 0
 
 
+def cmd_doctor(args):
+    """Environment / accelerator health self-check.  A healthy TPU
+    session answers the probe matmul in seconds; a wedged chip (killed
+    in-flight work) takes minutes and degrades throughput 10-20% — run
+    this before any headline measurement."""
+    import platform
+    import time
+
+    import sitator_tpu
+    print(f"sitator_tpu {getattr(sitator_tpu, '__version__', '?')}  "
+          f"python {platform.python_version()}  ({platform.platform()})")
+    t0 = time.perf_counter()
+    import jax
+    import jax.numpy as jnp
+    print(f"jax {jax.__version__}  import {time.perf_counter() - t0:.1f}s")
+    backend = jax.default_backend()
+    devices = jax.devices()
+    kinds = sorted({d.device_kind for d in devices})
+    print(f"backend: {backend}  devices: {len(devices)} "
+          f"({', '.join(kinds)})")
+    if backend == "cpu":
+        print("note: CPU backend — fine for analysis, not a "
+              "performance target")
+    t1 = time.perf_counter()
+    n = args.probe_size
+    r = np.asarray(jax.jit(lambda a, b: a @ b)(
+        jnp.ones((n, n), jnp.bfloat16), jnp.ones((n, n), jnp.bfloat16)))
+    dt = time.perf_counter() - t1
+    print(f"probe: {n}x{n} bf16 matmul compile+run+fetch "
+          f"{dt:.1f}s (checksum {float(r.sum()):.3g})")
+    if backend != "cpu" and dt > args.wedge_threshold:
+        print(f"WARNING: probe took {dt:.0f}s (> "
+              f"{args.wedge_threshold:.0f}s) — the chip looks WEDGED "
+              "(in-flight work killed earlier?); throughput will be "
+              "degraded for minutes.  Wait it out before benchmarking.",
+              file=sys.stderr)
+        return 1
+    print("healthy")
+    return 0
+
+
 def build_parser():
     p = argparse.ArgumentParser(
         prog="sitator_tpu",
@@ -531,6 +572,14 @@ def build_parser():
     c.add_argument("--zarr3", action="store_true",
                    help="zarr v3 instead of v2")
     c.set_defaults(func=cmd_convert)
+
+    d = sub.add_parser("doctor",
+                       help="environment / accelerator health check "
+                            "(probe matmul; flags a wedged chip)")
+    d.add_argument("--probe-size", type=int, default=256)
+    d.add_argument("--wedge-threshold", type=float, default=60.0,
+                   help="seconds after which the probe counts as wedged")
+    d.set_defaults(func=cmd_doctor)
 
     # options shared by the analyze and arrhenius pipelines
     pipe = argparse.ArgumentParser(add_help=False)

@@ -415,3 +415,13 @@ def test_sites_density_seeding(xyz_file, capsys):
                "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0"])
     assert rc == 0
     assert "sampled 50/150 frames" in capsys.readouterr().out
+
+
+def test_doctor(capsys):
+    from sitator_tpu.cli import main as cli_main
+    rc = cli_main(["doctor", "--probe-size", "64"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "backend: cpu" in out
+    assert "probe: 64x64" in out
+    assert "healthy" in out
