@@ -258,6 +258,7 @@ def cmd_analyze(args):
             ("--timestep", args.timestep),
             ("--temperature", args.temperature),
             ("--onsager", args.onsager),
+            ("--relaxation", args.relaxation),
             ("--drift-correction", args.drift_correction),
         ] if val is not None]
         if ignored:
@@ -310,6 +311,19 @@ def cmd_analyze(args):
             print(f"diagnose: MSD exponent = {da.msd_exponent_:.2f} "
                   f"(diffusive ~1), stationarity D2/D1 = "
                   f"{da.stationarity_ratio_:.2f} (stationary ~1)")
+
+    if args.relaxation:
+        from sitator_tpu.dynamics import RelaxationAnalysis
+        ra = RelaxationAnalysis(q=args.relaxation,
+                                timestep=args.timestep or 1.0,
+                                drift_correction=args.drift_correction,
+                                verbose=args.verbose).run(
+            traj, mobile_mask=sn.mobile_mask, cell=sn.structure.cell)
+        unit = "ps" if args.timestep else "frames"
+        peak_t = ra.times_[int(np.argmax(ra.alpha2_))]
+        print(f"relaxation (q = {args.relaxation:g} 1/Å): alpha2 peak "
+              f"{ra.alpha2_.max():.3g} at t = {peak_t:.4g} {unit}; "
+              f"tau_alpha = {ra.tau_alpha_:.4g} {unit}")
 
     if onsager_spec is not None:
         _run_onsager(args, sn, traj, onsager_spec)
@@ -644,6 +658,12 @@ def build_parser():
                         "'Li:+1,Cl:-1' — transference numbers and "
                         "(with --timestep/--temperature) the "
                         "pairing-aware conductivity")
+    a.add_argument("--relaxation", type=float, default=None, metavar="Q",
+                   help="dynamic heterogeneity at wavevector Q (1/Å): "
+                        "non-Gaussian alpha2(t) peak and the self-"
+                        "intermediate-scattering relaxation time "
+                        "tau_alpha (natural Q: 2*pi over the jump "
+                        "length)")
     a.add_argument("--drift-correction", choices=["static", "all"],
                    default=None,
                    help="pin diffusivity/Onsager analyses to the mean "

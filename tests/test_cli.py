@@ -425,3 +425,17 @@ def test_doctor(capsys):
     assert "backend: cpu" in out
     assert "probe: 64x64" in out
     assert "healthy" in out
+
+
+def test_relaxation_flag(xyz_file, capsys):
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--timestep", "1.0", "--relaxation", "1.57"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "alpha2 peak" in out
+    assert "tau_alpha" in out and " ps" in out
+    rc = main(["analyze", xyz_file, "--mobile", "Li", "--streaming",
+               "--block-frames", "64", "--relaxation", "1.57"])
+    assert rc == 0
+    assert "--relaxation" in capsys.readouterr().err
