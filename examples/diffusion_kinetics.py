@@ -153,4 +153,41 @@ print(f"VDOS peak at {peak_f:.3f} cycles/ps; "
       f"D_GK = {vs.D_gk_:.4g} Å²/ps "
       f"(D_GK/D_tracer = {vs.D_gk_ / da.D_tracer_:.3g})")
 assert 0.3 < vs.D_gk_ / da.D_tracer_ < 3.0
+
+# --- 12. is the run even usable?  Built-in equilibration diagnostics:
+# the MSD log-log exponent (diffusive ~1) and the split-half
+# stationarity ratio (stationary ~1).
+print(f"equilibration: MSD exponent {da.msd_exponent_:.2f}, "
+      f"split-half D2/D1 = {da.stationarity_ratio_:.2f}")
+assert 0.8 < da.msd_exponent_ < 1.2
+
+# --- 13. thermostat drift would silently inflate all of the above.
+# Inject a rigid drift, watch D blow up, then pin the analysis to the
+# host-lattice frame (drift_correction='static') and recover.
+drift = np.arange(md.n_frames)[:, None] * np.array([0.04, -0.02, 0.03])
+frac = (md.traj + drift[:, None, :]) @ np.linalg.inv(md.structure.cell)
+drifted = (frac - np.floor(frac)) @ md.structure.cell
+da_raw = DiffusionAnalysis(timestep=1.0, verbose=False).run(
+    drifted, mobile_mask=md.mobile_mask, cell=md.structure.cell)
+da_fix = DiffusionAnalysis(timestep=1.0, drift_correction="static",
+                           verbose=False).run(
+    drifted, mobile_mask=md.mobile_mask, cell=md.structure.cell)
+print(f"drift demo: lab-frame D = {da_raw.D_tracer_:.4g} (exponent "
+      f"{da_raw.msd_exponent_:.2f} — contaminated), host-frame D = "
+      f"{da_fix.D_tracer_:.4g} vs clean {da.D_tracer_:.4g}")
+assert abs(da_fix.D_tracer_ - da.D_tracer_) < 0.05 * da.D_tracer_
+
+# --- 14. the AC conductivity spectrum sigma(omega) from the Green-Kubo
+# charge current — what impedance spectroscopy measures; its DC plateau
+# is the pairing-aware Onsager conductivity.
+from sitator_tpu.dynamics import ConductivitySpectrumAnalysis
+
+ca = ConductivitySpectrumAnalysis([md.mobile_mask], charges=[1.0],
+                                  timestep=1.0, temperature=600.0,
+                                  verbose=False).run(
+    md.traj, cell=md.structure.cell)
+print(f"sigma(omega): DC plateau {ca.sigma_dc_:.3g} S/cm (spectral "
+      f"readout {ca.sigma_dc_spectral_:.3g}); vibrational peak at "
+      f"{ca.freqs_[1 + int(np.argmax(ca.sigma_[1:]))]:.3f} cycles/ps")
+assert (ca.sigma_ >= 0).all()
 print("Diffusion walkthrough complete.")

@@ -32,6 +32,8 @@ EXAMPLES = {
         "8-device run is bit-identical to the single-device run."],
     "diffusion_kinetics.py": [
         "D_tracer", "Haven ratio", "Nernst-Einstein", "cooperativity:",
+        "equilibration: MSD exponent", "drift demo:",
+        "sigma(omega): DC plateau",
         "Diffusion walkthrough complete."],
     "temperature_series.py": [
         "site match", "tracer-D Arrhenius", "edge Arrhenius",
