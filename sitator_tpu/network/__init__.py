@@ -6,9 +6,10 @@ from sitator_tpu.network.compare import (match_sites,
                                          min_image_distance_matrix)
 from sitator_tpu.network.graph import to_networkx
 from sitator_tpu.network.density_sites import DensitySiteGenerator
+from sitator_tpu.network.bond_valence import BondValenceSiteGenerator
 
 __all__ = ["MergeSitesBase", "MergeSitesByDistance",
            "DiffusionPathwayAnalysis", "SiteVolumes",
            "match_sites", "compare_site_networks",
            "min_image_distance_matrix", "to_networkx",
-           "DensitySiteGenerator"]
+           "DensitySiteGenerator", "BondValenceSiteGenerator"]
