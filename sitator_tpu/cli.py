@@ -126,6 +126,17 @@ def _seed_network(args, traj_path):
         n = len(range(0, len(reader), stride))
         print(f"landmark basis: {sn.n_sites} density sites "
               f"(sampled {n}/{len(reader)} frames)")
+    elif args.sites == "bv":
+        from sitator_tpu.network import BondValenceSiteGenerator
+        try:
+            sn = BondValenceSiteGenerator(
+                v_ideal=args.bv_valence,
+                mismatch_tol=args.bv_mismatch_tol,
+                verbose=args.verbose).run(sn)
+        except ValueError as e:
+            raise SystemExit(f"--sites bv: {e}")
+        print(f"landmark basis: {sn.n_sites} bond-valence sites "
+              f"(|V-{args.bv_valence:g}| < {args.bv_mismatch_tol:g})")
     else:
         sn = VoronoiSiteGenerator(merge_tol=args.voronoi_merge_tol).run(sn)
         print(f"landmark basis: {sn.n_sites} Voronoi sites")
@@ -609,15 +620,22 @@ def build_parser():
     pipe.add_argument("--cutoff-steepness", type=float, default=4.0)
     pipe.add_argument("--min-occupancy", type=float, default=0.01)
     pipe.add_argument("--voronoi-merge-tol", type=float, default=0.05)
-    pipe.add_argument("--sites", choices=["voronoi", "density"],
+    pipe.add_argument("--sites", choices=["voronoi", "density", "bv"],
                       default="voronoi",
                       help="landmark-basis seeding: empty-lattice "
-                           "Voronoi nodes (default) or mobile-ion "
+                           "Voronoi nodes (default), mobile-ion "
                            "density maxima (occupied basins only; "
-                           "finds interstitials geometry misses)")
+                           "finds interstitials geometry misses), or "
+                           "bond-valence mismatch minima (chemistry "
+                           "only — no trajectory needed)")
     pipe.add_argument("--density-frames", type=int, default=2000,
                       help="~frames sampled for --sites density "
                            "(strided across the whole run)")
+    pipe.add_argument("--bv-valence", type=float, default=1.0,
+                      help="target bond-valence sum for --sites bv "
+                           "(the mobile cation's formal valence)")
+    pipe.add_argument("--bv-mismatch-tol", type=float, default=0.5,
+                      help="acceptance |V - valence| for --sites bv")
     pipe.add_argument("--dynamic-lattice-mapping", action="store_true")
     pipe.add_argument("--merge-dynamics", type=float, default=None,
                       metavar="DIST",

@@ -439,3 +439,17 @@ def test_relaxation_flag(xyz_file, capsys):
                "--block-frames", "64", "--relaxation", "1.57"])
     assert rc == 0
     assert "--relaxation" in capsys.readouterr().err
+
+
+def test_sites_bv_seeding(xyz_file, capsys):
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--sites", "bv", "--bv-mismatch-tol", "0.9",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "bond-valence sites" in out
+    assert "final:" in out
+    # an impossible tolerance fails with a clean usage error
+    with pytest.raises(SystemExit, match="no grid point"):
+        main(["analyze", xyz_file, "--mobile", "Li",
+              "--sites", "bv", "--bv-mismatch-tol", "1e-9"])
