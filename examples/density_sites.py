@@ -77,4 +77,29 @@ d_to_interstitial = np.linalg.norm(
 print(f"interstitial basin recovered by density seeding: nearest "
       f"center {d_to_interstitial:.3f} Angstrom from the parked ion")
 assert d_to_interstitial < 0.3
+
+# --- 6. the third seeding route: chemistry alone.  Bond-valence
+# mismatch minima need no trajectory at all — on an FCC oxygen
+# sublattice sized so octahedral holes hit the ideal Li valence, the
+# generator accepts exactly the octahedral holes and rejects the
+# tetrahedral ones (V ~ 1.44): void selection by chemistry, which pure
+# geometry cannot do.
+from sitator_tpu.core.structure import Structure as _S
+from sitator_tpu.network import BondValenceSiteGenerator
+
+R0, b = 1.466, 0.37
+a_bv = 2 * (R0 + b * np.log(6.0))
+basis = np.array([[0, 0, 0], [.5, .5, 0], [.5, 0, .5], [0, .5, .5]])
+grid = np.stack(np.meshgrid(*[np.arange(2)] * 3, indexing="ij"),
+                -1).reshape(-1, 3)
+o_pos = ((grid[:, None, :] + basis[None]) * a_bv).reshape(-1, 3)
+pos = np.concatenate([o_pos, [[0.5 * a_bv, 0, 0]]])
+spc = np.array([8] * len(o_pos) + [3])
+s2 = _S(pos, spc, np.eye(3) * (2 * a_bv))
+sn_bv = BondValenceSiteGenerator(v_ideal=1.0, mismatch_tol=0.3,
+                                 min_distance=1.2, verbose=False).run(
+    SiteNetwork(s2, spc == 8, spc == 3))
+print(f"bond-valence seeding: {sn_bv.n_sites} sites (the 32 octahedral "
+      f"holes), BV sums {sn_bv.bv_sum.min():.2f}-{sn_bv.bv_sum.max():.2f}")
+assert sn_bv.n_sites == 32
 print("Density-seeding walkthrough complete.")

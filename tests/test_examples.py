@@ -41,6 +41,7 @@ EXAMPLES = {
     "density_sites.py": [
         "matched within 0.5 Angstrom",
         "interstitial basin recovered",
+        "bond-valence seeding: 32 sites",
         "Density-seeding walkthrough complete."],
 }
 
