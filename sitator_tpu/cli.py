@@ -191,6 +191,22 @@ def _postprocess(args, st):
     ja = JumpAnalysis(verbose=args.verbose)
     ja.run(st)
     print(f"final: {st.site_network.n_sites} sites, {ja.n_jumps} jumps")
+    if getattr(args, "diagnose", False):
+        from sitator_tpu.dynamics import (DetailedBalanceAnalysis,
+                                          OccupancyCorrelationAnalysis)
+        db = DetailedBalanceAnalysis(verbose=args.verbose).run(st)
+        note = ("" if len(db.violating_edges_) == 0 else
+                f" — edges {db.violating_edges_.tolist()} carry net "
+                "flux (field-driven run, unequilibrated relaxation, "
+                "or an aliased site)")
+        print(f"diagnose: detailed balance — "
+              f"{len(db.violating_edges_)}/{db.n_tested_} edges "
+              f"violate (worst p = {db.worst_p_:.3g}){note}")
+        oc = OccupancyCorrelationAnalysis(verbose=args.verbose).run(st)
+        print(f"diagnose: occupancy correlation — "
+              f"{len(oc.exclusive_pairs_)} exclusive / "
+              f"{len(oc.cofilling_pairs_)} co-filling site pairs "
+              f"(|r| >= {oc.threshold:g})")
     if getattr(args, "vacancies", False):
         _print_vacancy_report(args, st)
     if getattr(args, "concerted", False):

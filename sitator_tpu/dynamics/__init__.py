@@ -19,6 +19,8 @@ from sitator_tpu.dynamics.kmc import (KineticMonteCarlo,
 from sitator_tpu.dynamics.residence import ResidenceTimeAnalysis
 from sitator_tpu.dynamics.vacancy import VacancyAnalysis
 from sitator_tpu.dynamics.concerted import ConcertedJumpAnalysis
+from sitator_tpu.dynamics.balance import (DetailedBalanceAnalysis,
+                                          OccupancyCorrelationAnalysis)
 from sitator_tpu.network.merging import MergeSitesByDistance
 
 __all__ = [
@@ -32,4 +34,5 @@ __all__ = [
     "KineticMonteCarlo", "ResidenceTimeAnalysis",
     "EdgeArrheniusAnalysis", "mean_first_passage_times",
     "VacancyAnalysis", "ConcertedJumpAnalysis",
+    "DetailedBalanceAnalysis", "OccupancyCorrelationAnalysis",
 ]

@@ -211,6 +211,8 @@ def test_analyze_diagnose(xyz_file, capsys):
     assert "correlation factor f =" in out
     assert "MSD exponent" in out
     assert "stationarity D2/D1" in out
+    assert "detailed balance" in out
+    assert "occupancy correlation" in out
 
 
 def test_arrhenius_subcommand(tmp_path, capsys):
