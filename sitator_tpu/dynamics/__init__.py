@@ -12,7 +12,8 @@ from sitator_tpu.dynamics.correlation import (RDFAnalysis,
                                               ScatteringAnalysis)
 from sitator_tpu.dynamics.arrhenius import (ArrheniusAnalysis,
                                             EdgeArrheniusAnalysis)
-from sitator_tpu.dynamics.energetics import SiteFreeEnergyAnalysis
+from sitator_tpu.dynamics.energetics import (SiteFreeEnergyAnalysis,
+                                             PathwayBarrierAnalysis)
 from sitator_tpu.dynamics.onsager import OnsagerAnalysis
 from sitator_tpu.dynamics.kmc import (KineticMonteCarlo,
                                       mean_first_passage_times)
@@ -29,7 +30,8 @@ __all__ = [
     "AverageVibrationalFrequency", "VibrationalSpectrumAnalysis",
     "ConductivitySpectrumAnalysis", "DiffusionAnalysis",
     "SiteDiffusionAnalysis", "RelaxationAnalysis", "RDFAnalysis",
-    "VanHoveAnalysis", "ScatteringAnalysis", "ArrheniusAnalysis", "SiteFreeEnergyAnalysis",
+    "VanHoveAnalysis", "ScatteringAnalysis", "ArrheniusAnalysis",
+    "SiteFreeEnergyAnalysis", "PathwayBarrierAnalysis",
     "OnsagerAnalysis",
     "KineticMonteCarlo", "ResidenceTimeAnalysis",
     "EdgeArrheniusAnalysis", "mean_first_passage_times",

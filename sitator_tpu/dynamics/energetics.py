@@ -28,7 +28,7 @@ import logging
 
 import numpy as np
 
-__all__ = ["SiteFreeEnergyAnalysis"]
+__all__ = ["SiteFreeEnergyAnalysis", "PathwayBarrierAnalysis"]
 
 logger = logging.getLogger(__name__)
 
@@ -124,3 +124,140 @@ class SiteFreeEnergyAnalysis:
                         "occupied sites", float(np.ptp(good)) if
                         len(good) else float("nan"), len(good))
         return st
+
+
+def _trilinear_periodic(grid, frac):
+    """Periodic trilinear interpolation of a fractional-space grid at
+    fractional points ``frac (P, 3)`` (bin CENTERS at (i+0.5)/n)."""
+    grid = np.asarray(grid, dtype=np.float64)
+    n = np.asarray(grid.shape)
+    x = np.asarray(frac, dtype=np.float64) * n - 0.5
+    i0 = np.floor(x).astype(np.int64)
+    t = x - i0
+    out = np.zeros(len(x))
+    for di in (0, 1):
+        for dj in (0, 1):
+            for dk in (0, 1):
+                idx = (i0 + [di, dj, dk]) % n
+                w = (np.where(di, t[:, 0], 1 - t[:, 0])
+                     * np.where(dj, t[:, 1], 1 - t[:, 1])
+                     * np.where(dk, t[:, 2], 1 - t[:, 2]))
+                out += w * grid[idx[:, 0], idx[:, 1], idx[:, 2]]
+    return out
+
+
+class PathwayBarrierAnalysis:
+    """Free-energy barrier estimates along site-pair pathways from the
+    occupation density: in equilibrium ``F(r) = -kB T ln ρ(r)`` up to a
+    constant, so the barrier of the i→j hop is read off the density
+    profile along the transition path.
+
+    This is the Boltzmann-statistics complement to the two existing
+    barrier routes — TST-from-rates
+    (:class:`SiteFreeEnergyAnalysis` ``barriers_ij``, needs an attempt
+    frequency) and cross-temperature Arrhenius
+    (:class:`~sitator_tpu.dynamics.arrhenius.EdgeArrheniusAnalysis`,
+    needs a temperature series) — this one needs a single trajectory
+    and a temperature, but DOES require the transition region to be
+    sampled (rarely-crossed saddles are noisy; never-crossed ones NaN).
+
+    Caveat (documented, standard for this technique): the path is the
+    STRAIGHT minimum-image segment between site centers, an upper bound
+    proxy for the true minimum-free-energy path; fine for direct
+    interstitial hops, pessimistic for strongly curved mechanisms.
+
+    Parameters
+    ----------
+    temperature : kelvin (barriers in eV).
+    n_bins, sigma : density grid resolution / smoothing (as in
+        :class:`~sitator_tpu.network.density_sites.DensitySiteGenerator`).
+    n_samples : points sampled along each path segment.
+    min_jumps : only edges with at least this many observed hops (in
+        ``n_ij``, when present) are profiled; without ``n_ij``, all
+        pairs within ``max_distance`` are.
+    max_distance : skip pairs farther apart (minimum image) than this
+        (None = no limit).
+
+    After ``run(st)``: edge attr ``density_barrier_ij`` (eV; NaN off
+    the jump graph or where the path crosses unsampled density) and
+    ``profiles_`` — dict ``(i, j) -> (s, F(s))`` arrays (s in Å along
+    the path, F relative to the site-i end).  Returns ``self``.
+    """
+
+    def __init__(self, temperature, n_bins=48, sigma=0.5, n_samples=33,
+                 min_jumps=1, max_distance=None, verbose=True):
+        self.temperature = float(temperature)
+        if self.temperature <= 0:
+            raise ValueError("temperature must be positive kelvin")
+        self.n_bins = int(n_bins)
+        self.sigma = float(sigma)
+        self.n_samples = int(n_samples)
+        if self.n_samples < 3:
+            raise ValueError("n_samples must be at least 3")
+        self.min_jumps = int(min_jumps)
+        self.max_distance = max_distance
+        self.verbose = verbose
+
+    def run(self, st):
+        from sitator_tpu.network.compare import min_image_distance_matrix
+        from sitator_tpu.ops import density as density_ops
+        from sitator_tpu.ops.pbc import PBCCalculator
+
+        sn = st.site_network
+        traj = st.real_trajectory
+        if traj is None:
+            raise ValueError(
+                "SiteTrajectory has no real trajectory (set_real_traj)")
+        cell = np.asarray(sn.structure.cell, dtype=np.float64)
+        centers = np.asarray(sn.centers, dtype=np.float64)
+        S = sn.n_sites
+
+        grid = density_ops.density_grid(
+            traj, cell, mask=sn.mobile_mask, n_bins=self.n_bins)
+        rho = density_ops.smooth_density(grid, cell, self.sigma)
+
+        # candidate edges: the observed jump graph when available
+        if sn.has_attribute("n_ij"):
+            n_ij = np.asarray(sn.n_ij)
+            pairs = [(i, j) for i in range(S) for j in range(i + 1, S)
+                     if n_ij[i, j] + n_ij[j, i] >= self.min_jumps]
+        else:
+            pairs = [(i, j) for i in range(S) for j in range(i + 1, S)]
+        if self.max_distance is not None:
+            D = min_image_distance_matrix(centers, centers, cell)
+            pairs = [(i, j) for i, j in pairs
+                     if D[i, j] <= self.max_distance]
+
+        kT = _K_B_EV * self.temperature
+        calc = PBCCalculator(cell)
+        inv = np.linalg.inv(cell)
+        E = np.full((S, S), np.nan)
+        self.profiles_ = {}
+        s_par = np.linspace(0.0, 1.0, self.n_samples)
+        for i, j in pairs:
+            d = np.asarray(calc._min_image_disp(
+                (centers[j] - centers[i])[None]))[0]
+            pts = centers[i][None] + s_par[:, None] * d[None]
+            frac = pts @ inv
+            frac -= np.floor(frac)
+            prof = _trilinear_periodic(rho, frac)
+            if prof.min() <= 0:            # unsampled transition region
+                continue
+            F_path = -kT * np.log(prof / prof[0])
+            # barrier relative to each end (max over the path interior)
+            peak = F_path.max()
+            E[i, j] = peak - F_path[0]      # == peak (F[0] = 0)
+            E[j, i] = peak - F_path[-1]
+            self.profiles_[(i, j)] = (
+                s_par * np.linalg.norm(d), F_path)
+        if "density_barrier_ij" in sn.edge_attributes:
+            sn.remove_attribute("density_barrier_ij")
+        sn.add_edge_attribute("density_barrier_ij", E)
+        if self.verbose:
+            finite = E[np.isfinite(E)]
+            logger.info(
+                "density barriers: %d directed edges profiled, median "
+                "%.3g eV", len(finite),
+                float(np.median(finite)) if len(finite) else
+                float("nan"))
+        return self
