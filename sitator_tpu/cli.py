@@ -286,6 +286,7 @@ def cmd_analyze(args):
             ("--temperature", args.temperature),
             ("--onsager", args.onsager),
             ("--relaxation", args.relaxation),
+            ("--barriers", args.barriers or None),
             ("--drift-correction", args.drift_correction),
         ] if val is not None]
         if ignored:
@@ -338,6 +339,24 @@ def cmd_analyze(args):
             print(f"diagnose: MSD exponent = {da.msd_exponent_:.2f} "
                   f"(diffusive ~1), stationarity D2/D1 = "
                   f"{da.stationarity_ratio_:.2f} (stationary ~1)")
+
+    if args.barriers:
+        if not args.temperature:
+            raise SystemExit("--barriers needs --temperature (kelvin)")
+        from sitator_tpu.dynamics import PathwayBarrierAnalysis
+        st.set_real_traj(traj)
+        pa = PathwayBarrierAnalysis(temperature=args.temperature,
+                                    min_jumps=2,
+                                    verbose=args.verbose).run(st)
+        E = st.site_network.density_barrier_ij
+        finite = E[np.isfinite(E)]
+        if len(finite):
+            print(f"density barriers: {len(finite)} directed edges, "
+                  f"median {np.median(finite):.3g} eV "
+                  f"(range [{finite.min():.3g}, {finite.max():.3g}]; "
+                  f"saved as edge attr density_barrier_ij)")
+        else:
+            print("density barriers: no edge with enough sampling")
 
     if args.relaxation:
         from sitator_tpu.dynamics import RelaxationAnalysis
@@ -692,6 +711,11 @@ def build_parser():
                         "'Li:+1,Cl:-1' — transference numbers and "
                         "(with --timestep/--temperature) the "
                         "pairing-aware conductivity")
+    a.add_argument("--barriers", action="store_true",
+                   help="free-energy barriers along observed hop paths "
+                        "from the occupation density (-kT ln rho; "
+                        "needs --temperature); edge attr "
+                        "density_barrier_ij on the saved network")
     a.add_argument("--relaxation", type=float, default=None, metavar="Q",
                    help="dynamic heterogeneity at wavevector Q (1/Å): "
                         "non-Gaussian alpha2(t) peak and the self-"

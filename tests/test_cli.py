@@ -455,3 +455,13 @@ def test_sites_bv_seeding(xyz_file, capsys):
     with pytest.raises(SystemExit, match="no grid point"):
         main(["analyze", xyz_file, "--mobile", "Li",
               "--sites", "bv", "--bv-mismatch-tol", "1e-9"])
+
+
+def test_barriers_flag(xyz_file, capsys):
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--temperature", "600", "--barriers"])
+    assert rc == 0
+    assert "density barriers:" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="needs --temperature"):
+        main(["analyze", xyz_file, "--mobile", "Li", "--barriers"])
