@@ -307,9 +307,11 @@ def cmd_analyze(args):
                   "the spilled label file, written next to --out)",
                   file=sys.stderr)
         return _analyze_streaming(args, sn, reader)
-    # fail on a malformed --onsager spec BEFORE the expensive pipeline
+    # fail on malformed flag combinations BEFORE the expensive pipeline
     onsager_spec = (_parse_onsager_spec(args.onsager, sn)
                     if args.onsager else None)
+    if args.barriers and not args.temperature:
+        raise SystemExit("--barriers needs --temperature (kelvin)")
     traj = reader[0:len(reader)]
     st = _eager_pipeline(args, sn, traj)
 
@@ -341,12 +343,10 @@ def cmd_analyze(args):
                   f"{da.stationarity_ratio_:.2f} (stationary ~1)")
 
     if args.barriers:
-        if not args.temperature:
-            raise SystemExit("--barriers needs --temperature (kelvin)")
         from sitator_tpu.dynamics import PathwayBarrierAnalysis
         st.set_real_traj(traj)
         pa = PathwayBarrierAnalysis(temperature=args.temperature,
-                                    min_jumps=2,
+                                    min_jumps=args.barriers_min_jumps,
                                     verbose=args.verbose).run(st)
         E = st.site_network.density_barrier_ij
         finite = E[np.isfinite(E)]
@@ -716,6 +716,9 @@ def build_parser():
                         "from the occupation density (-kT ln rho; "
                         "needs --temperature); edge attr "
                         "density_barrier_ij on the saved network")
+    a.add_argument("--barriers-min-jumps", type=int, default=2,
+                   help="profile only edges with at least this many "
+                        "observed hops")
     a.add_argument("--relaxation", type=float, default=None, metavar="Q",
                    help="dynamic heterogeneity at wavevector Q (1/Å): "
                         "non-Gaussian alpha2(t) peak and the self-"

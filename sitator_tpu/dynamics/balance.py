@@ -36,25 +36,17 @@ logger = logging.getLogger(__name__)
 def _binom_two_sided_p(k, n):
     """Two-sided exact binomial p-value for k successes of n at p=1/2
     (vectorized; the doubling-the-smaller-tail convention, capped at 1).
-    Uses the regularized incomplete beta via scipy when available,
-    else an exact log-binomial sum (n here is per-edge hop counts —
-    small)."""
+    scipy's regularized-beta CDF — O(1) per edge regardless of event
+    count (a naive per-j log-binomial sum is O(n²) and takes seconds
+    per busy edge on long runs)."""
+    from scipy.stats import binom
     k = np.asarray(k, dtype=np.int64)
     n = np.asarray(n, dtype=np.int64)
     lo = np.minimum(k, n - k)
-    out = np.ones(k.shape, dtype=np.float64)
-    for idx in np.ndindex(*k.shape):
-        ni, li = int(n[idx]), int(lo[idx])
-        if ni == 0:
-            continue
-        # P(X <= li) for X ~ Binom(ni, 1/2), exact in log space
-        logs = [-ni * np.log(2.0)
-                + (np.sum(np.log(np.arange(ni - j + 1, ni + 1)))
-                   - np.sum(np.log(np.arange(1, j + 1))))
-                for j in range(li + 1)]
-        tail = np.exp(np.logaddexp.reduce(logs))
-        out[idx] = min(1.0, 2.0 * tail)
-    return out
+    with np.errstate(invalid="ignore"):
+        tail = binom.cdf(lo, np.maximum(n, 1), 0.5)
+    out = np.minimum(1.0, 2.0 * tail)
+    return np.where(n == 0, 1.0, out)
 
 
 class DetailedBalanceAnalysis:
@@ -65,8 +57,9 @@ class DetailedBalanceAnalysis:
 
     - edge attrs on the network: ``edge_asymmetry`` —
       ``(n_ij − n_ji) / (n_ij + n_ji)`` (NaN where no events) — and
-      ``balance_p`` (two-sided exact binomial p-value, 1 where no
-      events);
+      ``balance_p`` (two-sided exact binomial p-value; NaN for edges
+      below ``min_events``, so "untested" is never confused with
+      "tested and balanced");
     - ``violating_edges_``: ``(k, 2)`` site pairs with
       ``balance_p < alpha`` after a Bonferroni correction over the
       tested edges (conservative on purpose: this flags systematics,
@@ -97,11 +90,11 @@ class DetailedBalanceAnalysis:
         tested = tot >= self.min_events
 
         asym = np.full((S, S), np.nan)
-        pmat = np.ones((S, S))
+        pmat = np.full((S, S), np.nan)
         with np.errstate(invalid="ignore", divide="ignore"):
             a = np.where(tot > 0, (fwd - bwd) / np.maximum(tot, 1),
                          np.nan)
-        p = np.ones(len(fwd))
+        p = np.full(len(fwd), np.nan)
         p[tested] = _binom_two_sided_p(fwd[tested], tot[tested])
         asym[iu] = a
         asym[(iu[1], iu[0])] = -a
@@ -144,22 +137,29 @@ class OccupancyCorrelationAnalysis:
         self.threshold = float(threshold)
         self.verbose = verbose
 
-    def run(self, st: SiteTrajectory):
+    def run(self, st: SiteTrajectory, chunk=65536):
         sn = st.site_network
         S = sn.n_sites
-        labels = np.asarray(st.traj)
+        labels = st.traj                   # may be a spilled memmap
         F = labels.shape[0]
-        occ = np.zeros((F, S), dtype=np.float64)
-        ok = labels >= 0
-        frame_idx = np.broadcast_to(
-            np.arange(F)[:, None], labels.shape)[ok]
-        # multiple ions on one site still give a 0/1 indicator
-        occ[frame_idx, labels[ok]] = 1.0
-
-        mean = occ.mean(axis=0)
-        dev = occ - mean
-        cov = dev.T @ dev / F
-        sd = np.sqrt(np.diag(cov))
+        # O(S²) accumulators over frame chunks — the streaming CLI
+        # post-processes million-frame label memmaps through here, so
+        # a dense (F, S) indicator matrix is not an option
+        cross = np.zeros((S, S), dtype=np.float64)
+        total = np.zeros(S, dtype=np.float64)
+        for lo in range(0, F, chunk):
+            blk = np.asarray(labels[lo:lo + chunk])
+            C = blk.shape[0]
+            occ = np.zeros((C, S), dtype=np.float64)
+            ok = blk >= 0
+            rows = np.broadcast_to(np.arange(C)[:, None], blk.shape)[ok]
+            # multiple ions on one site still give a 0/1 indicator
+            occ[rows, blk[ok]] = 1.0
+            cross += occ.T @ occ
+            total += occ.sum(axis=0)
+        mean = total / F
+        cov = cross / F - np.outer(mean, mean)
+        sd = np.sqrt(np.maximum(np.diag(cov), 0.0))
         with np.errstate(invalid="ignore", divide="ignore"):
             corr = cov / np.outer(sd, sd)
         corr[~np.isfinite(corr)] = np.nan

@@ -27,10 +27,7 @@ def test_binom_p_matches_scipy_and_closed_forms():
     # perfectly balanced: p capped at 1
     assert _binom_two_sided_p([5], [10])[0] == 1.0
     assert _binom_two_sided_p([0], [0])[0] == 1.0
-    try:
-        from scipy.stats import binomtest
-    except ImportError:
-        return
+    from scipy.stats import binomtest    # hard dependency
     rng = np.random.default_rng(3)
     for _ in range(25):
         n = int(rng.integers(1, 60))
@@ -56,6 +53,20 @@ def test_detailed_balance_equilibrium_null():
     assert sn.edge_asymmetry[0, 1] == pytest.approx(0.0, abs=1e-3)
     assert sn.balance_p[0, 1] > 0.5
     assert sn.edge_asymmetry[0, 1] == -sn.edge_asymmetry[1, 0]
+
+
+def test_balance_p_nan_for_untested_edges():
+    """An edge below min_events must carry NaN (untested), never 1.0
+    (which reads as 'tested and perfectly balanced') — even when its
+    few events are maximally one-directional."""
+    labels = np.concatenate([np.tile([0, 1], 50),
+                             [0, 2, 0, 2, 0]])[:, None]
+    sn = _network(3, n_ions=1)
+    st = JumpAnalysis(verbose=False).run(SiteTrajectory(sn, labels))
+    db = DetailedBalanceAnalysis(min_events=8, verbose=False).run(st)
+    assert np.isfinite(sn.balance_p[0, 1])          # 100 events: tested
+    assert np.isnan(sn.balance_p[0, 2])             # 4 events: untested
+    assert np.isnan(sn.balance_p[1, 2])             # 0 events: untested
 
 
 def test_detailed_balance_flags_directed_flux():
