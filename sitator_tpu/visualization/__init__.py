@@ -19,6 +19,7 @@ from sitator_tpu.visualization.kinetics import (
     plot_van_hove,
     plot_vdos,
     plot_conductivity_spectrum,
+    plot_barrier_profiles,
 )
 
 __all__ = [
@@ -27,5 +28,5 @@ __all__ = [
     "plot_particle_trajectory", "plot_msd", "plot_arrhenius", "plot_rdf",
     "plot_van_hove", "plot_residence_survival",
     "plot_structure_factor", "plot_vdos",
-    "plot_conductivity_spectrum",
+    "plot_conductivity_spectrum", "plot_barrier_profiles",
 ]

@@ -13,7 +13,8 @@ from sitator_tpu.visualization.common import plotter
 
 __all__ = ["plot_msd", "plot_arrhenius", "plot_rdf", "plot_van_hove",
            "plot_residence_survival", "plot_structure_factor",
-           "plot_vdos", "plot_conductivity_spectrum"]
+           "plot_vdos", "plot_conductivity_spectrum",
+           "plot_barrier_profiles"]
 
 _K_B_EV = 8.617333262e-5
 
@@ -170,6 +171,27 @@ def plot_conductivity_spectrum(ca, show_dc=True, fig=None, ax=None):
                        label=f"σ_DC (spectral) = "
                              f"{ca.sigma_dc_spectral_:.3g}")
         ax.legend(fontsize="small")
+
+
+@plotter(is3D=False)
+def plot_barrier_profiles(pa, edges=None, max_profiles=12, fig=None,
+                          ax=None):
+    """Free-energy profiles F(s) along hop paths from a fitted
+    :class:`~sitator_tpu.dynamics.energetics.PathwayBarrierAnalysis`
+    (``edges``: specific (i, j) pairs; default: the ``max_profiles``
+    highest-barrier profiles)."""
+    items = (list(pa.profiles_.items()) if edges is None else
+             [((i, j), pa.profiles_[(i, j)]) for i, j in edges])
+    if edges is None:
+        items.sort(key=lambda kv: -float(np.nanmax(kv[1][1])))
+        items = items[:max_profiles]
+    for (i, j), (s, prof) in items:
+        ax.plot(s, prof, lw=1.2, label=f"{i}→{j}")
+    ax.set_xlabel("path coordinate  [length]")
+    ax.set_ylabel("F  [eV]")
+    ax.axhline(0.0, color="0.8", lw=0.6, zorder=0)
+    if len(items) <= 12:
+        ax.legend(fontsize="x-small", ncol=2)
 
 
 @plotter(is3D=False)

@@ -144,3 +144,25 @@ def test_pathway_barriers_on_real_pipeline():
     assert (finite > 0).sum() >= 4
     kT = _K_B_EV * 600.0
     assert np.median(finite) < 20 * kT
+
+
+def test_plot_barrier_profiles_draws():
+    import matplotlib
+    matplotlib.use("Agg")
+    from sitator_tpu.visualization import plot_barrier_profiles
+    rng = np.random.default_rng(13)
+    L = 8.0
+    traj = rng.uniform(0, L, (400, 40, 3))
+    centers = np.array([[1.0, 1.0, 1.0], [4.0, 4.0, 4.0],
+                        [7.0, 1.0, 4.0]])
+    st, sn = _two_site_st(traj, centers[:2], L)
+    sn.centers = centers                      # 3 sites, all-pairs mode
+    st2 = SiteTrajectory(sn, np.zeros((400, 40), dtype=int))
+    st2.set_real_traj(traj)
+    pa = PathwayBarrierAnalysis(temperature=400.0, n_bins=16,
+                                sigma=0.8, verbose=False).run(st2)
+    fig = plot_barrier_profiles(pa)
+    fig.canvas.draw()
+    lines = [l for l in fig.axes[0].get_lines() if len(l.get_xdata()) > 2]
+    assert len(lines) == len(pa.profiles_)
+    assert fig.axes[0].get_legend() is not None
