@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 import numpy as np
@@ -287,6 +288,7 @@ def cmd_analyze(args):
             ("--onsager", args.onsager),
             ("--relaxation", args.relaxation),
             ("--barriers", args.barriers or None),
+            ("--report", args.report),
             ("--drift-correction", args.drift_correction),
         ] if val is not None]
         if ignored:
@@ -314,6 +316,7 @@ def cmd_analyze(args):
         raise SystemExit("--barriers needs --temperature (kelvin)")
     traj = reader[0:len(reader)]
     st = _eager_pipeline(args, sn, traj)
+    objs = {}
 
     if args.timestep:
         st.set_real_traj(traj)
@@ -331,6 +334,7 @@ def cmd_analyze(args):
         if da.conductivity_ is not None:
             print(f"sigma({args.temperature:g} K) = "
                   f"{da.conductivity_:.4g} S/cm")
+        objs["da"] = da
         if args.diagnose:
             from sitator_tpu.dynamics import SiteDiffusionAnalysis
             sd = SiteDiffusionAnalysis(timestep=args.timestep,
@@ -341,6 +345,7 @@ def cmd_analyze(args):
             print(f"diagnose: MSD exponent = {da.msd_exponent_:.2f} "
                   f"(diffusive ~1), stationarity D2/D1 = "
                   f"{da.stationarity_ratio_:.2f} (stationary ~1)")
+            objs["sd"] = sd
 
     if args.barriers:
         from sitator_tpu.dynamics import PathwayBarrierAnalysis
@@ -350,6 +355,7 @@ def cmd_analyze(args):
                                     verbose=args.verbose).run(st)
         E = st.site_network.density_barrier_ij
         finite = E[np.isfinite(E)]
+        objs["pa"] = pa
         if len(finite):
             print(f"density barriers: {len(finite)} directed edges, "
                   f"median {np.median(finite):.3g} eV "
@@ -367,13 +373,16 @@ def cmd_analyze(args):
             traj, mobile_mask=sn.mobile_mask, cell=sn.structure.cell)
         unit = "ps" if args.timestep else "frames"
         peak_t = ra.times_[int(np.argmax(ra.alpha2_))]
+        objs["ra"] = ra
         print(f"relaxation (q = {args.relaxation:g} 1/Å): alpha2 peak "
               f"{ra.alpha2_.max():.3g} at t = {peak_t:.4g} {unit}; "
               f"tau_alpha = {ra.tau_alpha_:.4g} {unit}")
 
     if onsager_spec is not None:
-        _run_onsager(args, sn, traj, onsager_spec)
+        objs["oa"] = _run_onsager(args, sn, traj, onsager_spec)
 
+    if args.report:
+        _write_report(args, st, objs)
     if args.out:
         st.save(args.out)
         print(f"results saved to {args.out}")
@@ -439,6 +448,96 @@ def _run_onsager(args, sn, traj, spec):
     if oa.conductivity_ is not None:
         print(f"sigma_Onsager({temperature:g} K) = "
               f"{oa.conductivity_:.4g} S/cm")
+    return oa
+
+
+def _write_report(args, st, objs):
+    """--report DIR: a self-contained markdown report with figures for
+    everything this run computed (no extra analysis is performed)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from sitator_tpu import __version__
+
+    outdir = args.report
+    os.makedirs(outdir, exist_ok=True)
+    sn = st.site_network
+    n_ij = (np.asarray(sn.n_ij) if sn.has_attribute("n_ij") else None)
+    lines = ["# sitator_tpu analysis report", "",
+             f"- generated by sitator_tpu {__version__}",
+             f"- trajectory: `{args.traj}`",
+             f"- frames: {st.n_frames}; mobile ions: {st.n_mobile}",
+             f"- sites: {sn.n_sites}"
+             + (f"; jumps: {int(n_ij.sum() - np.trace(n_ij))}"
+                if n_ij is not None else ""),
+             ""]
+    figures = []
+    try:
+        from sitator_tpu.visualization import SiteNetworkPlotter
+        fig = SiteNetworkPlotter(site_size_attr="occupancies").plot(sn)
+        figures.append(("site_network.png", fig,
+                        "Site network (marker size = occupancy, edge "
+                        "width = hop counts)"))
+    except Exception as e:          # plotting must never kill a report
+        lines.append(f"(site-network figure skipped: {e})")
+
+    da = objs.get("da")
+    if da is not None:
+        lines += [
+            "## Transport", "",
+            f"- D_tracer = {da.D_tracer_:.4g} ± {da.D_tracer_err_:.2g}"
+            " (length²/time of the input)",
+            f"- D_collective = {da.D_collective_:.4g}; Haven ratio = "
+            f"{da.haven_ratio_:.3g}",
+            f"- MSD exponent = {da.msd_exponent_:.2f} (diffusive ~1); "
+            f"stationarity D2/D1 = {da.stationarity_ratio_:.2f}",
+        ]
+        if da.conductivity_ is not None:
+            lines.append(f"- sigma({args.temperature:g} K) = "
+                         f"{da.conductivity_:.4g} S/cm")
+        lines.append("")
+        from sitator_tpu.visualization import plot_msd
+        figures.append(("msd.png", plot_msd(da), "MSD and fit window"))
+    sd = objs.get("sd")
+    if sd is not None:
+        lines += [f"- D_site/D_tracer = "
+                  f"{sd.D_site_ / da.D_tracer_:.3g}; correlation "
+                  f"factor f = {sd.f_:.3g}", ""]
+    oa = objs.get("oa")
+    if oa is not None:
+        lines += ["## Onsager transport", "",
+                  f"- transference: "
+                  + ", ".join(f"{t:.3f}" for t in oa.transference_)
+                  if oa.transference_ is not None else "", ""]
+        if oa.conductivity_ is not None:
+            lines.insert(-1, f"- sigma_Onsager = "
+                             f"{oa.conductivity_:.4g} S/cm")
+    ra = objs.get("ra")
+    if ra is not None:
+        lines += ["## Relaxation", "",
+                  f"- alpha2 peak = {ra.alpha2_.max():.3g}; tau_alpha "
+                  f"= {ra.tau_alpha_:.4g}", ""]
+    pa = objs.get("pa")
+    if pa is not None and pa.profiles_:
+        E = sn.density_barrier_ij
+        finite = E[np.isfinite(E)]
+        lines += ["## Pathway barriers (density route)", "",
+                  f"- {len(finite)} directed edges; median "
+                  f"{np.median(finite):.3g} eV", ""]
+        from sitator_tpu.visualization import plot_barrier_profiles
+        figures.append(("barriers.png", plot_barrier_profiles(pa),
+                        "Free-energy profiles along hop paths"))
+
+    for fname, fig, caption in figures:
+        fig.savefig(os.path.join(outdir, fname), dpi=130,
+                    bbox_inches="tight")
+        plt.close(fig)
+        lines += [f"![{caption}]({fname})", "", f"*{caption}*", ""]
+    path = os.path.join(outdir, "report.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"report written to {path} ({len(figures)} figures)")
 
 
 def _analyze_streaming(args, sn, reader):
@@ -733,6 +832,9 @@ def build_parser():
     a.add_argument("--temperature", type=float, default=None,
                    help="kelvin — adds Nernst-Einstein conductivity")
     a.add_argument("--charge", type=float, default=1.0)
+    a.add_argument("--report", default=None, metavar="DIR",
+                   help="write a markdown report (+ figures) of "
+                        "everything this run computed into DIR")
     a.add_argument("--out", default=None, metavar="OUT.npz",
                    help="save the SiteTrajectory (+ network) here")
     a.set_defaults(func=cmd_analyze)

@@ -465,3 +465,29 @@ def test_barriers_flag(xyz_file, capsys):
     assert "density barriers:" in capsys.readouterr().out
     with pytest.raises(SystemExit, match="needs --temperature"):
         main(["analyze", xyz_file, "--mobile", "Li", "--barriers"])
+
+
+def test_report_flag(xyz_file, tmp_path, capsys):
+    rpt = str(tmp_path / "rpt")
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--timestep", "1.0", "--temperature", "600",
+               "--barriers", "--report", rpt])
+    assert rc == 0
+    assert "report written to" in capsys.readouterr().out
+    text = open(os.path.join(rpt, "report.md")).read()
+    assert "D_tracer" in text
+    pngs = ["site_network.png", "msd.png"]
+    # the barriers section appears only when some edge had enough
+    # sampling (tiny fixture: may legitimately be empty)
+    if "Pathway barriers" in text:
+        pngs.append("barriers.png")
+    for png in pngs:
+        p = os.path.join(rpt, png)
+        assert os.path.exists(p) and os.path.getsize(p) > 5000
+        assert f"({png})" in text
+    # streaming: ignored with a warning
+    rc = main(["analyze", xyz_file, "--mobile", "Li", "--streaming",
+               "--block-frames", "64", "--report", rpt])
+    assert rc == 0
+    assert "--report" in capsys.readouterr().err
