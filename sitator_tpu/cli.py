@@ -314,6 +314,12 @@ def cmd_analyze(args):
                     if args.onsager else None)
     if args.barriers and not args.temperature:
         raise SystemExit("--barriers needs --temperature (kelvin)")
+    if args.report:
+        try:
+            import matplotlib  # noqa: F401 -- the 'full' extra
+        except ImportError:
+            raise SystemExit("--report needs matplotlib (install the "
+                             "'full' extra)")
     traj = reader[0:len(reader)]
     st = _eager_pipeline(args, sn, traj)
     objs = {}
@@ -381,11 +387,17 @@ def cmd_analyze(args):
     if onsager_spec is not None:
         objs["oa"] = _run_onsager(args, sn, traj, onsager_spec)
 
-    if args.report:
-        _write_report(args, st, objs)
     if args.out:
         st.save(args.out)
         print(f"results saved to {args.out}")
+    if args.report:
+        # the analysis is already saved — a report failure must never
+        # cost the run
+        try:
+            _write_report(args, st, objs)
+        except Exception as e:
+            print(f"warning: report generation failed: {e}",
+                  file=sys.stderr)
     return 0
 
 
@@ -448,6 +460,7 @@ def _run_onsager(args, sn, traj, spec):
     if oa.conductivity_ is not None:
         print(f"sigma_Onsager({temperature:g} K) = "
               f"{oa.conductivity_:.4g} S/cm")
+    oa.names_ = names                      # for the report
     return oa
 
 
@@ -506,13 +519,17 @@ def _write_report(args, st, objs):
                   f"factor f = {sd.f_:.3g}", ""]
     oa = objs.get("oa")
     if oa is not None:
-        lines += ["## Onsager transport", "",
-                  f"- transference: "
-                  + ", ".join(f"{t:.3f}" for t in oa.transference_)
-                  if oa.transference_ is not None else "", ""]
+        lines += ["## Onsager transport", ""]
+        if oa.transference_ is not None:
+            names = getattr(oa, "names_",
+                            [str(i) for i in range(len(oa.transference_))])
+            lines.append("- transference: " + ", ".join(
+                f"t_{n} = {t:.3f}"
+                for n, t in zip(names, oa.transference_)))
         if oa.conductivity_ is not None:
-            lines.insert(-1, f"- sigma_Onsager = "
-                             f"{oa.conductivity_:.4g} S/cm")
+            lines.append(f"- sigma_Onsager = "
+                         f"{oa.conductivity_:.4g} S/cm")
+        lines.append("")
     ra = objs.get("ra")
     if ra is not None:
         lines += ["## Relaxation", "",

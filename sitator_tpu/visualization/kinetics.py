@@ -178,19 +178,32 @@ def plot_barrier_profiles(pa, edges=None, max_profiles=12, fig=None,
                           ax=None):
     """Free-energy profiles F(s) along hop paths from a fitted
     :class:`~sitator_tpu.dynamics.energetics.PathwayBarrierAnalysis`
-    (``edges``: specific (i, j) pairs; default: the ``max_profiles``
-    highest-barrier profiles)."""
-    items = (list(pa.profiles_.items()) if edges is None else
-             [((i, j), pa.profiles_[(i, j)]) for i, j in edges])
+    (``edges``: specific (i, j) pairs in either direction — a reversed
+    pair is drawn from site j's end with F re-referenced to it;
+    default: the ``max_profiles`` highest-barrier profiles)."""
     if edges is None:
-        items.sort(key=lambda kv: -float(np.nanmax(kv[1][1])))
+        items = sorted(pa.profiles_.items(),
+                       key=lambda kv: -float(np.nanmax(kv[1][1])))
         items = items[:max_profiles]
+    else:
+        items = []
+        for i, j in edges:
+            key = (min(i, j), max(i, j))
+            if key not in pa.profiles_:
+                raise ValueError(
+                    f"no profile for edge ({i}, {j}) — off the jump "
+                    "graph or its path crossed unsampled density")
+            s, prof = pa.profiles_[key]
+            if (i, j) != key:               # reversed request
+                prof = prof[::-1] - prof[-1]
+            items.append(((i, j), (s, prof)))
     for (i, j), (s, prof) in items:
         ax.plot(s, prof, lw=1.2, label=f"{i}→{j}")
     ax.set_xlabel("path coordinate  [length]")
     ax.set_ylabel("F  [eV]")
     ax.axhline(0.0, color="0.8", lw=0.6, zorder=0)
-    if len(items) <= 12:
+    # legend whenever the caller's requested budget allows labeling
+    if edges is not None or len(items) <= max(max_profiles, 1):
         ax.legend(fontsize="x-small", ncol=2)
 
 

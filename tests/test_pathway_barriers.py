@@ -166,3 +166,26 @@ def test_plot_barrier_profiles_draws():
     lines = [l for l in fig.axes[0].get_lines() if len(l.get_xdata()) > 2]
     assert len(lines) == len(pa.profiles_)
     assert fig.axes[0].get_legend() is not None
+
+
+def test_plot_barrier_profiles_reverse_edge_and_errors():
+    import matplotlib
+    matplotlib.use("Agg")
+    from sitator_tpu.visualization import plot_barrier_profiles
+    rng = np.random.default_rng(17)
+    L = 8.0
+    traj = rng.uniform(0, L, (300, 30, 3))
+    centers = np.array([[1.0, 1.0, 1.0], [4.0, 4.0, 4.0]])
+    st, sn = _two_site_st(traj, centers, L)
+    pa = PathwayBarrierAnalysis(temperature=400.0, n_bins=16,
+                                sigma=0.8, verbose=False).run(st)
+    fig = plot_barrier_profiles(pa, edges=[(1, 0)])   # reversed key
+    fig.canvas.draw()
+    (line,) = [l for l in fig.axes[0].get_lines()
+               if len(l.get_xdata()) > 2]
+    y = line.get_ydata()
+    s, prof = pa.profiles_[(0, 1)]
+    np.testing.assert_allclose(y, prof[::-1] - prof[-1], rtol=1e-12)
+    assert y[0] == 0.0                    # re-referenced to site 1's end
+    with pytest.raises(ValueError, match="no profile"):
+        plot_barrier_profiles(pa, edges=[(0, 5)])
