@@ -20,8 +20,9 @@ from sitator_tpu.dynamics.kmc import (KineticMonteCarlo,
 from sitator_tpu.dynamics.residence import ResidenceTimeAnalysis
 from sitator_tpu.dynamics.vacancy import VacancyAnalysis
 from sitator_tpu.dynamics.concerted import ConcertedJumpAnalysis
-from sitator_tpu.dynamics.balance import (DetailedBalanceAnalysis,
-                                          OccupancyCorrelationAnalysis)
+from sitator_tpu.dynamics.balance import (
+    DetailedBalanceAnalysis, OccupancyCorrelationAnalysis,
+    MergeSitesByOccupancyCorrelation)
 from sitator_tpu.network.merging import MergeSitesByDistance
 
 __all__ = [
@@ -37,4 +38,5 @@ __all__ = [
     "EdgeArrheniusAnalysis", "mean_first_passage_times",
     "VacancyAnalysis", "ConcertedJumpAnalysis",
     "DetailedBalanceAnalysis", "OccupancyCorrelationAnalysis",
+    "MergeSitesByOccupancyCorrelation",
 ]

@@ -27,8 +27,10 @@ import logging
 import numpy as np
 
 from sitator_tpu.core.sitetraj import SiteTrajectory
+from sitator_tpu.network.merging import MergeSitesBase as _MergeBase
 
-__all__ = ["DetailedBalanceAnalysis", "OccupancyCorrelationAnalysis"]
+__all__ = ["DetailedBalanceAnalysis", "OccupancyCorrelationAnalysis",
+           "MergeSitesByOccupancyCorrelation"]
 
 logger = logging.getLogger(__name__)
 
@@ -180,3 +182,48 @@ class OccupancyCorrelationAnalysis:
                 "pairs beyond |r| >= %g", len(self.exclusive_pairs_),
                 len(self.cofilling_pairs_), self.threshold)
         return self
+
+
+class MergeSitesByOccupancyCorrelation(_MergeBase):
+    """Merge co-filled site pairs — the fix for what
+    :class:`OccupancyCorrelationAnalysis` diagnoses: a split site (one
+    physical basin that clustering cut in two) shows near-perfectly
+    POSITIVELY correlated occupancy indicators... for multi-ion systems
+    — and, for the common single-basin flicker signature, strong
+    ANTI-correlation with rapid back-and-forth hops.  This merger acts
+    on the robust symptom: groups of sites whose occupancy correlation
+    exceeds ``threshold`` (transitively closed), within the standard
+    merge guards (``distance_threshold``, same ``site_types``).
+
+    A thin subclass of the shared merge machinery
+    (:class:`~sitator_tpu.network.merging.MergeSitesBase`): everything
+    mechanical (occupancy-weighted PBC centers, vertex unions,
+    relabeling, attribute remapping) is inherited.
+    """
+
+    def __init__(self, threshold=0.8, distance_threshold=2.0,
+                 check_types=True, verbose=True):
+        _MergeBase.__init__(self, distance_threshold=distance_threshold,
+                            check_types=check_types, verbose=verbose)
+        if not 0 < threshold <= 1:
+            raise ValueError("threshold must be in (0, 1]")
+        self.threshold = float(threshold)
+
+    def _get_merges(self, st):
+        oc = OccupancyCorrelationAnalysis(
+            threshold=self.threshold, verbose=False).run(st)
+        S = st.site_network.n_sites
+        # union-find over the strongly-correlated pairs (transitive)
+        parent = np.arange(S)
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for i, j in oc.cofilling_pairs_:
+            parent[find(i)] = find(j)
+        roots = np.array([find(i) for i in range(S)])
+        groups = [np.flatnonzero(roots == r) for r in np.unique(roots)]
+        return [g for g in groups if len(g) > 1]

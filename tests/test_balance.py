@@ -150,3 +150,49 @@ def test_detailed_balance_on_real_pipeline():
     db = DetailedBalanceAnalysis(verbose=False).run(st)
     assert db.n_tested_ > 0
     assert len(db.violating_edges_) == 0
+
+
+def test_merge_by_occupancy_correlation():
+    """An engineered split site (two labels that co-fill, r = +1 —
+    a two-ion construction where one ion flips between the halves of a
+    split basin while a partner tracks it) merges into one; unrelated
+    sites survive; the trajectory is relabeled consistently."""
+    from sitator_tpu.dynamics import MergeSitesByOccupancyCorrelation
+    F = 300
+    rng = np.random.default_rng(19)
+    flip = rng.integers(0, 2, F)
+    # sites 0 and 2 are co-filled (both occupied on flip==0), as are
+    # 1 and 3 (flip==1) — two split pairs; site 4 is an independent
+    # spectator visited by a third ion at random
+    la = np.where(flip == 0, 0, 1)
+    lb = np.where(flip == 0, 2, 3)
+    lc = np.where(rng.integers(0, 2, F) == 0, 4, 5)
+    labels = np.stack([la, lb, lc], axis=1)
+    sn = _network(6, n_ions=3)
+    # put the co-filled pairs within merge distance of each other
+    sn.centers = np.array([[1.0, 1, 1], [5.0, 5, 5], [1.5, 1, 1],
+                           [5.5, 5, 5], [8.0, 8, 8], [3.0, 8, 2]])
+    st = SiteTrajectory(sn, labels)
+    out = MergeSitesByOccupancyCorrelation(
+        threshold=0.9, distance_threshold=2.0, verbose=False).run(st)
+    assert out.site_network.n_sites == 4          # {0,2}, {1,3}, 4, 5
+    # co-filled labels now agree frame-by-frame
+    assert (out.traj[:, 0] == out.traj[:, 1]).all()
+    with pytest.raises(ValueError, match="threshold"):
+        MergeSitesByOccupancyCorrelation(threshold=0.0)
+
+
+def test_merge_by_occupancy_correlation_distance_guard():
+    """Co-filled but FAR sites are protected by distance_threshold."""
+    from sitator_tpu.dynamics import MergeSitesByOccupancyCorrelation
+    F = 200
+    flip = np.random.default_rng(23).integers(0, 2, F)
+    labels = np.stack([np.where(flip == 0, 0, 1),
+                       np.where(flip == 0, 2, 3)], axis=1)
+    sn = _network(4)
+    sn.centers = np.array([[1.0, 1, 1], [5.0, 5, 5], [8.0, 1, 8],
+                           [2.0, 8, 4]])        # all pairs > 2 apart
+    st = SiteTrajectory(sn, labels)
+    out = MergeSitesByOccupancyCorrelation(
+        threshold=0.9, distance_threshold=2.0, verbose=False).run(st)
+    assert out.site_network.n_sites == 4          # nothing merged
