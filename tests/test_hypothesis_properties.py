@@ -651,3 +651,37 @@ def test_density_grid_properties(data):
     rolled = np.asarray(density_grid(pos + shift, cell, n_bins=n_bins))
     np.testing.assert_array_equal(
         rolled, np.roll(grid, shift_bins, axis=0))
+
+
+@given(data=st.data())
+@settings(**{**SETTINGS, "max_examples": 20,
+             "suppress_health_check": [
+                 hyp.HealthCheck.too_slow,
+                 hyp.HealthCheck.large_base_example]})
+def test_density_peak_nms_invariants(data):
+    """For arbitrary smooth fields: returned peaks are pairwise at
+    least min_distance apart (minimum image), sorted strongest-first,
+    and every returned weight exceeds the relative threshold."""
+    from sitator_tpu.network.compare import min_image_distance_matrix
+    from sitator_tpu.ops.density import find_density_peaks, smooth_density
+    n = 6
+    cell = np.diag(data.draw(st.lists(st.floats(5.0, 15.0),
+                                      min_size=3, max_size=3)))
+    flat = data.draw(st.lists(
+        st.floats(0.0, 10.0, allow_nan=False, width=32),
+        min_size=n ** 3, max_size=n ** 3))
+    grid = smooth_density(
+        np.asarray(flat, np.float64).reshape(n, n, n), cell, 0.6)
+    thr = data.draw(st.floats(0.01, 0.5))
+    mind = data.draw(st.floats(0.5, 4.0))
+    centers, weights = find_density_peaks(grid, cell,
+                                          threshold_rel=thr,
+                                          min_distance=mind)
+    if len(centers) == 0:
+        return
+    assert (np.diff(weights) <= 1e-12).all()      # strongest first
+    assert (weights > thr * grid.max() - 1e-9).all()
+    if len(centers) > 1:
+        D = min_image_distance_matrix(centers, centers, cell)
+        np.fill_diagonal(D, np.inf)
+        assert D.min() >= mind - 1e-9
