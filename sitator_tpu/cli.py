@@ -50,8 +50,8 @@ def _open(path, variable_cell=None):
 def _load_structure(args, reader):
     """Structure from the trajectory file itself or --structure."""
     if getattr(args, "structure", None):
-        from sitator_tpu.io import read_xyz
-        return read_xyz(args.structure)      # first frame as a Structure
+        from sitator_tpu.io.formats import read_structure
+        return read_structure(args.structure)   # xyz / POSCAR / P1 CIF
     structure = getattr(reader, "structure", None)
     if structure is None:
         raise SystemExit(
@@ -763,8 +763,9 @@ def build_parser():
                       required=True, metavar="SPECIES",
                       help="mobile species (symbol or atomic number)")
     pipe.add_argument("--structure", default=None,
-                      help="first-frame .xyz with species + cell (for "
-                           "binary formats that carry no structure)")
+                      help="structure file with species + cell for "
+                           "binary formats that carry none: extended "
+                           ".xyz, VASP POSCAR/CONTCAR, or a P1 .cif")
     pipe.add_argument("--variable-cell", choices=["rescale"],
                       default=None)
     pipe.add_argument("--cutoff-midpoint", type=float, default=3.0)

@@ -31,6 +31,7 @@ from sitator_tpu.core.structure import (Structure, number_to_symbol,
 
 __all__ = [
     "read_xyz", "write_xyz", "iread_xyz",
+    "read_poscar", "read_cif", "read_structure",
     "read_xdatcar", "read_lammps_dump",
     "write_xdatcar", "write_lammps_dump",
     "iread_xdatcar", "iread_lammps_dump", "convert_to_npy",
@@ -207,6 +208,182 @@ def write_xyz(path, structure, traj=None, mode="w"):
             f.write(f'Lattice="{cellstr}" Properties=species:S:1:pos:R:3\n')
             for s, p in zip(syms, pos):
                 f.write(f"{s} {p[0]:.8f} {p[1]:.8f} {p[2]:.8f}\n")
+
+
+def read_poscar(path):
+    """VASP POSCAR/CONTCAR → :class:`Structure` (single frame).
+
+    Handles VASP5 (symbols line) and VASP4 (counts only — species
+    become 1, 2, ...) headers, the ``Selective dynamics`` line,
+    ``Direct`` and ``Cartesian`` coordinates, and the negative-scale
+    (target volume) convention.  The natural way to hand a screening
+    structure to the no-trajectory workflows (bond-valence seeding,
+    Voronoi seeding).
+    """
+    with open(path) as f:
+        f.readline()                                  # comment
+        scale = float(f.readline().split()[0])
+        raw_cell = np.array([[float(x) for x in f.readline().split()]
+                             for _ in range(3)])
+        if scale < 0:
+            scale = (-scale / abs(np.linalg.det(raw_cell))) ** (1.0 / 3.0)
+        cell = raw_cell * scale
+        toks = f.readline().split()
+        if all(t.lstrip("-").isdigit() for t in toks):
+            counts = [int(x) for x in toks]           # VASP4
+            species = np.concatenate([
+                np.full(c, i + 1, dtype=np.int32)
+                for i, c in enumerate(counts)])
+        else:
+            symbols = toks
+            counts = [int(x) for x in f.readline().split()]
+            species = np.concatenate([
+                np.full(c, symbol_to_number(symbols[i]), dtype=np.int32)
+                for i, c in enumerate(counts)])
+        n = sum(counts)
+        line = f.readline().strip()
+        if line[:1].lower() == "s":                   # Selective dynamics
+            line = f.readline().strip()
+        cartesian = line[:1].lower() in ("c", "k")
+        coords = np.array([[float(x) for x in f.readline().split()[:3]]
+                           for _ in range(n)])
+    pos = coords * scale if cartesian else coords @ cell
+    return Structure(pos, species, cell)
+
+
+def _cif_number(tok):
+    """CIF numeric token → float ('0.3450(2)' uncertainty syntax and
+    bare numbers; '.'/'?' unknowns raise)."""
+    tok = tok.split("(")[0]
+    return float(tok)
+
+
+def _cif_element(tok):
+    """CIF species token → element symbol ('Li1+', 'O2-', 'Fe3+',
+    'Li_a' → Li/O/Fe/Li)."""
+    sym = ""
+    for ch in tok:
+        if ch.isalpha():
+            sym += ch
+            if len(sym) == 2:
+                break
+        else:
+            break
+    # try two-letter then one-letter ('Cl' vs 'C'); CIF capitalization
+    # is Element-style already
+    for cand in (sym, sym[:1]):
+        try:
+            symbol_to_number(cand)
+            return cand
+        except ValueError:
+            continue
+    raise ValueError(f"cannot read an element from CIF token {tok!r}")
+
+
+def read_cif(path):
+    """Minimal P1 CIF → :class:`Structure`: cell parameters, the
+    ``atom_site`` loop (fractional or Cartesian coordinates), symbols
+    from ``_atom_site_type_symbol`` (falling back to the label),
+    ``0.345(2)`` uncertainty syntax stripped.
+
+    Files whose symmetry is anything beyond P1 (a symop loop with more
+    than the identity, or a non-P1 space-group name) raise — expand to
+    P1 first; silently applying no symmetry would drop atoms.
+    """
+    params = {}
+    loops = []
+    with open(path) as f:
+        lines = [ln.rstrip("\n") for ln in f]
+    i = 0
+    while i < len(lines):
+        ln = lines[i].strip()
+        if ln.lower().startswith("loop_"):
+            tags = []
+            i += 1
+            while i < len(lines) and lines[i].strip().startswith("_"):
+                tags.append(lines[i].split()[0].strip().lower())
+                i += 1
+            rows = []
+            while i < len(lines):
+                row = lines[i].strip()
+                if (not row or row.startswith("_")
+                        or row.startswith("#")
+                        or row.lower().startswith(("loop_", "data_"))):
+                    break
+                rows.append(row.split())
+                i += 1
+            loops.append((tags, rows))
+            continue
+        if ln.startswith("_"):
+            parts = ln.split(None, 1)
+            if len(parts) == 2:
+                params[parts[0].lower()] = parts[1].strip().strip("'\"")
+        i += 1
+
+    # symmetry guard
+    sg = (params.get("_symmetry_space_group_name_h-m")
+          or params.get("_space_group_name_h-m_alt"))
+    if sg is not None and sg.replace(" ", "") != "P1":
+        raise ValueError(
+            f"CIF space group {sg!r} is not P1 — expand the "
+            "structure to P1 first (symmetry is not applied here)")
+    for tags, rows in loops:
+        if any("symop" in t or "symmetry_equiv" in t for t in tags):
+            ident = {"x,y,z", "+x,+y,+z"}
+            ops = [" ".join(r[-1:]) if len(r) else "" for r in rows]
+            ops = [o.replace(" ", "").strip("'\"").lower() for o in ops]
+            nontrivial = [o for o in ops if o and o not in ident]
+            if nontrivial:
+                raise ValueError(
+                    "CIF carries symmetry operations beyond the "
+                    "identity — expand to P1 first")
+
+    need = ["_cell_length_a", "_cell_length_b", "_cell_length_c",
+            "_cell_angle_alpha", "_cell_angle_beta",
+            "_cell_angle_gamma"]
+    missing = [k for k in need if k not in params]
+    if missing:
+        raise ValueError(f"CIF missing cell parameters: {missing}")
+    a, b, c = (_cif_number(params[k]) for k in need[:3])
+    al, be, ga = (np.radians(_cif_number(params[k])) for k in need[3:])
+    cx = c * np.cos(be)
+    cy = c * (np.cos(al) - np.cos(be) * np.cos(ga)) / np.sin(ga)
+    cz = np.sqrt(max(c ** 2 - cx ** 2 - cy ** 2, 0.0))
+    cell = np.array([[a, 0.0, 0.0],
+                     [b * np.cos(ga), b * np.sin(ga), 0.0],
+                     [cx, cy, cz]])
+
+    for tags, rows in loops:
+        if "_atom_site_fract_x" in tags or "_atom_site_cartn_x" in tags:
+            frac_mode = "_atom_site_fract_x" in tags
+            ix = tags.index("_atom_site_fract_x" if frac_mode
+                            else "_atom_site_cartn_x")
+            sym_tag = ("_atom_site_type_symbol"
+                       if "_atom_site_type_symbol" in tags
+                       else "_atom_site_label")
+            isym = tags.index(sym_tag)
+            species, coords = [], []
+            for r in rows:
+                if len(r) < len(tags):
+                    continue
+                species.append(symbol_to_number(_cif_element(r[isym])))
+                coords.append([_cif_number(r[ix + k]) for k in range(3)])
+            coords = np.asarray(coords, dtype=np.float64)
+            pos = coords @ cell if frac_mode else coords
+            return Structure(pos, np.asarray(species, np.int32), cell)
+    raise ValueError("CIF has no atom_site loop with coordinates")
+
+
+def read_structure(path):
+    """Single-structure reader dispatch: POSCAR/CONTCAR (by name or
+    ``.vasp``/``.poscar``), ``.cif``, else extended XYZ."""
+    name = str(path).rsplit("/", 1)[-1].upper()
+    if (name.startswith(("POSCAR", "CONTCAR"))
+            or name.endswith((".VASP", ".POSCAR"))):
+        return read_poscar(path)
+    if name.endswith(".CIF"):
+        return read_cif(path)
+    return read_xyz(path)
 
 
 def write_xdatcar(path, structure, traj=None, comment="sitator_tpu"):

@@ -1,0 +1,193 @@
+"""Single-structure readers: POSCAR/CONTCAR (VASP4/5, Selective
+dynamics, Direct/Cartesian, negative scale) and minimal P1 CIF
+(uncertainty syntax, oxidation-state symbols, symmetry rejection)."""
+import numpy as np
+import pytest
+
+from sitator_tpu.io import read_cif, read_poscar, read_structure
+
+
+def test_poscar_vasp5_direct(tmp_path):
+    p = tmp_path / "POSCAR"
+    p.write_text("""Li2O test
+1.5
+ 2.0 0.0 0.0
+ 0.0 2.0 0.0
+ 0.0 0.0 4.0
+Li O
+2 1
+Direct
+ 0.25 0.25 0.25
+ 0.75 0.75 0.75
+ 0.0  0.0  0.0
+""")
+    s = read_poscar(str(p))
+    np.testing.assert_allclose(s.cell, np.diag([3.0, 3.0, 6.0]))
+    np.testing.assert_array_equal(s.species, [3, 3, 8])
+    np.testing.assert_allclose(s.positions[0], [0.75, 0.75, 1.5])
+    np.testing.assert_allclose(s.positions[2], [0.0, 0.0, 0.0])
+
+
+def test_poscar_vasp4_cartesian_selective(tmp_path):
+    p = tmp_path / "CONTCAR"
+    p.write_text("""old style
+2.0
+ 1.0 0.0 0.0
+ 0.0 1.0 0.0
+ 0.0 0.0 1.0
+1 1
+Selective dynamics
+Cartesian
+ 0.1 0.2 0.3 T T T
+ 0.4 0.5 0.6 F F F
+""")
+    s = read_poscar(str(p))
+    np.testing.assert_allclose(s.cell, np.eye(3) * 2.0)
+    np.testing.assert_array_equal(s.species, [1, 2])   # VASP4: 1, 2, ...
+    # cartesian coordinates scale by the universal factor
+    np.testing.assert_allclose(s.positions[0], [0.2, 0.4, 0.6])
+
+
+def test_poscar_negative_scale_is_volume(tmp_path):
+    p = tmp_path / "POSCAR"
+    p.write_text("""volume convention
+-64.0
+ 2.0 0.0 0.0
+ 0.0 2.0 0.0
+ 0.0 0.0 2.0
+Li
+1
+Direct
+ 0.5 0.5 0.5
+""")
+    s = read_poscar(str(p))
+    # |det| scaled to exactly 64
+    assert abs(np.linalg.det(s.cell)) == pytest.approx(64.0)
+    np.testing.assert_allclose(s.positions[0], [2.0, 2.0, 2.0])
+
+
+def test_cif_p1_triclinic_with_uncertainties(tmp_path):
+    p = tmp_path / "s.cif"
+    p.write_text("""data_test
+_symmetry_space_group_name_H-M   'P 1'
+_cell_length_a    5.000(2)
+_cell_length_b    6.0
+_cell_length_c    7.0
+_cell_angle_alpha 90.0
+_cell_angle_beta  90.0
+_cell_angle_gamma 120.0
+loop_
+_atom_site_label
+_atom_site_type_symbol
+_atom_site_fract_x
+_atom_site_fract_y
+_atom_site_fract_z
+Li1 Li1+ 0.5000(1) 0.0 0.0
+O1  O2-  0.0 0.5 0.5
+""")
+    s = read_cif(str(p))
+    np.testing.assert_array_equal(s.species, [3, 8])
+    # gamma = 120deg cell: b-vector = (6 cos120, 6 sin120, 0)
+    np.testing.assert_allclose(s.cell[0], [5.0, 0.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(s.cell[1], [-3.0, 6.0 * np.sin(
+        np.radians(120)), 0.0], atol=1e-9)
+    np.testing.assert_allclose(s.cell[2], [0.0, 0.0, 7.0], atol=1e-6)
+    np.testing.assert_allclose(s.positions[0], 0.5 * s.cell[0],
+                               atol=1e-9)
+    # fractional -> cartesian round trip
+    frac = s.positions @ np.linalg.inv(s.cell)
+    np.testing.assert_allclose(frac, [[0.5, 0, 0], [0, 0.5, 0.5]],
+                               atol=1e-9)
+
+
+def test_cif_rejects_symmetry(tmp_path):
+    p = tmp_path / "sym.cif"
+    p.write_text("""data_test
+_symmetry_space_group_name_H-M 'F m -3 m'
+_cell_length_a 4.0
+_cell_length_b 4.0
+_cell_length_c 4.0
+_cell_angle_alpha 90
+_cell_angle_beta 90
+_cell_angle_gamma 90
+loop_
+_atom_site_label
+_atom_site_fract_x
+_atom_site_fract_y
+_atom_site_fract_z
+Li1 0 0 0
+""")
+    with pytest.raises(ValueError, match="not P1"):
+        read_cif(str(p))
+    p2 = tmp_path / "symop.cif"
+    p2.write_text("""data_test
+_cell_length_a 4.0
+_cell_length_b 4.0
+_cell_length_c 4.0
+_cell_angle_alpha 90
+_cell_angle_beta 90
+_cell_angle_gamma 90
+loop_
+_symmetry_equiv_pos_as_xyz
+'x,y,z'
+'-x,-y,-z'
+loop_
+_atom_site_label
+_atom_site_fract_x
+_atom_site_fract_y
+_atom_site_fract_z
+Li1 0.1 0.2 0.3
+""")
+    with pytest.raises(ValueError, match="beyond the identity"):
+        read_cif(str(p2))
+
+
+def test_read_structure_dispatch(tmp_path):
+    poscar = tmp_path / "POSCAR_run1"
+    poscar.write_text("""x
+1.0
+ 4.0 0 0
+ 0 4.0 0
+ 0 0 4.0
+Li
+1
+Direct
+ 0 0 0
+""")
+    assert read_structure(str(poscar)).n_atoms == 1
+    xyz = tmp_path / "s.xyz"
+    xyz.write_text('1\nLattice="4 0 0 0 4 0 0 0 4" '
+                   'Properties=species:S:1:pos:R:3\nLi 0 0 0\n')
+    assert read_structure(str(xyz)).n_atoms == 1
+
+
+def test_cif_feeds_bond_valence_seeding(tmp_path):
+    """The intended workflow: a P1 CIF straight into BV seeding —
+    a rocksalt-ish O cage around the octahedral hole."""
+    from sitator_tpu import SiteNetwork
+    from sitator_tpu.network import BondValenceSiteGenerator
+    a = 2 * (1.466 + 0.37 * np.log(6.0))
+    lines = ["data_t", "_cell_length_a %.6f" % (2 * a),
+             "_cell_length_b %.6f" % (2 * a),
+             "_cell_length_c %.6f" % (2 * a),
+             "_cell_angle_alpha 90", "_cell_angle_beta 90",
+             "_cell_angle_gamma 90", "loop_", "_atom_site_type_symbol",
+             "_atom_site_fract_x", "_atom_site_fract_y",
+             "_atom_site_fract_z"]
+    basis = [(0, 0, 0), (.5, .5, 0), (.5, 0, .5), (0, .5, .5)]
+    for gx in (0, 0.5):
+        for gy in (0, 0.5):
+            for gz in (0, 0.5):
+                for bx, by, bz in basis:
+                    lines.append(f"O {gx + bx / 2:.6f} {gy + by / 2:.6f} "
+                                 f"{gz + bz / 2:.6f}")
+    lines.append("Li 0.25 0.0 0.0")
+    p = tmp_path / "li.cif"
+    p.write_text("\n".join(lines) + "\n")
+    s = read_cif(str(p))
+    mobile = s.species == 3
+    sn = BondValenceSiteGenerator(v_ideal=1.0, mismatch_tol=0.3,
+                                  min_distance=1.2, verbose=False).run(
+        SiteNetwork(s, ~mobile, mobile))
+    assert sn.n_sites == 32          # the FCC octahedral holes
+    assert np.allclose(sn.bv_sum, 1.02, atol=0.05)
