@@ -63,6 +63,20 @@ def _load_structure(args, reader):
 def cmd_info(args):
     from sitator_tpu.core.structure import number_to_symbol
     from sitator_tpu.io.formats import sniff_format
+    name = str(args.traj).rsplit("/", 1)[-1].upper()
+    if (name.startswith(("POSCAR", "CONTCAR"))
+            or name.endswith((".CIF", ".VASP", ".POSCAR"))):
+        from sitator_tpu.io.formats import read_structure
+        s = read_structure(args.traj)
+        kind = "cif" if name.endswith(".CIF") else "poscar"
+        print(f"format:  {kind} (single structure)")
+        print(f"atoms:   {s.n_atoms}")
+        np.set_printoptions(precision=4, suppress=True)
+        print(f"cell:\n{s.cell}")
+        zs, counts = np.unique(s.species, return_counts=True)
+        print("species: " + " ".join(
+            f"{number_to_symbol(int(z))}{c}" for z, c in zip(zs, counts)))
+        return 0
     fmt = sniff_format(args.traj)
     reader = _open(args.traj, args.variable_cell)
     print(f"format:  {fmt}")

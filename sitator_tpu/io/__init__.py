@@ -19,6 +19,7 @@ from sitator_tpu.io.formats import (
     read_poscar,
     read_cif,
     read_structure,
+    write_poscar,
     write_xyz,
     write_xdatcar,
     write_lammps_dump,
@@ -32,7 +33,7 @@ __all__ = [
     "SyntheticMD", "make_hopping_trajectory", "make_fcc_hopping_trajectory",
     "make_langevin_trajectory",
     "read_xyz", "write_xyz", "iread_xyz", "open_trajectory",
-    "read_poscar", "read_cif", "read_structure",
+    "read_poscar", "read_cif", "read_structure", "write_poscar",
     "ArrayTrajectory", "NpyTrajectory", "NpzTrajectory", "H5Trajectory",
     "XYZTrajectory", "XDATCARTrajectory", "LammpsDumpTrajectory",
     "read_xdatcar", "read_lammps_dump", "iread_xdatcar",

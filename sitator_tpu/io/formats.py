@@ -31,7 +31,7 @@ from sitator_tpu.core.structure import (Structure, number_to_symbol,
 
 __all__ = [
     "read_xyz", "write_xyz", "iread_xyz",
-    "read_poscar", "read_cif", "read_structure",
+    "read_poscar", "read_cif", "read_structure", "write_poscar",
     "read_xdatcar", "read_lammps_dump",
     "write_xdatcar", "write_lammps_dump",
     "iread_xdatcar", "iread_lammps_dump", "convert_to_npy",
@@ -249,6 +249,33 @@ def read_poscar(path):
                            for _ in range(n)])
     pos = coords * scale if cartesian else coords @ cell
     return Structure(pos, species, cell)
+
+
+def write_poscar(path, structure, comment="sitator_tpu", direct=True):
+    """Write a :class:`Structure` as a VASP5 POSCAR (species grouped in
+    first-appearance order; ``direct=False`` writes Cartesian).
+    :func:`read_poscar` round-trips it to text precision (note: atoms
+    are reordered to group species — the written order is the POSCAR
+    convention, not necessarily the input order)."""
+    species = np.asarray(structure.species)
+    seen = list(dict.fromkeys(species.tolist()))
+    order = np.concatenate([np.flatnonzero(species == z) for z in seen])
+    counts = [int((species == z).sum()) for z in seen]
+    pos = structure.positions[order]
+    with open(path, "w") as f:
+        f.write(f"{comment}\n1.0\n")
+        for row in structure.cell:
+            f.write(f" {row[0]:.10f} {row[1]:.10f} {row[2]:.10f}\n")
+        f.write(" ".join(number_to_symbol(int(z)) for z in seen) + "\n")
+        f.write(" ".join(str(c) for c in counts) + "\n")
+        if direct:
+            f.write("Direct\n")
+            coords = pos @ np.linalg.inv(structure.cell)
+        else:
+            f.write("Cartesian\n")
+            coords = pos
+        for c in coords:
+            f.write(f" {c[0]:.10f} {c[1]:.10f} {c[2]:.10f}\n")
 
 
 def _cif_number(tok):

@@ -491,3 +491,13 @@ def test_report_flag(xyz_file, tmp_path, capsys):
                "--block-frames", "64", "--report", rpt])
     assert rc == 0
     assert "--report" in capsys.readouterr().err
+
+
+def test_info_structure_files(tmp_path, capsys):
+    p = tmp_path / "POSCAR"
+    p.write_text("x\n1.0\n 4 0 0\n 0 4 0\n 0 0 4\nLi O\n1 2\nDirect\n"
+                 " 0 0 0\n 0.5 0.5 0.5\n 0.5 0 0.5\n")
+    assert main(["info", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "poscar (single structure)" in out
+    assert "Li1 O2" in out

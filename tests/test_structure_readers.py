@@ -191,3 +191,32 @@ def test_cif_feeds_bond_valence_seeding(tmp_path):
         SiteNetwork(s, ~mobile, mobile))
     assert sn.n_sites == 32          # the FCC octahedral holes
     assert np.allclose(sn.bv_sum, 1.02, atol=0.05)
+
+
+def test_write_poscar_roundtrip():
+    import tempfile, os
+    from sitator_tpu import Structure
+    from sitator_tpu.io import write_poscar
+    rng = np.random.default_rng(29)
+    cell = np.array([[6.0, 0, 0], [1.0, 7.0, 0], [0.3, 0.2, 8.0]])
+    pos = rng.uniform(0, 5, (7, 3))
+    # interleaved species: the writer groups them (POSCAR convention)
+    species = np.array([3, 8, 3, 16, 8, 3, 16])
+    s = Structure(pos, species, cell)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "POSCAR")
+        write_poscar(p, s)
+        back = read_poscar(p)
+        # species grouped in first-appearance order: Li Li Li O O S S
+        np.testing.assert_array_equal(back.species,
+                                      [3, 3, 3, 8, 8, 16, 16])
+        order = np.concatenate([np.flatnonzero(species == z)
+                                for z in (3, 8, 16)])
+        np.testing.assert_allclose(back.positions, pos[order],
+                                   atol=1e-8)
+        np.testing.assert_allclose(back.cell, cell, atol=1e-9)
+        # cartesian mode round-trips too
+        write_poscar(p, s, direct=False)
+        back2 = read_poscar(p)
+        np.testing.assert_allclose(back2.positions, pos[order],
+                                   atol=1e-8)
