@@ -51,7 +51,7 @@ def _load_structure(args, reader):
     """Structure from the trajectory file itself or --structure."""
     if getattr(args, "structure", None):
         from sitator_tpu.io.formats import read_structure
-        return read_structure(args.structure)   # xyz / POSCAR / P1 CIF
+        return read_structure(args.structure)   # xyz / POSCAR / CIF
     structure = getattr(reader, "structure", None)
     if structure is None:
         raise SystemExit(
@@ -779,7 +779,8 @@ def build_parser():
     pipe.add_argument("--structure", default=None,
                       help="structure file with species + cell for "
                            "binary formats that carry none: extended "
-                           ".xyz, VASP POSCAR/CONTCAR, or a P1 .cif")
+                           ".xyz, VASP POSCAR/CONTCAR, or a .cif "
+                           "(symmetry expanded)")
     pipe.add_argument("--variable-cell", choices=["rescale"],
                       default=None)
     pipe.add_argument("--cutoff-midpoint", type=float, default=3.0)

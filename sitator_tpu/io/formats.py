@@ -307,16 +307,49 @@ def _cif_element(tok):
     raise ValueError(f"cannot read an element from CIF token {tok!r}")
 
 
+def _parse_symop(op):
+    """One CIF symmetry operation ('‑x+1/2, y, z' style) → affine
+    ``(R (3, 3), t (3,))`` acting on fractional coordinates."""
+    import re as _re
+    R = np.zeros((3, 3))
+    t = np.zeros(3)
+    comps = op.replace(" ", "").lower().split(",")
+    if len(comps) != 3:
+        raise ValueError(f"bad CIF symop {op!r}")
+    for r, comp in enumerate(comps):
+        for term in _re.findall(r"[+-]?[^+-]+", comp):
+            sign = -1.0 if term.startswith("-") else 1.0
+            body = term.lstrip("+-")
+            if body in ("x", "y", "z"):
+                R[r, "xyz".index(body)] += sign
+            elif "/" in body:
+                num, den = body.split("/")
+                t[r] += sign * float(num) / float(den)
+            else:
+                try:
+                    t[r] += sign * float(body)
+                except ValueError:
+                    raise ValueError(
+                        f"unsupported CIF symop term {term!r} in "
+                        f"{op!r}") from None
+    return R, t
+
+
 def read_cif(path):
-    """Minimal P1 CIF → :class:`Structure`: cell parameters, the
-    ``atom_site`` loop (fractional or Cartesian coordinates), symbols
-    from ``_atom_site_type_symbol`` (falling back to the label),
+    """CIF → :class:`Structure`: cell parameters, the ``atom_site``
+    loop (fractional or Cartesian coordinates), symbols from
+    ``_atom_site_type_symbol`` (falling back to the label),
     ``0.345(2)`` uncertainty syntax stripped.
 
-    Files whose symmetry is anything beyond P1 (a symop loop with more
-    than the identity, or a non-P1 space-group name) raise — expand to
-    P1 first; silently applying no symmetry would drop atoms.
+    Symmetry IS applied: when the file carries a
+    ``_symmetry_equiv_pos_as_xyz`` / ``_space_group_symop`` loop, every
+    operation is applied to the asymmetric unit and coincident images
+    (special positions) deduplicated, yielding the full P1 cell.  A
+    non-P1 space-group NAME without an operation loop raises — silently
+    applying no symmetry would drop atoms.
     """
+    import shlex
+
     params = {}
     loops = []
     with open(path) as f:
@@ -337,7 +370,10 @@ def read_cif(path):
                         or row.startswith("#")
                         or row.lower().startswith(("loop_", "data_"))):
                     break
-                rows.append(row.split())
+                try:
+                    rows.append(shlex.split(row))   # honors 'x, y, z'
+                except ValueError:
+                    rows.append(row.split())
                 i += 1
             loops.append((tags, rows))
             continue
@@ -347,23 +383,24 @@ def read_cif(path):
                 params[parts[0].lower()] = parts[1].strip().strip("'\"")
         i += 1
 
-    # symmetry guard
+    # collect symmetry operations (identity if none declared)
+    symops = None
+    for tags, rows in loops:
+        op_tags = [t for t in tags
+                   if t.endswith("_as_xyz") or t.endswith("_operation_xyz")]
+        if op_tags:
+            icol = tags.index(op_tags[0])
+            symops = [_parse_symop(r[icol]) for r in rows
+                      if len(r) > icol]
     sg = (params.get("_symmetry_space_group_name_h-m")
           or params.get("_space_group_name_h-m_alt"))
-    if sg is not None and sg.replace(" ", "") != "P1":
-        raise ValueError(
-            f"CIF space group {sg!r} is not P1 — expand the "
-            "structure to P1 first (symmetry is not applied here)")
-    for tags, rows in loops:
-        if any("symop" in t or "symmetry_equiv" in t for t in tags):
-            ident = {"x,y,z", "+x,+y,+z"}
-            ops = [" ".join(r[-1:]) if len(r) else "" for r in rows]
-            ops = [o.replace(" ", "").strip("'\"").lower() for o in ops]
-            nontrivial = [o for o in ops if o and o not in ident]
-            if nontrivial:
-                raise ValueError(
-                    "CIF carries symmetry operations beyond the "
-                    "identity — expand to P1 first")
+    if symops is None:
+        if sg is not None and sg.replace(" ", "") != "P1":
+            raise ValueError(
+                f"CIF space group {sg!r} has no symmetry-operation "
+                "loop to expand with — add the symop loop or expand "
+                "to P1 first (applying no symmetry would drop atoms)")
+        symops = [(np.eye(3), np.zeros(3))]
 
     need = ["_cell_length_a", "_cell_length_b", "_cell_length_c",
             "_cell_angle_alpha", "_cell_angle_beta",
@@ -396,8 +433,30 @@ def read_cif(path):
                 species.append(symbol_to_number(_cif_element(r[isym])))
                 coords.append([_cif_number(r[ix + k]) for k in range(3)])
             coords = np.asarray(coords, dtype=np.float64)
-            pos = coords @ cell if frac_mode else coords
-            return Structure(pos, np.asarray(species, np.int32), cell)
+            frac = (coords if frac_mode
+                    else coords @ np.linalg.inv(cell))
+            # expand the asymmetric unit through every operation and
+            # deduplicate coincident images (special positions),
+            # per-species, with a wrap-aware fractional tolerance
+            out_sp, out_frac = [], []
+            for R, t in symops:
+                imgs = frac @ R.T + t
+                imgs -= np.floor(imgs)
+                for z, fr in zip(species, imgs):
+                    dup = False
+                    for z2, fr2 in zip(out_sp, out_frac):
+                        if z2 != z:
+                            continue
+                        d = fr - fr2
+                        d -= np.round(d)
+                        if np.abs(d).max() < 1e-3:
+                            dup = True
+                            break
+                    if not dup:
+                        out_sp.append(z)
+                        out_frac.append(fr)
+            pos = np.asarray(out_frac) @ cell
+            return Structure(pos, np.asarray(out_sp, np.int32), cell)
     raise ValueError("CIF has no atom_site loop with coordinates")
 
 

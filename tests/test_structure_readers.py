@@ -100,7 +100,9 @@ O1  O2-  0.0 0.5 0.5
                                atol=1e-9)
 
 
-def test_cif_rejects_symmetry(tmp_path):
+def test_cif_rejects_named_symmetry_without_ops(tmp_path):
+    """A non-P1 space-group NAME with no operation loop cannot be
+    expanded — must raise, not silently drop atoms."""
     p = tmp_path / "sym.cif"
     p.write_text("""data_test
 _symmetry_space_group_name_H-M 'F m -3 m'
@@ -117,10 +119,17 @@ _atom_site_fract_y
 _atom_site_fract_z
 Li1 0 0 0
 """)
-    with pytest.raises(ValueError, match="not P1"):
+    with pytest.raises(ValueError, match="no symmetry-operation loop"):
         read_cif(str(p))
-    p2 = tmp_path / "symop.cif"
-    p2.write_text("""data_test
+
+
+def test_cif_symmetry_expansion_and_special_positions(tmp_path):
+    """Symops ARE applied: inversion doubles a general position but a
+    special position (on the inversion center) deduplicates; quoted
+    'x, y, z'-style ops with an id column parse; fractional
+    translations work."""
+    p = tmp_path / "symop.cif"
+    p.write_text("""data_test
 _cell_length_a 4.0
 _cell_length_b 4.0
 _cell_length_c 4.0
@@ -128,18 +137,52 @@ _cell_angle_alpha 90
 _cell_angle_beta 90
 _cell_angle_gamma 90
 loop_
+_symmetry_equiv_pos_site_id
 _symmetry_equiv_pos_as_xyz
-'x,y,z'
-'-x,-y,-z'
+1 'x, y, z'
+2 '-x, -y, -z'
+3 'x+1/2, y+1/2, z'
+4 '1/2-x, 1/2-y, -z'
 loop_
 _atom_site_label
 _atom_site_fract_x
 _atom_site_fract_y
 _atom_site_fract_z
 Li1 0.1 0.2 0.3
+O1  0.0 0.0 0.0
 """)
-    with pytest.raises(ValueError, match="beyond the identity"):
-        read_cif(str(p2))
+    s = read_cif(str(p))
+    # Li general position -> 4 images; O on the inversion center and
+    # the centering maps it onto (1/2,1/2,0): 2 unique images
+    assert int((s.species == 3).sum()) == 4
+    assert int((s.species == 8).sum()) == 2
+    frac = s.positions @ np.linalg.inv(s.cell)
+    li = np.sort([tuple(np.round(f, 6)) for f, z in
+                  zip(frac, s.species) if z == 3], axis=0)
+    want = np.sort([(0.1, 0.2, 0.3), (0.9, 0.8, 0.7),
+                    (0.6, 0.7, 0.3), (0.4, 0.3, 0.7)], axis=0)
+    np.testing.assert_allclose(li, want, atol=1e-9)
+
+
+def test_cif_rocksalt_from_asymmetric_unit(tmp_path):
+    """The real-world shape: an Fm-3m-style CIF with face-centering
+    ops expands a 2-atom asymmetric unit to the 8-atom conventional
+    rocksalt cell."""
+    ops = ["x,y,z", "x,y+1/2,z+1/2", "x+1/2,y,z+1/2", "x+1/2,y+1/2,z"]
+    lines = ["data_nacl", "_cell_length_a 5.64", "_cell_length_b 5.64",
+             "_cell_length_c 5.64", "_cell_angle_alpha 90",
+             "_cell_angle_beta 90", "_cell_angle_gamma 90", "loop_",
+             "_symmetry_equiv_pos_as_xyz"]
+    lines += [f"'{o}'" for o in ops]
+    lines += ["loop_", "_atom_site_type_symbol", "_atom_site_fract_x",
+              "_atom_site_fract_y", "_atom_site_fract_z",
+              "Na 0 0 0", "Cl 0.5 0 0"]
+    p = tmp_path / "nacl.cif"
+    p.write_text("\n".join(lines) + "\n")
+    s = read_cif(str(p))
+    assert s.n_atoms == 8
+    assert int((s.species == 11).sum()) == 4
+    assert int((s.species == 17).sum()) == 4
 
 
 def test_read_structure_dispatch(tmp_path):
