@@ -96,6 +96,31 @@ class Structure:
         return Structure(self.positions.copy(), self.species.copy(),
                          self.cell.copy(), self.pbc.copy())
 
+    def repeat(self, reps) -> "Structure":
+        """``(nx, ny, nz)`` (or a scalar) supercell: lattice vectors
+        scale, atoms tile image-major (all atoms of image 0 — the
+        original order — then image 1, ...).  Unit-cell structures from
+        :func:`~sitator_tpu.io.formats.read_cif` / ``read_poscar`` are
+        usually too small for the landmark cutoffs — tile them past
+        ~2× the cutoff first (see the small-cell caveat in
+        ``voronoi/generator.py``)."""
+        reps = np.broadcast_to(np.asarray(reps, dtype=np.int64),
+                               (3,)).copy()
+        if (reps < 1).any():
+            raise ValueError(f"repeat counts must be >= 1, got {reps}")
+        shifts = np.stack(np.meshgrid(*[np.arange(r) for r in reps],
+                                      indexing="ij"),
+                          axis=-1).reshape(-1, 3).astype(np.float64)
+        offs = shifts @ self.cell                      # (P, 3)
+        pos = (self.positions[None, :, :]
+               + offs[:, None, :]).reshape(-1, 3)
+        species = np.tile(self.species, len(offs))
+        return Structure(pos, species, self.cell * reps[:, None],
+                         self.pbc)
+
+    def __mul__(self, reps) -> "Structure":
+        return self.repeat(reps)
+
     def __getitem__(self, idx) -> "Structure":
         """Sub-structure by index array / boolean mask / slice."""
         return Structure(self.positions[idx], self.species[idx], self.cell,

@@ -263,3 +263,45 @@ def test_write_poscar_roundtrip():
         back2 = read_poscar(p)
         np.testing.assert_allclose(back2.positions, pos[order],
                                    atol=1e-8)
+
+
+def test_structure_repeat_supercell():
+    from sitator_tpu import Structure
+    cell = np.array([[4.0, 0, 0], [1.0, 5.0, 0], [0, 0.5, 6.0]])
+    s = Structure([[0.5, 0.5, 0.5], [2.0, 2.5, 3.0]], [3, 8], cell)
+    sup = s.repeat((2, 1, 3))
+    assert sup.n_atoms == 12
+    np.testing.assert_allclose(sup.cell,
+                               cell * np.array([[2], [1], [3]]))
+    # image-major: first image preserves the original order/positions
+    np.testing.assert_allclose(sup.positions[:2], s.positions)
+    np.testing.assert_array_equal(sup.species[:2], [3, 8])
+    # every image is the original shifted by an integer lattice vector
+    frac = sup.positions @ np.linalg.inv(cell)
+    base = s.positions @ np.linalg.inv(cell)
+    for k in range(6):
+        d = frac[2 * k:2 * k + 2] - base
+        np.testing.assert_allclose(d, np.round(d), atol=1e-12)
+    # volume scales; operator form works; validation
+    assert sup.volume == pytest.approx(6 * s.volume)
+    assert (s * 2).n_atoms == 16
+    with pytest.raises(ValueError, match=">= 1"):
+        s.repeat((0, 1, 1))
+
+
+def test_repeat_feeds_small_cell_seeding():
+    """The documented workflow: a too-small unit cell tiled up, then
+    bond-valence seeding — the 32 octahedral holes again, but starting
+    from the 4-O primitive-ish cubic cell."""
+    from sitator_tpu import SiteNetwork, Structure
+    from sitator_tpu.network import BondValenceSiteGenerator
+    a = 2 * (1.466 + 0.37 * np.log(6.0))
+    basis = np.array([[0, 0, 0], [.5, .5, 0], [.5, 0, .5], [0, .5, .5]])
+    unit = Structure(np.vstack([basis * a, [[a / 2, 0, 0]]]),
+                     [8, 8, 8, 8, 3], np.eye(3) * a)
+    sup = unit.repeat(2)
+    mobile = sup.species == 3
+    sn = BondValenceSiteGenerator(v_ideal=1.0, mismatch_tol=0.3,
+                                  min_distance=1.2, verbose=False).run(
+        SiteNetwork(sup, ~mobile, mobile))
+    assert sn.n_sites == 32
