@@ -478,6 +478,48 @@ def _run_onsager(args, sn, traj, spec):
     return oa
 
 
+def cmd_sites(args):
+    """Trajectory-free site screening: structure file → candidate
+    sites (Voronoi geometry or bond-valence chemistry)."""
+    from sitator_tpu import SiteNetwork
+    from sitator_tpu.core.structure import number_to_symbol
+    from sitator_tpu.io.formats import read_structure
+
+    s = read_structure(args.structure_file)
+    if args.supercell:
+        s = s.repeat(args.supercell)
+        print(f"supercell {tuple(args.supercell)}: {s.n_atoms} atoms")
+    mobile = np.isin(s.species, args.mobile)
+    sn0 = SiteNetwork(s, ~mobile, mobile)
+    if args.method == "bv":
+        from sitator_tpu.network import BondValenceSiteGenerator
+        cation = number_to_symbol(int(args.mobile[0]))
+        try:
+            sn = BondValenceSiteGenerator(
+                cation=cation, v_ideal=args.bv_valence,
+                mismatch_tol=args.bv_mismatch_tol,
+                verbose=args.verbose).run(sn0)
+        except ValueError as e:
+            raise SystemExit(f"sites: {e}")
+        print(f"{sn.n_sites} bond-valence sites for {cation} "
+              f"(|V-{args.bv_valence:g}| < {args.bv_mismatch_tol:g}; "
+              f"best mismatch {float(np.min(sn.bv_mismatch)):.3g})")
+    else:
+        from sitator_tpu.voronoi import VoronoiSiteGenerator
+        sn = VoronoiSiteGenerator(
+            merge_tol=args.voronoi_merge_tol).run(sn0)
+        print(f"{sn.n_sites} Voronoi sites")
+    if args.out:
+        sn.save(args.out)
+        print(f"site network saved to {args.out}")
+    if args.xyz:
+        from sitator_tpu.io.formats import write_xyz
+        write_xyz(args.xyz, sn.get_structure_with_sites())
+        print(f"structure + sites (species 0 markers) written to "
+              f"{args.xyz}")
+    return 0
+
+
 def _write_report(args, st, objs):
     """--report DIR: a self-contained markdown report with figures for
     everything this run computed (no extra analysis is performed)."""
@@ -762,6 +804,29 @@ def build_parser():
     c.add_argument("--zarr3", action="store_true",
                    help="zarr v3 instead of v2")
     c.set_defaults(func=cmd_convert)
+
+    w = sub.add_parser(
+        "sites",
+        help="trajectory-free site screening from a structure file "
+             "(xyz / POSCAR / CIF): Voronoi geometry or bond-valence "
+             "chemistry")
+    w.add_argument("structure_file")
+    w.add_argument("--mobile", type=_species_arg, nargs="+",
+                   required=True,
+                   help="the cation to screen sites for")
+    w.add_argument("--method", choices=["voronoi", "bv"],
+                   default="voronoi")
+    w.add_argument("--supercell", type=int, nargs=3, default=None,
+                   metavar=("NX", "NY", "NZ"),
+                   help="tile the structure first (small unit cells)")
+    w.add_argument("--bv-valence", type=float, default=1.0)
+    w.add_argument("--bv-mismatch-tol", type=float, default=0.5)
+    w.add_argument("--voronoi-merge-tol", type=float, default=0.05)
+    w.add_argument("--out", default=None, metavar="OUT.npz",
+                   help="save the seeded SiteNetwork")
+    w.add_argument("--xyz", default=None, metavar="SITES.xyz",
+                   help="write structure + site markers as xyz")
+    w.set_defaults(func=cmd_sites)
 
     d = sub.add_parser("doctor",
                        help="environment / accelerator health check "

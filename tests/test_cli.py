@@ -501,3 +501,37 @@ def test_info_structure_files(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "poscar (single structure)" in out
     assert "Li1 O2" in out
+
+
+def test_sites_subcommand_bv_from_cif(tmp_path, capsys):
+    """Trajectory-free screening: unit-cell CIF → supercell →
+    bond-valence sites, saved and exported."""
+    a = 2 * (1.466 + 0.37 * np.log(6.0))
+    basis = [(0, 0, 0), (.5, .5, 0), (.5, 0, .5), (0, .5, .5)]
+    lines = ["data_t", f"_cell_length_a {a:.6f}",
+             f"_cell_length_b {a:.6f}", f"_cell_length_c {a:.6f}",
+             "_cell_angle_alpha 90", "_cell_angle_beta 90",
+             "_cell_angle_gamma 90", "loop_", "_atom_site_type_symbol",
+             "_atom_site_fract_x", "_atom_site_fract_y",
+             "_atom_site_fract_z"]
+    lines += [f"O {x} {y} {z}" for x, y, z in basis]
+    cif = tmp_path / "host.cif"
+    cif.write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "sites.npz")
+    xyz = str(tmp_path / "sites.xyz")
+    rc = main(["sites", str(cif), "--mobile", "Li", "--method", "bv",
+               "--supercell", "2", "2", "2", "--bv-mismatch-tol", "0.3",
+               "--out", out, "--xyz", xyz])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "supercell (2, 2, 2): 32 atoms" in text
+    assert "32 bond-valence sites for Li" in text
+    from sitator_tpu import SiteNetwork
+    sn = SiteNetwork.load(out)
+    assert sn.n_sites == 32
+    assert os.path.getsize(xyz) > 100
+    # voronoi route works on the same file
+    rc = main(["sites", str(cif), "--mobile", "Li",
+               "--supercell", "2", "2", "2"])
+    assert rc == 0
+    assert "Voronoi sites" in capsys.readouterr().out
