@@ -60,22 +60,24 @@ def _load_structure(args, reader):
     return structure
 
 
-def cmd_info(args):
+def _print_cell_species(structure):
     from sitator_tpu.core.structure import number_to_symbol
-    from sitator_tpu.io.formats import sniff_format
-    name = str(args.traj).rsplit("/", 1)[-1].upper()
-    if (name.startswith(("POSCAR", "CONTCAR"))
-            or name.endswith((".CIF", ".VASP", ".POSCAR"))):
-        from sitator_tpu.io.formats import read_structure
+    np.set_printoptions(precision=4, suppress=True)
+    print(f"cell:\n{structure.cell}")
+    zs, counts = np.unique(structure.species, return_counts=True)
+    print("species: " + " ".join(
+        f"{number_to_symbol(int(z))}{c}" for z, c in zip(zs, counts)))
+
+
+def cmd_info(args):
+    from sitator_tpu.io.formats import (read_structure, sniff_format,
+                                        structure_format)
+    kind = structure_format(args.traj)
+    if kind in ("poscar", "cif"):
         s = read_structure(args.traj)
-        kind = "cif" if name.endswith(".CIF") else "poscar"
         print(f"format:  {kind} (single structure)")
         print(f"atoms:   {s.n_atoms}")
-        np.set_printoptions(precision=4, suppress=True)
-        print(f"cell:\n{s.cell}")
-        zs, counts = np.unique(s.species, return_counts=True)
-        print("species: " + " ".join(
-            f"{number_to_symbol(int(z))}{c}" for z, c in zip(zs, counts)))
+        _print_cell_species(s)
         return 0
     fmt = sniff_format(args.traj)
     reader = _open(args.traj, args.variable_cell)
@@ -84,12 +86,7 @@ def cmd_info(args):
     print(f"atoms:   {reader.n_atoms}")
     structure = getattr(reader, "structure", None)
     if structure is not None:
-        np.set_printoptions(precision=4, suppress=True)
-        print(f"cell:\n{structure.cell}")
-        zs, counts = np.unique(structure.species, return_counts=True)
-        comp = " ".join(f"{number_to_symbol(int(z))}{c}"
-                        for z, c in zip(zs, counts))
-        print(f"species: {comp}")
+        _print_cell_species(structure)
     return 0
 
 
@@ -494,6 +491,10 @@ def cmd_sites(args):
     if args.method == "bv":
         from sitator_tpu.network import BondValenceSiteGenerator
         cation = number_to_symbol(int(args.mobile[0]))
+        if len(args.mobile) > 1:
+            print(f"note: bond-valence screening uses ONE cation — "
+                  f"screening for {cation} (the other --mobile species "
+                  "only shape the mobile mask)", file=sys.stderr)
         try:
             sn = BondValenceSiteGenerator(
                 cation=cation, v_ideal=args.bv_valence,

@@ -104,8 +104,11 @@ class Structure:
         usually too small for the landmark cutoffs — tile them past
         ~2× the cutoff first (see the small-cell caveat in
         ``voronoi/generator.py``)."""
-        reps = np.broadcast_to(np.asarray(reps, dtype=np.int64),
-                               (3,)).copy()
+        raw = np.broadcast_to(np.asarray(reps), (3,))
+        if not np.all(np.equal(np.mod(raw, 1), 0)):
+            raise ValueError(
+                f"repeat counts must be integers, got {raw}")
+        reps = raw.astype(np.int64)
         if (reps < 1).any():
             raise ValueError(f"repeat counts must be >= 1, got {reps}")
         shifts = np.stack(np.meshgrid(*[np.arange(r) for r in reps],

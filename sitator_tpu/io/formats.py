@@ -390,8 +390,12 @@ def read_cif(path):
                    if t.endswith("_as_xyz") or t.endswith("_operation_xyz")]
         if op_tags:
             icol = tags.index(op_tags[0])
-            symops = [_parse_symop(r[icol]) for r in rows
-                      if len(r) > icol]
+            # unquoted 'x, y, z' shatters into tokens; when the op is
+            # the trailing column, rejoin the tail (legacy CIFs)
+            symops = [_parse_symop(" ".join(r[icol:])
+                                   if icol == len(tags) - 1
+                                   else r[icol])
+                      for r in rows if len(r) > icol]
     sg = (params.get("_symmetry_space_group_name_h-m")
           or params.get("_space_group_name_h-m_alt"))
     if symops is None:
@@ -420,8 +424,11 @@ def read_cif(path):
     for tags, rows in loops:
         if "_atom_site_fract_x" in tags or "_atom_site_cartn_x" in tags:
             frac_mode = "_atom_site_fract_x" in tags
-            ix = tags.index("_atom_site_fract_x" if frac_mode
-                            else "_atom_site_cartn_x")
+            base = "_atom_site_fract_" if frac_mode else "_atom_site_cartn_"
+            # CIF column order is arbitrary: index each coordinate tag
+            # individually (assuming x/y/z contiguity silently misreads
+            # files with e.g. _atom_site_occupancy between them)
+            icoord = [tags.index(base + ax) for ax in "xyz"]
             sym_tag = ("_atom_site_type_symbol"
                        if "_atom_site_type_symbol" in tags
                        else "_atom_site_label")
@@ -429,45 +436,62 @@ def read_cif(path):
             species, coords = [], []
             for r in rows:
                 if len(r) < len(tags):
-                    continue
+                    raise ValueError(
+                        f"CIF atom_site row has {len(r)} fields for "
+                        f"{len(tags)} columns — wrapped loop packets "
+                        "are not supported; rejoin them onto one line "
+                        f"(row: {' '.join(r)[:60]!r})")
                 species.append(symbol_to_number(_cif_element(r[isym])))
-                coords.append([_cif_number(r[ix + k]) for k in range(3)])
+                coords.append([_cif_number(r[k]) for k in icoord])
+            species = np.asarray(species, dtype=np.int32)
             coords = np.asarray(coords, dtype=np.float64)
             frac = (coords if frac_mode
                     else coords @ np.linalg.inv(cell))
             # expand the asymmetric unit through every operation and
-            # deduplicate coincident images (special positions),
-            # per-species, with a wrap-aware fractional tolerance
-            out_sp, out_frac = [], []
-            for R, t in symops:
-                imgs = frac @ R.T + t
-                imgs -= np.floor(imgs)
-                for z, fr in zip(species, imgs):
-                    dup = False
-                    for z2, fr2 in zip(out_sp, out_frac):
-                        if z2 != z:
-                            continue
-                        d = fr - fr2
-                        d -= np.round(d)
-                        if np.abs(d).max() < 1e-3:
-                            dup = True
-                            break
-                    if not dup:
-                        out_sp.append(z)
-                        out_frac.append(fr)
-            pos = np.asarray(out_frac) @ cell
-            return Structure(pos, np.asarray(out_sp, np.int32), cell)
+            # deduplicate coincident images (special positions):
+            # wrap-aware rounded-grid keys, vectorized (a Python pair
+            # loop is quadratic in atoms x ops — minutes on real
+            # 192-op CIFs)
+            all_sp = np.tile(species, len(symops))
+            all_frac = np.concatenate([
+                (frac @ R.T + t) - np.floor(frac @ R.T + t)
+                for R, t in symops])
+            ngrid = 1000                               # 1e-3 tolerance
+            # +eps nudges exact .5 grid boundaries off the banker's-
+            # rounding ambiguity so float-identical images (the actual
+            # duplicates: symop copies differ by ~1e-15) key together
+            keys = (np.round(all_frac * ngrid + 1e-6).astype(np.int64)
+                    % ngrid)
+            flat = ((keys[:, 0] * ngrid + keys[:, 1]) * ngrid
+                    + keys[:, 2]) * np.int64(200) + all_sp
+            _, first = np.unique(flat, return_index=True)
+            first.sort()
+            pos = all_frac[first] @ cell
+            return Structure(pos, all_sp[first], cell)
     raise ValueError("CIF has no atom_site loop with coordinates")
+
+
+def structure_format(path):
+    """Filename classification for single-structure files:
+    ``'poscar' | 'cif' | 'xyz'`` — the single dispatch authority shared
+    by :func:`read_structure` and the CLI ``info`` command.  ``.cif``
+    wins over a POSCAR-ish basename (``POSCAR.cif`` is a CIF)."""
+    name = str(path).rsplit("/", 1)[-1].upper()
+    if name.endswith(".CIF"):
+        return "cif"
+    if (name.startswith(("POSCAR", "CONTCAR"))
+            or name.endswith((".VASP", ".POSCAR"))):
+        return "poscar"
+    return "xyz"
 
 
 def read_structure(path):
     """Single-structure reader dispatch: POSCAR/CONTCAR (by name or
     ``.vasp``/``.poscar``), ``.cif``, else extended XYZ."""
-    name = str(path).rsplit("/", 1)[-1].upper()
-    if (name.startswith(("POSCAR", "CONTCAR"))
-            or name.endswith((".VASP", ".POSCAR"))):
+    fmt = structure_format(path)
+    if fmt == "poscar":
         return read_poscar(path)
-    if name.endswith(".CIF"):
+    if fmt == "cif":
         return read_cif(path)
     return read_xyz(path)
 

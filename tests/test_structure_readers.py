@@ -305,3 +305,76 @@ def test_repeat_feeds_small_cell_seeding():
                                   min_distance=1.2, verbose=False).run(
         SiteNetwork(sup, ~mobile, mobile))
     assert sn.n_sites == 32
+
+
+def test_cif_noncontiguous_coordinate_columns(tmp_path):
+    """CIF column order is arbitrary: an occupancy column BETWEEN the
+    coordinate tags must not shift the read (review finding r4-late:
+    the contiguous-columns assumption silently misread geometry)."""
+    p = tmp_path / "occ.cif"
+    p.write_text("""data_t
+_cell_length_a 10
+_cell_length_b 10
+_cell_length_c 10
+_cell_angle_alpha 90
+_cell_angle_beta 90
+_cell_angle_gamma 90
+loop_
+_atom_site_label
+_atom_site_fract_x
+_atom_site_occupancy
+_atom_site_fract_y
+_atom_site_fract_z
+Li1 0.1 1.0 0.2 0.3
+""")
+    s = read_cif(str(p))
+    frac = s.positions @ np.linalg.inv(s.cell)
+    np.testing.assert_allclose(frac[0], [0.1, 0.2, 0.3], atol=1e-9)
+
+
+def test_cif_wrapped_rows_raise_and_unquoted_symops_parse(tmp_path):
+    p = tmp_path / "wrap.cif"
+    p.write_text("""data_t
+_cell_length_a 10
+_cell_length_b 10
+_cell_length_c 10
+_cell_angle_alpha 90
+_cell_angle_beta 90
+_cell_angle_gamma 90
+loop_
+_atom_site_label
+_atom_site_fract_x
+_atom_site_fract_y
+_atom_site_fract_z
+Li1 0.1 0.2
+""")
+    with pytest.raises(ValueError, match="wrapped loop packets"):
+        read_cif(str(p))
+    p2 = tmp_path / "unq.cif"
+    p2.write_text("""data_t
+_cell_length_a 10
+_cell_length_b 10
+_cell_length_c 10
+_cell_angle_alpha 90
+_cell_angle_beta 90
+_cell_angle_gamma 90
+loop_
+_symmetry_equiv_pos_as_xyz
+x, y, z
+-x, -y, -z
+loop_
+_atom_site_label
+_atom_site_fract_x
+_atom_site_fract_y
+_atom_site_fract_z
+Li1 0.1 0.2 0.3
+""")
+    s = read_cif(str(p2))
+    assert s.n_atoms == 2                 # unquoted spaced ops parsed
+
+
+def test_repeat_rejects_fractional_counts():
+    from sitator_tpu import Structure
+    s = Structure([[0, 0, 0]], [3], np.eye(3) * 4.0)
+    with pytest.raises(ValueError, match="integers"):
+        s.repeat((1.9, 2, 2))

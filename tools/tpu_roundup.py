@@ -1,8 +1,10 @@
 """One-session TPU validation round-up: health probe → scattering
-phase-precision pin → density binning-precision pin → bench (median of
-5) — everything that needs the real chip, in ONE exclusive session with
-teardown hygiene (the tunnel wedges if a process dies with work in
-flight; sequential single-session validation avoids grant races).
+phase-precision pin → density binning-precision pin, in ONE exclusive
+session with teardown hygiene (the tunnel wedges if a process dies
+with work in flight; sequential single-session validation avoids
+grant races).  bench.py is NOT run here — run it as a separate
+process afterwards (the suggested command is printed), keeping chip
+sessions serial.
 
 Run (background, exclusive chip, budget >= 900 s):
 
@@ -78,9 +80,8 @@ if not ok:
 np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
 
 if "--skip-bench" not in sys.argv:
-    # bench runs in its own process (exclusive grant is released when
-    # this one finishes importing work; run it AFTER to keep sessions
-    # serial — the subprocess starts once we exit)
+    # reminder only — bench must run as its own process AFTER this one
+    # exits (serial chip sessions; the axon grant is exclusive)
     print("STATUS roundup OK — now run bench separately:\n"
           "  PYTHONPATH=/root/repo:/root/.axon_site "
           "/opt/venv/bin/python bench.py", flush=True)
