@@ -378,3 +378,38 @@ def test_repeat_rejects_fractional_counts():
     s = Structure([[0, 0, 0]], [3], np.eye(3) * 4.0)
     with pytest.raises(ValueError, match="integers"):
         s.repeat((1.9, 2, 2))
+
+
+def test_symop_parser_roundtrip_exhaustive():
+    """Construct symop strings from known (R, t) affine forms across
+    axis permutations, signs, and common fractional translations —
+    the parser must recover them exactly (both '1/2-x' and '-x+1/2'
+    orderings)."""
+    from itertools import permutations
+    from sitator_tpu.io.formats import _parse_symop
+    fracs = {"": 0.0, "1/2": 0.5, "1/4": 0.25, "3/4": 0.75,
+             "1/3": 1.0 / 3.0, "2/3": 2.0 / 3.0}
+    rng = np.random.default_rng(31)
+    axes = "xyz"
+    for perm in permutations(range(3)):
+        signs = rng.choice([-1, 1], size=3)
+        tkeys = rng.choice(list(fracs), size=3)
+        comps, R, t = [], np.zeros((3, 3)), np.zeros(3)
+        for r in range(3):
+            ax, sg, tk = perm[r], int(signs[r]), tkeys[r]
+            R[r, ax] = sg
+            t[r] = fracs[tk]
+            var = ("-" if sg < 0 else "") + axes[ax]
+            if tk and r % 2:                  # '1/2-x' ordering
+                comps.append(f"{tk}{'+' if sg > 0 else '-'}{axes[ax]}")
+            elif tk:                          # '-x+1/2' ordering
+                comps.append(f"{var}+{tk}")
+            else:
+                comps.append(var)
+        Rp, tp = _parse_symop(", ".join(comps))
+        np.testing.assert_allclose(Rp, R, atol=1e-12)
+        np.testing.assert_allclose(tp, t, atol=1e-12)
+    with pytest.raises(ValueError, match="unsupported|bad CIF"):
+        _parse_symop("x, y")
+    with pytest.raises(ValueError, match="unsupported"):
+        _parse_symop("2x, y, z")
