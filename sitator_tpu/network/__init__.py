@@ -4,7 +4,8 @@ from sitator_tpu.network.site_volumes import SiteVolumes
 from sitator_tpu.network.compare import (match_sites,
                                          compare_site_networks,
                                          min_image_distance_matrix)
-from sitator_tpu.network.graph import to_networkx
+from sitator_tpu.network.graph import (to_networkx,
+    ConductionBottleneckAnalysis)
 from sitator_tpu.network.density_sites import DensitySiteGenerator
 from sitator_tpu.network.bond_valence import BondValenceSiteGenerator
 
@@ -12,4 +13,5 @@ __all__ = ["MergeSitesBase", "MergeSitesByDistance",
            "DiffusionPathwayAnalysis", "SiteVolumes",
            "match_sites", "compare_site_networks",
            "min_image_distance_matrix", "to_networkx",
-           "DensitySiteGenerator", "BondValenceSiteGenerator"]
+           "DensitySiteGenerator", "BondValenceSiteGenerator",
+           "ConductionBottleneckAnalysis"]

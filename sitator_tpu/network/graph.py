@@ -14,7 +14,7 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["to_networkx"]
+__all__ = ["to_networkx", "ConductionBottleneckAnalysis"]
 
 
 def to_networkx(sn, edge_attr="n_ij", edge_threshold=0.0,
@@ -75,3 +75,92 @@ def to_networkx(sn, edge_attr="n_ij", edge_threshold=0.0,
     logger.info("exported %d sites / %d edges (attr %r > %g)",
                 S, g.number_of_edges(), edge_attr, edge_threshold)
     return g
+
+
+class ConductionBottleneckAnalysis:
+    """Which sites carry the long-range transport?  (Beyond the
+    reference surface — its pathway analysis stops at percolation
+    membership, SURVEY.md §3.5.)
+
+    Two complementary readouts on the observed jump graph:
+
+    - ``betweenness_`` — weighted betweenness centrality of every site
+      on the rate graph (edge length = 1 / (n_ij + n_ji): busy hops are
+      short).  High-betweenness sites funnel the conduction paths.
+    - ``critical_sites_`` — of the ``n_candidates`` highest-betweenness
+      sites, the ones whose REMOVAL drops the network's periodic
+      percolation dimensionality (true conduction bottlenecks: block
+      one of these — by doping, occupation, or strain — and long-range
+      transport along some direction dies).  ``base_dim_`` /
+      ``removal_dims_`` carry the numbers.
+
+    Writes the site attribute ``betweenness``; ``run`` accepts a
+    SiteTrajectory (computing ``n_ij`` via JumpAnalysis when missing)
+    or a SiteNetwork with ``n_ij``, and returns ``self``.
+    """
+
+    def __init__(self, connectivity_threshold=1, n_candidates=10,
+                 verbose=True):
+        self.connectivity_threshold = int(connectivity_threshold)
+        self.n_candidates = int(n_candidates)
+        self.verbose = verbose
+
+    def run(self, st_or_sn):
+        import networkx as nx
+
+        from sitator_tpu.core.sitetraj import SiteTrajectory
+        from sitator_tpu.network.pathways import DiffusionPathwayAnalysis
+
+        if isinstance(st_or_sn, SiteTrajectory):
+            sn = st_or_sn.site_network
+            if "n_ij" not in sn.edge_attributes:
+                from sitator_tpu.dynamics import JumpAnalysis
+                JumpAnalysis(verbose=False).run(st_or_sn)
+        else:
+            sn = st_or_sn
+            if "n_ij" not in sn.edge_attributes:
+                raise ValueError("SiteNetwork has no n_ij; run "
+                                 "JumpAnalysis first")
+        S = sn.n_sites
+        n_ij = np.asarray(sn.n_ij, dtype=np.float64)
+        sym = n_ij + n_ij.T
+        np.fill_diagonal(sym, 0.0)
+        conn = sym >= self.connectivity_threshold
+
+        g = nx.Graph()
+        g.add_nodes_from(range(S))
+        for i, j in zip(*np.nonzero(np.triu(conn, k=1))):
+            g.add_edge(int(i), int(j), inv_w=1.0 / sym[i, j])
+        bc = nx.betweenness_centrality(g, weight="inv_w")
+        self.betweenness_ = np.array([bc.get(i, 0.0) for i in range(S)])
+        if "betweenness" in sn.site_attributes:
+            sn.remove_attribute("betweenness")
+        sn.add_site_attribute("betweenness", self.betweenness_)
+
+        frac = np.asarray(sn.centers) @ np.linalg.inv(
+            np.asarray(sn.structure.cell, dtype=np.float64))
+        perc = DiffusionPathwayAnalysis.percolation_dimension
+        self.base_dim_ = perc(conn, frac)
+        order = np.argsort(self.betweenness_)[::-1]
+        cands = [int(i) for i in order[: self.n_candidates]
+                 if self.betweenness_[i] > 0]
+        self.candidates_ = np.asarray(cands, dtype=np.int64)
+        dims = []
+        critical = []
+        for i in cands:
+            sub = conn.copy()
+            sub[i, :] = False
+            sub[:, i] = False
+            d = perc(sub, frac)
+            dims.append(d)
+            if d < self.base_dim_:
+                critical.append(i)
+        self.removal_dims_ = np.asarray(dims, dtype=np.int32)
+        self.critical_sites_ = np.asarray(critical, dtype=np.int64)
+        if self.verbose:
+            logger.info(
+                "conduction bottlenecks: base percolation %dD; "
+                "%d/%d top-betweenness sites are critical (%s)",
+                self.base_dim_, len(critical), len(cands),
+                critical)
+        return self

@@ -96,6 +96,29 @@ class DiffusionPathwayAnalysis:
         return st_or_sn
 
     @staticmethod
+    def percolation_dimension(conn, frac):
+        """Maximum periodic-percolation dimensionality over the
+        connected components of a boolean adjacency ``conn (S, S)``
+        with fractional centers ``frac`` — the reusable core of
+        :meth:`run` (consumed by
+        :class:`~sitator_tpu.network.graph.ConductionBottleneckAnalysis`
+        for removal experiments)."""
+        S = conn.shape[0]
+        seen = np.zeros(S, dtype=bool)
+        best = 0
+        for root in range(S):
+            if seen[root] or not conn[root].any():
+                continue
+            members, wraps = DiffusionPathwayAnalysis._bfs_component(
+                root, conn, frac)
+            seen[members] = True
+            if wraps:
+                W = np.array(wraps, dtype=np.float64)
+                best = max(best, int(np.linalg.matrix_rank(
+                    np.round(W), tol=1e-6)))
+        return best
+
+    @staticmethod
     def _bfs_component(root, conn, frac):
         """BFS with image-offset bookkeeping.  Returns (member indices,
         list of integer lattice wrap vectors discovered)."""
