@@ -448,26 +448,35 @@ def read_cif(path):
             frac = (coords if frac_mode
                     else coords @ np.linalg.inv(cell))
             # expand the asymmetric unit through every operation and
-            # deduplicate coincident images (special positions):
-            # wrap-aware rounded-grid keys, vectorized (a Python pair
-            # loop is quadratic in atoms x ops — minutes on real
-            # 192-op CIFs)
+            # deduplicate coincident images (special positions).  The
+            # tolerance must be a true metric ball: grid-bucket keys
+            # miss near-duplicates straddling a bucket boundary (real
+            # for 3-decimal CIFs with 1/3-family special positions,
+            # where images differ by ~1e-3, not ~1e-15).  One
+            # vectorized kept-array comparison per image is O(N²) in
+            # elementwise numpy ops — fast even for 192-op CIFs.
             all_sp = np.tile(species, len(symops))
-            all_frac = np.concatenate([
-                (frac @ R.T + t) - np.floor(frac @ R.T + t)
-                for R, t in symops])
-            ngrid = 1000                               # 1e-3 tolerance
-            # +eps nudges exact .5 grid boundaries off the banker's-
-            # rounding ambiguity so float-identical images (the actual
-            # duplicates: symop copies differ by ~1e-15) key together
-            keys = (np.round(all_frac * ngrid + 1e-6).astype(np.int64)
-                    % ngrid)
-            flat = ((keys[:, 0] * ngrid + keys[:, 1]) * ngrid
-                    + keys[:, 2]) * np.int64(200) + all_sp
-            _, first = np.unique(flat, return_index=True)
-            first.sort()
-            pos = all_frac[first] @ cell
-            return Structure(pos, all_sp[first], cell)
+            imgs = []
+            for R, t in symops:
+                img = frac @ R.T + t
+                imgs.append(img - np.floor(img))
+            all_frac = np.concatenate(imgs)
+            kept_frac = np.empty_like(all_frac)
+            kept_sp = np.empty_like(all_sp)
+            n_kept = 0
+            for fr, z in zip(all_frac, all_sp):
+                if n_kept:
+                    d = kept_frac[:n_kept] - fr
+                    d -= np.round(d)                  # wrap-aware
+                    dup = np.any((np.abs(d).max(axis=1) < 1e-3)
+                                 & (kept_sp[:n_kept] == z))
+                    if dup:
+                        continue
+                kept_frac[n_kept] = fr
+                kept_sp[n_kept] = z
+                n_kept += 1
+            pos = kept_frac[:n_kept] @ cell
+            return Structure(pos, kept_sp[:n_kept], cell)
     raise ValueError("CIF has no atom_site loop with coordinates")
 
 

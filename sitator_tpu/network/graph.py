@@ -102,6 +102,11 @@ class ConductionBottleneckAnalysis:
     def __init__(self, connectivity_threshold=1, n_candidates=10,
                  verbose=True):
         self.connectivity_threshold = int(connectivity_threshold)
+        if self.connectivity_threshold < 1:
+            # threshold 0 would make EVERY pair an 'edge' (sym >= 0),
+            # with 1/0 = inf weights and a vacuously-percolating graph
+            raise ValueError("connectivity_threshold must be >= 1 "
+                             "(it gates on observed jump counts)")
         self.n_candidates = int(n_candidates)
         self.verbose = verbose
 

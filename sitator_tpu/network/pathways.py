@@ -74,11 +74,7 @@ class DiffusionPathwayAnalysis:
             if len(members) < self.minimum_n_sites:
                 continue
             pathway[members] = next_id
-            if wrap_vecs:
-                W = np.array(wrap_vecs, dtype=np.float64)
-                dim = np.linalg.matrix_rank(np.round(W), tol=1e-6)
-            else:
-                dim = 0
+            dim = self._wrap_rank(wrap_vecs)
             dims.append(int(dim))
             percolating.append(dim > 0)
             next_id += 1
@@ -112,11 +108,20 @@ class DiffusionPathwayAnalysis:
             members, wraps = DiffusionPathwayAnalysis._bfs_component(
                 root, conn, frac)
             seen[members] = True
-            if wraps:
-                W = np.array(wraps, dtype=np.float64)
-                best = max(best, int(np.linalg.matrix_rank(
-                    np.round(W), tol=1e-6)))
+            best = max(best,
+                       DiffusionPathwayAnalysis._wrap_rank(wraps))
         return best
+
+    @staticmethod
+    def _wrap_rank(wrap_vecs):
+        """Percolation dimensionality of one component: the rank of
+        the span of its integer lattice wrap vectors — the single
+        authority shared by :meth:`run` and
+        :meth:`percolation_dimension`."""
+        if not wrap_vecs:
+            return 0
+        W = np.array(wrap_vecs, dtype=np.float64)
+        return int(np.linalg.matrix_rank(np.round(W), tol=1e-6))
 
     @staticmethod
     def _bfs_component(root, conn, frac):

@@ -413,3 +413,31 @@ def test_symop_parser_roundtrip_exhaustive():
         _parse_symop("x, y")
     with pytest.raises(ValueError, match="unsupported"):
         _parse_symop("2x, y, z")
+
+
+def test_cif_dedup_tolerance_is_metric_not_grid(tmp_path):
+    """3-decimal special positions: x=0.167 under '-x+1/3' images to
+    0.166333 — within the 1e-3 tolerance but across a 1e-3 grid-bucket
+    boundary.  Must dedupe to ONE atom (review finding r4-late: grid
+    keys kept both, a duplicated-atom regression)."""
+    p = tmp_path / "sp.cif"
+    p.write_text("""data_t
+_cell_length_a 10
+_cell_length_b 10
+_cell_length_c 10
+_cell_angle_alpha 90
+_cell_angle_beta 90
+_cell_angle_gamma 90
+loop_
+_symmetry_equiv_pos_as_xyz
+'x, y, z'
+'-x+1/3, y, z'
+loop_
+_atom_site_label
+_atom_site_fract_x
+_atom_site_fract_y
+_atom_site_fract_z
+Li1 0.167 0.25 0.25
+""")
+    s = read_cif(str(p))
+    assert s.n_atoms == 1
