@@ -203,6 +203,25 @@ def _postprocess(args, st):
     ja = JumpAnalysis(verbose=args.verbose)
     ja.run(st)
     print(f"final: {st.site_network.n_sites} sites, {ja.n_jumps} jumps")
+    from sitator_tpu.network import DiffusionPathwayAnalysis
+    dpa = DiffusionPathwayAnalysis(minimum_n_sites=2, verbose=False)
+    dpa.run(st)
+    if dpa.n_pathways:
+        dims = dpa.pathway_dims
+        print(f"pathways: {dpa.n_pathways} "
+              f"({int(dpa.pathway_percolating.sum())} percolating; "
+              f"max dimensionality {int(dims.max()) if len(dims) else 0}D)")
+    else:
+        print("pathways: none (no connected jumps)")
+    if getattr(args, "bottlenecks", False):
+        from sitator_tpu.network import ConductionBottleneckAnalysis
+        cb = ConductionBottleneckAnalysis(verbose=args.verbose).run(st)
+        crit = (f"critical sites {cb.critical_sites_.tolist()}"
+                if len(cb.critical_sites_) else "no single-site "
+                "bottleneck (redundant network)")
+        print(f"bottlenecks: base percolation {cb.base_dim_}D; {crit} "
+              f"(top betweenness "
+              f"{float(cb.betweenness_.max()):.3f})")
     if getattr(args, "diagnose", False):
         from sitator_tpu.dynamics import (DetailedBalanceAnalysis,
                                           OccupancyCorrelationAnalysis)
@@ -909,6 +928,10 @@ def build_parser():
                         "'Li:+1,Cl:-1' — transference numbers and "
                         "(with --timestep/--temperature) the "
                         "pairing-aware conductivity")
+    a.add_argument("--bottlenecks", action="store_true",
+                   help="rate-weighted betweenness + site-removal "
+                        "percolation experiments (which sites, if "
+                        "blocked, kill long-range transport)")
     a.add_argument("--barriers", action="store_true",
                    help="free-energy barriers along observed hop paths "
                         "from the occupation density (-kT ln rho; "

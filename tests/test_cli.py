@@ -535,3 +535,13 @@ def test_sites_subcommand_bv_from_cif(tmp_path, capsys):
                "--supercell", "2", "2", "2"])
     assert rc == 0
     assert "Voronoi sites" in capsys.readouterr().out
+
+
+def test_pathways_line_and_bottlenecks_flag(xyz_file, capsys):
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--bottlenecks"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pathways: " in out
+    assert "bottlenecks: base percolation" in out
