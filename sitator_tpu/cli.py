@@ -13,6 +13,11 @@ Production entry points over the library (no Python required):
 - ``arrhenius T=PATH [T=PATH ...]`` — the temperature-series workflow:
   one full analysis per file, cross-temperature site matching, scalar
   tracer-D Arrhenius and per-jump-pathway ``Ea_ij``.
+- ``sites STRUCTURE`` — trajectory-free site screening from a structure
+  file (xyz / POSCAR / CIF): Voronoi geometry or bond-valence
+  chemistry, with ``--supercell`` tiling.
+- ``doctor`` — environment/accelerator health check (wedge-detecting
+  probe matmul).
 
 Beyond-reference convenience: upstream ``sitator`` is library-only.
 """

@@ -115,3 +115,20 @@ def test_bv_generator_validation_and_r0_lookup():
                                   mismatch_tol=0.5, n_bins=24,
                                   verbose=False).run(sn0)
     assert sn.n_sites > 0
+
+
+def test_bv_sums_invariances():
+    """Rigid translation and integer lattice shifts of probe + anions
+    leave every bond-valence sum unchanged (min-image correctness over
+    a triclinic cell)."""
+    rng = np.random.default_rng(83)
+    cell = np.array([[7.0, 0, 0], [1.2, 8.0, 0], [0.5, 0.9, 9.0]])
+    anions = rng.uniform(0, 6, (12, 3))
+    probes = rng.uniform(0, 6, (20, 3))
+    base = bv_ops.bv_sums(probes, anions, 1.94, cell)
+    t = rng.uniform(-30, 30, 3)
+    shifted = bv_ops.bv_sums(probes + t, anions + t, 1.94, cell)
+    np.testing.assert_allclose(shifted, base, rtol=2e-4)
+    latt = np.array([2.0, -1.0, 3.0]) @ cell
+    moved = bv_ops.bv_sums(probes + latt, anions, 1.94, cell)
+    np.testing.assert_allclose(moved, base, rtol=2e-4)
