@@ -386,3 +386,40 @@ def test_kernel_common_host_helpers():
     np.testing.assert_allclose(
         np.asarray(p_tri[9:18]).reshape(3, 3) @ np.asarray(cell),
         np.eye(3), atol=1e-5)
+
+
+def test_new_round4_attributes_roundtrip_save_load(tmp_path, tiny_sn):
+    """Every attribute the round-4 engines persist (betweenness,
+    bv_sum/bv_mismatch, density_barrier_ij, occ_corr,
+    balance_p/edge_asymmetry, site_density) survives SiteNetwork
+    save/load bit-exactly, including NaN patterns."""
+    sn = tiny_sn
+    rng = np.random.default_rng(5)
+    site_attrs = {
+        "betweenness": rng.uniform(0, 1, 2),
+        "bv_sum": rng.uniform(0.5, 1.5, 2),
+        "bv_mismatch": rng.uniform(0, 0.3, 2),
+        "site_density": rng.uniform(0, 9, 2),
+    }
+    E = rng.uniform(0, 1, (2, 2))
+    E[0, 0] = np.nan
+    edge_attrs = {
+        "density_barrier_ij": E,
+        "occ_corr": E * -1,
+        "balance_p": np.where(E > 0.5, E, np.nan),
+        "edge_asymmetry": E - 0.5,
+        "n_ij": np.arange(4.0).reshape(2, 2),
+    }
+    for k, v in site_attrs.items():
+        sn.add_site_attribute(k, v)
+    for k, v in edge_attrs.items():
+        sn.add_edge_attribute(k, v)
+    path = str(tmp_path / "net.npz")
+    sn.save(path)
+    from sitator_tpu import SiteNetwork
+    back = SiteNetwork.load(path)
+    for k, v in site_attrs.items():
+        np.testing.assert_array_equal(back.get_site_attribute(k), v)
+    for k, v in edge_attrs.items():
+        got = getattr(back, k)
+        np.testing.assert_array_equal(got, v)
