@@ -49,7 +49,17 @@ def _open(path, variable_cell=None):
     kwargs = {}
     if variable_cell:
         kwargs["variable_cell"] = variable_cell
-    return open_trajectory(path, **kwargs)
+    try:
+        return open_trajectory(path, **kwargs)
+    except ValueError as e:
+        from sitator_tpu.io.formats import structure_format
+        if structure_format(path) in ("poscar", "cif"):
+            raise SystemExit(
+                f"{path} is a single-structure file, not a trajectory "
+                "— use `sitator_tpu sites` to screen candidate sites "
+                "from it, or pass it as --structure alongside a "
+                "trajectory")
+        raise SystemExit(str(e))
 
 
 def _load_structure(args, reader):

@@ -545,3 +545,14 @@ def test_pathways_line_and_bottlenecks_flag(xyz_file, capsys):
     out = capsys.readouterr().out
     assert "pathways: " in out
     assert "bottlenecks: base percolation" in out
+
+
+def test_structure_file_as_trajectory_hint(tmp_path):
+    cif = tmp_path / "x.cif"
+    cif.write_text("data_x\n_cell_length_a 4\n")
+    with pytest.raises(SystemExit, match="single-structure file"):
+        main(["analyze", str(cif), "--mobile", "Li"])
+    bogus = tmp_path / "junk.bin"
+    bogus.write_bytes(b"\x00\x01\x02garbage")
+    with pytest.raises(SystemExit, match="unknown trajectory format"):
+        main(["info", str(bogus)])
