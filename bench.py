@@ -269,15 +269,28 @@ def _ensure_tpu_backend():
 
 
 def main():
+    global N_BLOCKS, BLOCK
     backend = _ensure_tpu_backend()
+    mode = "mxu"
+    if backend == "cpu":
+        # tunnel-down fallback must still COMPLETE and record: the
+        # Pallas kernel does not lower on CPU (interpret mode is a
+        # test-only path, minutes at this scale) — use the dense XLA
+        # formulation on a shrunken workload instead
+        mode = "xla"
+        N_BLOCKS, BLOCK = 1, 4
+        print("bench: degraded CPU run — dense XLA path, "
+              f"{N_BLOCKS * BLOCK} frames", file=sys.stderr, flush=True)
     cell, verts, frames, centers, n_static = build_system()
     # the axon tunnel occasionally fails transiently (session-grant races);
     # one retry after a cooldown keeps the bench robust
     try:
-        reps, basis = tpu_fps(cell, verts, frames, centers, n_static)
+        reps, basis = tpu_fps(cell, verts, frames, centers, n_static,
+                              mode=mode)
     except RuntimeError:
         time.sleep(120)
-        reps, basis = tpu_fps(cell, verts, frames, centers, n_static)
+        reps, basis = tpu_fps(cell, verts, frames, centers, n_static,
+                              mode=mode)
     fps = float(np.median(reps))
     ref = cpu_reference_fps(cell, verts, frames, centers, n_frames=10)
     # roofline fields (PERFORMANCE.md 'Roofline'): model FLOPs counted
@@ -298,6 +311,7 @@ def main():
         "mfu": (round(fps * flops / peak, 3)
                 if flops is not None and peak is not None else None),
         "backend": backend,
+        "mode": mode,
     }))
 
 
