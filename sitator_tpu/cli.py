@@ -44,22 +44,47 @@ def _species_arg(s):
         return symbol_to_number(s)
 
 
+def _structure_file_hint(path):
+    return SystemExit(
+        f"{path} is a single-structure file, not a trajectory — use "
+        "`sitator_tpu sites` to screen candidate sites from it, or "
+        "pass it as --structure alongside a trajectory")
+
+
 def _open(path, variable_cell=None):
     from sitator_tpu.io import open_trajectory
+    from sitator_tpu.io.formats import sniff_format, structure_format
+
+    sf = structure_format(path)
     kwargs = {}
     if variable_cell:
         kwargs["variable_cell"] = variable_cell
     try:
-        return open_trajectory(path, **kwargs)
+        reader = open_trajectory(path, **kwargs)
     except ValueError as e:
-        from sitator_tpu.io.formats import structure_format
-        if structure_format(path) in ("poscar", "cif"):
-            raise SystemExit(
-                f"{path} is a single-structure file, not a trajectory "
-                "— use `sitator_tpu sites` to screen candidate sites "
-                "from it, or pass it as --structure alongside a "
-                "trajectory")
+        # keep REAL trajectory errors (e.g. the variable-cell rescale
+        # hint) intact: only claim "structure file" when the file
+        # actually PARSES as one (a Cartesian POSCAR sniffs as
+        # XDATCAR and fails mid-parse; a real NPT XDATCAR with a
+        # CONTCAR-ish name must keep its actionable message)
+        if sf == "cif":                  # .cif is never a trajectory
+            raise _structure_file_hint(path)
+        if sf == "poscar":
+            from sitator_tpu.io.formats import read_structure
+            try:
+                read_structure(path)
+            except Exception:
+                pass
+            else:
+                raise _structure_file_hint(path)
         raise SystemExit(str(e))
+    # a Direct-coordinates POSCAR parses as a 1-frame XDATCAR and would
+    # silently run a meaningless single-frame analysis — catch it
+    # proactively (structure_format never claims 'poscar' for names
+    # that declare themselves trajectories, e.g. *.xdatcar)
+    if sf == "poscar" and len(reader) == 1:
+        raise _structure_file_hint(path)
+    return reader
 
 
 def _load_structure(args, reader):

@@ -488,6 +488,8 @@ def structure_format(path):
     name = str(path).rsplit("/", 1)[-1].upper()
     if name.endswith(".CIF"):
         return "cif"
+    if name.endswith(".XDATCAR") or name.startswith("XDATCAR"):
+        return "xyz"        # explicitly a trajectory, never a POSCAR
     if (name.startswith(("POSCAR", "CONTCAR"))
             or name.endswith((".VASP", ".POSCAR"))):
         return "poscar"

@@ -556,3 +556,33 @@ def test_structure_file_as_trajectory_hint(tmp_path):
     bogus.write_bytes(b"\x00\x01\x02garbage")
     with pytest.raises(SystemExit, match="unknown trajectory format"):
         main(["info", str(bogus)])
+
+
+def test_structure_file_hints_cover_all_poscar_shapes(tmp_path, capsys):
+    """All four hint paths (review finding r4-late): Direct POSCAR
+    (opens as a 1-frame XDATCAR — proactive hint), Cartesian POSCAR
+    (open fails — hint), variable-cell XDATCAR named CONTCAR-ish
+    (REAL actionable error preserved, no wrong hint), and info on a
+    POSCAR still works."""
+    direct = tmp_path / "POSCAR"
+    direct.write_text("x\n1.0\n 9 0 0\n 0 9 0\n 0 0 9\nS Li\n4 1\n"
+                      "Direct\n 0 0 0\n 0.5 0.5 0\n 0.5 0 0.5\n"
+                      " 0 0.5 0.5\n 0.25 0.25 0.25\n")
+    with pytest.raises(SystemExit, match="single-structure file"):
+        main(["analyze", str(direct), "--mobile", "Li"])
+    cart = tmp_path / "POSCAR_cart"
+    cart.write_text("x\n1.0\n 9 0 0\n 0 9 0\n 0 0 9\nLi\n1\n"
+                    "Cartesian\n 1.0 1.0 1.0\n")
+    with pytest.raises(SystemExit, match="single-structure file"):
+        main(["analyze", str(cart), "--mobile", "Li"])
+    # a REAL variable-cell trajectory with a CONTCAR-ish name keeps its
+    # actionable error
+    npt = tmp_path / "CONTCAR_npt.xdatcar"
+    npt.write_text("c\n1.0\n 9 0 0\n 0 9 0\n 0 0 9\nLi\n1\n"
+                   "Direct configuration=     1\n 0.1 0.1 0.1\n"
+                   "c\n1.1\n 9 0 0\n 0 9 0\n 0 0 9\nLi\n1\n"
+                   "Direct configuration=     2\n 0.1 0.1 0.1\n")
+    with pytest.raises(SystemExit, match="rescale"):
+        main(["analyze", str(npt), "--mobile", "Li"])
+    assert main(["info", str(direct)]) == 0
+    assert "poscar (single structure)" in capsys.readouterr().out
