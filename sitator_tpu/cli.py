@@ -428,6 +428,7 @@ def cmd_analyze(args):
         st.set_real_traj(traj)
         pa = PathwayBarrierAnalysis(temperature=args.temperature,
                                     min_jumps=args.barriers_min_jumps,
+                                    path=args.barriers_path,
                                     verbose=args.verbose).run(st)
         E = st.site_network.density_barrier_ij
         finite = E[np.isfinite(E)]
@@ -980,6 +981,12 @@ def build_parser():
     a.add_argument("--barriers-min-jumps", type=int, default=2,
                    help="profile only edges with at least this many "
                         "observed hops")
+    a.add_argument("--barriers-path", choices=("straight", "string"),
+                   default="straight",
+                   help="hop-path model: the straight minimum-image "
+                        "segment (upper-bound proxy) or a string-method "
+                        "minimum-energy path relaxed on -kT ln rho "
+                        "(reads the true saddle of curved mechanisms)")
     a.add_argument("--relaxation", type=float, default=None, metavar="Q",
                    help="dynamic heterogeneity at wavevector Q (1/Å): "
                         "non-Gaussian alpha2(t) peak and the self-"

@@ -161,10 +161,20 @@ class PathwayBarrierAnalysis:
     and a temperature, but DOES require the transition region to be
     sampled (rarely-crossed saddles are noisy; never-crossed ones NaN).
 
-    Caveat (documented, standard for this technique): the path is the
-    STRAIGHT minimum-image segment between site centers, an upper bound
-    proxy for the true minimum-free-energy path; fine for direct
-    interstitial hops, pessimistic for strongly curved mechanisms.
+    Two path models (``path=``):
+
+    - ``'straight'`` (default): the minimum-image segment between site
+      centers — an upper-bound proxy for the true minimum-free-energy
+      path; fine for direct interstitial hops, pessimistic for curved
+      mechanisms.
+    - ``'string'``: the straight segment is relaxed to a genuine
+      minimum-energy path on ``-ln rho`` by the simplified string
+      method (:func:`sitator_tpu.ops.mep.refine_string_paths` — one
+      jitted ``lax.scan`` over ALL edges at once, gradients by
+      autodiff through the periodic trilinear interpolation).  Always
+      gives barriers ≤ the straight readout up to grid resolution, and
+      can rescue edges whose straight segment crosses an unsampled
+      void.
 
     Parameters
     ----------
@@ -177,15 +187,21 @@ class PathwayBarrierAnalysis:
         pairs within ``max_distance`` are.
     max_distance : skip pairs farther apart (minimum image) than this
         (None = no limit).
+    path : ``'straight'`` or ``'string'`` (see above).
+    string_iterations, string_step : string-method iteration count and
+        per-node step cap (length units; None = 0.15 × grid spacing).
 
     After ``run(st)``: edge attr ``density_barrier_ij`` (eV; NaN off
-    the jump graph or where the path crosses unsampled density) and
+    the jump graph or where the path crosses unsampled density),
     ``profiles_`` — dict ``(i, j) -> (s, F(s))`` arrays (s in Å along
-    the path, F relative to the site-i end).  Returns ``self``.
+    the path, F relative to the site-i end) — and ``paths_`` — dict
+    ``(i, j) -> (n_samples, 3)`` cartesian path nodes (site-i end
+    first).  Returns ``self``.
     """
 
     def __init__(self, temperature, n_bins=48, sigma=0.5, n_samples=33,
-                 min_jumps=1, max_distance=None, verbose=True):
+                 min_jumps=1, max_distance=None, path="straight",
+                 string_iterations=300, string_step=None, verbose=True):
         self.temperature = float(temperature)
         if self.temperature <= 0:
             raise ValueError("temperature must be positive kelvin")
@@ -196,6 +212,11 @@ class PathwayBarrierAnalysis:
             raise ValueError("n_samples must be at least 3")
         self.min_jumps = int(min_jumps)
         self.max_distance = max_distance
+        if path not in ("straight", "string"):
+            raise ValueError("path must be 'straight' or 'string'")
+        self.path = path
+        self.string_iterations = int(string_iterations)
+        self.string_step = string_step
         self.verbose = verbose
 
     def run(self, st):
@@ -233,11 +254,20 @@ class PathwayBarrierAnalysis:
         inv = np.linalg.inv(cell)
         E = np.full((S, S), np.nan)
         self.profiles_ = {}
+        self.paths_ = {}
         s_par = np.linspace(0.0, 1.0, self.n_samples)
-        for i, j in pairs:
+        all_pts = np.empty((len(pairs), self.n_samples, 3))
+        for k, (i, j) in enumerate(pairs):
             d = np.asarray(calc._min_image_disp(
                 (centers[j] - centers[i])[None]))[0]
-            pts = centers[i][None] + s_par[:, None] * d[None]
+            all_pts[k] = centers[i][None] + s_par[:, None] * d[None]
+        if self.path == "string" and len(pairs):
+            from sitator_tpu.ops.mep import refine_string_paths
+            all_pts = refine_string_paths(
+                rho, cell, all_pts, iterations=self.string_iterations,
+                max_step=self.string_step)
+        for k, (i, j) in enumerate(pairs):
+            pts = all_pts[k]
             frac = pts @ inv
             frac -= np.floor(frac)
             prof = _trilinear_periodic(rho, frac)
@@ -248,8 +278,10 @@ class PathwayBarrierAnalysis:
             peak = F_path.max()
             E[i, j] = peak - F_path[0]      # == peak (F[0] = 0)
             E[j, i] = peak - F_path[-1]
+            seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
             self.profiles_[(i, j)] = (
-                s_par * np.linalg.norm(d), F_path)
+                np.concatenate([[0.0], np.cumsum(seg)]), F_path)
+            self.paths_[(i, j)] = pts
         if "density_barrier_ij" in sn.edge_attributes:
             sn.remove_attribute("density_barrier_ij")
         sn.add_edge_attribute("density_barrier_ij", E)

@@ -465,6 +465,12 @@ def test_barriers_flag(xyz_file, capsys):
     assert "density barriers:" in capsys.readouterr().out
     with pytest.raises(SystemExit, match="needs --temperature"):
         main(["analyze", xyz_file, "--mobile", "Li", "--barriers"])
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--temperature", "600", "--barriers",
+               "--barriers-path", "string"])
+    assert rc == 0
+    assert "density barriers:" in capsys.readouterr().out
 
 
 def test_report_flag(xyz_file, tmp_path, capsys):
