@@ -17,6 +17,7 @@ from sitator_tpu.dynamics.energetics import (SiteFreeEnergyAnalysis,
 from sitator_tpu.dynamics.onsager import OnsagerAnalysis
 from sitator_tpu.dynamics.kmc import (KineticMonteCarlo,
                                       mean_first_passage_times)
+from sitator_tpu.dynamics.tpt import TransitionPathAnalysis
 from sitator_tpu.dynamics.residence import ResidenceTimeAnalysis
 from sitator_tpu.dynamics.vacancy import VacancyAnalysis
 from sitator_tpu.dynamics.concerted import ConcertedJumpAnalysis
@@ -34,7 +35,8 @@ __all__ = [
     "VanHoveAnalysis", "ScatteringAnalysis", "ArrheniusAnalysis",
     "SiteFreeEnergyAnalysis", "PathwayBarrierAnalysis",
     "OnsagerAnalysis",
-    "KineticMonteCarlo", "ResidenceTimeAnalysis",
+    "KineticMonteCarlo", "TransitionPathAnalysis",
+    "ResidenceTimeAnalysis",
     "EdgeArrheniusAnalysis", "mean_first_passage_times",
     "VacancyAnalysis", "ConcertedJumpAnalysis",
     "DetailedBalanceAnalysis", "OccupancyCorrelationAnalysis",
