@@ -329,6 +329,60 @@ def _print_concerted_report(args, st):
           f"largest event {largest} ions")
 
 
+def _parse_tpt_spec(spec):
+    """AXIS[:FRAC] → (axis name, axis index, quantile fraction);
+    SystemExit on malformed input (called before the pipeline runs)."""
+    axis_s, _, frac_s = spec.partition(":")
+    axis_s = axis_s.strip().lower()
+    try:
+        axis = {"x": 0, "y": 1, "z": 2}[axis_s]
+    except KeyError:
+        raise SystemExit(f"--tpt: axis must be x, y or z "
+                         f"(got {axis_s!r})")
+    try:
+        frac = float(frac_s) if frac_s else 0.15
+    except ValueError:
+        raise SystemExit(f"--tpt: FRAC must be a number "
+                         f"(got {frac_s!r})")
+    if not 0.0 < frac < 0.5:
+        raise SystemExit("--tpt: FRAC must be in (0, 0.5)")
+    return axis_s, axis, frac
+
+
+def _run_tpt(args, st_or_sn):
+    """--tpt AXIS[:FRAC]: transition-path theory between the occupied
+    sites in the low/high FRAC quantile of the centers along a
+    cartesian axis.  Returns the fitted analysis or None (skips, with
+    a reason on stderr, rather than killing the pipeline)."""
+    from sitator_tpu.dynamics import TransitionPathAnalysis
+    axis_s, axis, frac = _parse_tpt_spec(args.tpt)
+    sn = getattr(st_or_sn, "site_network", st_or_sn)
+    x = sn.centers[:, axis]
+    occ = np.asarray(sn.occupancies)
+    lo = np.flatnonzero((x <= np.quantile(x, frac)) & (occ > 0))
+    hi = np.flatnonzero((x >= np.quantile(x, 1 - frac)) & (occ > 0))
+    if not len(lo) or not len(hi) or len(np.intersect1d(lo, hi)):
+        print(f"tpt: skipped — the low/high {frac:g} quantile groups "
+              f"along {axis_s} are empty or overlap (too few occupied "
+              "sites)", file=sys.stderr)
+        return None
+    try:
+        tpa = TransitionPathAnalysis(sources=lo, sinks=hi,
+                                     verbose=args.verbose)
+        tpa.run(st_or_sn)
+    except ValueError as e:
+        print(f"tpt: skipped — {e}", file=sys.stderr)
+        return None
+    print(f"tpt ({axis_s}): F = {tpa.rate_:.3g} reactive A→B "
+          f"transitions/frame (k_AB = {tpa.k_AB_:.3g}); "
+          f"{len(tpa.pathways_)} pathway(s) carry "
+          f"{100 * tpa.path_flux_fraction_:.0f}% of the net flux")
+    for rank, (path, width) in enumerate(tpa.pathways_[:3], 1):
+        print(f"tpt:   #{rank} {'-'.join(map(str, path))} "
+              f"(width {width:.3g})")
+    return tpa
+
+
 def _eager_pipeline(args, sn, traj):
     """landmark assignment, then the shared post-processing tail.
     Returns the final SiteTrajectory (jump stats on its network)."""
@@ -349,6 +403,8 @@ def _eager_pipeline(args, sn, traj):
 def cmd_analyze(args):
     from sitator_tpu.dynamics import DiffusionAnalysis
 
+    if args.tpt:
+        _parse_tpt_spec(args.tpt)   # malformed spec fails fast
     reader, sn = _seed_network(args, args.traj)
 
     if args.streaming:
@@ -393,6 +449,11 @@ def cmd_analyze(args):
     traj = reader[0:len(reader)]
     st = _eager_pipeline(args, sn, traj)
     objs = {}
+
+    if args.tpt:
+        tpa = _run_tpt(args, st)
+        if tpa is not None:
+            objs["tpa_flux"] = tpa
 
     if args.timestep:
         st.set_real_traj(traj)
@@ -662,6 +723,23 @@ def _write_report(args, st, objs):
         from sitator_tpu.visualization import plot_barrier_profiles
         figures.append(("barriers.png", plot_barrier_profiles(pa),
                         "Free-energy profiles along hop paths"))
+    tpa = objs.get("tpa_flux")
+    if tpa is not None:
+        lines += ["## Transition-path theory", "",
+                  f"- F = {tpa.rate_:.4g} reactive A→B transitions "
+                  f"per frame (k_AB = {tpa.k_AB_:.4g})",
+                  f"- {len(tpa.pathways_)} dominant pathway(s) carry "
+                  f"{100 * tpa.path_flux_fraction_:.0f}% of the net "
+                  "flux", ""]
+        for rank, (path, width) in enumerate(tpa.pathways_, 1):
+            lines.append(f"  {rank}. {' → '.join(map(str, path))} "
+                         f"(width {width:.3g})")
+        lines.append("")
+        from sitator_tpu.visualization import plot_reactive_flux
+        figures.append(("reactive_flux.png",
+                        plot_reactive_flux(tpa, sn),
+                        "Reactive-flux network (x = forward "
+                        "committor; dominant pathways highlighted)"))
 
     for fname, fig, caption in figures:
         fig.savefig(os.path.join(outdir, fname), dpi=130,
@@ -720,6 +798,11 @@ def _analyze_streaming(args, sn, reader):
                 _print_vacancy_report(args, st_obs)
             if args.concerted:
                 _print_concerted_report(args, st_obs)
+
+    if args.tpt:
+        # after any label post-processing; TPT only needs the
+        # network's jump statistics, available on both routes
+        _run_tpt(args, st if st is not None else sn2)
 
     if args.out:
         if st is not None:
@@ -969,6 +1052,12 @@ def build_parser():
                         "'Li:+1,Cl:-1' — transference numbers and "
                         "(with --timestep/--temperature) the "
                         "pairing-aware conductivity")
+    a.add_argument("--tpt", default=None, metavar="AXIS[:FRAC]",
+                   help="transition-path theory between the occupied "
+                        "sites in the low/high FRAC (default 0.15) "
+                        "quantile of the site centers along AXIS "
+                        "(x|y|z): committors, A→B rate, dominant "
+                        "pathways")
     a.add_argument("--bottlenecks", action="store_true",
                    help="rate-weighted betweenness + site-removal "
                         "percolation experiments (which sites, if "

@@ -20,6 +20,7 @@ from sitator_tpu.visualization.kinetics import (
     plot_vdos,
     plot_conductivity_spectrum,
     plot_barrier_profiles,
+    plot_reactive_flux,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "plot_van_hove", "plot_residence_survival",
     "plot_structure_factor", "plot_vdos",
     "plot_conductivity_spectrum", "plot_barrier_profiles",
+    "plot_reactive_flux",
 ]

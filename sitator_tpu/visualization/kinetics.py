@@ -14,7 +14,7 @@ from sitator_tpu.visualization.common import plotter
 __all__ = ["plot_msd", "plot_arrhenius", "plot_rdf", "plot_van_hove",
            "plot_residence_survival", "plot_structure_factor",
            "plot_vdos", "plot_conductivity_spectrum",
-           "plot_barrier_profiles"]
+           "plot_barrier_profiles", "plot_reactive_flux"]
 
 _K_B_EV = 8.617333262e-5
 
@@ -205,6 +205,56 @@ def plot_barrier_profiles(pa, edges=None, max_profiles=12, fig=None,
     # legend whenever the caller's requested budget allows labeling
     if edges is not None or len(items) <= max(max_profiles, 1):
         ax.legend(fontsize="x-small", ncol=2)
+
+
+@plotter(is3D=False)
+def plot_reactive_flux(tpa, sn, fig=None, ax=None, max_edges=80):
+    """Reactive-flux network from a fitted
+    :class:`~sitator_tpu.dynamics.tpt.TransitionPathAnalysis`: every
+    site at (forward committor, spread coordinate), the ``max_edges``
+    strongest net-flux edges in gray (width ∝ flux), and the dominant
+    pathways highlighted strongest-first.  The spread coordinate is the
+    projection of the site centers onto their first principal axis —
+    layout only, no physics."""
+    q = tpa.q_plus_
+    net = tpa.net_flux_
+    centers = np.asarray(sn.centers, dtype=float)
+    c0 = centers - centers.mean(axis=0)
+    # first principal axis of the centers as the vertical spread
+    _, _, vt = np.linalg.svd(c0, full_matrices=False)
+    y = c0 @ vt[0]
+
+    order = np.argsort(net, axis=None)[::-1]
+    order = order[net.flat[order] > 0][:max_edges]
+    wmax = float(net.flat[order[0]]) if len(order) else 1.0
+    for k in order:
+        i, j = divmod(int(k), len(net))
+        ax.plot([q[i], q[j]], [y[i], y[j]], color="0.75",
+                lw=0.5 + 3.5 * net[i, j] / wmax, zorder=1,
+                solid_capstyle="round")
+    for rank, (path, width) in enumerate(tpa.pathways_):
+        p = np.asarray(path)
+        ax.plot(q[p], y[p], color=f"C{rank % 10}",
+                lw=1.0 + 4.0 * width / max(w for _, w in tpa.pathways_),
+                zorder=2, solid_capstyle="round",
+                label=f"#{rank + 1}: {'-'.join(map(str, path))}")
+
+    live = np.isfinite(np.where(tpa.stationary_ > 0, q, np.nan))
+    mid = live & (q > 0) & (q < 1)
+    ax.scatter(q[mid], y[mid], s=12 + 200 * tpa.stationary_[mid],
+               color="0.45", zorder=3)
+    src = np.zeros(len(q), bool)
+    src[tpa.sources] = True
+    snk = np.zeros(len(q), bool)
+    snk[tpa.sinks] = True
+    ax.scatter(q[src], y[src], s=70, marker="s", color="C0", zorder=4,
+               label="A (sources)")
+    ax.scatter(q[snk], y[snk], s=70, marker="D", color="C3", zorder=4,
+               label="B (sinks)")
+    ax.set_xlabel("forward committor  q⁺")
+    ax.set_ylabel("site spread  [length]")
+    ax.set_title(f"F = {tpa.rate_:.3g} reactive A→B transitions/frame")
+    ax.legend(fontsize="x-small", loc="best")
 
 
 @plotter(is3D=False)

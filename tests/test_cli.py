@@ -592,3 +592,44 @@ def test_structure_file_hints_cover_all_poscar_shapes(tmp_path, capsys):
         main(["analyze", str(npt), "--mobile", "Li"])
     assert main(["info", str(direct)]) == 0
     assert "poscar (single structure)" in capsys.readouterr().out
+
+
+@pytest.fixture(scope="module")
+def tpt_xyz(tmp_path_factory):
+    """Longer hopping run so the A->B reactive flux is resolved."""
+    path = tmp_path_factory.mktemp("tpt") / "md.xyz"
+    md = make_hopping_trajectory(n_cells=3, a=4.0, n_ions=6,
+                                 n_frames=1200, jump_rate=0.05, seed=11)
+    write_xyz(str(path), md.structure, md.traj)
+    return str(path)
+
+
+def test_analyze_tpt_with_report(tpt_xyz, tmp_path, capsys):
+    pytest.importorskip("matplotlib")
+    rep = str(tmp_path / "rep")
+    rc = main(["analyze", tpt_xyz, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--tpt", "x", "--report", rep])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "tpt (x): F =" in out and "pathway" in out
+    text = open(os.path.join(rep, "report.md")).read()
+    assert "Transition-path theory" in text
+    assert os.path.exists(os.path.join(rep, "reactive_flux.png"))
+
+
+def test_analyze_tpt_streaming(tpt_xyz, capsys):
+    rc = main(["analyze", tpt_xyz, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--streaming", "--block-frames", "512",
+               "--tpt", "z:0.2"])
+    assert rc == 0
+    assert "tpt (z): F =" in capsys.readouterr().out
+
+
+def test_tpt_spec_fails_fast(tpt_xyz):
+    # malformed specs exit BEFORE the pipeline (no 'landmark basis:'
+    # work happens — these run in milliseconds)
+    for bad in ("q", "x:0.9", "x:abc", "x:0"):
+        with pytest.raises(SystemExit, match="--tpt"):
+            main(["analyze", tpt_xyz, "--mobile", "Li", "--tpt", bad])
