@@ -374,12 +374,25 @@ def _run_tpt(args, st_or_sn):
         print(f"tpt: skipped — {e}", file=sys.stderr)
         return None
     print(f"tpt ({axis_s}): F = {tpa.rate_:.3g} reactive A→B "
-          f"transitions/frame (k_AB = {tpa.k_AB_:.3g}); "
+          f"transitions/frame per ion (k_AB = {tpa.k_AB_:.3g}); "
           f"{len(tpa.pathways_)} pathway(s) carry "
           f"{100 * tpa.path_flux_fraction_:.0f}% of the net flux")
     for rank, (path, width) in enumerate(tpa.pathways_[:3], 1):
         print(f"tpt:   #{rank} {'-'.join(map(str, path))} "
               f"(width {width:.3g})")
+    # in a periodic cell the low/high-coordinate groups are ALSO
+    # adjacent through the boundary image — direct A→B hops then say
+    # nothing about transport through the cell interior
+    direct = float(tpa.net_flux_[np.ix_(lo, hi)].sum())
+    total = float(tpa.net_flux_[lo].sum())
+    if total > 0 and direct / total > 0.5:
+        print(f"tpt: note — {100 * direct / total:.0f}% of the net "
+              "flux is direct A→B hops; in a periodic cell the "
+              f"low/high-{axis_s} groups touch through the boundary "
+              "image, so the pathway decomposition may reflect "
+              "boundary adjacency rather than interior transport "
+              "(try a larger supercell or explicit site groups via "
+              "the TransitionPathAnalysis API)", file=sys.stderr)
     return tpa
 
 
@@ -727,7 +740,7 @@ def _write_report(args, st, objs):
     if tpa is not None:
         lines += ["## Transition-path theory", "",
                   f"- F = {tpa.rate_:.4g} reactive A→B transitions "
-                  f"per frame (k_AB = {tpa.k_AB_:.4g})",
+                  f"per frame per ion (k_AB = {tpa.k_AB_:.4g})",
                   f"- {len(tpa.pathways_)} dominant pathway(s) carry "
                   f"{100 * tpa.path_flux_fraction_:.0f}% of the net "
                   "flux", ""]

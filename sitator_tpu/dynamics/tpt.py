@@ -36,9 +36,18 @@ def committors(P, sources, sinks, pi=None):
     before ``sources``; ``q_minus[i]`` = probability the walker at
     ``i`` last came from ``sources`` rather than ``sinks`` (computed on
     the time-reversed chain — for a detailed-balance chain this equals
-    ``1 - q_plus``).  States with no stationary mass (never-visited
-    absorbing rows, abandoned transients) carry no flux and get
-    ``q_plus = q_minus = 0``.
+    ``1 - q_plus``).  Measured chains are routinely reducible: states
+    with no mass under ``pi`` (never-visited absorbing rows, abandoned
+    transients) and states with no positive-probability path into
+    ``sources ∪ sinks`` (isolated recurrent classes, fed-but-absorbing
+    sites) are excluded from the linear solves and get ``q = 0`` —
+    they carry no reactive flux either way.
+
+    ``pi`` defaults to the power-iterated stationary distribution; for
+    a chain measured from a trajectory, pass the empirical occupancy
+    measure instead (what :class:`TransitionPathAnalysis` does) — on a
+    reducible measured chain the abstract stationary funnels all mass
+    into absorbing states, which is not how the data weighted them.
 
     Returns ``(q_plus, q_minus, pi)``.
     """
@@ -63,12 +72,28 @@ def committors(P, sources, sinks, pi=None):
         raise ValueError("sources/sinks have no stationary mass — the "
                          "measured chain never visits them")
 
+    def _can_reach(Pc, boundary):
+        """States with a positive-probability path into `boundary`
+        (boundary included).  Vectorized BFS, O(S^2) per front."""
+        E = Pc > 0.0
+        np.fill_diagonal(E, False)
+        reach = boundary.copy()
+        for _ in range(S):
+            new = reach | (E & reach[None, :]).any(axis=1)
+            if (new == reach).all():
+                break
+            reach = new
+        return reach
+
     def _solve(Pc, dirichlet_one):
         """q = Pc q on free states, q=1 on `dirichlet_one`, 0 on the
-        other boundary set, 0 off the live class."""
+        other boundary set, 0 off the live class.  Free states are
+        restricted to those that can reach the boundary at all —
+        without that, a live recurrent class disjoint from A ∪ B
+        makes I − P_ff exactly singular."""
         q = np.zeros(S)
         q[dirichlet_one] = 1.0
-        free = live & ~A & ~B
+        free = live & ~A & ~B & _can_reach(Pc, A | B)
         idx = np.flatnonzero(free)
         if len(idx):
             M = np.eye(len(idx)) - Pc[np.ix_(idx, idx)]
@@ -78,10 +103,13 @@ def committors(P, sources, sinks, pi=None):
         return np.clip(q, 0.0, 1.0)
 
     q_plus = _solve(P, B & live)
-    # time-reversed chain on the live class
+    # time-reversed chain on the live class; empirical pi is stationary
+    # only to O(1/n_frames), so renormalize the rows back to stochastic
     with np.errstate(divide="ignore", invalid="ignore"):
         Pr = np.where(pi[:, None] > 0, pi[None, :] * P.T / pi[:, None],
                       0.0)
+        rs = Pr.sum(axis=1, keepdims=True)
+        Pr = np.where(rs > 0, Pr / rs, 0.0)
     q_minus = _solve(Pr, A & live)
     return q_plus, q_minus, pi
 
@@ -141,15 +169,24 @@ class TransitionPathAnalysis:
     network.  Writes the site attribute ``committor`` (forward; NaN on
     zero-mass sites) and edge attribute ``reactive_flux_ij`` (net), and
     exposes ``q_plus_ / q_minus_ / stationary_ / flux_ / net_flux_``,
-    ``rate_`` (A→B transitions per frame, the TPT reactive flux F),
-    ``k_AB_`` (F normalized by the time the chain spends "coming from
-    A"), and ``pathways_`` — list of ``(site_index_list, flux)``
-    strongest first.  Returns the input.
+    ``rate_`` (the TPT reactive flux F — A→B transitions per frame
+    *per walker of the single-ion chain*; multiply by the number of
+    mobile ions for the system-level count), ``k_AB_`` (F normalized
+    by the time the chain spends "coming from A"), and ``pathways_`` —
+    list of ``(site_index_list, flux)`` strongest first.  The measure
+    used for the flux is the chain's *empirical* occupancy
+    (``total_corrected_residences`` normalized) — on a measured,
+    possibly reducible chain that is how the data weighted the states,
+    where the abstract stationary distribution funnels all mass into
+    absorbing rows.  Returns the input.
     """
 
     def __init__(self, sources, sinks, n_paths=5, verbose=True):
-        self.sources = np.atleast_1d(np.asarray(sources, dtype=int))
-        self.sinks = np.atleast_1d(np.asarray(sinks, dtype=int))
+        # unique: a duplicated index would double-count its flux row
+        self.sources = np.unique(np.atleast_1d(
+            np.asarray(sources, dtype=int)))
+        self.sinks = np.unique(np.atleast_1d(
+            np.asarray(sinks, dtype=int)))
         if len(np.intersect1d(self.sources, self.sinks)):
             raise ValueError("sources and sinks must be disjoint")
         if not len(self.sources) or not len(self.sinks):
@@ -165,7 +202,11 @@ class TransitionPathAnalysis:
             if grp.min() < 0 or grp.max() >= S:
                 raise ValueError(f"{name} out of range for {S} sites")
         P = transition_matrix_from_network(sn)
-        q_plus, q_minus, pi = committors(P, self.sources, self.sinks)
+        t_i = np.asarray(sn.total_corrected_residences,
+                         dtype=np.float64)
+        pi_emp = t_i / t_i.sum() if t_i.sum() > 0 else None
+        q_plus, q_minus, pi = committors(P, self.sources, self.sinks,
+                                         pi=pi_emp)
         flux, net = reactive_flux(P, q_plus, q_minus, pi)
 
         # total reactive flux F = sum of flux out of A (q_plus is 0 on
@@ -202,9 +243,9 @@ class TransitionPathAnalysis:
         sn.add_edge_attribute("reactive_flux_ij", net)
         if self.verbose:
             logger.info(
-                "TPT: F = %.3g reactive A->B transitions/frame "
-                "(k_AB = %.3g), %d pathway(s) carrying %.0f%% of the "
-                "net flux", self.rate_, self.k_AB_,
+                "TPT: F = %.3g reactive A->B transitions/frame per "
+                "ion (k_AB = %.3g), %d pathway(s) carrying %.0f%% of "
+                "the net flux", self.rate_, self.k_AB_,
                 len(self.pathways_),
                 100 * self.path_flux_fraction_)
         return st_or_sn

@@ -232,14 +232,19 @@ def plot_reactive_flux(tpa, sn, fig=None, ax=None, max_edges=80):
         ax.plot([q[i], q[j]], [y[i], y[j]], color="0.75",
                 lw=0.5 + 3.5 * net[i, j] / wmax, zorder=1,
                 solid_capstyle="round")
+    w_max = max((w for _, w in tpa.pathways_), default=1.0)
     for rank, (path, width) in enumerate(tpa.pathways_):
         p = np.asarray(path)
         ax.plot(q[p], y[p], color=f"C{rank % 10}",
-                lw=1.0 + 4.0 * width / max(w for _, w in tpa.pathways_),
+                lw=1.0 + 4.0 * width / w_max,
                 zorder=2, solid_capstyle="round",
                 label=f"#{rank + 1}: {'-'.join(map(str, path))}")
 
-    live = np.isfinite(np.where(tpa.stationary_ > 0, q, np.nan))
+    # same relative liveness threshold as the committor attribute —
+    # abandoned transients (pi at the power-iteration floor) must not
+    # appear as phantom interior nodes
+    pi = tpa.stationary_
+    live = pi > 1e-9 * pi.max()
     mid = live & (q > 0) & (q < 1)
     ax.scatter(q[mid], y[mid], s=12 + 200 * tpa.stationary_[mid],
                color="0.45", zorder=3)
@@ -253,7 +258,8 @@ def plot_reactive_flux(tpa, sn, fig=None, ax=None, max_edges=80):
                label="B (sinks)")
     ax.set_xlabel("forward committor  q⁺")
     ax.set_ylabel("site spread  [length]")
-    ax.set_title(f"F = {tpa.rate_:.3g} reactive A→B transitions/frame")
+    ax.set_title(f"F = {tpa.rate_:.3g} reactive A→B "
+                 "transitions/frame per ion")
     ax.legend(fontsize="x-small", loc="best")
 
 

@@ -194,3 +194,59 @@ def test_tpt_on_measured_trajectory():
     for path, w in tpa.pathways_:
         assert path[0] in lo and path[-1] in hi
         assert w > 0
+
+
+def test_fed_absorbing_site_does_not_steal_the_measure():
+    """A site entered at least once whose visitor never leaves (zero
+    recorded out-jumps, nonzero residence) is an absorbing row; the
+    abstract stationary distribution funnels ALL mass into it.  TPT
+    must weight states by the empirical measure instead and keep
+    working."""
+    S = 6
+    n = np.zeros((S, S))
+    for a, b in [(0, 1), (1, 2), (2, 3), (3, 4)]:
+        n[a, b] = n[b, a] = 20.0
+    n[2, 5] = 1.0                 # one ion wandered in and never left
+    t = 10.0 * n.sum(axis=1)
+    t[5] = 50.0                   # parked there until trajectory end
+    sn = _chain_network(n, t)
+    tpa = TransitionPathAnalysis(sources=[0], sinks=[4], verbose=False)
+    tpa.run(sn)                   # raised 'no stationary mass' before
+    assert tpa.rate_ > 0
+    # the trap site can't reach A or B: no committor, no flux through
+    assert tpa.q_plus_[5] == 0.0
+    assert tpa.net_flux_[5].sum() == 0.0
+    assert tpa.net_flux_[:, 5].sum() == 0.0
+    # committor still monotone along the conducting chain
+    assert np.all(np.diff(tpa.q_plus_[:5]) > 0)
+
+
+def test_isolated_recurrent_class_is_no_flux_not_singular():
+    """A live recurrent class disjoint from A∪B (an isolated exchanging
+    site pair) makes I - P_ff exactly singular unless the solve is
+    restricted to states that can reach the boundary."""
+    S = 5
+    n = np.zeros((S, S))
+    for a, b in [(0, 1), (1, 2)]:
+        n[a, b] = n[b, a] = 10.0
+    n[3, 4] = n[4, 3] = 1.0       # P[3,4] = 0.5 exactly
+    t = np.array([20.0, 40.0, 20.0, 2.0, 2.0])
+    sn = _chain_network(n, t)
+    tpa = TransitionPathAnalysis(sources=[0], sinks=[2], verbose=False)
+    tpa.run(sn)                   # np.linalg.LinAlgError before
+    assert tpa.q_plus_[3] == tpa.q_plus_[4] == 0.0
+    assert tpa.rate_ > 0
+    assert tpa.net_flux_[3:].sum() == 0.0
+
+
+def test_duplicate_group_indices_do_not_double_count():
+    n, t = _two_channel_counts()
+    sn = _chain_network(n, t)
+    ref = TransitionPathAnalysis(sources=[0], sinks=[5], verbose=False)
+    ref.run(sn)
+    dup = TransitionPathAnalysis(sources=[0, 0], sinks=[5, 5, 5],
+                                 verbose=False)
+    dup.run(sn)
+    assert dup.rate_ == pytest.approx(ref.rate_, rel=1e-12)
+    assert dup.path_flux_fraction_ == pytest.approx(
+        ref.path_flux_fraction_, rel=1e-12)
