@@ -230,6 +230,18 @@ def _postprocess(args, st):
     if getattr(args, "merge_dynamics", None) is not None:
         st = MergeSitesByDynamics(
             distance_threshold=args.merge_dynamics).run(st)
+    if getattr(args, "merge_metastable", None) is not None:
+        from sitator_tpu.dynamics import MergeSitesByMetastability
+        spec = args.merge_metastable
+        n_basins = "auto" if spec == "auto" else int(spec)
+        ms = MergeSitesByMetastability(n_basins=n_basins,
+                                       verbose=args.verbose)
+        st = ms.run(st)
+        sep = (f", timescale separation {ms.separation_:.1f}x"
+               if np.isfinite(ms.separation_) else "")
+        print(f"metastable merge: {ms.n_basins_} basins diagnosed "
+              f"(mean self-transition {ms.metastability_:.3f}{sep}) "
+              f"→ {st.site_network.n_sites} sites")
     if not keep:
         st = RemoveUnoccupiedSites().run(st)
     if getattr(args, "diagnose", False):
@@ -418,6 +430,15 @@ def cmd_analyze(args):
 
     if args.tpt:
         _parse_tpt_spec(args.tpt)   # malformed spec fails fast
+    if args.merge_metastable is not None and \
+            args.merge_metastable != "auto":
+        try:
+            if int(args.merge_metastable) < 2:
+                raise ValueError
+        except ValueError:
+            raise SystemExit("--merge-metastable takes an integer >= 2 "
+                             "or no value (automatic), got "
+                             f"{args.merge_metastable!r}")
     reader, sn = _seed_network(args, args.traj)
 
     if args.streaming:
@@ -437,6 +458,7 @@ def cmd_analyze(args):
                   file=sys.stderr)
         needs_labels = [name for name, wanted in [
             ("--merge-dynamics", args.merge_dynamics is not None),
+            ("--merge-metastable", args.merge_metastable is not None),
             ("--debounce", args.debounce is not None),
             ("--diagnose", args.diagnose),
             ("--vacancies", args.vacancies),
@@ -791,6 +813,7 @@ def _analyze_streaming(args, sn, reader):
     # transforming flags change the artifact (labels relabeled, stats
     # recomputed); --diagnose alone is observational and must not
     transform = (args.merge_dynamics is not None
+                 or args.merge_metastable is not None
                  or args.debounce is not None)
     st = None
     if labels_path and (transform or args.diagnose or args.vacancies
@@ -1029,6 +1052,13 @@ def build_parser():
     pipe.add_argument("--merge-dynamics", type=float, default=None,
                       metavar="DIST",
                       help="MergeSitesByDynamics distance threshold")
+    pipe.add_argument("--merge-metastable", default=None, nargs="?",
+                      const="auto", metavar="N",
+                      help="merge sites into metastable kinetic basins "
+                           "via the chain's slow spectrum (PCCA); N "
+                           "basins, or spectral-gap automatic when "
+                           "given without a value (runs after "
+                           "--merge-dynamics if both are set)")
     pipe.add_argument("--debounce", type=int, default=None,
                       metavar="FRAMES",
                       help="RemoveShortJumps frame threshold")

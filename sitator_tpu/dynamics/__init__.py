@@ -1,5 +1,6 @@
 from sitator_tpu.dynamics.jump_analysis import JumpAnalysis
 from sitator_tpu.dynamics.merge_dynamics import MergeSitesByDynamics
+from sitator_tpu.dynamics.metastable import MergeSitesByMetastability
 from sitator_tpu.dynamics.filters import RemoveUnoccupiedSites, \
     RemoveShortJumps
 from sitator_tpu.dynamics.vibrational import (
@@ -27,7 +28,8 @@ from sitator_tpu.dynamics.balance import (
 from sitator_tpu.network.merging import MergeSitesByDistance
 
 __all__ = [
-    "JumpAnalysis", "MergeSitesByDynamics", "MergeSitesByDistance",
+    "JumpAnalysis", "MergeSitesByDynamics",
+    "MergeSitesByMetastability", "MergeSitesByDistance",
     "RemoveUnoccupiedSites", "RemoveShortJumps",
     "AverageVibrationalFrequency", "VibrationalSpectrumAnalysis",
     "ConductivitySpectrumAnalysis", "DiffusionAnalysis",
