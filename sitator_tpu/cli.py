@@ -290,6 +290,32 @@ def _postprocess(args, st):
               f"{len(oc.exclusive_pairs_)} exclusive / "
               f"{len(oc.cofilling_pairs_)} co-filling site pairs "
               f"(|r| >= {oc.threshold:g})")
+        from sitator_tpu.dynamics import MarkovianityAnalysis
+        ma = MarkovianityAnalysis(verbose=args.verbose).run(st)
+        if not ma.timescales_.shape[1]:
+            print("diagnose: markovianity — n/a "
+                  "(fewer than two live sites)")
+        else:
+            drift = ma.timescale_drift_[0]
+            detail = (f"slowest timescale "
+                      f"{ma.timescales_[0, 0]:.3g} frames at lag "
+                      f"{ma.lags_[0]}, drift "
+                      f"{100 * drift:+.0f}% over lags "
+                      f"{ma.lags_[0]}..{ma.lags_[-1]}"
+                      if np.isfinite(drift) else "slow mode decays "
+                      "within the lag grid")
+            ck = (f", CK error {ma.ck_error_:.3f}"
+                  + ("" if ma.ck_violation_ else " (within noise)")
+                  if np.isfinite(ma.ck_error_) else "")
+            lag_hint = (f"; rates need lag >= {ma.recommended_lag_}"
+                        if ma.recommended_lag_ is not None
+                        and ma.recommended_lag_ > int(ma.lags_[0])
+                        else "")
+            verdict = ("Markovian at this site resolution"
+                       if ma.markovian_ else
+                       "NON-MARKOVIAN — sites alias hidden states"
+                       + lag_hint)
+            print(f"diagnose: markovianity — {verdict} ({detail}{ck})")
     if getattr(args, "vacancies", False):
         _print_vacancy_report(args, st)
     if getattr(args, "concerted", False):

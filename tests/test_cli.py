@@ -213,6 +213,22 @@ def test_analyze_diagnose(xyz_file, capsys):
     assert "stationarity D2/D1" in out
     assert "detailed balance" in out
     assert "occupancy correlation" in out
+    assert "markovianity" in out
+
+
+def test_analyze_merge_metastable(xyz_file, capsys):
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--merge-metastable"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "metastable merge:" in out and "basins diagnosed" in out
+    with pytest.raises(SystemExit, match="integer >= 2"):
+        main(["analyze", xyz_file, "--mobile", "Li",
+              "--merge-metastable", "1"])
+    with pytest.raises(SystemExit, match="integer >= 2"):
+        main(["analyze", xyz_file, "--mobile", "Li",
+              "--merge-metastable", "bogus"])
 
 
 def test_arrhenius_subcommand(tmp_path, capsys):
