@@ -216,7 +216,7 @@ def _print_residence_diagnose(args, st, pre_debounce=False):
           f"residences; {flagged.size} flagged" + note)
 
 
-def _postprocess(args, st):
+def _postprocess(args, st, objs=None):
     """Shared label-based tail of both routes: optional merge →
     drop unoccupied → --diagnose (in the surviving index space) →
     optional debounce (then re-drop newly emptied sites) →
@@ -292,6 +292,8 @@ def _postprocess(args, st):
               f"(|r| >= {oc.threshold:g})")
         from sitator_tpu.dynamics import MarkovianityAnalysis
         ma = MarkovianityAnalysis(verbose=args.verbose).run(st)
+        if objs is not None:
+            objs["ma"] = ma
         if not ma.timescales_.shape[1]:
             print("diagnose: markovianity — n/a "
                   "(fewer than two live sites)")
@@ -434,7 +436,7 @@ def _run_tpt(args, st_or_sn):
     return tpa
 
 
-def _eager_pipeline(args, sn, traj):
+def _eager_pipeline(args, sn, traj, objs=None):
     """landmark assignment, then the shared post-processing tail.
     Returns the final SiteTrajectory (jump stats on its network)."""
     from sitator_tpu.landmark import LandmarkAnalysis
@@ -448,7 +450,7 @@ def _eager_pipeline(args, sn, traj):
     st = la.run(sn, traj)
     print(f"assigned: {st.site_network.n_sites} sites, "
           f"{100 * st.percent_unassigned:.2f}% unassigned")
-    return _postprocess(args, st)
+    return _postprocess(args, st, objs)
 
 
 def cmd_analyze(args):
@@ -508,8 +510,8 @@ def cmd_analyze(args):
             raise SystemExit("--report needs matplotlib (install the "
                              "'full' extra)")
     traj = reader[0:len(reader)]
-    st = _eager_pipeline(args, sn, traj)
     objs = {}
+    st = _eager_pipeline(args, sn, traj, objs)
 
     if args.tpt:
         tpa = _run_tpt(args, st)
@@ -784,6 +786,37 @@ def _write_report(args, st, objs):
         from sitator_tpu.visualization import plot_barrier_profiles
         figures.append(("barriers.png", plot_barrier_profiles(pa),
                         "Free-energy profiles along hop paths"))
+    ma = objs.get("ma")
+    if ma is not None and ma.timescales_.shape[1]:
+        verdict = ("Markovian at this site resolution" if ma.markovian_
+                   else "NON-Markovian — sites alias hidden states")
+        lines += ["## Markovianity of the site chain", "",
+                  f"- {verdict}",
+                  f"- slowest implied timescale "
+                  f"{ma.timescales_[0, 0]:.4g} frames at lag "
+                  f"{int(ma.lags_[0])}; drift over lags "
+                  f"{int(ma.lags_[0])}..{int(ma.lags_[-1])}: "
+                  f"{100 * ma.timescale_drift_[0]:+.0f}%"]
+        if np.isfinite(ma.ck_error_):
+            lines.append(
+                f"- Chapman–Kolmogorov max error {ma.ck_error_:.3f}"
+                + ("" if ma.ck_violation_
+                   else " (within sampling noise)"))
+        if ma.recommended_lag_ is not None:
+            lines.append(f"- recommended estimation lag: "
+                         f"{ma.recommended_lag_} frames")
+        lines.append("")
+        from sitator_tpu.visualization import (plot_ck_test,
+                                               plot_implied_timescales)
+        figures.append(("implied_timescales.png",
+                        plot_implied_timescales(ma),
+                        "Implied timescales vs lag (flat = Markovian; "
+                        "grey region unresolvable)"))
+        if ma.ck_measured_.size:
+            figures.append(("ck_test.png", plot_ck_test(ma),
+                            "Chapman–Kolmogorov test on metastable "
+                            "sets (points: measured ±1σ; dashed: "
+                            "base-lag model)"))
     tpa = objs.get("tpa_flux")
     if tpa is not None:
         lines += ["## Transition-path theory", "",

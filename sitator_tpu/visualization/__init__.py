@@ -21,6 +21,8 @@ from sitator_tpu.visualization.kinetics import (
     plot_conductivity_spectrum,
     plot_barrier_profiles,
     plot_reactive_flux,
+    plot_implied_timescales,
+    plot_ck_test,
 )
 
 __all__ = [
@@ -30,5 +32,5 @@ __all__ = [
     "plot_van_hove", "plot_residence_survival",
     "plot_structure_factor", "plot_vdos",
     "plot_conductivity_spectrum", "plot_barrier_profiles",
-    "plot_reactive_flux",
+    "plot_reactive_flux", "plot_implied_timescales", "plot_ck_test",
 ]

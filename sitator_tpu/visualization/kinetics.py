@@ -14,7 +14,8 @@ from sitator_tpu.visualization.common import plotter
 __all__ = ["plot_msd", "plot_arrhenius", "plot_rdf", "plot_van_hove",
            "plot_residence_survival", "plot_structure_factor",
            "plot_vdos", "plot_conductivity_spectrum",
-           "plot_barrier_profiles", "plot_reactive_flux"]
+           "plot_barrier_profiles", "plot_reactive_flux",
+           "plot_implied_timescales", "plot_ck_test"]
 
 _K_B_EV = 8.617333262e-5
 
@@ -285,3 +286,64 @@ def plot_van_hove(vh, part="self", fig=None, ax=None, cmap="viridis"):
     ax.set_xlabel("r")
     ax.set_ylabel(ylabel)
     ax.legend()
+
+
+@plotter(is3D=False)
+def plot_implied_timescales(ma, fig=None, ax=None, cmap="viridis"):
+    """Implied relaxation timescales vs estimation lag from a fitted
+    :class:`~sitator_tpu.dynamics.markov.MarkovianityAnalysis` — the
+    standard Markov-state-model validation plot: flat lines mean the
+    site chain is Markovian, slow modes climbing with lag mean the
+    sites alias hidden states.  The grey region ``t <= lag`` is
+    unresolvable by construction."""
+    import matplotlib.pyplot as plt
+    lags = np.asarray(ma.lags_, dtype=float)
+    T = ma.timescales_
+    if T.shape[1] == 0:
+        raise ValueError("no relaxation modes (fewer than two live "
+                         "sites)")
+    colors = plt.get_cmap(cmap)(np.linspace(0.15, 0.85, T.shape[1]))
+    for k in range(T.shape[1]):
+        ax.plot(lags, T[:, k], "o-", color=colors[k], ms=3.5,
+                label=f"t{k + 1}")
+    finite = T[np.isfinite(T) & (T > 0)]
+    floor = 0.1 * min(float(finite.min()) if finite.size else lags[0],
+                      lags[0])
+    ax.fill_between([lags[0], lags[-1]], [lags[0], lags[-1]],
+                    y2=floor, color="0.85", zorder=0)
+    ax.plot([lags[0], lags[-1]], [lags[0], lags[-1]], color="0.6",
+            lw=0.8, zorder=1)
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.set_xlabel("lag [frames]")
+    ax.set_ylabel("implied timescale [frames]")
+    ax.legend(fontsize="small", ncol=2)
+
+
+@plotter(is3D=False)
+def plot_ck_test(ma, fig=None, ax=None, cmap="viridis"):
+    """Chapman–Kolmogorov panel from a fitted
+    :class:`~sitator_tpu.dynamics.markov.MarkovianityAnalysis`:
+    measured set-residence probabilities (points, ±1σ window-deflated
+    binomial error) against the base-lag model's prediction (dashed) —
+    agreement within error at every lag validates the Markov model on
+    its metastable sets."""
+    import matplotlib.pyplot as plt
+    if ma.ck_measured_.size == 0:
+        raise ValueError("no Chapman–Kolmogorov data (lag grid has no "
+                         "multiples of the base lag, or < 2 live "
+                         "sites)")
+    lags = np.asarray(ma.ck_lags_, dtype=float)
+    n_sets = ma.ck_measured_.shape[0]
+    colors = plt.get_cmap(cmap)(np.linspace(0.15, 0.85, n_sets))
+    for s in range(n_sets):
+        ax.errorbar(lags, ma.ck_measured_[s], yerr=ma.ck_stderr_[s],
+                    fmt="o", color=colors[s], ms=4, capsize=2,
+                    label=f"set {s} measured")
+        ax.plot(lags, ma.ck_predicted_[s], "--", color=colors[s],
+                lw=1.2, label=f"set {s} predicted")
+    ax.set_xscale("log")
+    ax.set_xlabel("lag [frames]")
+    ax.set_ylabel("P(stay in set)")
+    ax.set_ylim(0, 1.02)
+    ax.legend(fontsize="x-small", ncol=2)

@@ -494,12 +494,15 @@ def test_report_flag(xyz_file, tmp_path, capsys):
     rc = main(["analyze", xyz_file, "--mobile", "Li",
                "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
                "--timestep", "1.0", "--temperature", "600",
-               "--barriers", "--report", rpt])
+               "--barriers", "--diagnose", "--report", rpt])
     assert rc == 0
     assert "report written to" in capsys.readouterr().out
     text = open(os.path.join(rpt, "report.md")).read()
     assert "D_tracer" in text
     pngs = ["site_network.png", "msd.png"]
+    # --diagnose adds the markovianity section when >= 2 live sites
+    if "Markovianity" in text:
+        pngs.append("implied_timescales.png")
     # the barriers section appears only when some edge had enough
     # sampling (tiny fixture: may legitimately be empty)
     if "Pathway barriers" in text:

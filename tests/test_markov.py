@@ -184,3 +184,30 @@ def test_default_lag_grid_and_auto_sets():
     assert ma.lags_[0] == 1 and len(ma.lags_) >= 5
     assert np.all(np.diff(ma.lags_) > 0)
     assert len(np.unique(ma.sets_[ma.sets_ >= 0])) >= 2
+
+
+def test_msm_plots_draw(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from sitator_tpu.visualization import (plot_ck_test,
+                                           plot_implied_timescales)
+    rng = np.random.default_rng(4)
+    P = _two_basin_P()
+    labels = _simulate(P, 50000, rng)[:, None]
+    ma = MarkovianityAnalysis(lags=(1, 2, 4, 8, 16),
+                              verbose=False).run(_st(labels, 4))
+    fig = plot_implied_timescales(ma)
+    fig.savefig(tmp_path / "its.png")
+    assert (tmp_path / "its.png").stat().st_size > 1000
+    fig2 = plot_ck_test(ma)
+    fig2.savefig(tmp_path / "ck.png")
+    assert (tmp_path / "ck.png").stat().st_size > 1000
+    plt.close("all")
+    # degenerate guard
+    ma1 = MarkovianityAnalysis(lags=(1, 2), verbose=False)
+    ma1.run(_st(np.zeros((100, 1), dtype=np.int32), 1))
+    with pytest.raises(ValueError, match="live"):
+        plot_implied_timescales(ma1)
+    with pytest.raises(ValueError, match="Chapman"):
+        plot_ck_test(ma1)
