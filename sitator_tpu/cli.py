@@ -318,6 +318,26 @@ def _postprocess(args, st, objs=None):
                        "NON-MARKOVIAN — sites alias hidden states"
                        + lag_hint)
             print(f"diagnose: markovianity — {verdict} ({detail}{ck})")
+    if getattr(args, "uncertainty", None) is not None:
+        from sitator_tpu.dynamics import (ChainUncertaintyAnalysis,
+                                          edge_probability_intervals)
+        n = args.uncertainty
+        ua = ChainUncertaintyAnalysis(n_samples=n,
+                                      verbose=args.verbose).run(st)
+        edge_probability_intervals(st)    # p_ij_lo / p_ij_hi attrs
+        if objs is not None:
+            objs["ua"] = ua
+        t_lo, t_hi = ua.ci_["timescales"]
+        t_m = ua.mean_["timescales"]
+        if np.isfinite(t_m[0]):
+            print(f"uncertainty ({n} posterior draws): slowest "
+                  f"relaxation {t_m[0]:.4g} frames, 95% CI "
+                  f"[{t_lo[0]:.4g}, {t_hi[0]:.4g}]; p_ij_lo/p_ij_hi "
+                  "edge attributes written")
+        else:
+            print(f"uncertainty ({n} posterior draws): no resolvable "
+                  "relaxation mode; p_ij_lo/p_ij_hi edge attributes "
+                  "written")
     if getattr(args, "vacancies", False):
         _print_vacancy_report(args, st)
     if getattr(args, "concerted", False):
@@ -489,6 +509,7 @@ def cmd_analyze(args):
             ("--merge-metastable", args.merge_metastable is not None),
             ("--debounce", args.debounce is not None),
             ("--diagnose", args.diagnose),
+            ("--uncertainty", args.uncertainty is not None),
             ("--vacancies", args.vacancies),
             ("--concerted", args.concerted),
         ] if wanted]
@@ -817,6 +838,19 @@ def _write_report(args, st, objs):
                             "Chapman–Kolmogorov test on metastable "
                             "sets (points: measured ±1σ; dashed: "
                             "base-lag model)"))
+    ua = objs.get("ua")
+    if ua is not None:
+        t_m = ua.mean_["timescales"]
+        t_lo, t_hi = ua.ci_["timescales"]
+        lines += ["## Finite-sampling uncertainty "
+                  f"({ua.n_samples} posterior draws)", ""]
+        for k in range(len(t_m)):
+            if np.isfinite(t_m[k]):
+                lines.append(f"- relaxation timescale t{k + 1} = "
+                             f"{t_m[k]:.4g} frames, 95% CI "
+                             f"[{t_lo[k]:.4g}, {t_hi[k]:.4g}]")
+        lines += ["- per-edge `p_ij_lo` / `p_ij_hi` credible "
+                  "intervals saved as edge attributes", ""]
     tpa = objs.get("tpa_flux")
     if tpa is not None:
         lines += ["## Transition-path theory", "",
@@ -1118,6 +1152,14 @@ def build_parser():
                            "basins, or spectral-gap automatic when "
                            "given without a value (runs after "
                            "--merge-dynamics if both are set)")
+    pipe.add_argument("--uncertainty", type=int, default=None,
+                      nargs="?", const=200, metavar="N",
+                      help="Bayesian finite-sampling uncertainty of the "
+                           "measured chain (Dirichlet posterior, N "
+                           "draws, default 200): credible interval on "
+                           "the slowest relaxation; per-edge "
+                           "p_ij_lo/p_ij_hi attributes in the saved "
+                           "results")
     pipe.add_argument("--debounce", type=int, default=None,
                       metavar="FRAMES",
                       help="RemoveShortJumps frame threshold")

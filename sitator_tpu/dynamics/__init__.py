@@ -2,6 +2,8 @@ from sitator_tpu.dynamics.jump_analysis import JumpAnalysis
 from sitator_tpu.dynamics.merge_dynamics import MergeSitesByDynamics
 from sitator_tpu.dynamics.metastable import MergeSitesByMetastability
 from sitator_tpu.dynamics.markov import MarkovianityAnalysis
+from sitator_tpu.dynamics.uncertainty import (ChainUncertaintyAnalysis,
+                                              edge_probability_intervals)
 from sitator_tpu.dynamics.filters import RemoveUnoccupiedSites, \
     RemoveShortJumps
 from sitator_tpu.dynamics.vibrational import (
@@ -31,6 +33,7 @@ from sitator_tpu.network.merging import MergeSitesByDistance
 __all__ = [
     "JumpAnalysis", "MergeSitesByDynamics",
     "MergeSitesByMetastability", "MarkovianityAnalysis",
+    "ChainUncertaintyAnalysis", "edge_probability_intervals",
     "MergeSitesByDistance",
     "RemoveUnoccupiedSites", "RemoveShortJumps",
     "AverageVibrationalFrequency", "VibrationalSpectrumAnalysis",

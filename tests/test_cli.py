@@ -216,6 +216,26 @@ def test_analyze_diagnose(xyz_file, capsys):
     assert "markovianity" in out
 
 
+def test_analyze_uncertainty(xyz_file, tmp_path, capsys):
+    out = str(tmp_path / "unc.npz")
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--uncertainty", "50", "--out", out])
+    assert rc == 0
+    assert "posterior draws" in capsys.readouterr().out
+    from sitator_tpu.core.sitetraj import SiteTrajectory
+    sn = SiteTrajectory.load(out).site_network
+    assert sn.has_attribute("p_ij_lo") and sn.has_attribute("p_ij_hi")
+    lo, hi = np.asarray(sn.p_ij_lo), np.asarray(sn.p_ij_hi)
+    ok = np.isfinite(lo)
+    if ok.any():
+        assert np.all(lo[ok] <= hi[ok])
+    else:
+        # the tiny fixture collapses to a single site: intervals are
+        # undefined (no alternative destination) but must still save
+        assert sn.n_sites == 1
+
+
 def test_analyze_merge_metastable(xyz_file, capsys):
     rc = main(["analyze", xyz_file, "--mobile", "Li",
                "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
