@@ -38,6 +38,13 @@ EXAMPLES = {
     "temperature_series.py": [
         "site match", "tracer-D Arrhenius", "edge Arrhenius",
         "Temperature-series walkthrough complete."],
+    "msm_validation.py": [
+        "recommended estimation lag",
+        "the true body-center count",
+        "merge withheld",
+        "recovered partition == the original site decomposition",
+        "95% credible",
+        "MSM validation walkthrough complete."],
     "density_sites.py": [
         "matched within 0.5 Angstrom",
         "interstitial basin recovered",
