@@ -244,9 +244,16 @@ def _postprocess(args, st, objs=None):
               f"→ {st.site_network.n_sites} sites")
     if not keep:
         st = RemoveUnoccupiedSites().run(st)
+    ma = None
     if getattr(args, "diagnose", False):
         _print_residence_diagnose(args, st,
                                   pre_debounce=debounce is not None)
+        # markovianity likewise runs on PRE-debounce labels: debouncing
+        # imposes a minimum-residence floor, so implied timescales climb
+        # at lags below the threshold and CK fails at the base lag for
+        # the filter's reason, not a physical one
+        from sitator_tpu.dynamics import MarkovianityAnalysis
+        ma = MarkovianityAnalysis(verbose=args.verbose).run(st)
     if debounce is not None:
         st = RemoveShortJumps(frame_threshold=debounce).run(st)
         if not keep:
@@ -290,13 +297,13 @@ def _postprocess(args, st, objs=None):
               f"{len(oc.exclusive_pairs_)} exclusive / "
               f"{len(oc.cofilling_pairs_)} co-filling site pairs "
               f"(|r| >= {oc.threshold:g})")
-        from sitator_tpu.dynamics import MarkovianityAnalysis
-        ma = MarkovianityAnalysis(verbose=args.verbose).run(st)
         if objs is not None:
             objs["ma"] = ma
+        pre_note = (" [pre-debounce labels]"
+                    if debounce is not None else "")
         if not ma.timescales_.shape[1]:
             print("diagnose: markovianity — n/a "
-                  "(fewer than two live sites)")
+                  f"(fewer than two live sites){pre_note}")
         else:
             drift = ma.timescale_drift_[0]
             detail = (f"slowest timescale "
@@ -317,7 +324,8 @@ def _postprocess(args, st, objs=None):
                        if ma.markovian_ else
                        "NON-MARKOVIAN — sites alias hidden states"
                        + lag_hint)
-            print(f"diagnose: markovianity — {verdict} ({detail}{ck})")
+            print(f"diagnose: markovianity — {verdict} "
+                  f"({detail}{ck}){pre_note}")
     if getattr(args, "uncertainty", None) is not None:
         from sitator_tpu.dynamics import (ChainUncertaintyAnalysis,
                                           edge_probability_intervals)
@@ -487,6 +495,9 @@ def cmd_analyze(args):
             raise SystemExit("--merge-metastable takes an integer >= 2 "
                              "or no value (automatic), got "
                              f"{args.merge_metastable!r}")
+    if args.uncertainty is not None and args.uncertainty < 2:
+        raise SystemExit("--uncertainty takes >= 2 posterior draws, "
+                         f"got {args.uncertainty}")
     reader, sn = _seed_network(args, args.traj)
 
     if args.streaming:
@@ -811,13 +822,17 @@ def _write_report(args, st, objs):
     if ma is not None and ma.timescales_.shape[1]:
         verdict = ("Markovian at this site resolution" if ma.markovian_
                    else "NON-Markovian — sites alias hidden states")
-        lines += ["## Markovianity of the site chain", "",
-                  f"- {verdict}",
-                  f"- slowest implied timescale "
+        drift = ma.timescale_drift_[0]
+        detail = (f"- slowest implied timescale "
                   f"{ma.timescales_[0, 0]:.4g} frames at lag "
                   f"{int(ma.lags_[0])}; drift over lags "
                   f"{int(ma.lags_[0])}..{int(ma.lags_[-1])}: "
-                  f"{100 * ma.timescale_drift_[0]:+.0f}%"]
+                  f"{100 * drift:+.0f}%"
+                  if np.isfinite(drift) else
+                  "- slow mode decays within the lag grid "
+                  "(timescales unresolvable at these lags)")
+        lines += ["## Markovianity of the site chain", "",
+                  f"- {verdict}", detail]
         if np.isfinite(ma.ck_error_):
             lines.append(
                 f"- Chapman–Kolmogorov max error {ma.ck_error_:.3f}"

@@ -204,6 +204,15 @@ class KineticMonteCarlo:
             if np.abs(nxt - pi).max() < 1e-13:
                 return nxt
             pi = nxt
+        # convergence rate is ~|lambda_2|^n: chains with relaxation
+        # timescales beyond ~2e4 frames land here still biased toward
+        # the uniform start — never let that pass silently (posterior
+        # resampling uses an exact solve instead; see
+        # dynamics/uncertainty._obs_stationary)
+        logger.warning(
+            "stationary power iteration unconverged after 20000 "
+            "iterations (slowest relaxation beyond ~2e4 frames); "
+            "the returned distribution is approximate")
         return pi
 
     def _initial_sites(self, sn, P, rng):

@@ -128,11 +128,16 @@ def edge_probability_intervals(st_or_sn, level=0.95, prior=None,
         prior = 1.0 / S
     a = C + prior
     row = C.sum(axis=1, keepdims=True)
-    b = row - C + (S - 1) * prior
+    dead = row[:, 0] == 0
+    # the sampled posterior zeroes dead (never-visited) columns out of
+    # the Dirichlet support, so the Beta complement must count only the
+    # live columns' pseudo-mass — (S-1)*prior would shift lo/hi downward
+    # on weakly-sampled edges whenever dead sites exist
+    S_live = S - int(dead.sum())
+    b = row - C + (S_live - 1) * prior
     tail = 0.5 * (1.0 - float(level))
     lo = _beta.ppf(tail, a, b)
     hi = _beta.ppf(1.0 - tail, a, b)
-    dead = row[:, 0] == 0
     lo[dead], hi[dead] = np.nan, np.nan
     lo[:, dead], hi[:, dead] = np.nan, np.nan    # structurally no mass
     if add_attributes:
@@ -141,9 +146,22 @@ def edge_probability_intervals(st_or_sn, level=0.95, prior=None,
     return lo, hi
 
 
+def _live_states(P):
+    """Mask of states that are NOT isolated absorbing (no in-flow,
+    self-loop 1) — exactly how :func:`sample_transition_matrices`
+    encodes never-visited sites.  Observables must restrict to this
+    block: each dead state contributes a degenerate unit eigenvalue
+    (a bogus ~1e15-frame 'slowest timescale') and an arbitrary share
+    of the stationary mass otherwise."""
+    inflow = P.sum(axis=0) - np.diag(P)
+    return ~((inflow <= 0) & (np.diag(P) >= 1.0 - 1e-12))
+
+
 def _obs_timescales(n_timescales):
     def timescales(P):
-        lam = np.sort(np.abs(np.linalg.eigvals(P)))[::-1]
+        live = _live_states(P)
+        Pl = P[np.ix_(live, live)]
+        lam = np.sort(np.abs(np.linalg.eigvals(Pl)))[::-1]
         lam = np.clip(lam[1:n_timescales + 1], 1e-12, 1.0 - 1e-15)
         out = np.full(n_timescales, np.nan)
         out[:len(lam)] = -1.0 / np.log(lam)
@@ -152,7 +170,38 @@ def _obs_timescales(n_timescales):
 
 
 def _obs_stationary(P):
-    return KineticMonteCarlo._stationary(P)
+    """Exact stationary distribution of one posterior draw.
+
+    The live block of a sampled ``P`` is strictly positive (Dirichlet
+    rows), hence irreducible with a unique stationary vector — solve it
+    exactly.  Power iteration (``KineticMonteCarlo._stationary``) is
+    kept only as the singular-matrix fallback: its bounded iteration
+    leaves chains with timescales beyond ~2e4 frames unconverged, which
+    biased every posterior draw identically toward uniform and produced
+    confidently-wrong credible intervals."""
+    P = np.asarray(P, dtype=np.float64)
+    S = len(P)
+    live = _live_states(P)
+    if not live.any():
+        return np.full(S, np.nan)
+    Pl = P[np.ix_(live, live)]
+    n = len(Pl)
+    A = Pl.T - np.eye(n)
+    A[-1, :] = 1.0
+    b = np.zeros(n)
+    b[-1] = 1.0
+    try:
+        pi_l = np.linalg.solve(A, b)
+    except np.linalg.LinAlgError:
+        pi_l = KineticMonteCarlo._stationary(Pl)
+    pi_l = np.clip(pi_l, 0.0, None)
+    s = pi_l.sum()
+    if not np.isfinite(s) or s <= 0:
+        pi_l = KineticMonteCarlo._stationary(Pl)
+        s = pi_l.sum()
+    out = np.zeros(S)
+    out[live] = pi_l / s
+    return out
 
 
 def _obs_mfpt(P):

@@ -251,6 +251,28 @@ def test_analyze_merge_metastable(xyz_file, capsys):
               "--merge-metastable", "bogus"])
 
 
+def test_analyze_uncertainty_validates_before_pipeline(xyz_file):
+    """--uncertainty N with N < 2 must fail fast (SystemExit, before
+    the expensive pipeline), like the sibling --merge-metastable."""
+    with pytest.raises(SystemExit, match=">= 2 posterior draws"):
+        main(["analyze", xyz_file, "--mobile", "Li",
+              "--uncertainty", "1"])
+
+
+def test_diagnose_markovianity_runs_pre_debounce(xyz_file, capsys):
+    """With --debounce, the markovianity diagnose must run on the
+    PRE-debounce labels (debouncing imposes a minimum-residence floor
+    that fails the tests for the filter's reason) and say so."""
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--debounce", "3", "--diagnose"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines()
+            if "diagnose: markovianity" in l]
+    assert line and "[pre-debounce labels]" in line[0]
+
+
 def test_arrhenius_subcommand(tmp_path, capsys):
     """The arrhenius subcommand recovers a programmed activation energy
     from a TEMP=PATH series and saves the Ea-annotated network."""

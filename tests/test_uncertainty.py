@@ -5,35 +5,12 @@ inf handling, custom observables, and the guards."""
 import numpy as np
 import pytest
 
-from sitator_tpu import SiteNetwork, SiteTrajectory
-from sitator_tpu.core.structure import Structure
 from sitator_tpu.dynamics import (ChainUncertaintyAnalysis, JumpAnalysis,
                                   edge_probability_intervals)
 from sitator_tpu.dynamics.uncertainty import (posterior_count_matrix,
                                               sample_transition_matrices)
-
-
-def _simulate(P, n_steps, rng, start=0):
-    cdf = np.cumsum(P, axis=1)
-    out = np.empty(n_steps, dtype=np.int32)
-    s = start
-    u = rng.uniform(size=n_steps)
-    for t in range(n_steps):
-        out[t] = s
-        s = int(np.searchsorted(cdf[s], u[t]))
-    return out
-
-
-def _st(labels, n_sites, a=20.0, seed=0):
-    labels = np.asarray(labels, dtype=np.int32)
-    rng = np.random.default_rng(seed)
-    n_mobile = labels.shape[1]
-    pos = rng.uniform(0, a, size=(4 + n_mobile, 3))
-    s = Structure(pos, np.array([16] * 4 + [3] * n_mobile),
-                  np.eye(3) * a)
-    sn = SiteNetwork(s, s.species == 16, s.species == 3)
-    sn.centers = rng.uniform(0, a, size=(n_sites, 3))
-    return SiteTrajectory(sn, labels)
+# shared DTMC-simulation fixtures (single source of truth)
+from tests.test_markov import _simulate, _st
 
 
 P_TRUE = np.array([[0.90, 0.08, 0.02],
@@ -134,6 +111,64 @@ def test_never_visited_site_is_inf_mfpt_nan_edges():
     assert np.isfinite(lo[:3, :3]).all()
 
 
+def test_dead_site_timescales_and_stationary_ignore_dead_block():
+    """A never-visited site is sampled as an isolated absorbing state;
+    its degenerate unit eigenvalue must NOT surface as a bogus
+    ~1e15-frame slowest timescale, and the stationary draw must put
+    zero mass on it (regression: observables now restrict to the live
+    block)."""
+    rng = np.random.default_rng(11)
+    labels = _simulate(P_TRUE, 20000, rng)[:, None]
+    st = _st(labels, 4)                      # site 3 never visited
+    ua = ChainUncertaintyAnalysis(
+        observables=("timescales", "stationary"),
+        n_samples=60, seed=12, verbose=False).run(st)
+    t = ua.mean_["timescales"]
+    assert t[0] < 1e4                        # real slow mode, not 1e15
+    # and it matches the 3-site-only analysis on the same data
+    st3 = _st(labels, 3)
+    ua3 = ChainUncertaintyAnalysis(observables=("timescales",),
+                                   n_samples=60, seed=12,
+                                   verbose=False).run(st3)
+    np.testing.assert_allclose(t[0], ua3.mean_["timescales"][0],
+                               rtol=0.05)
+    pi = ua.mean_["stationary"]
+    assert pi[3] == 0.0
+    np.testing.assert_allclose(pi.sum(), 1.0, atol=1e-10)
+
+
+def test_stationary_exact_on_slow_chain():
+    """2-state chain with a ~3.3e4-frame relaxation: bounded power
+    iteration left every draw unconverged (biased toward uniform with
+    a confidently-wrong CI); the exact solve must recover the true
+    stationary distribution (regression)."""
+    from sitator_tpu.dynamics.uncertainty import _obs_stationary
+    p, q = 1e-5, 5e-5
+    P = np.array([[1 - p, p], [q, 1 - q]])
+    pi = _obs_stationary(P)
+    np.testing.assert_allclose(pi, [q / (p + q), p / (p + q)],
+                               atol=1e-12)
+
+
+def test_edge_intervals_consistent_with_sampler_under_dead_sites():
+    """With never-visited sites the sampled Dirichlet support excludes
+    the dead columns; the analytic Beta complement must count only the
+    live columns' prior mass (regression: (S-1)*prior shifted lo/hi
+    on weakly-sampled edges)."""
+    rng = np.random.default_rng(13)
+    labels = _simulate(P_TRUE, 4000, rng)[:, None]
+    st = _st(labels, 5)                      # sites 3, 4 never visited
+    JumpAnalysis(verbose=False).run(st)
+    sn = st.site_network
+    lo, hi = edge_probability_intervals(st, level=0.9)
+    C = posterior_count_matrix(sn)
+    Ps = sample_transition_matrices(C, 8000, np.random.default_rng(14))
+    mc_lo = np.quantile(Ps[:, :3, :3], 0.05, axis=0)
+    mc_hi = np.quantile(Ps[:, :3, :3], 0.95, axis=0)
+    np.testing.assert_allclose(lo[:3, :3], mc_lo, atol=0.005)
+    np.testing.assert_allclose(hi[:3, :3], mc_hi, atol=0.005)
+
+
 def test_validation():
     with pytest.raises(ValueError, match="observable"):
         ChainUncertaintyAnalysis(observables=())
@@ -144,6 +179,7 @@ def test_validation():
     with pytest.raises(ValueError, match="unknown observable"):
         ChainUncertaintyAnalysis(observables=("bogus",)).run(
             _st(np.zeros((50, 1), np.int32), 2))
+    from sitator_tpu import SiteNetwork
     from sitator_tpu.core.structure import Structure as _S
     rng = np.random.default_rng(0)
     s = _S(rng.uniform(0, 5, (5, 3)), np.array([16] * 4 + [3]),

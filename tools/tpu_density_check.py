@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 print("backend:", jax.default_backend(), flush=True)
-assert jax.default_backend() == "axon", (
+assert jax.default_backend() in ("axon", "tpu"), (
     "not on the TPU — got backend " + jax.default_backend())
 
 x = jnp.ones((1024, 1024), jnp.float32)

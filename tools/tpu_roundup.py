@@ -24,7 +24,9 @@ import jax
 import jax.numpy as jnp
 
 print("backend:", jax.default_backend(), flush=True)
-if jax.default_backend() != "axon":
+# the tunnel backend has registered as "axon" and (since 2026-08-19) as
+# plain "tpu" (device "TPU v5 lite0") — accept either, reject CPU fallback
+if jax.default_backend() not in ("axon", "tpu"):
     print("STATUS probe FAIL: not on the TPU", flush=True)
     sys.exit(1)
 

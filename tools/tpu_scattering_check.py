@@ -20,7 +20,7 @@ print("backend:", jax.default_backend(), flush=True)
 # a silent CPU fallback (tunnel down / grant held) makes the bf16-MXU
 # failure mode under test impossible — fail loudly instead of passing
 # vacuously (the r3 SOAP mismeasurement was exactly this trap)
-assert jax.default_backend() == "axon", (
+assert jax.default_backend() in ("axon", "tpu"), (
     "not on the TPU — got backend " + jax.default_backend())
 
 # health probe
