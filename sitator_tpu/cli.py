@@ -481,12 +481,11 @@ def _eager_pipeline(args, sn, traj, objs=None):
     return _postprocess(args, st, objs)
 
 
-def cmd_analyze(args):
-    from sitator_tpu.dynamics import DiffusionAnalysis
-
-    if args.tpt:
-        _parse_tpt_spec(args.tpt)   # malformed spec fails fast
-    if args.merge_metastable is not None and \
+def _validate_pipe_flags(args):
+    """Fail fast on malformed shared-pipeline flags (the pipe parent
+    parser is shared by analyze AND arrhenius — validate in one place,
+    BEFORE any expensive per-trajectory analysis)."""
+    if getattr(args, "merge_metastable", None) is not None and \
             args.merge_metastable != "auto":
         try:
             if int(args.merge_metastable) < 2:
@@ -495,9 +494,18 @@ def cmd_analyze(args):
             raise SystemExit("--merge-metastable takes an integer >= 2 "
                              "or no value (automatic), got "
                              f"{args.merge_metastable!r}")
-    if args.uncertainty is not None and args.uncertainty < 2:
+    if getattr(args, "uncertainty", None) is not None \
+            and args.uncertainty < 2:
         raise SystemExit("--uncertainty takes >= 2 posterior draws, "
                          f"got {args.uncertainty}")
+
+
+def cmd_analyze(args):
+    from sitator_tpu.dynamics import DiffusionAnalysis
+
+    if args.tpt:
+        _parse_tpt_spec(args.tpt)   # malformed spec fails fast
+    _validate_pipe_flags(args)
     reader, sn = _seed_network(args, args.traj)
 
     if args.streaming:
@@ -965,6 +973,7 @@ def cmd_arrhenius(args):
                                       DiffusionAnalysis,
                                       EdgeArrheniusAnalysis)
     # parse + validate the whole series BEFORE any expensive analysis
+    _validate_pipe_flags(args)
     parsed = []
     for spec in args.series:
         if "=" not in spec:

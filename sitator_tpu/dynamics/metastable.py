@@ -100,8 +100,11 @@ class MergeSitesByMetastability(MergeSitesBase):
     for the eigenvalues in (0, 1)), ``separation_`` (the chosen
     split's timescale ratio; NaN when undefined), ``n_basins_``,
     ``labels_`` (per original site, ``-1`` for never-visited sites,
-    which always stay singletons), ``chi_`` (PCCA memberships, live
-    sites × basins), and ``metastability_`` (mean self-transition
+    which always stay singletons; when the merge is withheld before a
+    basin diagnosis exists, live sites carry singleton labels
+    ``0..m-1``), ``chi_`` (PCCA memberships, live sites × basins,
+    columns aligned with the dense basin labels), and
+    ``metastability_`` (mean self-transition
     probability of the coarse-grained chain — a diagnostic, not the
     acceptance criterion: on slow-hopping chains it is ≈ 1 for *any*
     partition).
@@ -129,7 +132,8 @@ class MergeSitesByMetastability(MergeSitesBase):
 
     def _get_merges(self, st):
         sn = st.site_network
-        if "n_ij" not in sn.edge_attributes:
+        if any(not sn.has_attribute(a)
+               for a in ("n_ij", "total_corrected_residences")):
             JumpAnalysis(verbose=False).run(st)
         n_ij = np.asarray(sn.n_ij, dtype=np.float64).copy()
         np.fill_diagonal(n_ij, 0.0)
@@ -148,7 +152,11 @@ class MergeSitesByMetastability(MergeSitesBase):
         self.eigenvalues_ = np.zeros(0)
         self.timescales_ = np.zeros(0)
         self.chi_ = None
-        self.n_basins_ = 0
+        # withheld / degenerate paths must NOT leave live sites at -1
+        # (the documented never-visited sentinel): default live sites
+        # to singleton basins; a successful merge overwrites below
+        self.labels_[idx] = np.arange(m)
+        self.n_basins_ = m
         self.metastability_ = np.nan
         self.separation_ = np.nan
         if m < 2:
@@ -180,17 +188,37 @@ class MergeSitesByMetastability(MergeSitesBase):
             # split with the largest timescale separation
             hi = m - 1 if self.max_basins is None \
                 else min(self.max_basins, m - 1)
-            if hi < 2:
+            # degenerate unit eigenvalues beyond the Perron root are
+            # disconnected chain components (e.g. a trapped ion that
+            # never jumps) — structure, not kinetics.  A split whose
+            # "kept/merged" boundary ratio involves a unit mode reads
+            # as ~1e13x separation and would collapse the entire
+            # connected network into one basin; restrict the search to
+            # boundaries between genuine sub-unit relaxation modes
+            # (every component mode is always kept: n >= k + 1 means
+            # components can never be merged together)
+            k = max(int(np.sum(lam >= 1.0 - 1e-10)), 1)
+            if hi < k + 1:
+                logger.info(
+                    "auto metastability merge withheld: no sub-unit "
+                    "split available (%d live sites, %d chain "
+                    "component(s), max_basins=%s)", m, k,
+                    self.max_basins)
                 return []
-            ratios = Tf[:hi - 1] / Tf[1:hi]
-            n = int(np.argmax(ratios)) + 2
+            ratios = Tf[k - 1:hi - 1] / Tf[k:hi]
+            n = int(np.argmax(ratios)) + k + 1
             if self.min_timescale is not None:
                 # refuse to merge across processes slower than the floor
                 while n <= hi and T[n - 1] > self.min_timescale:
                     n += 1
-                if n > m - 1:
+                if n > hi:
+                    logger.info(
+                        "auto metastability merge withheld: every "
+                        "candidate split merges across a process "
+                        "slower than min_timescale=%g frames",
+                        self.min_timescale)
                     return []       # nothing mergeable below the floor
-            self.separation_ = float(ratios[n - 2])
+            self.separation_ = float(Tf[n - 2] / Tf[n - 1])
             if self.separation_ < self.min_separation:
                 withheld = True
         else:
@@ -203,11 +231,12 @@ class MergeSitesByMetastability(MergeSitesBase):
         chi, _ = pcca_memberships(X)
         lab = np.argmax(chi, axis=1)
         # drop empty basins (pcca can leave one crisp-empty on
-        # degenerate spectra) and renumber densely
+        # degenerate spectra) and renumber densely; keep chi_'s columns
+        # aligned with the dense labels (argmax(chi_) == labels_[idx])
         uniq, lab = np.unique(lab, return_inverse=True)
         n = len(uniq)
         self.n_basins_ = n
-        self.chi_ = chi
+        self.chi_ = chi[:, uniq]
         self.labels_[idx] = lab
 
         # coarse-grained metastability: chi-crisp aggregation of the

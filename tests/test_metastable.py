@@ -213,3 +213,86 @@ def test_auto_withholds_on_healthy_slow_hopping_network():
     assert ms.separation_ < ms.min_separation
     # ... even though every partition looks metastable
     assert ms.metastability_ > 0.9
+
+
+def _network_two_ions(n_sites, a=30.0, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(0, a, size=(8, 3))
+    species = np.array([16] * 6 + [3] * 2)
+    s = Structure(pos, species, np.eye(3) * a)
+    sn = SiteNetwork(s, s.species == 16, s.species == 3)
+    sn.centers = rng.uniform(0, a, size=(n_sites, 3))
+    return sn
+
+
+def test_auto_not_fooled_by_trapped_ion():
+    """A trapped ion (occupied site, zero jumps) makes the chain
+    disconnected: its degenerate unit eigenvalue must be treated as
+    structure, not as a ~1e13x timescale split that collapses the
+    whole connected network into one basin (regression)."""
+    rng = np.random.default_rng(9)
+    sn = _network_two_ions(7)
+    labels = np.empty((12000, 2), dtype=np.int32)
+    site = 0
+    for t in range(12000):
+        if rng.uniform() < 1 / 60:
+            site = (site + rng.choice([-1, 1])) % 6
+        labels[t, 0] = site
+    labels[:, 1] = 6                         # trapped forever on site 6
+    st = SiteTrajectory(sn, labels)
+    ms = MergeSitesByMetastability(verbose=False)
+    st2 = ms.run(st)
+    assert st2.site_network.n_sites == 7     # nothing merged
+    assert not np.isfinite(ms.separation_) or \
+        ms.separation_ < ms.min_separation
+
+
+def test_auto_merges_split_pairs_despite_trapped_ion():
+    """The genuine over-split signal must still be found when a
+    disconnected trapped site coexists with it; the trapped site stays
+    its own basin and chi_ columns align with the dense labels."""
+    rng = np.random.default_rng(10)
+    sn = _network_two_ions(9)                # 4 pairs + trapped site 8
+    flick = _paired_flicker_traj(4, 20000, 200, rng)
+    labels = np.concatenate(
+        [flick, np.full((20000, 1), 8, np.int32)], axis=1)
+    st = SiteTrajectory(sn, labels)
+    ms = MergeSitesByMetastability(verbose=False)
+    st2 = ms.run(st)
+    assert st2.site_network.n_sites == 5     # 4 true sites + trapped
+    lab = ms.labels_
+    assert lab[8] != -1                      # live, its own basin
+    assert np.sum(lab == lab[8]) == 1
+    for p in range(4):                       # pairs merged
+        assert lab[2 * p] == lab[2 * p + 1]
+    # chi_ columns follow the dense renumbered labels
+    live = np.flatnonzero(lab >= 0)
+    assert ms.chi_.shape == (len(live), ms.n_basins_)
+    np.testing.assert_array_equal(np.argmax(ms.chi_, axis=1), lab[live])
+
+
+def test_min_timescale_with_max_basins_does_not_crash():
+    """min_timescale pushing n past a max_basins cap must withhold the
+    merge, not crash with an IndexError (regression)."""
+    rng = np.random.default_rng(11)
+    sn = _network(8)
+    st = SiteTrajectory(sn, _paired_flicker_traj(4, 20000, 200, rng))
+    ms = MergeSitesByMetastability(max_basins=3, min_timescale=2.0,
+                                   verbose=False)
+    st2 = ms.run(st)                         # must not raise
+    assert st2.site_network.n_sites == 8     # withheld under the cap
+
+
+def test_withheld_live_sites_get_singleton_labels():
+    """When auto mode withholds before any basin diagnosis (e.g. only
+    two live sites), live sites must NOT carry the -1 never-visited
+    sentinel — they are labeled as singletons (regression)."""
+    rng = np.random.default_rng(12)
+    sn = _network(3)
+    labels = (rng.uniform(size=5000) < 0.5).astype(np.int32)[:, None]
+    st = SiteTrajectory(sn, labels)
+    ms = MergeSitesByMetastability(verbose=False)
+    ms.run(st)
+    assert set(ms.labels_[:2]) == {0, 1}     # live singletons
+    assert ms.labels_[2] == -1               # truly never visited
+    assert ms.n_basins_ == 2
