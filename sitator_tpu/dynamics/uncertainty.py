@@ -87,6 +87,8 @@ def sample_transition_matrices(C, n_samples, rng, prior=None):
     S = len(C)
     if prior is None:
         prior = 1.0 / S
+    if float(prior) < 0.0:
+        raise ValueError(f"prior must be >= 0, got {prior}")
     alpha = C + float(prior)
     # gamma-normalize: rows of iid Gamma(alpha) normalized are Dirichlet
     g = rng.standard_gamma(alpha[None, :, :],
@@ -110,8 +112,12 @@ def edge_probability_intervals(st_or_sn, level=0.95, prior=None,
     probability ``p_ij``.
 
     Each matrix entry's Dirichlet marginal is
-    ``Beta(C_ij + prior, C_i - C_ij + (S-1) prior)``; the interval is
-    its equal-tailed ``level`` quantile pair.  With
+    ``Beta(C_ij + prior, C_i - C_ij + (S_live - 1) prior)`` where
+    ``S_live`` counts the live (ever-visited) columns — never-visited
+    columns are excluded from the Dirichlet support entirely (matching
+    :func:`sample_transition_matrices`), so only live columns carry
+    prior pseudo-mass.  The interval is its equal-tailed ``level``
+    quantile pair.  With
     ``add_attributes=True`` (default) writes ``p_ij_lo`` / ``p_ij_hi``
     edge attributes onto the network and returns ``(lo, hi)``.
 
@@ -134,12 +140,21 @@ def edge_probability_intervals(st_or_sn, level=0.95, prior=None,
     # live columns' pseudo-mass — (S-1)*prior would shift lo/hi downward
     # on weakly-sampled edges whenever dead sites exist
     S_live = S - int(dead.sum())
-    b = row - C + (S_live - 1) * prior
     tail = 0.5 * (1.0 - float(level))
-    lo = _beta.ppf(tail, a, b)
-    hi = _beta.ppf(1.0 - tail, a, b)
-    lo[dead], hi[dead] = np.nan, np.nan
-    lo[:, dead], hi[:, dead] = np.nan, np.nan    # structurally no mass
+    if S_live == 1:
+        # degenerate corner: one live site, whose self-transition is
+        # deterministically 1 (the Beta b-parameter would be 0 and
+        # beta.ppf would return NaN for a certain probability)
+        lo = np.full_like(a, np.nan)
+        hi = np.full_like(a, np.nan)
+        li = np.flatnonzero(~dead)
+        lo[li, li] = hi[li, li] = 1.0
+    else:
+        b = row - C + (S_live - 1) * prior
+        lo = _beta.ppf(tail, a, b)
+        hi = _beta.ppf(1.0 - tail, a, b)
+        lo[dead], hi[dead] = np.nan, np.nan
+        lo[:, dead], hi[:, dead] = np.nan, np.nan  # structurally no mass
     if add_attributes:
         sn.add_edge_attribute("p_ij_lo", lo)
         sn.add_edge_attribute("p_ij_hi", hi)
@@ -162,7 +177,12 @@ def _obs_timescales(n_timescales):
         live = _live_states(P)
         Pl = P[np.ix_(live, live)]
         lam = np.sort(np.abs(np.linalg.eigvals(Pl)))[::-1]
-        lam = np.clip(lam[1:n_timescales + 1], 1e-12, 1.0 - 1e-15)
+        lam = lam[1:]
+        # with prior=0 the live block can be REDUCIBLE (alpha=0 gamma
+        # draws are exactly 0): each extra connected component carries
+        # its own unit eigenvalue — a degenerate mode, not a timescale
+        lam = lam[lam < 1.0 - 1e-12]
+        lam = np.clip(lam[:n_timescales], 1e-12, 1.0 - 1e-15)
         out = np.full(n_timescales, np.nan)
         out[:len(lam)] = -1.0 / np.log(lam)
         return out

@@ -188,3 +188,40 @@ def test_validation():
     sn.centers = rng.uniform(0, 5, (2, 3))
     with pytest.raises(ValueError, match="bare SiteNetwork"):
         ChainUncertaintyAnalysis().run(sn)
+
+
+def test_zero_prior_reducible_draws_no_bogus_timescales():
+    """prior=0 makes alpha=0 entries draw exactly 0, so a sampled live
+    block can be REDUCIBLE — extra unit eigenvalues are degenerate
+    modes, not ~1e15-frame timescales (ADVICE r4)."""
+    # two 2-state components that never exchange: every draw reducible
+    labels2 = np.stack([
+        _simulate(np.array([[0.8, 0.2], [0.2, 0.8]]), 3000,
+                  np.random.default_rng(0)),
+        2 + _simulate(np.array([[0.7, 0.3], [0.3, 0.7]]), 3000,
+                      np.random.default_rng(1))], axis=1)
+    st = _st(labels2, 4)
+    ua = ChainUncertaintyAnalysis(observables=("timescales",),
+                                  n_samples=50, prior=0.0,
+                                  n_timescales=3, seed=2,
+                                  verbose=False).run(st)
+    ts = ua.samples_["timescales"]
+    finite = ts[np.isfinite(ts)]
+    # true slowest modes are ~1/ln(1/0.6) ≈ 2 and ~1/ln(1/0.4) ≈ 1.1
+    # frames; a leaked unit eigenvalue would report ~1e12+
+    assert finite.size and finite.max() < 1e3
+    with pytest.raises(ValueError, match="prior"):
+        sample_transition_matrices(np.eye(2), 2,
+                                   np.random.default_rng(0), prior=-0.1)
+
+
+def test_single_live_site_edge_intervals_degenerate():
+    """S_live == 1: the lone self-transition is deterministically 1 —
+    lo = hi = 1.0, never NaN from a zero Beta b-parameter (ADVICE r4)."""
+    labels = np.zeros((200, 1), np.int32)
+    st = _st(labels, 3)                       # sites 1, 2 never visited
+    lo, hi = edge_probability_intervals(st, level=0.95)
+    assert lo[0, 0] == 1.0 and hi[0, 0] == 1.0
+    dead_mask = np.ones((3, 3), bool)
+    dead_mask[0, 0] = False
+    assert np.isnan(lo[dead_mask]).all() and np.isnan(hi[dead_mask]).all()
