@@ -315,7 +315,10 @@ def _ensure_tpu_backend():
               "through retries (NOT a chip number)", file=sys.stderr,
               flush=True)
         return jax.default_backend()
-    timeout_s = float(os.environ.get("SITATOR_BENCH_PROBE_TIMEOUT", "600"))
+    # a merely-WEDGED chip (not a dead tunnel) probes in 10-20 min
+    # (observed 671 s / 1239 s live); the probe budget must exceed that
+    # or the guard converts a recoverable wedge into a degraded record
+    timeout_s = float(os.environ.get("SITATOR_BENCH_PROBE_TIMEOUT", "1500"))
     res = _probe_device(timeout_s)
     backend = res["backend"]
     if res["ok"] and backend is not None and (

@@ -31,6 +31,7 @@ matrix ever being resident in host memory at once.
 from __future__ import annotations
 
 import logging
+import time
 from functools import partial
 
 import jax
@@ -45,6 +46,40 @@ from sitator_tpu.ops.jumps import _jump_stats, _jump_stats_block_int64
 from sitator_tpu.ops.landmark_pallas import fused_assign_blocks
 
 logger = logging.getLogger(__name__)
+
+
+class _Phase:
+    """Accumulate host wall time of one named engine phase into a dict
+    (``engine.phase_times_``).  ~100 ns per use — negligible against a
+    512-frame block, so it is always on.  Phases are DISJOINT on the
+    fast (pipelined) path, so their sum vs total wall splits the run
+    into host-dwell categories; in exact-jump mode ``dispatch_fold``
+    additionally contains ``labels_fetch`` (the host scan needs the
+    labels), so the sum can exceed disjoint coverage there."""
+
+    __slots__ = ("pt", "name", "t0")
+
+    def __init__(self, pt, name):
+        self.pt = pt
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+
+    def __exit__(self, *exc):
+        self.pt[self.name] = (self.pt.get(self.name, 0.0)
+                              + time.perf_counter() - self.t0)
+
+
+def _timed_iter(it, pt, name):
+    it = iter(it)
+    while True:
+        with _Phase(pt, name):
+            try:
+                item = next(it)
+            except StopIteration:
+                return
+        yield item
 
 
 @partial(jax.jit, static_argnames=("kernel", "midpoint",
@@ -414,6 +449,11 @@ class StreamingLandmarkAnalysis:
             centers = self.fit_centers(sn, reader)
         K = len(centers)
         self.n_sites_ = K
+        # per-phase host wall time of this run (observability; see _Phase)
+        pt = self.phase_times_ = {}
+
+        def ph(name):
+            return _Phase(pt, name)
         # observability: epochs routed through the exact host int64 jump
         # scan by the self-healing wrap protection (see set_mode below)
         self.exact_jump_epochs_ = 0
@@ -644,7 +684,8 @@ class StreamingLandmarkAnalysis:
             rode along as trailing bitcast columns, it is split off into
             ``box['drift']``."""
             if box["np"] is None:
-                arr = np.asarray(box["dev"])
+                with ph("labels_fetch"):
+                    arr = np.asarray(box["dev"])
                 if arr.shape[1] > n_mobile:
                     box["drift"] = (arr[:, n_mobile:n_mobile + 2]
                                     .copy().view(np.float32)[:, 0])
@@ -658,18 +699,21 @@ class StreamingLandmarkAnalysis:
             mode dictates."""
             nonlocal carry, acc, exact_carry, host_acc
             if not exact_mode:
-                carry, acc = _accum_block(
-                    labels, confs, mobile, cell_inv,
-                    valid_dev(valid_np), carry, acc, n_sites=K,
-                    max_mobile=self.max_mobile_per_site)
+                with ph("dispatch_fold"):
+                    carry, acc = _accum_block(
+                        labels, confs, mobile, cell_inv,
+                        valid_dev(valid_np), carry, acc, n_sites=K,
+                        max_mobile=self.max_mobile_per_site)
                 return
-            _, acc = _accum_block(
-                labels, confs, mobile, cell_inv,
-                valid_dev(valid_np), carry_dummy, acc, n_sites=K,
-                max_mobile=self.max_mobile_per_site, want_jumps=False)
+            with ph("dispatch_fold"):
+                _, acc = _accum_block(
+                    labels, confs, mobile, cell_inv,
+                    valid_dev(valid_np), carry_dummy, acc, n_sites=K,
+                    max_mobile=self.max_mobile_per_site, want_jumps=False)
             lbl = np.where(valid_np[:, None], fetch_labels(box), -1)
-            dev, last64, res64 = _jump_stats_block_int64(
-                lbl, K, exact_carry[0], exact_carry[1], "persist")
+            with ph("host_jump_scan"):
+                dev, last64, res64 = _jump_stats_block_int64(
+                    lbl, K, exact_carry[0], exact_carry[1], "persist")
             exact_carry = (last64, res64)
             if host_acc is None:
                 host_acc = {}
@@ -726,22 +770,26 @@ class StreamingLandmarkAnalysis:
             int32 memmap upcasts the int16 egress on assignment)."""
             if labels_out is None:
                 return
-            labels_out[lo + a:lo + b] = fetch_labels(box)[a:b]
+            lab = fetch_labels(box)
+            with ph("labels_memmap_write"):
+                labels_out[lo + a:lo + b] = lab[a:b]
 
         def upload_static(block):
-            static_np = block[:, static_idx]
-            if self.dynamic_lattice_mapping:
-                static_np = static_np[:, perm]
-            static = jnp.asarray(static_np, jnp.float32)
-            if sharding is not None:
-                static = jax.device_put(static, sharding)
+            with ph("upload"):
+                static_np = block[:, static_idx]
+                if self.dynamic_lattice_mapping:
+                    static_np = static_np[:, perm]
+                static = jnp.asarray(static_np, jnp.float32)
+                if sharding is not None:
+                    static = jax.device_put(static, sharding)
             return static
 
         def assign(mobile, static):
-            labels, confs, drift, labels_eg = _assign_block(
-                mobile, static, verts_j, vmask_j, A, cell, cell_inv,
-                kcell, centers_j, active, uidx_j, Am_j, kill_j,
-                ref_u_j, anchors_j, static_ref_j, **assign_kw)
+            with ph("dispatch_assign"):
+                labels, confs, drift, labels_eg = _assign_block(
+                    mobile, static, verts_j, vmask_j, A, cell, cell_inv,
+                    kcell, centers_j, active, uidx_j, Am_j, kill_j,
+                    ref_u_j, anchors_j, static_ref_j, **assign_kw)
             if labels_out is not None and self.async_label_copy:
                 # opt-in: start the label device->host copy NOW so it
                 # overlaps the accumulator dispatches.  Measured
@@ -775,7 +823,8 @@ class StreamingLandmarkAnalysis:
                 if box["dev"] is None:
                     box["dev"] = labels_eg
                 if thr_drift is not None:
-                    drift_f = np.asarray(drift)[:nb]
+                    with ph("drift_fetch"):
+                        drift_f = np.asarray(drift)[:nb]
             need_assign = pre is None
             while processed < nb:
                 if need_assign:
@@ -791,7 +840,8 @@ class StreamingLandmarkAnalysis:
                     # slice the host copy)
                     box = {"np": None, "dev": labels_eg}
                     if thr_drift is not None:
-                        drift_f = np.asarray(drift)[:nb]
+                        with ph("drift_fetch"):
+                            drift_f = np.asarray(drift)[:nb]
                     need_assign = False
                 stop = nb
                 if thr_drift is not None:
@@ -894,7 +944,8 @@ class StreamingLandmarkAnalysis:
                     fetch_labels(box)
                     drift_f = box["drift"][:e["nb"]]
                 else:
-                    drift_f = np.asarray(e["drift"])[:e["nb"]]
+                    with ph("drift_fetch"):
+                        drift_f = np.asarray(e["drift"])[:e["nb"]]
                 if (drift_f > thr_drift).any():
                     # rollback: restore the pre-block accumulator state
                     # and replay this + all later in-flight blocks
@@ -919,14 +970,15 @@ class StreamingLandmarkAnalysis:
             while window:
                 retire_one()
 
-        for lo, block in feeder:
+        for lo, block in _timed_iter(feeder, pt, "feeder"):
             nb = len(block)
             if nb < B:  # pad to the compiled block shape (frames masked out)
                 from sitator_tpu.parallel.mesh import pad_frames
                 block, _ = pad_frames(block, B)
-            mobile = jnp.asarray(block[:, mobile_idx], jnp.float32)
-            if sharding is not None:
-                mobile = jax.device_put(mobile, sharding)
+            with ph("upload"):
+                mobile = jnp.asarray(block[:, mobile_idx], jnp.float32)
+                if sharding is not None:
+                    mobile = jax.device_put(mobile, sharding)
             if W == 0 or exact_mode:
                 # exact mode folds through the host int64 scan (a sync
                 # per block anyway) — run synchronously
@@ -958,13 +1010,16 @@ class StreamingLandmarkAnalysis:
                 # (drain first: optimistic in-flight blocks must retire —
                 # or roll back — before their stats can be spilled)
                 drain()
-                host_acc = spill(host_acc, acc)
-                acc = zero_acc()
-                set_mode(current_carry_np())
+                with ph("epoch_spill"):
+                    host_acc = spill(host_acc, acc)
+                    acc = zero_acc()
+                    set_mode(current_carry_np())
             if do_ckpt:
-                self._save_checkpoint(
-                    ckpt, n_frames, K, lo + nb,
-                    exact_carry if exact_mode else carry, host_acc, perm)
+                with ph("checkpoint"):
+                    self._save_checkpoint(
+                        ckpt, n_frames, K, lo + nb,
+                        exact_carry if exact_mode else carry, host_acc,
+                        perm)
 
         drain()
         host_acc = spill(host_acc, acc)

@@ -55,6 +55,12 @@ def main():
     ap.add_argument("--ab-pack", action="store_true",
                     help="same-process alternating packed vs separate "
                          "drift retirement fetch comparison")
+    ap.add_argument("--split", action="store_true",
+                    help="measure the host/tunnel share of the engine "
+                         "gap: interleave the engine against a scan-"
+                         "batched run of its EXACT per-block math (one "
+                         "dispatch, device-resident blocks) and report "
+                         "the engine's per-phase host-dwell table")
     ap.add_argument("--workdir", default="/tmp",
                     help="directory for scratch artifacts (checkpoints, "
                          "label memmaps, fit cache, result json) — "
@@ -239,6 +245,19 @@ def main():
         assert float(np.sum(out.occupancies)) > 0
         return n_frames / dt, dt, n_frames
 
+    phase_tables = []
+
+    def timed_split(tag, n_blocks, record=True):
+        n_frames = n_blocks * B
+        eng = make_engine(tag, n_frames)
+        t0 = time.perf_counter()
+        out = eng.run(sn, DeviceCycleReader(n_frames), centers=centers)
+        dt = time.perf_counter() - t0
+        assert float(np.sum(out.occupancies)) > 0
+        if record:
+            phase_tables.append((dict(eng.phase_times_), dt))
+        return n_frames / dt
+
     fps, dt, n_frames = timed("main", args.blocks,
                               labels=not args.no_labels,
                               depth=args.pipeline_depth)
@@ -253,6 +272,145 @@ def main():
         "tunnel_dl_MBps": round(dl, 1),
         "tunnel_ul_MBps": round(ul, 1),
     }
+    if args.split:
+        # ---- host/tunnel share of the engine gap (VERDICT r5 item 2) ----
+        # Segment "math": the engine's EXACT per-block math — the same
+        # jitted _assign_block + _accum_block the engine dispatches — as
+        # ONE lax.scan dispatch over device-resident blocks.  No per-
+        # block dispatch round-trips, no drift/label fetches: the pure
+        # device rate of the engine's workload.  Segment "engine": the
+        # production engine.  Interleaved in one process; the residual
+        # (1 - engine/math) is the host+tunnel share, and the engine's
+        # phase_times_ table says where that host time goes.
+        from sitator_tpu.landmark.streaming import (_accum_block,
+                                                    _assign_block)
+        from sitator_tpu.ops.landmark_pallas import kernel_cell
+        cell_np = np.asarray(s.cell, np.float64)
+        verts_np, vmask_np = sn.padded_vertices()
+        kcell = kernel_cell(cell_np)
+        cell_j = jnp.asarray(cell_np, jnp.float32)
+        cell_inv_j = jnp.asarray(np.linalg.inv(cell_np), jnp.float32)
+        verts_j = jnp.asarray(verts_np)
+        vmask_j = jnp.asarray(vmask_np)
+        K = len(centers)
+        active = jnp.ones(K, bool)
+        static_ref_j = jnp.asarray(host, jnp.float32)
+        basis = None
+        if jax.default_backend() != "cpu":
+            from sitator_tpu.ops.landmark_mxu import (permute_centers,
+                                                      prepare_engine_basis)
+            basis = prepare_engine_basis(
+                verts_np, vmask_np, sn.centers, cell_np,
+                midpoint=4.0, steepness=3.0, cutoff_shape="logistic_r2",
+                static_ref=host, drift_budget=1.0)
+        if basis is not None:
+            kern = "mxu"
+            centers_j = jnp.asarray(permute_centers(centers, basis),
+                                    jnp.float32)
+            uidx_j, Am_j, kill_j = basis["uidx"], basis["A"], basis["kill"]
+            s_tile, n_st = basis["s_tile"], basis["n_st"]
+            preshift = bool(basis["preshift"])
+            ref_u_j = (basis["ref_u"] if preshift
+                       else jnp.zeros((1, 1, 3), jnp.float32))
+            anchors_j = (basis["anchors"] if preshift
+                         else jnp.zeros((1, 3), jnp.float32))
+            A_j = jnp.zeros((1, 1), jnp.float32)
+        else:
+            # CPU smoke / non-sharing basis: the engine would take the
+            # XLA path there — mirror it so the comparison stays honest
+            kern = "xla"
+            centers_j = jnp.asarray(centers, jnp.float32)
+            uidx_j = jnp.zeros((1, 1), jnp.int32)
+            Am_j = jnp.zeros((1, 1, 1), jnp.float32)
+            kill_j = jnp.zeros((1, 1), jnp.float32)
+            s_tile = n_st = 0
+            preshift = False
+            ref_u_j = jnp.zeros((1, 1, 3), jnp.float32)
+            anchors_j = jnp.zeros((1, 3), jnp.float32)
+            from sitator_tpu.ops import landmark as lmops
+            A_j = lmops.vertex_membership_matrix(verts_np, vmask_np,
+                                                 n_static)
+        assign_kw = dict(kernel=kern, midpoint=4.0, steepness=3.0,
+                         threshold=0.35, cutoff_shape="logistic_r2",
+                         mesh=None, interpret=False,
+                         full_mask=bool(vmask_np.all()),
+                         mxu_s_tile=s_tile, mxu_n_st=n_st,
+                         mxu_preshift=preshift, want_drift=True,
+                         egress_int16=True, pack_drift=False)
+        NSC = min(4, POOL)
+        st_scan = jnp.stack([blocks[i][:, :n_static] for i in range(NSC)])
+        mo_scan = jnp.stack([blocks[i][:, n_static:] for i in range(NSC)])
+        valid_full = jnp.ones((B,), bool)
+        acc0 = {
+            "occ": jnp.zeros((K + 1,), jnp.int32),
+            "conf": jnp.zeros((K + 1,), jnp.float32),
+            "cos": jnp.zeros((K + 1, 3), jnp.float32),
+            "sin": jnp.zeros((K + 1, 3), jnp.float32),
+            "n_ij": jnp.zeros((K, K), jnp.int32),
+            "lag_sum": jnp.zeros((K, K), jnp.int32),
+            "res_sum": jnp.zeros((K,), jnp.int32),
+            "res_cnt": jnp.zeros((K,), jnp.int32),
+            "mo_viol": jnp.zeros((), jnp.int32),
+        }
+        carry0 = (jnp.full((n_ions,), -1, jnp.int32),
+                  jnp.zeros((n_ions,), jnp.int32))
+
+        @jax.jit
+        def math_step(st_scan, mo_scan, carry, acc):
+            def body(c, xs):
+                st, mo = xs
+                carry, acc = c
+                labels, confs, drift, labels_eg = _assign_block(
+                    mo, st, verts_j, vmask_j, A_j, cell_j, cell_inv_j,
+                    kcell, centers_j, active, uidx_j, Am_j, kill_j,
+                    ref_u_j, anchors_j, static_ref_j, **assign_kw)
+                carry, acc = _accum_block(
+                    labels, confs, mo, cell_inv_j, valid_full, carry, acc,
+                    n_sites=K, max_mobile=1)
+                # consume drift + the egress copy so neither is DCE'd —
+                # the engine materializes both every block
+                sink = drift.max() + labels_eg.astype(jnp.float32).sum()
+                return (carry, acc), sink
+            (carry, acc), sinks = jax.lax.scan(body, (carry, acc),
+                                               (st_scan, mo_scan))
+            return sinks.sum() + acc["occ"].sum().astype(jnp.float32)
+
+        def math_rate(n_disp=3):
+            t0 = time.perf_counter()
+            for _ in range(n_disp):
+                np.asarray(math_step(st_scan, mo_scan, carry0, acc0))
+            return n_disp * NSC * B / (time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        np.asarray(math_step(st_scan, mo_scan, carry0, acc0))  # compile
+        print(f"# split: math-scan compile+warm "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+        nb = max(8, args.blocks // 8)
+        timed_split("spw", 2, record=False)         # engine warm (tag fresh)
+        seq = []
+        for i in range(3):
+            seq.append(("math", math_rate()))
+            seq.append(("engine", timed_split(f"sp{i}", nb)))
+        res["split_segments"] = [(t, round(v, 1)) for t, v in seq]
+        f_math = float(np.median([v for t, v in seq if t == "math"]))
+        f_eng = float(np.median([v for t, v in seq if t == "engine"]))
+        res["split_math_fps"] = round(f_math, 1)
+        res["split_engine_fps"] = round(f_eng, 1)
+        res["split_host_overhead_share"] = round(1.0 - f_eng / f_math, 4)
+        # aggregate the engine runs' per-phase host-dwell
+        tot_ph, tot_wall = {}, 0.0
+        for ptab, wall in phase_tables:
+            tot_wall += wall
+            for k, v in ptab.items():
+                tot_ph[k] = tot_ph.get(k, 0.0) + v
+        res["split_phase_share"] = {
+            k: round(v / tot_wall, 4)
+            for k, v in sorted(tot_ph.items(), key=lambda kv: -kv[1])}
+        res["split_phase_covered"] = round(
+            sum(tot_ph.values()) / tot_wall, 4)
+        res["v5e8_projection_s_1M_frames_colocated_bound"] = round(
+            1e6 / (8 * f_math), 1)
+
     if args.ab:
         # same-process A/B/C: chip throughput varies ~2x across sessions,
         # so label-egress variants are only comparable within one process
