@@ -454,6 +454,9 @@ class StreamingLandmarkAnalysis:
 
         def ph(name):
             return _Phase(pt, name)
+
+        _setup = _Phase(pt, "setup")   # pass-2 preamble: basis prep,
+        _setup.__enter__()             # checkpoint probe, memmap create
         # observability: epochs routed through the exact host int64 jump
         # scan by the self-healing wrap protection (see set_mode below)
         self.exact_jump_epochs_ = 0
@@ -970,6 +973,7 @@ class StreamingLandmarkAnalysis:
             while window:
                 retire_one()
 
+        _setup.__exit__()
         for lo, block in _timed_iter(feeder, pt, "feeder"):
             nb = len(block)
             if nb < B:  # pad to the compiled block shape (frames masked out)
@@ -1022,7 +1026,8 @@ class StreamingLandmarkAnalysis:
                         perm)
 
         drain()
-        host_acc = spill(host_acc, acc)
+        with ph("epoch_spill"):
+            host_acc = spill(host_acc, acc)
         if n_remaps and self.verbose:
             logger.info("dynamic lattice mapping: %d slot→atom remaps",
                         n_remaps)
@@ -1030,7 +1035,10 @@ class StreamingLandmarkAnalysis:
         if ckpt is not None and os.path.exists(ckpt):
             os.remove(ckpt)  # run completed; checkpoint no longer needed
         self._check_multiple_occupancy(host_acc, n_frames)
-        return self._finalize(sn, centers, host_acc, n_frames, labels_out)
+        with ph("finalize"):
+            out = self._finalize(sn, centers, host_acc, n_frames,
+                                 labels_out)
+        return out
 
     def _check_multiple_occupancy(self, host_acc, n_frames):
         n_viol = int(host_acc.get("mo_viol", 0))

@@ -470,16 +470,75 @@ def _kernel(mob_ref, vpu_ref, A_ref, kill_ref, centers_ref, params_ref,
         confs_ref[b, :] = conf
 
 
+def _kernel_skew(mob_ref, vpu_ref, A_ref, kill_ref, centers_ref, params_ref,
+                 anchors_ref, labels_ref, confs_ref, sims_acc, norm_acc,
+                 lv_prev, *, n_st, a_dtype, mxu_dtype, r2_cutoff, triclinic,
+                 preshift):
+    """Software-pipelined variant of :func:`_kernel` (``peak_evening=
+    'none'`` only): the grid runs ``n_st + 1`` tile steps; step ``st``
+    computes tile ``st``'s landmark vectors (VPU distance core +
+    membership matmul) while folding tile ``st - 1``'s similarity matmul
+    from the ``lv_prev`` scratch into ``sims_acc``.  The two chains share
+    no data except the scratch handoff (a WAR on the final store), so
+    Mosaic is free to overlap the VPU work with the big MXU matmul that
+    the plain kernel strictly serializes behind it — the per-tile
+    latency-budget gap (PERFORMANCE.md 'Latency budget').  Accumulation
+    ORDER over tiles is unchanged (tile t folds at step t+1,
+    sequentially), so labels/confs are bit-identical to :func:`_kernel`.
+    """
+    b = pl.program_id(0)
+    st = pl.program_id(2)
+
+    @pl.when(st == 0)
+    def _():
+        sims_acc[:] = jnp.zeros_like(sims_acc)
+        norm_acc[:] = jnp.zeros_like(norm_acc)
+
+    cell, midpoint, steepness, threshold = load_cell_params(
+        params_ref, triclinic)
+
+    # fold tile st-1 (the centers index map already delivers block st-1)
+    @pl.when(st > 0)
+    def _():
+        sims_acc[:] += jax.lax.dot_general(
+            lv_prev[:].astype(mxu_dtype), centers_ref[:].astype(mxu_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # compute tile st (vpu/A/kill index maps deliver min(st, n_st-1))
+    @pl.when(st < n_st)
+    def _():
+        st_eff = jnp.minimum(st, n_st - 1)   # anchors row stays in range
+        mx = mob_ref[0, 0, :]
+        my = mob_ref[0, 1, :]
+        mz = mob_ref[0, 2, :]
+        lv = _tile_lv(mx, my, mz, vpu_ref, A_ref, kill_ref, anchors_ref,
+                      st_eff, cell, midpoint, steepness, a_dtype=a_dtype,
+                      r2_cutoff=r2_cutoff, triclinic=triclinic,
+                      preshift=preshift)
+        norm_acc[:, 0] += jnp.sum(lv * lv, axis=1)
+        lv_prev[:] = lv
+
+    @pl.when(st == n_st)
+    def _():
+        inv = jax.lax.rsqrt(jnp.maximum(norm_acc[:, 0], 1e-24))
+        sims = sims_acc[:] * inv[:, None]
+        conf = jnp.max(sims, axis=1)
+        lab = jnp.argmax(sims, axis=1).astype(jnp.int32)
+        labels_ref[b, :] = jnp.where(conf >= threshold, lab, -1)
+        confs_ref[b, :] = conf
+
+
 @partial(jax.jit,
          static_argnames=("midpoint", "steepness", "threshold", "s_tile",
                           "n_st", "a_bf16", "mxu_bf16", "interpret",
                           "cutoff_shape", "peak_evening", "preshift",
-                          "centers_store_f32"))
+                          "centers_store_f32", "skew"))
 def _mxu_call(mobile, static, uidx, A, kill, cell, centers_perm, ref_u,
               anchors, *, midpoint, steepness, threshold, s_tile, n_st,
               a_bf16=False, mxu_bf16=True, interpret=False,
               cutoff_shape="logistic", peak_evening="none", preshift=False,
-              centers_store_f32=True):
+              centers_store_f32=True, skew=False):
     peak_clip = peak_evening == "clip"
     n_passes = 2 if peak_clip else 1
     B, M, _ = mobile.shape
@@ -506,6 +565,56 @@ def _mxu_call(mobile, static, uidx, A, kill, cell, centers_perm, ref_u,
 
     consts = jnp.asarray([midpoint, steepness, threshold], jnp.float32)
     params, triclinic = pack_cell_params(cell, consts)
+
+    if skew and not peak_clip:
+        kernel = partial(_kernel_skew, n_st=n_st,
+                         a_dtype=jnp.bfloat16 if a_bf16 else jnp.float32,
+                         mxu_dtype=(jnp.bfloat16 if mxu_bf16
+                                    else jnp.float32),
+                         r2_cutoff=(cutoff_shape == "logistic_r2"),
+                         triclinic=triclinic, preshift=preshift)
+        last = n_st - 1
+        labels, confs = pl.pallas_call(
+            kernel,
+            grid=(B, 1, n_st + 1),
+            in_specs=[
+                pl.BlockSpec((1, 3, MP), lambda b, p, st: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 3, UP),
+                             lambda b, p, st: (b, jnp.minimum(st, last),
+                                               0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, UP, s_tile),
+                             lambda b, p, st: (jnp.minimum(st, last),
+                                               0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s_tile),
+                             lambda b, p, st: (0, jnp.minimum(st, last)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((s_tile, KP),
+                             lambda b, p, st: (jnp.maximum(st - 1, 0), 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((B, MP), lambda b, p, st: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, MP), lambda b, p, st: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, MP), jnp.int32),
+                jax.ShapeDtypeStruct((B, MP), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((MP, KP), jnp.float32),
+                pltpu.VMEM((MP, 1), jnp.float32),
+                pltpu.VMEM((MP, s_tile), jnp.float32),
+            ],
+            interpret=interpret,
+        )(mob, vpu, A, kill, cpad, params, anchors)
+        return labels[:, :M], confs[:, :M]
 
     kernel = partial(_kernel, n_st=n_st,
                      a_dtype=jnp.bfloat16 if a_bf16 else jnp.float32,
@@ -644,7 +753,7 @@ def mxu_assign_blocks(mobile, static, basis, cell, centers_perm, *,
                       midpoint, steepness, threshold, mxu_bf16=True,
                       a_bf16=False, interpret=False,
                       cutoff_shape="logistic", peak_evening="none",
-                      centers_store_f32=True):
+                      centers_store_f32=True, skew=False):
     """Fused landmark + normalize + assign via the MXU-product kernel.
 
     ``basis`` from :func:`prepare_mxu_basis`; ``centers_perm`` (K, S) unit
@@ -667,4 +776,4 @@ def mxu_assign_blocks(mobile, static, basis, cell, centers_perm, *,
         s_tile=basis["s_tile"], n_st=n_st, a_bf16=a_bf16,
         mxu_bf16=mxu_bf16, interpret=interpret, cutoff_shape=cutoff_shape,
         peak_evening=peak_evening, preshift=preshift,
-        centers_store_f32=centers_store_f32)
+        centers_store_f32=centers_store_f32, skew=skew)

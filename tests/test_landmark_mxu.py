@@ -432,3 +432,48 @@ def test_choose_s_tile_cost_model():
     small = verts[:27] % 27
     assert choose_s_tile(small, np.ones_like(small, bool),
                          site_pos[:27], np.eye(3) * 12.0) == 128
+
+
+def test_mxu_skew_bitidentical(rng):
+    """The software-pipelined (skew) kernel must return bit-identical
+    labels and confs to the plain kernel: the tile fold order into the
+    similarity accumulator is unchanged, only overlapped (interpret mode
+    checks semantics; the chip A/B in tools/ab_skew.py checks lowering
+    + the perf claim)."""
+    r = np.random.default_rng(31)
+    cell, mobile, static, verts, vmask, centers, site_pos = _system(
+        r, S=150, K=8)
+    basis = prepare_mxu_basis(verts, vmask, site_pos, cell, s_tile=128)
+    diag = jnp.asarray(np.diag(cell).astype(np.float32))
+    kw = dict(midpoint=3.0, steepness=4.0, threshold=0.3, mxu_bf16=False,
+              interpret=True, cutoff_shape="logistic_r2")
+    la, ca = mxu_assign_blocks(jnp.asarray(mobile), jnp.asarray(static),
+                               basis, diag, permute_centers(centers, basis),
+                               skew=False, **kw)
+    ls, cs = mxu_assign_blocks(jnp.asarray(mobile), jnp.asarray(static),
+                               basis, diag, permute_centers(centers, basis),
+                               skew=True, **kw)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(ls))
+    np.testing.assert_array_equal(np.asarray(ca), np.asarray(cs))
+
+
+def test_mxu_skew_preshift_bitidentical(rng):
+    """Skew under the production configuration (preshift + bf16 sims):
+    still bit-identical to the plain kernel."""
+    cell, mobile, static, verts, vmask, centers, site_pos = _sc_system()
+    basis = prepare_mxu_basis(verts, vmask, site_pos, cell, s_tile=128,
+                              static_ref=np.asarray(static[0], np.float64),
+                              midpoint=3.0, steepness=4.0,
+                              cutoff_shape="logistic_r2")
+    assert basis["preshift"]
+    diag = jnp.asarray(np.diag(cell).astype(np.float32))
+    kw = dict(midpoint=3.0, steepness=4.0, threshold=0.3, mxu_bf16=True,
+              interpret=True, cutoff_shape="logistic_r2")
+    la, ca = mxu_assign_blocks(jnp.asarray(mobile), jnp.asarray(static),
+                               basis, diag, permute_centers(centers, basis),
+                               skew=False, **kw)
+    ls, cs = mxu_assign_blocks(jnp.asarray(mobile), jnp.asarray(static),
+                               basis, diag, permute_centers(centers, basis),
+                               skew=True, **kw)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(ls))
+    np.testing.assert_array_equal(np.asarray(ca), np.asarray(cs))

@@ -732,3 +732,25 @@ def test_spilled_labels_feed_postprocessing_engines(md_system, tmp_path):
                                   n_dev)
     ra = ResidenceTimeAnalysis(min_samples=5, verbose=False).run(st)
     assert np.isfinite(ra.p_value_).sum() >= 1
+
+
+def test_phase_times_populated(md_system, tmp_path):
+    """The per-phase host-dwell table (phase_times_) must cover the core
+    pass-2 phases, be positive, and sum to no more than the run's wall
+    (phases are disjoint on the fast path)."""
+    import time
+
+    md, seeds = md_system
+    sla = StreamingLandmarkAnalysis(
+        cutoff_midpoint=4.0, cutoff_steepness=3.0, block_frames=128,
+        fit_frames=700, store_labels=str(tmp_path / "labels_pt.npy"),
+        verbose=False)
+    t0 = time.perf_counter()
+    sla.run(seeds, md.traj)
+    wall = time.perf_counter() - t0
+    pt = sla.phase_times_
+    for name in ("feeder", "upload", "dispatch_assign", "dispatch_fold",
+                 "drift_fetch", "labels_fetch", "labels_memmap_write",
+                 "epoch_spill"):
+        assert name in pt and pt[name] > 0.0, (name, pt)
+    assert sum(pt.values()) <= wall * 1.001
