@@ -162,7 +162,8 @@ class LandmarkAnalysis:
         # TPU); the dense XLA contraction otherwise
         use_fused = self.use_fused
         if use_fused == "auto":
-            use_fused = jax.default_backend() == "tpu"
+            from sitator_tpu.ops.kernel_common import is_tpu_backend
+            use_fused = is_tpu_backend()
         if self.mesh is not None:
             # a Pallas call cannot be GSPMD-auto-partitioned; the meshed
             # production paths (SpmdLandmarkPipeline / streaming) run it

@@ -41,6 +41,7 @@ import numpy as np
 from sitator_tpu.core.sitenet import SiteNetwork
 from sitator_tpu.io.formats import ArrayTrajectory, ChunkedFeeder
 from sitator_tpu.ops import landmark as lmops
+from sitator_tpu.ops.kernel_common import is_tpu_backend
 from sitator_tpu.ops.cluster import dotprod_fit
 from sitator_tpu.ops.jumps import _jump_stats, _jump_stats_block_int64
 from sitator_tpu.ops.landmark_pallas import fused_assign_blocks
@@ -51,11 +52,14 @@ logger = logging.getLogger(__name__)
 class _Phase:
     """Accumulate host wall time of one named engine phase into a dict
     (``engine.phase_times_``).  ~100 ns per use — negligible against a
-    512-frame block, so it is always on.  Phases are DISJOINT on the
-    fast (pipelined) path, so their sum vs total wall splits the run
-    into host-dwell categories; in exact-jump mode ``dispatch_fold``
-    additionally contains ``labels_fetch`` (the host scan needs the
-    labels), so the sum can exceed disjoint coverage there."""
+    512-frame block, so it is always on.  Phases are DISJOINT in every
+    mode (``fetch_labels`` runs outside the ``dispatch_fold`` block, and
+    exact-jump mode's host scan is its own ``host_jump_scan`` phase), so
+    the phase sum vs total wall splits the run into host-dwell
+    categories.  Recorded phases: feeder, upload, dispatch_assign,
+    dispatch_fold, host_jump_scan (exact mode only), drift_fetch,
+    labels_fetch, labels_memmap_write, epoch_spill, checkpoint, setup,
+    finalize."""
 
     __slots__ = ("pt", "name", "t0")
 
@@ -356,7 +360,7 @@ class StreamingLandmarkAnalysis:
         # the fit pass needs landmark VECTORS (to cluster), which the
         # labels-only kernels can't provide — the lv-emitting MXU kernel
         # can (same gating as pass 2)
-        use_fused = (jax.default_backend() == "tpu"
+        use_fused = (is_tpu_backend()
                      if self.use_fused == "auto" else bool(self.use_fused))
         fit_basis = None
         kcell_fit = None
@@ -472,7 +476,7 @@ class StreamingLandmarkAnalysis:
         kcell = kernel_cell(cell_np)
         # fused Pallas path for any cell; with a mesh it runs per shard
         # under shard_map inside _stream_block
-        use_fused = (jax.default_backend() == "tpu"
+        use_fused = (is_tpu_backend()
                      if self.use_fused == "auto" else bool(self.use_fused))
         full_mask = bool(np.asarray(vmask).all())
         centers_j = jnp.asarray(centers, jnp.float32)

@@ -11,7 +11,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 __all__ = ["round_up", "pack_cell_params", "load_cell_params",
-           "min_image_xyz", "merge_top2"]
+           "min_image_xyz", "merge_top2", "is_tpu_backend"]
+
+
+def is_tpu_backend():
+    """True when JAX's default backend is the TPU.
+
+    The remote-chip plugin has registered under two platform names over
+    time ("axon" historically, "tpu" after the 2026-08 rename, with
+    ``JAX_PLATFORMS=axon`` still able to select the old name) — every
+    fused-kernel gate must accept both, or an engine silently takes the
+    dense XLA fallback on a perfectly good chip.  Single source of truth
+    for that check."""
+    import jax
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def round_up(x, m):

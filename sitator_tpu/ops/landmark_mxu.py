@@ -540,6 +540,11 @@ def _mxu_call(mobile, static, uidx, A, kill, cell, centers_perm, ref_u,
               cutoff_shape="logistic", peak_evening="none", preshift=False,
               centers_store_f32=True, skew=False):
     peak_clip = peak_evening == "clip"
+    if skew and peak_clip:
+        # the skew variant has no 2-pass (clip) kernel; silently running
+        # the plain kernel here would corrupt any skew-vs-plain A/B
+        raise ValueError("skew=True is not implemented for "
+                         "peak_evening='clip'")
     n_passes = 2 if peak_clip else 1
     B, M, _ = mobile.shape
     UP = uidx.shape[1]

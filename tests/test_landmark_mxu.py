@@ -477,3 +477,30 @@ def test_mxu_skew_preshift_bitidentical(rng):
                                skew=True, **kw)
     np.testing.assert_array_equal(np.asarray(la), np.asarray(ls))
     np.testing.assert_array_equal(np.asarray(ca), np.asarray(cs))
+
+
+def test_mxu_skew_clip_raises(rng):
+    """skew=True has no 2-pass (peak_evening='clip') variant; silently
+    running the plain kernel would corrupt a skew-vs-plain A/B, so the
+    combination must fail loudly."""
+    r = np.random.default_rng(33)
+    cell, mobile, static, verts, vmask, centers, site_pos = _system(
+        r, S=150, K=8)
+    basis = prepare_mxu_basis(verts, vmask, site_pos, cell, s_tile=128)
+    diag = jnp.asarray(np.diag(cell).astype(np.float32))
+    with pytest.raises(ValueError, match="skew"):
+        mxu_assign_blocks(jnp.asarray(mobile), jnp.asarray(static),
+                          basis, diag, permute_centers(centers, basis),
+                          midpoint=3.0, steepness=4.0, threshold=0.3,
+                          interpret=True, cutoff_shape="logistic_r2",
+                          peak_evening="clip", skew=True)
+
+
+def test_is_tpu_backend_names():
+    """Both historical platform names for the remote chip must gate the
+    fused path on; cpu must not (regression for the engine/split
+    kernel-selection divergence)."""
+    import jax
+    from sitator_tpu.ops.kernel_common import is_tpu_backend
+    assert jax.default_backend() == "cpu"   # conftest pins cpu
+    assert not is_tpu_backend()

@@ -60,10 +60,13 @@ def main():
     static, mobile = frames(NB * B, seed2=7)
     sb = jnp.asarray(static.reshape(NB, B, n_static, 3))
     mb = jnp.asarray(mobile.reshape(NB, B, N_IONS, 3))
+    # ref_u/anchors are only present when the preshift bound accepted
+    # (prepare_mxu_basis omits them otherwise) — mirror the engine's
+    # conditional access so a bound-rejecting config still measures
     bd = dict(uidx=basis["uidx"], A=basis["A"], kill=basis["kill"],
               s_tile=basis["s_tile"], n_st=basis["n_st"], UP=basis["UP"],
               cost_ratio=0.0, site_order=None, preshift=basis["preshift"],
-              ref_u=basis["ref_u"], anchors=basis["anchors"])
+              ref_u=basis.get("ref_u"), anchors=basis.get("anchors"))
 
     def make_step(skew):
         @jax.jit
@@ -83,16 +86,36 @@ def main():
     step_plain = make_step(False)
     step_skew = make_step(True)
 
+    @jax.jit
+    def compare(sb, mb, centers_j):
+        # exact on-device equality over every block: label mismatches +
+        # bitwise conf mismatches (a scalar checksum can mask sub-1e-3
+        # conf drift or compensating label changes; this cannot)
+        def body(c, xs):
+            st, mo = xs
+            kw = dict(midpoint=MIDPOINT, steepness=STEEPNESS,
+                      threshold=ASSIGN_THR, cutoff_shape=CUTOFF)
+            la, ca = mxu_assign_blocks(mo, st, bd, cell_diag, centers_j,
+                                       skew=False, **kw)
+            lb, cb = mxu_assign_blocks(mo, st, bd, cell_diag, centers_j,
+                                       skew=True, **kw)
+            bits = jax.lax.bitcast_convert_type
+            mism = ((la != lb).sum()
+                    + (bits(ca, jnp.int32) != bits(cb, jnp.int32)).sum())
+            return c + mism, None
+        tot, _ = jax.lax.scan(body, jnp.int32(0), (sb, mb))
+        return tot
+
     # warm BOTH variants before any timed segment (compile poisoning)
     t0 = time.perf_counter()
-    chk_plain = int(np.asarray(step_plain(sb, mb, centers_mxu)))
+    np.asarray(step_plain(sb, mb, centers_mxu))
     print(f"# plain compile+warm {time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
-    chk_skew = int(np.asarray(step_skew(sb, mb, centers_mxu)))
+    np.asarray(step_skew(sb, mb, centers_mxu))
     print(f"# skew  compile+warm {time.perf_counter() - t0:.1f}s", flush=True)
-    # label checksum must be BIT-identical (same fold order, same math)
-    assert chk_plain == chk_skew, (chk_plain, chk_skew)
-    print(f"# checksums equal: {chk_plain}", flush=True)
+    mismatches = int(np.asarray(compare(sb, mb, centers_mxu)))
+    assert mismatches == 0, f"{mismatches} label/conf bit mismatches"
+    print("# bitwise equal on device: labels + confs", flush=True)
 
     segs = []
     for i in range(args.reps):
@@ -108,7 +131,7 @@ def main():
         "plain_fps": round(med["plain"], 1),
         "skew_fps": round(med["skew"], 1),
         "ratio": round(med["skew"] / med["plain"], 4),
-        "checksum_equal": True,
+        "bitwise_equal": True,
         "device": dev.device_kind,
     }
     print(json.dumps(out), flush=True)

@@ -303,8 +303,9 @@ def main():
         K = len(centers)
         active = jnp.ones(K, bool)
         static_ref_j = jnp.asarray(host, jnp.float32)
+        from sitator_tpu.ops.kernel_common import is_tpu_backend
         basis = None
-        if jax.default_backend() != "cpu":
+        if is_tpu_backend():
             from sitator_tpu.ops.landmark_mxu import (permute_centers,
                                                       prepare_engine_basis)
             basis = prepare_engine_basis(
@@ -324,9 +325,10 @@ def main():
                          else jnp.zeros((1, 3), jnp.float32))
             A_j = jnp.zeros((1, 1), jnp.float32)
         else:
-            # CPU smoke / non-sharing basis: the engine would take the
-            # XLA path there — mirror it so the comparison stays honest
-            kern = "xla"
+            # mirror the engine's fallback ladder exactly: on a TPU
+            # backend with a non-sharing basis the engine runs the
+            # GATHER kernel; only a CPU backend takes the XLA path
+            kern = "gather" if is_tpu_backend() else "xla"
             centers_j = jnp.asarray(centers, jnp.float32)
             uidx_j = jnp.zeros((1, 1), jnp.int32)
             Am_j = jnp.zeros((1, 1, 1), jnp.float32)
