@@ -264,6 +264,17 @@ class StreamingLandmarkAnalysis:
         cross-run numbers are not comparable on this rig.)  Set 0 for
         the fully synchronous loop.  Results are bit-identical at any
         depth (tests/test_streaming.py pipeline-invariance tests).
+    retire_group : in-flight blocks retired per BATCHED device→host
+        fetch (the r5 split measurement attributed 44% of the engine
+        loop to per-block fetches; grouping pays the fixed per-transfer
+        tunnel cost once per group — one concatenated egress transfer
+        plus one concatenated drift transfer, or one total with
+        ``packed_retire``).  The run-ahead window grows to
+        ``pipeline_depth + retire_group`` blocks; a drift offender rolls
+        back to its own pre-block snapshot, so results stay
+        bit-identical at any group size (invariance + engineered-hazard
+        tests).  Default 1 (per-block retirement, the r4 headline
+        configuration); ignored when ``pipeline_depth=0``.
     """
 
     def __init__(self, cutoff_midpoint=3.0, cutoff_steepness=4.0,
@@ -277,7 +288,7 @@ class StreamingLandmarkAnalysis:
                  static_movement_threshold=1.0,
                  dynamic_lattice_mapping=False, use_fused="auto",
                  async_label_copy=False, pipeline_depth=2,
-                 interpret=False, verbose=True):
+                 retire_group=1, interpret=False, verbose=True):
         self.cutoff_midpoint = float(cutoff_midpoint)
         self.cutoff_steepness = float(cutoff_steepness)
         self.cutoff_shape = cutoff_shape
@@ -314,6 +325,10 @@ class StreamingLandmarkAnalysis:
         self.use_fused = use_fused  # 'auto' | True | False
         self.async_label_copy = bool(async_label_copy)
         self.pipeline_depth = int(pipeline_depth)
+        # blocks retired per batched fetch in the run-ahead dispatcher
+        # (see the class docstring); 1 = the per-block retirement the
+        # r4 headline was measured with
+        self.retire_group = max(1, int(retire_group))
         self.packed_retire = False  # opt-in: read drift from the packed
         # egress columns at retirement (one fetch instead of two).  A/B
         # measured INCONCLUSIVE on the axon tunnel (0.93-1.05, within
@@ -942,40 +957,86 @@ class StreamingLandmarkAnalysis:
         window = []
         W = max(0, int(self.pipeline_depth))
 
-        def retire_one():
+        G = max(1, int(self.retire_group)) if W else 1
+
+        def retire_many(g):
+            """Retire the ``g`` oldest in-flight blocks with BATCHED
+            device→host fetches: one concatenated egress transfer (plus
+            one concatenated drift transfer unless packed) per group
+            instead of per block, so the fixed per-transfer tunnel cost
+            is paid once per group.  Bit-exact vs ``g`` sequential
+            retirements: drift is checked oldest-first and an offender
+            at group index ``i`` rolls the accumulators back to ITS
+            pre-block snapshot and replays it and every later in-flight
+            block through the synchronous path."""
             nonlocal carry, acc
-            e = window.pop(0)
-            box = {"np": None, "dev": e["labels_eg"]}
+            entries = window[:g]
+            del window[:g]
+            boxes = [{"np": None, "dev": e["labels_eg"]} for e in entries]
+            need_packed = thr_drift is not None and pack_drift
+            if len(entries) > 1 and (labels_out is not None or need_packed):
+                # one transfer for the whole group's egress (drift rides
+                # in the trailing columns on the packed path)
+                with ph("labels_fetch"):
+                    cat = np.asarray(jnp.concatenate(
+                        [e["labels_eg"] for e in entries]))
+                rows = entries[0]["labels_eg"].shape[0]
+                for i, box in enumerate(boxes):
+                    arr = cat[i * rows:(i + 1) * rows]
+                    if arr.shape[1] > n_mobile:
+                        box["drift"] = (arr[:, n_mobile:n_mobile + 2]
+                                        .copy().view(np.float32)[:, 0])
+                        arr = arr[:, :n_mobile]
+                    box["np"] = arr
+            off_at = None
             if thr_drift is not None:
                 if pack_drift:
-                    fetch_labels(box)
-                    drift_f = box["drift"][:e["nb"]]
+                    if boxes[0]["np"] is None:     # g == 1: direct fetch
+                        fetch_labels(boxes[0])
+                    drifts = [b["drift"][:e["nb"]]
+                              for b, e in zip(boxes, entries)]
                 else:
                     with ph("drift_fetch"):
-                        drift_f = np.asarray(e["drift"])[:e["nb"]]
-                if (drift_f > thr_drift).any():
-                    # rollback: restore the pre-block accumulator state
-                    # and replay this + all later in-flight blocks
-                    # synchronously (raises StaticLatticeError or
-                    # remaps, exactly like the unpipelined engine)
-                    carry, acc = e["carry0"], e["acc0"]
-                    redo = [e] + window[:]
-                    window.clear()
-                    for i, r in enumerate(redo):
-                        # the offending block's assignment predates any
-                        # remap, so it may be reused (pre); later blocks
-                        # must re-assign under the updated permutation
-                        process_block_slow(
-                            r["lo"], r["block"], r["nb"], r["mobile"],
-                            pre=(r["labels"], r["confs"], r["drift"],
-                                 r["labels_eg"]) if i == 0 else None,
-                            pre_box=box if i == 0 else None)
-                    return
-            write_labels(e["lo"], 0, e["nb"], box)
+                        dcat = (np.asarray(entries[0]["drift"])
+                                if len(entries) == 1
+                                else np.asarray(jnp.concatenate(
+                                    [e["drift"] for e in entries])))
+                    rows = entries[0]["drift"].shape[0]
+                    drifts = [dcat[i * rows:i * rows + e["nb"]]
+                              for i, e in enumerate(entries)]
+                for i, dr in enumerate(drifts):
+                    if (dr > thr_drift).any():
+                        off_at = i
+                        break
+            if off_at is None:
+                for e, box in zip(entries, boxes):
+                    write_labels(e["lo"], 0, e["nb"], box)
+                return
+            # rollback: blocks before the offender passed the guard and
+            # keep their (already applied) folds — spill their labels;
+            # restore the offender's pre-block accumulator snapshot and
+            # replay it + every later in-flight block synchronously
+            # (raises StaticLatticeError or remaps, exactly like the
+            # unpipelined engine)
+            e = entries[off_at]
+            carry, acc = e["carry0"], e["acc0"]
+            redo = entries[off_at:] + window[:]
+            window.clear()
+            for e2, b2 in zip(entries[:off_at], boxes[:off_at]):
+                write_labels(e2["lo"], 0, e2["nb"], b2)
+            for i, r in enumerate(redo):
+                # the offending block's assignment predates any remap,
+                # so it may be reused (pre); later blocks must
+                # re-assign under the updated permutation
+                process_block_slow(
+                    r["lo"], r["block"], r["nb"], r["mobile"],
+                    pre=(r["labels"], r["confs"], r["drift"],
+                         r["labels_eg"]) if i == 0 else None,
+                    pre_box=boxes[off_at] if i == 0 else None)
 
         def drain():
             while window:
-                retire_one()
+                retire_many(min(G, len(window)))
 
         _setup.__exit__()
         for lo, block in _timed_iter(feeder, pt, "feeder"):
@@ -1004,8 +1065,8 @@ class StreamingLandmarkAnalysis:
                     lo=lo, nb=nb, block=block, mobile=mobile,
                     labels=labels, confs=confs, drift=drift,
                     labels_eg=labels_eg, carry0=carry0, acc0=acc0))
-                if len(window) > W:
-                    retire_one()
+                while len(window) >= W + G:
+                    retire_many(G)
             blocks_done += 1
             do_ckpt = (ckpt is not None
                        and blocks_done % self.checkpoint_every == 0)

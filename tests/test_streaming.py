@@ -754,3 +754,69 @@ def test_phase_times_populated(md_system, tmp_path):
                  "epoch_spill"):
         assert name in pt and pt[name] > 0.0, (name, pt)
     assert sum(pt.values()) <= wall * 1.001
+
+
+def test_streaming_retire_group_invariance(md_system, tmp_path):
+    """Group retirement (retire_group > 1: batched device->host fetches
+    at retirement) must be invisible in the results — bit-identical
+    statistics AND label memmaps vs per-block retirement, including
+    across a mid-stream lattice swap (a drift offender mid-group forces
+    the rollback-to-own-snapshot path) and on the packed
+    (drift-rides-egress) route."""
+    md, seeds = md_system
+    T = 233
+    swapped = md.traj[:500].copy()
+    sa = np.flatnonzero(md.static_mask)
+    i, j = sa[2], sa[17]
+    swapped[T:, i], swapped[T:, j] = (md.traj[T:500, j].copy(),
+                                      md.traj[T:500, i].copy())
+    base = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=100, verbose=False)
+    centers = base.fit_centers(seeds, ArrayTrajectory(md.traj))
+
+    ref = None
+    for group, packed in ((1, False), (3, False), (5, False), (3, True)):
+        p = tmp_path / f"rg_{group}_{int(packed)}.npy"
+        sla = StreamingLandmarkAnalysis(
+            cutoff_midpoint=4.0, cutoff_steepness=3.0, block_frames=100,
+            dynamic_lattice_mapping=True, store_labels=str(p),
+            pipeline_depth=2, retire_group=group, verbose=False)
+        sla.packed_retire = packed
+        out = sla.run(seeds, swapped, centers=centers)
+        lab = np.load(p)
+        if ref is None:
+            ref = (out, lab)
+        else:
+            np.testing.assert_array_equal(ref[1], lab)
+            np.testing.assert_array_equal(ref[0].n_ij, out.n_ij)
+            np.testing.assert_allclose(ref[0].occupancies,
+                                       out.occupancies, atol=1e-12)
+            np.testing.assert_allclose(ref[0].residence_times,
+                                       out.residence_times,
+                                       equal_nan=True)
+
+
+def test_streaming_retire_group_guard_raises(md_system):
+    """Without dynamic mapping, a drift offender retired mid-group must
+    still raise StaticLatticeError at the SAME frame as the synchronous
+    engine (the batched fetch changes when the guard looks, never what
+    it sees); label spilling off exercises the drift-only batch."""
+    md, seeds = md_system
+    from sitator_tpu.util.errors import StaticLatticeError
+    bad = md.traj[:300].copy()
+    sa = np.flatnonzero(md.static_mask)
+    bad[157:, sa[0]] += 3.0
+    base = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=64, verbose=False)
+    centers = base.fit_centers(seeds, ArrayTrajectory(md.traj))
+    frames = []
+    for depth, group in ((0, 1), (2, 4)):
+        sla = StreamingLandmarkAnalysis(
+            cutoff_midpoint=4.0, cutoff_steepness=3.0, block_frames=64,
+            pipeline_depth=depth, retire_group=group, verbose=False)
+        with pytest.raises(StaticLatticeError) as ei:
+            sla.run(seeds, bad, centers=centers)
+        frames.append(ei.value.frame)
+    assert frames[0] == frames[1] == 157

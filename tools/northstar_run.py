@@ -52,6 +52,12 @@ def main():
     ap.add_argument("--ab-egress", action="store_true",
                     help="same-process alternating int16 vs int32 label "
                          "egress comparison")
+    ap.add_argument("--ab-retire", action="store_true",
+                    help="same-process alternating retire_group 1 / 4 / "
+                         "4+packed comparison (batched retirement "
+                         "fetches)")
+    ap.add_argument("--retire-group", type=int, default=None,
+                    help="engine retire_group for the main timed run")
     ap.add_argument("--ab-pack", action="store_true",
                     help="same-process alternating packed vs separate "
                          "drift retirement fetch comparison")
@@ -230,7 +236,7 @@ def main():
 
     # ---- timed sustained run -------------------------------------------
     def timed(tag, n_blocks, labels=True, async_labels=False, depth=None,
-              egress="auto", packed=False):
+              egress="auto", packed=False, group=None):
         n_frames = n_blocks * B
         eng = make_engine(tag, n_frames)
         if not labels:
@@ -238,6 +244,8 @@ def main():
         eng.async_label_copy = async_labels
         eng.egress_int16 = egress
         eng.packed_retire = packed
+        if group is not None:
+            eng.retire_group = group
         if depth is not None:  # None = the engine's production default
             eng.pipeline_depth = depth
         t0 = time.perf_counter()
@@ -268,7 +276,8 @@ def main():
 
     fps, dt, n_frames = timed("main", args.blocks,
                               labels=not args.no_labels,
-                              depth=args.pipeline_depth)
+                              depth=args.pipeline_depth,
+                              group=args.retire_group)
     res = {
         "metric": "streaming_engine_sustained_fps_10k_atoms_1chip",
         "value": round(fps, 1),
@@ -459,6 +468,19 @@ def main():
                                  ("d4", dict(depth=4)),
                                  ("d2a", dict(depth=2,
                                               async_labels=True))])
+    if args.ab_retire:
+        # group retirement: batch G blocks' egress+drift fetches into one
+        # transfer each (the r5 split attributed 44% of the loop to
+        # per-block fetches; grouping amortizes the fixed per-transfer
+        # tunnel cost).  g4p additionally packs drift INTO the egress
+        # (one transfer per 4 blocks, total)
+        ab_segments("ab_retire", [("g1", dict(group=1)),
+                                  ("g4", dict(group=4)),
+                                  ("g4p", dict(group=4, packed=True))])
+        res["ab_retire_ratio"] = round(
+            res["ab_retire_g4_fps"] / res["ab_retire_g1_fps"], 4)
+        res["ab_retire_pack_ratio"] = round(
+            res["ab_retire_g4p_fps"] / res["ab_retire_g1_fps"], 4)
     if args.ab_pack:
         ab_segments("ab_pack", [("pack", dict(packed=True)),
                                 ("sep", dict(packed=False))])
