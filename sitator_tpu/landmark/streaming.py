@@ -275,6 +275,12 @@ class StreamingLandmarkAnalysis:
         bit-identical at any group size (invariance + engineered-hazard
         tests).  Default 1 (per-block retirement, the r4 headline
         configuration); ignored when ``pipeline_depth=0``.
+        MEASURED on-chip (``--ab-retire``, same-process alternating):
+        G=4 0.63×, G=4+packed 0.83× — grouping LOSES on the tunnel
+        because the fetch count was never the cost (per-block RTT is
+        already hidden by run-ahead overlap) while delayed retirement
+        stalls the bounded window.  Kept for co-located rigs where the
+        trade-off may differ; see PERFORMANCE.md "Group retirement".
     """
 
     def __init__(self, cutoff_midpoint=3.0, cutoff_steepness=4.0,
