@@ -86,13 +86,61 @@ def _timed_iter(it, pt, name):
         yield item
 
 
+def _pack12(labels):
+    """Device-side 12-bit label pack for the egress stream.
+
+    ``labels`` (B, N) int32 in [-1, 4094] are biased by +1 (unknown −1
+    becomes 0) and packed 4-per-3 into int16 words, cutting the one
+    large device→host label transfer a further 25% below the int16
+    egress.  Groups of 4 biased 12-bit values (a, b, c, d) become
+    ``a | b<<12``, ``b>>4 | c<<8``, ``c>>8 | d<<4`` — pure uint16
+    elementwise ops, fused by XLA into the assign program for free.
+    N is zero-padded to a multiple of 4 (biased 0 = unknown, sliced
+    off again by :func:`_unpack12`).  Inverse: :func:`_unpack12`.
+    """
+    n_frames, n = labels.shape
+    pad = (-n) % 4
+    v = (labels + 1).astype(jnp.uint16)
+    if pad:
+        v = jnp.pad(v, ((0, 0), (0, pad)))
+    v = v.reshape(n_frames, -1, 4)
+    a, b, c, d = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
+    w = jnp.stack([a | (b << 12),
+                   (b >> 4) | (c << 8),
+                   (c >> 8) | (d << 4)], axis=-1)
+    return jax.lax.bitcast_convert_type(w, jnp.int16).reshape(n_frames, -1)
+
+
+def pack12_width(n_mobile):
+    """Egress columns used by the 12-bit pack for ``n_mobile`` labels."""
+    return 3 * ((n_mobile + 3) // 4)
+
+
+def _unpack12(arr, n):
+    """Host-side inverse of :func:`_pack12`.
+
+    ``arr`` is the fetched (B, 3·⌈n/4⌉) int16 egress slab; returns
+    (B, n) int16 labels with −1 restored for unknown.  Vectorized
+    numpy over ~0.5 MB per block — negligible next to the transfer.
+    """
+    w = np.ascontiguousarray(arr).view(np.uint16)
+    w = w.reshape(arr.shape[0], -1, 3)
+    w0, w1, w2 = w[..., 0], w[..., 1], w[..., 2]
+    a = w0 & np.uint16(0xFFF)
+    b = (w0 >> 12) | ((w1 & np.uint16(0xFF)) << 4)
+    c = (w1 >> 8) | ((w2 & np.uint16(0xF)) << 8)
+    d = w2 >> 4
+    out = np.stack([a, b, c, d], axis=-1).reshape(arr.shape[0], -1)
+    return out[:, :n].astype(np.int16) - np.int16(1)
+
+
 @partial(jax.jit, static_argnames=("kernel", "midpoint",
                                    "steepness", "threshold",
                                    "cutoff_shape", "mesh",
                                    "interpret", "full_mask", "mxu_s_tile",
                                    "mxu_n_st", "mxu_preshift",
                                    "want_drift", "egress_int16",
-                                   "pack_drift"))
+                                   "egress_pack12", "pack_drift"))
 def _assign_block(mobile, static, verts, vmask, A, cell, cell_inv,
                   kcell, centers, active, uidx, Am, kill, mxu_ref_u,
                   mxu_anchors, static_ref, *,
@@ -100,7 +148,8 @@ def _assign_block(mobile, static, verts, vmask, A, cell, cell_inv,
                   cutoff_shape="logistic", mesh=None,
                   interpret=False, full_mask=False, mxu_s_tile=0,
                   mxu_n_st=0, mxu_preshift=False, want_drift=True,
-                  egress_int16=False, pack_drift=False):
+                  egress_int16=False, egress_pack12=False,
+                  pack_drift=False):
     """Assign one streamed block: (labels, confs, drift, labels_egress).
 
     ``kernel``: 'mxu' (unique-atom MXU-product kernel, fastest — centers
@@ -171,7 +220,11 @@ def _assign_block(mobile, static, verts, vmask, A, cell, cell_inv,
     # egress), the per-frame drift rides along as two extra int16 columns
     # (a bitcast of its f32), so the pipelined retirement needs ONE
     # device->host fetch per block instead of two.
-    labels_eg = labels.astype(jnp.int16) if egress_int16 else labels
+    if egress_pack12:
+        assert egress_int16  # engine gates pack12 inside the int16 regime
+        labels_eg = _pack12(labels)
+    else:
+        labels_eg = labels.astype(jnp.int16) if egress_int16 else labels
     if pack_drift:
         assert want_drift and egress_int16
         drift_i16 = jax.lax.bitcast_convert_type(
@@ -281,6 +334,13 @@ class StreamingLandmarkAnalysis:
         already hidden by run-ahead overlap) while delayed retirement
         stalls the bounded window.  Kept for co-located rigs where the
         trade-off may differ; see PERFORMANCE.md "Group retirement".
+    egress_pack12 : pack labels 4-per-3 int16 words (12 bits each,
+        unknown −1 biased to 0) in the device→host egress stream — a
+        further 25% off the label bytes below the int16 egress.  Active
+        only when the int16 regime is (site count gates both: the pack
+        needs K < 4096).  Bit-exact: labels are decoded on host before
+        any consumer (memmap spill, exact-mode scan).  Default off
+        pending the on-chip A/B (``tools/northstar_run.py --ab-pack12``).
     """
 
     def __init__(self, cutoff_midpoint=3.0, cutoff_steepness=4.0,
@@ -294,7 +354,8 @@ class StreamingLandmarkAnalysis:
                  static_movement_threshold=1.0,
                  dynamic_lattice_mapping=False, use_fused="auto",
                  async_label_copy=False, pipeline_depth=2,
-                 retire_group=1, interpret=False, verbose=True):
+                 retire_group=1, egress_pack12=False,
+                 interpret=False, verbose=True):
         self.cutoff_midpoint = float(cutoff_midpoint)
         self.cutoff_steepness = float(cutoff_steepness)
         self.cutoff_shape = cutoff_shape
@@ -343,6 +404,12 @@ class StreamingLandmarkAnalysis:
         self.egress_int16 = "auto"  # 'auto' (site count < 2^15) | bool;
         # measurement hook — int16 label egress halves the device->host
         # label stream (tools/northstar_run.py --ab-egress)
+        # 12-bit label pack on top of int16 egress (a further 25% off the
+        # label bytes; requires K < 4096 and the int16 regime — silently
+        # inactive otherwise).  Opt-in pending the on-chip A/B
+        # (tools/northstar_run.py --ab-pack12); bit-exact by the decode
+        # (labels are reconstructed on host before any consumer).
+        self.egress_pack12 = bool(egress_pack12)
         self.interpret = bool(interpret)  # Pallas interpret mode (CPU tests)
         self.spill_every = None  # None = auto epoch bound; tests override
         # mid-run checkpointing (SURVEY.md §6.4): every N blocks the device
@@ -714,10 +781,12 @@ class StreamingLandmarkAnalysis:
             if box["np"] is None:
                 with ph("labels_fetch"):
                     arr = np.asarray(box["dev"])
-                if arr.shape[1] > n_mobile:
-                    box["drift"] = (arr[:, n_mobile:n_mobile + 2]
+                if arr.shape[1] > eg_w:
+                    box["drift"] = (arr[:, eg_w:eg_w + 2]
                                     .copy().view(np.float32)[:, 0])
-                    arr = arr[:, :n_mobile]
+                    arr = arr[:, :eg_w]
+                if assign_kw["egress_pack12"]:
+                    arr = _unpack12(arr, n_mobile)
                 box["np"] = arr
             return box["np"]
 
@@ -782,6 +851,16 @@ class StreamingLandmarkAnalysis:
             # K guard binds even when the measurement hook forces True —
             # site indices >= 2^15 must never wrap
             egress_int16=bool(self.egress_int16) and K < (1 << 15))
+        # 12-bit pack rides on top of the int16 egress: biased labels
+        # (unknown −1 → 0) need K+1 ≤ 4096 values, so the guard binds
+        # even when the measurement hook forces the pack on
+        assign_kw["egress_pack12"] = (bool(self.egress_pack12)
+                                      and assign_kw["egress_int16"]
+                                      and K < 4096)
+        # label columns in the egress array (before any packed-drift
+        # trailer) — the split/decode sites below key off this width
+        eg_w = (pack12_width(n_mobile) if assign_kw["egress_pack12"]
+                else n_mobile)
         # ONE retirement fetch per block (opt-in packed_retire): with
         # labels spilling anyway and the drift guard on, packing drift
         # into the egress columns makes the separate 2 KB drift fetch
@@ -989,10 +1068,12 @@ class StreamingLandmarkAnalysis:
                 rows = entries[0]["labels_eg"].shape[0]
                 for i, box in enumerate(boxes):
                     arr = cat[i * rows:(i + 1) * rows]
-                    if arr.shape[1] > n_mobile:
-                        box["drift"] = (arr[:, n_mobile:n_mobile + 2]
+                    if arr.shape[1] > eg_w:
+                        box["drift"] = (arr[:, eg_w:eg_w + 2]
                                         .copy().view(np.float32)[:, 0])
-                        arr = arr[:, :n_mobile]
+                        arr = arr[:, :eg_w]
+                    if assign_kw["egress_pack12"]:
+                        arr = _unpack12(arr, n_mobile)
                     box["np"] = arr
             off_at = None
             if thr_drift is not None:

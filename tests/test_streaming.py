@@ -820,3 +820,114 @@ def test_streaming_retire_group_guard_raises(md_system):
             sla.run(seeds, bad, centers=centers)
         frames.append(ei.value.frame)
     assert frames[0] == frames[1] == 157
+
+def test_pack12_roundtrip():
+    """The 12-bit egress pack is lossless over its full domain: labels
+    in [-1, 4094] (unknown included), any column count (the pack pads
+    to a multiple of 4), round-trip device-pack -> host-unpack."""
+    from sitator_tpu.landmark.streaming import (_pack12, _unpack12,
+                                                pack12_width)
+    rng = np.random.default_rng(7)
+    for n in (1, 3, 4, 7, 739, 128):
+        lab = rng.integers(-1, 4095, size=(5, n)).astype(np.int32)
+        # force the boundary values into the sample
+        lab.flat[0] = -1
+        lab.flat[-1] = 4094
+        packed = np.asarray(_pack12(jnp.asarray(lab)))
+        assert packed.dtype == np.int16
+        assert packed.shape == (5, pack12_width(n))
+        out = _unpack12(packed, n)
+        np.testing.assert_array_equal(out, lab.astype(np.int16))
+
+
+def test_streaming_egress_pack12_invariance(md_system, tmp_path):
+    """The packed egress must be invisible in the results: bit-identical
+    statistics AND label memmaps vs the plain int16 egress, including
+    across a mid-stream lattice swap (rollback replays through the
+    decode path) and combined with packed_retire / group retirement."""
+    md, seeds = md_system
+    T = 233
+    swapped = md.traj[:500].copy()
+    sa = np.flatnonzero(md.static_mask)
+    i, j = sa[2], sa[17]
+    swapped[T:, i], swapped[T:, j] = (md.traj[T:500, j].copy(),
+                                      md.traj[T:500, i].copy())
+    base = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=100, verbose=False)
+    centers = base.fit_centers(seeds, ArrayTrajectory(md.traj))
+
+    ref = None
+    for pack12, packed_retire, group in ((False, False, 1),
+                                         (True, False, 1),
+                                         (True, True, 1),
+                                         (True, False, 3)):
+        p = tmp_path / f"p12_{int(pack12)}_{int(packed_retire)}_{group}.npy"
+        sla = StreamingLandmarkAnalysis(
+            cutoff_midpoint=4.0, cutoff_steepness=3.0, block_frames=100,
+            dynamic_lattice_mapping=True, store_labels=str(p),
+            pipeline_depth=2, retire_group=group,
+            egress_pack12=pack12, verbose=False)
+        sla.packed_retire = packed_retire
+        out = sla.run(seeds, swapped, centers=centers)
+        lab = np.load(p)
+        if ref is None:
+            ref = (out, lab)
+        else:
+            np.testing.assert_array_equal(ref[1], lab)
+            np.testing.assert_array_equal(ref[0].n_ij, out.n_ij)
+            np.testing.assert_allclose(ref[0].occupancies,
+                                       out.occupancies, atol=1e-12)
+            np.testing.assert_allclose(ref[0].residence_times,
+                                       out.residence_times,
+                                       equal_nan=True)
+
+
+def test_streaming_egress_pack12_exact_mode(md_system, tmp_path):
+    """pack12 composes with the exact int64 jump scan: the host scan
+    consumes DECODED labels, so a wrap-hazard run with the pack on
+    matches the run with it off."""
+    md, seeds = md_system
+    F = 300
+    base = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=100, verbose=False)
+    centers = base.fit_centers(seeds, ArrayTrajectory(md.traj))
+    K = len(centers)
+    n_mobile = int(md.mobile_mask.sum())
+    outs = []
+    for pack12 in (False, True):
+        ckpt = tmp_path / f"p12x_{int(pack12)}.ckpt"
+        init_last = np.zeros(n_mobile, np.int64)
+        init_res = np.zeros(n_mobile, np.int64)
+        init_res[0] = 2**31 + 777   # forces the exact-residence regime
+        with open(ckpt, "wb") as f:
+            np.savez(f, n_frames=F, K=K, next_lo=0,
+                     carry_last=init_last, carry_res=init_res)
+        sla = StreamingLandmarkAnalysis(
+            cutoff_midpoint=4.0, cutoff_steepness=3.0, block_frames=100,
+            checkpoint_path=str(ckpt), checkpoint_every=10**9,
+            pipeline_depth=3, egress_pack12=pack12, verbose=False)
+        sla.spill_every = 1
+        outs.append(sla.run(seeds, md.traj[:F], centers=centers))
+        assert sla.exact_jump_epochs_ >= 1
+    np.testing.assert_array_equal(outs[0].n_ij, outs[1].n_ij)
+    np.testing.assert_allclose(outs[0].residence_times,
+                               outs[1].residence_times, equal_nan=True)
+
+
+def test_streaming_egress_pack12_inactive_without_int16(md_system):
+    """The pack needs the int16 regime: with egress_int16 forced off the
+    engine must silently run unpacked (and still be correct)."""
+    md, seeds = md_system
+    base = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=100, verbose=False)
+    centers = base.fit_centers(seeds, ArrayTrajectory(md.traj))
+    ref = base.run(seeds, md.traj[:300], centers=centers)
+    sla = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0, block_frames=100,
+                                    egress_pack12=True, verbose=False)
+    sla.egress_int16 = False
+    out = sla.run(seeds, md.traj[:300], centers=centers)
+    np.testing.assert_array_equal(ref.n_ij, out.n_ij)

@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--ab-egress", action="store_true",
                     help="same-process alternating int16 vs int32 label "
                          "egress comparison")
+    ap.add_argument("--ab-pack12", action="store_true",
+                    help="same-process alternating 12-bit-packed vs plain "
+                         "int16 label egress comparison")
     ap.add_argument("--ab-retire", action="store_true",
                     help="same-process alternating retire_group 1 / 4 / "
                          "4+packed comparison (batched retirement "
@@ -236,7 +239,7 @@ def main():
 
     # ---- timed sustained run -------------------------------------------
     def timed(tag, n_blocks, labels=True, async_labels=False, depth=None,
-              egress="auto", packed=False, group=None):
+              egress="auto", packed=False, group=None, pack12=False):
         n_frames = n_blocks * B
         eng = make_engine(tag, n_frames)
         if not labels:
@@ -244,6 +247,7 @@ def main():
         eng.async_label_copy = async_labels
         eng.egress_int16 = egress
         eng.packed_retire = packed
+        eng.egress_pack12 = pack12
         if group is not None:
             eng.retire_group = group
         if depth is not None:  # None = the engine's production default
@@ -491,6 +495,14 @@ def main():
                                   ("i32", dict(egress=False))])
         res["ab_egress_ratio"] = round(
             res["ab_egress_i16_fps"] / res["ab_egress_i32_fps"], 4)
+    if args.ab_pack12:
+        # 12-bit label pack on top of the int16 egress: 25% fewer label
+        # bytes on the engine's one large device->host stream (int16
+        # egress itself measured +12.5% by halving those bytes)
+        ab_segments("ab_pack12", [("p12", dict(pack12=True)),
+                                  ("i16", dict(pack12=False))])
+        res["ab_pack12_ratio"] = round(
+            res["ab_pack12_p12_fps"] / res["ab_pack12_i16_fps"], 4)
     print(json.dumps(res), flush=True)
     with open(os.path.join(wd, "northstar_result.json"), "w") as f:
         json.dump(res, f)
