@@ -775,6 +775,21 @@ class StreamingLandmarkAnalysis:
                     valid_dev_cache[key] = v
             return v
 
+        def split_decode_egress(arr, box):
+            """Decode one fetched egress slab into ``box``: split off the
+            packed-drift trailer columns (keyed on the label width
+            ``eg_w``), un-pack 12-bit labels if the pack is active.
+            Shared by the per-block (:func:`fetch_labels`) and grouped
+            (:func:`retire_many`) fetch paths — the egress LAYOUT has a
+            single decoder."""
+            if arr.shape[1] > eg_w:
+                box["drift"] = (arr[:, eg_w:eg_w + 2]
+                                .copy().view(np.float32)[:, 0])
+                arr = arr[:, :eg_w]
+            if assign_kw["egress_pack12"]:
+                arr = _unpack12(arr, n_mobile)
+            box["np"] = arr
+
         def fetch_labels(box):
             """Host copy of one assignment's egress labels, fetched at most
             once per assignment (``box['dev']`` is the int16 egress array;
@@ -784,13 +799,7 @@ class StreamingLandmarkAnalysis:
             if box["np"] is None:
                 with ph("labels_fetch"):
                     arr = np.asarray(box["dev"])
-                if arr.shape[1] > eg_w:
-                    box["drift"] = (arr[:, eg_w:eg_w + 2]
-                                    .copy().view(np.float32)[:, 0])
-                    arr = arr[:, :eg_w]
-                if assign_kw["egress_pack12"]:
-                    arr = _unpack12(arr, n_mobile)
-                box["np"] = arr
+                split_decode_egress(arr, box)
             return box["np"]
 
         def fold(valid_np, labels, confs, mobile, box):
@@ -1070,14 +1079,7 @@ class StreamingLandmarkAnalysis:
                         [e["labels_eg"] for e in entries]))
                 rows = entries[0]["labels_eg"].shape[0]
                 for i, box in enumerate(boxes):
-                    arr = cat[i * rows:(i + 1) * rows]
-                    if arr.shape[1] > eg_w:
-                        box["drift"] = (arr[:, eg_w:eg_w + 2]
-                                        .copy().view(np.float32)[:, 0])
-                        arr = arr[:, :eg_w]
-                    if assign_kw["egress_pack12"]:
-                        arr = _unpack12(arr, n_mobile)
-                    box["np"] = arr
+                    split_decode_egress(cat[i * rows:(i + 1) * rows], box)
             off_at = None
             if thr_drift is not None:
                 if pack_drift:

@@ -239,7 +239,7 @@ def main():
 
     # ---- timed sustained run -------------------------------------------
     def timed(tag, n_blocks, labels=True, async_labels=False, depth=None,
-              egress="auto", packed=False, group=None, pack12=False):
+              egress="auto", packed=False, group=None, pack12=None):
         n_frames = n_blocks * B
         eng = make_engine(tag, n_frames)
         if not labels:
@@ -247,7 +247,8 @@ def main():
         eng.async_label_copy = async_labels
         eng.egress_int16 = egress
         eng.packed_retire = packed
-        eng.egress_pack12 = pack12
+        if pack12 is not None:  # None = the engine's production default
+            eng.egress_pack12 = pack12
         if group is not None:
             eng.retire_group = group
         if depth is not None:  # None = the engine's production default
@@ -359,7 +360,12 @@ def main():
                          full_mask=bool(vmask_np.all()),
                          mxu_s_tile=s_tile, mxu_n_st=n_st,
                          mxu_preshift=preshift, want_drift=True,
-                         egress_int16=True, pack_drift=False)
+                         egress_int16=True,
+                         # mirror the engine's shipped egress config so
+                         # the math/engine segments run the SAME compiled
+                         # assign program (pack12 is default-on and K =
+                         # bench 1024 < 4096 passes the engine's gate)
+                         egress_pack12=True, pack_drift=False)
         NSC = min(4, POOL)
         st_scan = jnp.stack([blocks[i][:, :n_static] for i in range(NSC)])
         mo_scan = jnp.stack([blocks[i][:, n_static:] for i in range(NSC)])
