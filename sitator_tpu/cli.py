@@ -738,8 +738,8 @@ def cmd_sites(args):
         sn.save(args.out)
         print(f"site network saved to {args.out}")
     if args.xyz:
-        from sitator_tpu.io.formats import write_xyz
-        write_xyz(args.xyz, sn.get_structure_with_sites())
+        from sitator_tpu.io.formats import write_structure
+        write_structure(args.xyz, sn.get_structure_with_sites())
         print(f"structure + sites (species 0 markers) written to "
               f"{args.xyz}")
     return 0
@@ -1122,7 +1122,8 @@ def build_parser():
     w.add_argument("--out", default=None, metavar="OUT.npz",
                    help="save the seeded SiteNetwork")
     w.add_argument("--xyz", default=None, metavar="SITES.xyz",
-                   help="write structure + site markers as xyz")
+                   help="write structure + site markers (format by "
+                        "extension: xyz / .cif / POSCAR)")
     w.set_defaults(func=cmd_sites)
 
     d = sub.add_parser("doctor",

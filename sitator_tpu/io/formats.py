@@ -480,6 +480,60 @@ def read_cif(path):
     raise ValueError("CIF has no atom_site loop with coordinates")
 
 
+def write_cif(path, structure, data_name="sitator_tpu"):
+    """Write a :class:`Structure` as a P1 CIF: cell parameters, an
+    explicit identity symmetry operation, and a fractional
+    ``atom_site`` loop (labels ``<symbol><ordinal>`` per species).
+
+    CIF stores the cell as lengths+angles, so :func:`read_cif`
+    round-trips the FRACTIONAL geometry and cell parameters to text
+    precision in the canonical orientation — the original Cartesian
+    orientation (and handedness, for negative-volume cells) is not
+    representable in the format.
+    """
+    cell = np.asarray(structure.cell, np.float64)
+    abc = np.linalg.norm(cell, axis=1)
+
+    def _ang(u, v):
+        return float(np.degrees(np.arccos(np.clip(
+            np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v)),
+            -1.0, 1.0))))
+
+    angles = (_ang(cell[1], cell[2]), _ang(cell[0], cell[2]),
+              _ang(cell[0], cell[1]))
+    frac = structure.positions @ np.linalg.inv(cell)
+    species = np.asarray(structure.species)
+    counts = {}
+    with open(path, "w") as f:
+        f.write(f"data_{data_name}\n")
+        for tag, val in zip(("a", "b", "c"), abc):
+            f.write(f"_cell_length_{tag} {val:.10f}\n")
+        for tag, val in zip(("alpha", "beta", "gamma"), angles):
+            f.write(f"_cell_angle_{tag} {val:.10f}\n")
+        f.write("_symmetry_space_group_name_H-M 'P 1'\n")
+        f.write("loop_\n_symmetry_equiv_pos_as_xyz\n'x, y, z'\n")
+        f.write("loop_\n_atom_site_label\n_atom_site_type_symbol\n"
+                "_atom_site_fract_x\n_atom_site_fract_y\n"
+                "_atom_site_fract_z\n")
+        for z, fr in zip(species, frac):
+            sym = number_to_symbol(int(z))
+            counts[sym] = counts.get(sym, 0) + 1
+            f.write(f"{sym}{counts[sym]} {sym} "
+                    f"{fr[0]:.10f} {fr[1]:.10f} {fr[2]:.10f}\n")
+
+
+def write_structure(path, structure):
+    """Single-structure writer dispatch mirroring :func:`read_structure`:
+    POSCAR/CONTCAR (by name or ``.vasp``/``.poscar``), ``.cif``, else
+    extended XYZ — the same :func:`structure_format` authority."""
+    fmt = structure_format(path)
+    if fmt == "poscar":
+        return write_poscar(path, structure)
+    if fmt == "cif":
+        return write_cif(path, structure)
+    return write_xyz(path, structure)
+
+
 def structure_format(path):
     """Filename classification for single-structure files:
     ``'poscar' | 'cif' | 'xyz'`` — the single dispatch authority shared

@@ -602,6 +602,17 @@ def test_sites_subcommand_bv_from_cif(tmp_path, capsys):
                "--supercell", "2", "2", "2"])
     assert rc == 0
     assert "Voronoi sites" in capsys.readouterr().out
+    # --xyz honors the extension: a .cif export round-trips through
+    # read_cif with the marker species intact
+    out_cif = str(tmp_path / "sites_out.cif")
+    rc = main(["sites", str(cif), "--mobile", "Li", "--method", "bv",
+               "--supercell", "2", "2", "2", "--bv-mismatch-tol", "0.3",
+               "--xyz", out_cif])
+    assert rc == 0
+    from sitator_tpu.io import read_cif
+    back = read_cif(out_cif)
+    assert (np.asarray(back.species) == 0).sum() == 32  # site markers
+    assert (np.asarray(back.species) == 8).sum() == 32  # host O atoms
 
 
 def test_pathways_line_and_bottlenecks_flag(xyz_file, capsys):

@@ -354,3 +354,35 @@ def test_cif_special_position_fuzz(tmp_path, seed):
         close = np.abs(d).max(axis=2) < 2e-3
         assert (close.sum(axis=0) == 1).all()
         assert (close.sum(axis=1) == 1).all()
+
+# ---------------------------------------------------------- CIF writer
+
+@pytest.mark.parametrize("seed", range(20))
+def test_cif_write_read_roundtrip_fuzz(tmp_path, seed):
+    """write_cif -> read_cif preserves species order, cell parameters
+    (gram matrix — CIF cannot represent orientation/handedness), and
+    wrap-aware fractional geometry, over random triclinic cells."""
+    from sitator_tpu.io import write_cif
+    rng = np.random.default_rng(2000 + seed)
+    while True:
+        cell, syms, counts, frac, species = _random_structure(rng)
+        # the reader dedupes coincident images at 1e-3 fractional —
+        # resample until every wrapped pair is clearly apart
+        d = frac[:, None] - frac[None]
+        d -= np.round(d)
+        d[np.arange(len(frac)), np.arange(len(frac))] = 1.0
+        if len(frac) == 1 or np.abs(d).max(axis=-1).min() > 5e-3:
+            break
+    z = np.array([_NUMS[x] for x in species])
+    from sitator_tpu.core.structure import Structure
+    s0 = Structure(frac @ cell, z, cell)
+    p = tmp_path / "rt.cif"
+    write_cif(p, s0)
+    s1 = read_cif(p)
+    np.testing.assert_array_equal(s1.species, z)
+    np.testing.assert_allclose(s1.cell @ s1.cell.T, cell @ cell.T,
+                               rtol=1e-7, atol=1e-7)
+    f1 = s1.positions @ np.linalg.inv(s1.cell)
+    df = f1 - frac
+    df -= np.round(df)
+    assert np.abs(df).max() < 1e-6

@@ -441,3 +441,33 @@ Li1 0.167 0.25 0.25
 """)
     s = read_cif(str(p))
     assert s.n_atoms == 1
+
+def test_write_cif_roundtrip_and_dispatch(tmp_path):
+    """Deterministic write_cif round-trip on a triclinic mixed-species
+    structure, plus the write_structure/read_structure dispatch pair
+    across all three formats."""
+    from sitator_tpu import Structure
+    from sitator_tpu.io import read_structure, write_cif, write_structure
+    cell = np.array([[6.0, 0, 0], [1.0, 7.0, 0], [0.3, 0.2, 8.0]])
+    frac = np.array([[0.1, 0.2, 0.3], [0.4, 0.5, 0.6],
+                     [0.9999, 0.0, 0.25], [0.7, 0.1, 0.85]])
+    species = np.array([3, 8, 3, 16])
+    s0 = Structure(frac @ cell, species, cell)
+    p = tmp_path / "rt.cif"
+    write_cif(p, s0)
+    from sitator_tpu.io import read_cif
+    s1 = read_cif(p)
+    np.testing.assert_array_equal(s1.species, species)  # order kept
+    np.testing.assert_allclose(s1.cell, cell, atol=1e-8)  # canonical == input here
+    f1 = s1.positions @ np.linalg.inv(s1.cell)
+    d = f1 - frac
+    d -= np.round(d)   # the reader wraps into [0, 1)
+    assert np.abs(d).max() < 1e-8
+
+    for name in ("w.cif", "POSCAR", "w.xyz"):
+        q = tmp_path / name
+        write_structure(q, s0)
+        back = read_structure(q)
+        assert len(back.species) == 4
+        if name != "POSCAR":   # POSCAR regroups species
+            np.testing.assert_array_equal(back.species, species)
