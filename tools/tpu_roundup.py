@@ -78,6 +78,22 @@ print(f"STATUS density {'OK' if ok else 'FAIL'}: "
 if not ok:
     sys.exit(1)
 
+# --- 12-bit egress pack: device-pack -> host-decode bit identity -----
+# The pack is uint16 shifts/ors + a bitcast compiled by real-TPU XLA;
+# interpret/CPU tests cannot see backend lowering differences (the
+# s_tile=64 lesson), so the shipped egress path gets a direct pin here.
+from sitator_tpu.landmark.streaming import _pack12, _unpack12
+
+lab = rng.integers(-1, 4095, size=(64, 739)).astype(np.int32)
+lab.flat[0], lab.flat[-1] = -1, 4094
+packed = np.asarray(jax.jit(_pack12)(jnp.asarray(lab)))
+ok = bool((_unpack12(packed, lab.shape[1]) == lab).all())
+print(f"STATUS pack12 {'OK' if ok else 'FAIL'}: device pack -> host "
+      f"decode {'bit-identical' if ok else 'MISMATCH'} "
+      f"({lab.size} labels)", flush=True)
+if not ok:
+    sys.exit(1)
+
 # --- teardown hygiene before handing the grant to bench --------------
 np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
 
