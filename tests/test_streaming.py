@@ -931,3 +931,60 @@ def test_streaming_egress_pack12_inactive_without_int16(md_system):
     sla.egress_int16 = False
     out = sla.run(seeds, md.traj[:300], centers=centers)
     np.testing.assert_array_equal(ref.n_ij, out.n_ij)
+
+@pytest.mark.parametrize("seed", range(8))
+def test_streaming_knob_lattice_fuzz(md_system, tmp_path, seed):
+    """Randomized combinations across the WHOLE throughput-knob lattice
+    (pipeline depth, retire group, egress int16/pack12, packed drift,
+    block size, dynamic mapping) must be bit-identical to the
+    synchronous baseline — knob interactions, not just the per-knob
+    invariance the dedicated tests cover."""
+    md, seeds = md_system
+    rng = np.random.default_rng(300 + seed)
+    T = 233
+    traj = md.traj[:400].copy()
+    if rng.integers(0, 2):   # half the runs cross a lattice swap
+        sa = np.flatnonzero(md.static_mask)
+        i, j = sa[2], sa[17]
+        traj[T:, i], traj[T:, j] = (md.traj[T:400, j].copy(),
+                                    md.traj[T:400, i].copy())
+    base = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=100, verbose=False)
+    centers = base.fit_centers(seeds, ArrayTrajectory(md.traj))
+
+    def run(tag, **kw):
+        p = tmp_path / f"knob_{seed}_{tag}.npy"
+        sla = StreamingLandmarkAnalysis(
+            cutoff_midpoint=4.0, cutoff_steepness=3.0,
+            dynamic_lattice_mapping=True, store_labels=str(p),
+            verbose=False, **kw)
+        out = sla.run(seeds, traj, centers=centers)
+        return out, np.load(p)
+
+    ref_out, ref_lab = run("ref", block_frames=100, pipeline_depth=0,
+                           egress_pack12=False)
+    kw = dict(
+        block_frames=int(rng.choice([64, 100, 128])),
+        pipeline_depth=int(rng.integers(0, 4)),
+        retire_group=int(rng.integers(1, 4)),
+        egress_pack12=bool(rng.integers(0, 2)),
+    )
+    sla = StreamingLandmarkAnalysis(
+        cutoff_midpoint=4.0, cutoff_steepness=3.0,
+        dynamic_lattice_mapping=True,
+        store_labels=str(tmp_path / f"knob_{seed}_v.npy"),
+        verbose=False, **kw)
+    sla.packed_retire = bool(rng.integers(0, 2)) and kw["egress_pack12"]
+    if not rng.integers(0, 2):
+        sla.egress_int16 = False   # int32 egress leg of the lattice
+    out = sla.run(seeds, traj, centers=centers)
+    lab = np.load(tmp_path / f"knob_{seed}_v.npy")
+    np.testing.assert_array_equal(ref_lab, lab, err_msg=str(kw))
+    np.testing.assert_array_equal(ref_out.n_ij, out.n_ij,
+                                  err_msg=str(kw))
+    np.testing.assert_allclose(ref_out.occupancies, out.occupancies,
+                               atol=1e-12, err_msg=str(kw))
+    np.testing.assert_allclose(ref_out.residence_times,
+                               out.residence_times, equal_nan=True,
+                               err_msg=str(kw))
