@@ -168,3 +168,36 @@ def test_fcc_default_delta_types_like_gauss_on_sampled_trajectory():
         assert max(agree, 1.0 - agree) > 0.9, (density, agree)
     match = np.mean(types["delta"] == types["gauss"])
     assert max(match, 1.0 - match) == 1.0  # identical partition
+
+def test_fcc_streaming_on_ragged_basis(fcc_run, tmp_path):
+    """Streaming engine on the RAGGED tet/oct basis (4- and 6-vertex
+    cages, full_mask=False) is exactly self-consistent block-to-block —
+    every other streaming test uses the uniform simple-cubic basis, so
+    this pins the masked-vertex kernel path through the block-chained
+    engine (pipelined, packed egress defaults) and its site recovery.
+    """
+    from sitator_tpu import SiteTrajectory
+    from sitator_tpu.dynamics import JumpAnalysis
+    from sitator_tpu.landmark import StreamingLandmarkAnalysis
+    md, seeds, _, _ = fcc_run
+    p = tmp_path / "fcc_stream_labels.npy"
+    sla = StreamingLandmarkAnalysis(
+        cutoff_midpoint=3.2, cutoff_steepness=3.0, block_frames=256,
+        minimum_site_occupancy=0.01, store_labels=str(p), verbose=False)
+    out = sla.run(seeds, md.traj)
+    labels = np.load(p)
+    # streamed jump statistics equal JumpAnalysis over the spilled labels
+    st2 = SiteTrajectory(out, labels)
+    JumpAnalysis(verbose=False).run(st2)
+    np.testing.assert_array_equal(out.n_ij, st2.site_network.n_ij)
+    occ = (np.bincount(labels[labels >= 0], minlength=out.n_sites)
+           / md.traj.shape[0])
+    np.testing.assert_allclose(out.occupancies, occ, atol=1e-12)
+    # ragged-basis site recovery: discovered sites sit on true holes
+    calc = PBCCalculator(md.structure.cell)
+    d = calc.pairwise_distances(out.centers, md.true_sites)
+    assert d.min(axis=1).max() < 0.5
+    visited, visits = np.unique(md.true_assignments, return_counts=True)
+    well = visited[visits >= 24]
+    d_wv = calc.pairwise_distances(out.centers, md.true_sites[well])
+    assert d_wv.min(axis=0).max() < 0.5
