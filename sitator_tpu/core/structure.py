@@ -35,6 +35,25 @@ def number_to_symbol(z: int) -> str:
     return _SYMBOLS[int(z)]
 
 
+def cell_to_parameters(cell):
+    """Cell matrix → ``(a, b, c, alpha, beta, gamma)`` lengths (rows) and
+    angles in degrees — the lengths+angles convention shared by CIF and
+    CSSR writers.  Orientation and handedness are not representable in
+    this form (reconstruction is canonical: a along x, b in the
+    xy-plane)."""
+    cell = np.asarray(cell, np.float64)
+    lengths = np.linalg.norm(cell, axis=1)
+
+    def _ang(u, v):
+        return float(np.degrees(np.arccos(np.clip(
+            np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v)),
+            -1.0, 1.0))))
+
+    return (float(lengths[0]), float(lengths[1]), float(lengths[2]),
+            _ang(cell[1], cell[2]), _ang(cell[0], cell[2]),
+            _ang(cell[0], cell[1]))
+
+
 class Structure:
     """Periodic atomic structure: cell, species, cartesian positions.
 

@@ -32,6 +32,7 @@ from sitator_tpu.core.structure import (Structure, number_to_symbol,
 __all__ = [
     "read_xyz", "write_xyz", "iread_xyz",
     "read_poscar", "read_cif", "read_structure", "write_poscar",
+    "write_cif", "write_structure",
     "read_xdatcar", "read_lammps_dump",
     "write_xdatcar", "write_lammps_dump",
     "iread_xdatcar", "iread_lammps_dump", "convert_to_npy",
@@ -447,6 +448,16 @@ def read_cif(path):
             coords = np.asarray(coords, dtype=np.float64)
             frac = (coords if frac_mode
                     else coords @ np.linalg.inv(cell))
+            # identity-only files (P1, the common machine-written case,
+            # incl. write_cif's own output) have no special positions to
+            # deduplicate — merging near-coincident DISTINCT atoms there
+            # would silently change the atom count (split/disordered
+            # positions are legitimate structures)
+            if len(symops) == 1 and np.allclose(
+                    symops[0][0], np.eye(3)) and np.allclose(
+                    symops[0][1], 0.0):
+                f0 = frac - np.floor(frac)
+                return Structure(f0 @ cell, species, cell)
             # expand the asymmetric unit through every operation and
             # deduplicate coincident images (special positions).  The
             # tolerance must be a true metric ball: grid-bucket keys
@@ -489,19 +500,15 @@ def write_cif(path, structure, data_name="sitator_tpu"):
     round-trips the FRACTIONAL geometry and cell parameters to text
     precision in the canonical orientation — the original Cartesian
     orientation (and handedness, for negative-volume cells) is not
-    representable in the format.
+    representable in the format.  Atom count round-trips exactly:
+    :func:`read_cif` only deduplicates coincident images when a file
+    carries a non-trivial symmetry loop (special positions), never for
+    the identity-only P1 files this writer emits.
     """
-    cell = np.asarray(structure.cell, np.float64)
-    abc = np.linalg.norm(cell, axis=1)
-
-    def _ang(u, v):
-        return float(np.degrees(np.arccos(np.clip(
-            np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v)),
-            -1.0, 1.0))))
-
-    angles = (_ang(cell[1], cell[2]), _ang(cell[0], cell[2]),
-              _ang(cell[0], cell[1]))
-    frac = structure.positions @ np.linalg.inv(cell)
+    from sitator_tpu.core.structure import cell_to_parameters
+    params = cell_to_parameters(structure.cell)
+    abc, angles = params[:3], params[3:]
+    frac = structure.frac_positions
     species = np.asarray(structure.species)
     counts = {}
     with open(path, "w") as f:

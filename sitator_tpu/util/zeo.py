@@ -67,15 +67,10 @@ class Zeopy:
 
     @staticmethod
     def _write_cssr(structure, path):
-        # CSSR expects cell lengths+angles; only orthorhombic-safe general
-        # triclinic conversion
-        cell = structure.cell
-        a, b, c = np.linalg.norm(cell, axis=1)
-        def ang(u, v):
-            return np.degrees(np.arccos(
-                np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v))))
-        alpha, beta, gamma = ang(cell[1], cell[2]), ang(cell[0], cell[2]), \
-            ang(cell[0], cell[1])
+        # CSSR expects cell lengths+angles (shared conversion with the
+        # CIF writer; clip-guarded against acos domain spill)
+        from sitator_tpu.core.structure import cell_to_parameters
+        a, b, c, alpha, beta, gamma = cell_to_parameters(structure.cell)
         frac = structure.frac_positions % 1.0
         with open(path, "w") as f:
             f.write(f"{a:.6f} {b:.6f} {c:.6f}\n")

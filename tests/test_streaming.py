@@ -975,9 +975,13 @@ def test_streaming_knob_lattice_fuzz(md_system, tmp_path, seed):
         dynamic_lattice_mapping=True,
         store_labels=str(tmp_path / f"knob_{seed}_v.npy"),
         verbose=False, **kw)
-    sla.packed_retire = bool(rng.integers(0, 2)) and kw["egress_pack12"]
+    # independent draws: the engine itself gates illegal combinations
+    # (packed drift needs the int16 regime, pack12 needs int16 + K<4096)
+    sla.packed_retire = bool(rng.integers(0, 2))
     if not rng.integers(0, 2):
         sla.egress_int16 = False   # int32 egress leg of the lattice
+    kw["packed_retire"] = sla.packed_retire
+    kw["egress_int16"] = sla.egress_int16
     out = sla.run(seeds, traj, centers=centers)
     lab = np.load(tmp_path / f"knob_{seed}_v.npy")
     np.testing.assert_array_equal(ref_lab, lab, err_msg=str(kw))

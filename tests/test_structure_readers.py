@@ -471,3 +471,34 @@ def test_write_cif_roundtrip_and_dispatch(tmp_path):
         assert len(back.species) == 4
         if name != "POSCAR":   # POSCAR regroups species
             np.testing.assert_array_equal(back.species, species)
+
+def test_cif_p1_keeps_near_coincident_atoms(tmp_path):
+    """Identity-only (P1) CIFs must NOT merge near-coincident distinct
+    atoms — split/disordered positions are legitimate structures and the
+    special-position dedupe only applies under a non-trivial symmetry
+    loop.  Regression for the write_cif->read_cif atom-count loss."""
+    from sitator_tpu import Structure
+    from sitator_tpu.io import read_cif, write_cif
+    cell = np.eye(3) * 10.0
+    # two O atoms 5e-4 apart in fractional coords (split position)
+    frac = np.array([[0.2500, 0.25, 0.25], [0.2505, 0.25, 0.25],
+                     [0.75, 0.75, 0.75]])
+    s0 = Structure(frac @ cell, np.array([8, 8, 3]), cell)
+    p = tmp_path / "split.cif"
+    write_cif(p, s0)
+    s1 = read_cif(p)
+    assert len(s1.species) == 3            # nothing merged
+    np.testing.assert_array_equal(s1.species, [8, 8, 3])
+    # ... while a genuine symmetry loop still dedupes special positions
+    lines = ["data_t", "_cell_length_a 10", "_cell_length_b 10",
+             "_cell_length_c 10", "_cell_angle_alpha 90",
+             "_cell_angle_beta 90", "_cell_angle_gamma 90",
+             "loop_", "_symmetry_equiv_pos_as_xyz",
+             "'x, y, z'", "'-x, -y, -z'",
+             "loop_", "_atom_site_type_symbol", "_atom_site_fract_x",
+             "_atom_site_fract_y", "_atom_site_fract_z",
+             "O 0.0 0.0 0.0"]      # inversion-invariant special position
+    q = tmp_path / "sym.cif"
+    q.write_text("\n".join(lines) + "\n")
+    s2 = read_cif(q)
+    assert len(s2.species) == 1            # image merged, not doubled
