@@ -50,6 +50,11 @@ EXAMPLES = {
         "interstitial basin recovered",
         "bond-valence seeding: 32 sites",
         "Density-seeding walkthrough complete."],
+    "structure_screening.py": [
+        "after symmetry expansion",
+        "every BV site sits on a Voronoi candidate",
+        "round-trip through read_structure",
+        "Structure-screening walkthrough complete."],
 }
 
 
