@@ -249,6 +249,9 @@ def tpu_fps(cell, verts, frames, centers, n_static, mode="mxu"):
     return reps, basis
 
 
+_PROBE_S = None   # wall seconds of the health probe (None on forced CPU)
+
+
 def _probe_work():
     """One tiny device round-trip.  Returns the backend name; raises on
     any outage (FAILED_PRECONDITION / UNAVAILABLE / init failure).  This
@@ -319,7 +322,13 @@ def _ensure_tpu_backend():
     # (observed 671 s / 1239 s live); the probe budget must exceed that
     # or the guard converts a recoverable wedge into a degraded record
     timeout_s = float(os.environ.get("SITATOR_BENCH_PROBE_TIMEOUT", "1500"))
+    t0 = time.perf_counter()
     res = _probe_device(timeout_s)
+    # session-health context for the JSON record: a healthy session
+    # probes in seconds, a wedged one in minutes — a weak fps value
+    # should carry its own explanation
+    global _PROBE_S
+    _PROBE_S = round(time.perf_counter() - t0, 1)
     backend = res["backend"]
     if res["ok"] and backend is not None and (
             backend == "axon" or "tpu" in backend.lower()):
@@ -391,6 +400,7 @@ def main():
         "backend": backend,
         "mode": mode,
         "s_tile": basis["s_tile"] if basis is not None else None,
+        "probe_s": _PROBE_S,
     }))
 
 
