@@ -16,6 +16,6 @@ from sitator_tpu.core.structure import Structure
 from sitator_tpu.core.sitenet import SiteNetwork
 from sitator_tpu.core.sitetraj import SiteTrajectory
 
-__version__ = "0.6.0"
+__version__ = "0.7.0"
 
 __all__ = ["Structure", "SiteNetwork", "SiteTrajectory", "__version__"]
