@@ -273,14 +273,7 @@ def _postprocess(args, st, objs=None):
     else:
         print("pathways: none (no connected jumps)")
     if getattr(args, "bottlenecks", False):
-        from sitator_tpu.network import ConductionBottleneckAnalysis
-        cb = ConductionBottleneckAnalysis(verbose=args.verbose).run(st)
-        crit = (f"critical sites {cb.critical_sites_.tolist()}"
-                if len(cb.critical_sites_) else "no single-site "
-                "bottleneck (redundant network)")
-        print(f"bottlenecks: base percolation {cb.base_dim_}D; {crit} "
-              f"(top betweenness "
-              f"{float(cb.betweenness_.max()):.3f})")
+        _print_bottlenecks(args, st)
     if getattr(args, "diagnose", False):
         from sitator_tpu.dynamics import (DetailedBalanceAnalysis,
                                           OccupancyCorrelationAnalysis)
@@ -327,30 +320,51 @@ def _postprocess(args, st, objs=None):
             print(f"diagnose: markovianity — {verdict} "
                   f"({detail}{ck}){pre_note}")
     if getattr(args, "uncertainty", None) is not None:
-        from sitator_tpu.dynamics import (ChainUncertaintyAnalysis,
-                                          edge_probability_intervals)
-        n = args.uncertainty
-        ua = ChainUncertaintyAnalysis(n_samples=n,
-                                      verbose=args.verbose).run(st)
-        edge_probability_intervals(st)    # p_ij_lo / p_ij_hi attrs
-        if objs is not None:
-            objs["ua"] = ua
-        t_lo, t_hi = ua.ci_["timescales"]
-        t_m = ua.mean_["timescales"]
-        if np.isfinite(t_m[0]):
-            print(f"uncertainty ({n} posterior draws): slowest "
-                  f"relaxation {t_m[0]:.4g} frames, 95% CI "
-                  f"[{t_lo[0]:.4g}, {t_hi[0]:.4g}]; p_ij_lo/p_ij_hi "
-                  "edge attributes written")
-        else:
-            print(f"uncertainty ({n} posterior draws): no resolvable "
-                  "relaxation mode; p_ij_lo/p_ij_hi edge attributes "
-                  "written")
+        _print_uncertainty(args, st, objs=objs)
     if getattr(args, "vacancies", False):
         _print_vacancy_report(args, st)
     if getattr(args, "concerted", False):
         _print_concerted_report(args, st)
     return st
+
+
+def _print_bottlenecks(args, st_or_sn):
+    """Conduction-bottleneck report.  Accepts a SiteTrajectory or a
+    SiteNetwork that already carries ``n_ij`` (the streaming route's
+    network qualifies without ever loading the spilled labels)."""
+    from sitator_tpu.network import ConductionBottleneckAnalysis
+    cb = ConductionBottleneckAnalysis(verbose=args.verbose).run(st_or_sn)
+    crit = (f"critical sites {cb.critical_sites_.tolist()}"
+            if len(cb.critical_sites_) else "no single-site "
+            "bottleneck (redundant network)")
+    print(f"bottlenecks: base percolation {cb.base_dim_}D; {crit} "
+          f"(top betweenness "
+          f"{float(cb.betweenness_.max()):.3f})")
+
+
+def _print_uncertainty(args, st_or_sn, objs=None):
+    """Finite-sampling uncertainty report.  Accepts a SiteTrajectory or
+    a SiteNetwork with ``n_ij`` (both analyses consume only the jump
+    count matrix)."""
+    from sitator_tpu.dynamics import (ChainUncertaintyAnalysis,
+                                      edge_probability_intervals)
+    n = args.uncertainty
+    ua = ChainUncertaintyAnalysis(n_samples=n,
+                                  verbose=args.verbose).run(st_or_sn)
+    edge_probability_intervals(st_or_sn)    # p_ij_lo / p_ij_hi attrs
+    if objs is not None:
+        objs["ua"] = ua
+    t_lo, t_hi = ua.ci_["timescales"]
+    t_m = ua.mean_["timescales"]
+    if np.isfinite(t_m[0]):
+        print(f"uncertainty ({n} posterior draws): slowest "
+              f"relaxation {t_m[0]:.4g} frames, 95% CI "
+              f"[{t_lo[0]:.4g}, {t_hi[0]:.4g}]; p_ij_lo/p_ij_hi "
+              "edge attributes written")
+    else:
+        print(f"uncertainty ({n} posterior draws): no resolvable "
+              "relaxation mode; p_ij_lo/p_ij_hi edge attributes "
+              "written")
 
 
 def _print_vacancy_report(args, st):
@@ -528,10 +542,12 @@ def cmd_analyze(args):
             ("--merge-metastable", args.merge_metastable is not None),
             ("--debounce", args.debounce is not None),
             ("--diagnose", args.diagnose),
-            ("--uncertainty", args.uncertainty is not None),
             ("--vacancies", args.vacancies),
             ("--concerted", args.concerted),
         ] if wanted]
+        # NOT in this list: --uncertainty and --bottlenecks consume
+        # only the network's jump-count matrix, which the streaming
+        # engine computes on device — they work without --out
         if needs_labels and not args.out:
             print(f"warning: {', '.join(needs_labels)} ignored with "
                   "--streaming unless --out is set (they post-process "
@@ -950,6 +966,15 @@ def _analyze_streaming(args, sn, reader):
                 _print_vacancy_report(args, st_obs)
             if args.concerted:
                 _print_concerted_report(args, st_obs)
+
+    if st is None:
+        # transform-free streaming run: _postprocess never ran, but
+        # these consume only the network's jump-count matrix, which
+        # the streamed network already carries — no label load needed
+        if getattr(args, "bottlenecks", False):
+            _print_bottlenecks(args, sn2)
+        if getattr(args, "uncertainty", None) is not None:
+            _print_uncertainty(args, sn2)
 
     if args.tpt:
         # after any label post-processing; TPT only needs the

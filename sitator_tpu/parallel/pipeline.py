@@ -212,7 +212,8 @@ class SpmdLandmarkPipeline:
             # the fused kernel handles every configuration: orthorhombic
             # and triclinic cells (kernel_cell picks the min-image variant)
             # and peak_evening='clip' (two-pass top-2 sweep in-kernel)
-            use_fused = jax.default_backend() == "tpu"
+            from sitator_tpu.ops.kernel_common import is_tpu_backend
+            use_fused = is_tpu_backend()
         self.use_fused = bool(use_fused)
 
         self.mobile_idx = np.flatnonzero(seed_sn.mobile_mask)

@@ -705,3 +705,21 @@ def test_tpt_spec_fails_fast(tpt_xyz):
     for bad in ("q", "x:0.9", "x:abc", "x:0"):
         with pytest.raises(SystemExit, match="--tpt"):
             main(["analyze", tpt_xyz, "--mobile", "Li", "--tpt", bad])
+
+
+def test_streaming_uncertainty_and_bottlenecks(xyz_file, capsys):
+    """--uncertainty / --bottlenecks work on the streaming route even
+    with no --out and no transform: both consume only the network's
+    on-device jump-count matrix, never the spilled labels (review
+    finding: they were silently dropped)."""
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--streaming", "--block-frames", "64",
+               "--uncertainty", "16", "--bottlenecks"])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "uncertainty (16 posterior draws)" in cap.out
+    assert "bottlenecks: base percolation" in cap.out
+    # and neither may be warned about as label-needing
+    assert "--uncertainty" not in cap.err
+    assert "--bottlenecks" not in cap.err

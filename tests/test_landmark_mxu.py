@@ -504,3 +504,25 @@ def test_is_tpu_backend_names():
     from sitator_tpu.ops.kernel_common import is_tpu_backend
     assert jax.default_backend() == "cpu"   # conftest pins cpu
     assert not is_tpu_backend()
+
+
+def test_backend_gate_single_source():
+    """Every kernel-selection gate in the package must go through
+    ``kernel_common.is_tpu_backend`` — a literal ``== "tpu"`` comparison
+    silently takes the dense XLA fallback (~6x slower) when the remote
+    plugin registers under its historical "axon" platform name.
+    Regression: parallel/pipeline.py's use_fused='auto' gate was missed
+    by the r5 unification and found by review."""
+    import pathlib
+    import re
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "sitator_tpu"
+    offenders = []
+    for path in pkg.rglob("*.py"):
+        if path.name == "kernel_common.py":
+            continue
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if re.search(r"default_backend\(\)\s*(==|!=|\bin\b)", line):
+                offenders.append(f"{path.relative_to(pkg)}:{i}: {line.strip()}")
+    assert not offenders, (
+        "backend-name comparisons outside kernel_common.is_tpu_backend:\n"
+        + "\n".join(offenders))
