@@ -74,6 +74,13 @@ def main():
                     help="directory for scratch artifacts (checkpoints, "
                          "label memmaps, fit cache, result json) — "
                          "isolate concurrent invocations")
+    ap.add_argument("--require-probe-s", type=float, default=None,
+                    help="abort with exit code 3 if the health matmul "
+                         "takes longer than this many seconds — lets a "
+                         "watcher retry headline runs until it draws a "
+                         "healthy chip session instead of burning a full "
+                         "run on a degraded one (record sessions probe "
+                         "<15 s; degraded ones 60 s-minutes)")
     args = ap.parse_args()
 
     global B, POOL
@@ -91,7 +98,12 @@ def main():
     t0 = time.perf_counter()
     x = jnp.ones((256, 256))
     np.asarray(x @ x)
-    print(f"# health matmul: {time.perf_counter() - t0:.2f}s", flush=True)
+    probe_s = time.perf_counter() - t0
+    print(f"# health matmul: {probe_s:.2f}s", flush=True)
+    if args.require_probe_s is not None and probe_s > args.require_probe_s:
+        print(f"# ABORT: probe {probe_s:.1f}s > --require-probe-s "
+              f"{args.require_probe_s:.0f}s (degraded session)", flush=True)
+        sys.exit(3)
 
     probe = jnp.zeros((2 * 1024 * 1024,), jnp.float32)  # 8 MB
     np.asarray(probe)  # warm path
