@@ -723,3 +723,24 @@ def test_streaming_uncertainty_and_bottlenecks(xyz_file, capsys):
     # and neither may be warned about as label-needing
     assert "--uncertainty" not in cap.err
     assert "--bottlenecks" not in cap.err
+
+
+def test_report_transport_sections(xyz_file, tmp_path, capsys):
+    """--report with the transport/statistics flags on: the Onsager,
+    Relaxation and Finite-sampling-uncertainty sections render (coverage
+    audit: these report branches were untested)."""
+    pytest.importorskip("matplotlib")
+    rpt = str(tmp_path / "rpt2")
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--timestep", "1.0", "--temperature", "600",
+               "--onsager", "Li:+1", "--relaxation", "1.57",
+               "--uncertainty", "16", "--report", rpt])
+    assert rc == 0
+    assert "report written to" in capsys.readouterr().out
+    text = open(os.path.join(rpt, "report.md")).read()
+    assert "## Onsager transport" in text
+    assert "sigma_Onsager" in text or "transference" in text
+    assert "## Relaxation" in text and "tau_alpha" in text
+    assert "## Finite-sampling uncertainty (16 posterior draws)" in text
+    assert "p_ij_lo" in text

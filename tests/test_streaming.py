@@ -992,3 +992,57 @@ def test_streaming_knob_lattice_fuzz(md_system, tmp_path, seed):
     np.testing.assert_allclose(ref_out.residence_times,
                                out.residence_times, equal_nan=True,
                                err_msg=str(kw))
+
+
+def test_streaming_ctor_validation():
+    """Constructor rejections (coverage audit: untested raises)."""
+    with pytest.raises(ValueError, match="multiple_occupancy_action"):
+        StreamingLandmarkAnalysis(multiple_occupancy_action="explode")
+    with pytest.raises(ValueError, match="static_movement_threshold"):
+        StreamingLandmarkAnalysis(dynamic_lattice_mapping=True,
+                                  static_movement_threshold=None)
+
+
+def test_streaming_checkpoint_mismatch_raises(md_system, tmp_path):
+    """A checkpoint written by a DIFFERENT run (frame count or K
+    mismatch) must refuse to resume, not silently corrupt."""
+    md, seeds = md_system
+    ckpt = str(tmp_path / "stale.npz")   # savez appends .npz otherwise
+    np.savez(ckpt, n_frames=12345, K=3, next_lo=64,
+             carry_last=np.zeros(4, np.int64),
+             carry_res=np.zeros(4, np.int64))
+    sla = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0, block_frames=64,
+                                    checkpoint_path=ckpt, verbose=False)
+    centers = sla.fit_centers(seeds, ArrayTrajectory(md.traj[:128]))
+    with pytest.raises(ValueError, match="checkpoint does not match"):
+        sla.run(seeds, md.traj[:128], centers=centers)
+
+
+def test_streaming_mesh_gather_kernel_matches_single_device(md_system,
+                                                            monkeypatch):
+    """The per-vertex GATHER kernel under an 8-device mesh (the mxu
+    basis builder declining forces the gather plan) is bit-exact vs the
+    same kernel on one device — the mesh tests otherwise always take
+    the MXU path on this fixture."""
+    md, seeds = md_system
+    import sitator_tpu.ops.landmark_mxu as lmxu
+    from sitator_tpu.parallel.mesh import frame_mesh
+    monkeypatch.setattr(lmxu, "prepare_engine_basis",
+                        lambda *a, **k: None)
+    base = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=64, use_fused=True,
+                                     interpret=True, verbose=False)
+    centers = base.fit_centers(seeds, ArrayTrajectory(md.traj))
+    out1 = base.run(seeds, md.traj[:256], centers=centers)
+    mesh = frame_mesh(n_devices=8)
+    sla = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0,
+                                    block_frames=64, mesh=mesh,
+                                    use_fused=True, interpret=True,
+                                    verbose=False)
+    out8 = sla.run(seeds, md.traj[:256], centers=centers)
+    np.testing.assert_array_equal(out1.n_ij, out8.n_ij)
+    np.testing.assert_allclose(out1.occupancies, out8.occupancies,
+                               atol=1e-12)
