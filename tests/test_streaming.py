@@ -1046,3 +1046,26 @@ def test_streaming_mesh_gather_kernel_matches_single_device(md_system,
     np.testing.assert_array_equal(out1.n_ij, out8.n_ij)
     np.testing.assert_allclose(out1.occupancies, out8.occupancies,
                                atol=1e-12)
+
+
+def test_streaming_async_label_copy_invariance(md_system, tmp_path):
+    """Opt-in async_label_copy (early device->host label copy) changes
+    nothing about results — labels on disk and statistics are identical
+    to the sync default (coverage audit: branch untested)."""
+    md, seeds = md_system
+    outs = {}
+    for mode in (False, True):
+        p = tmp_path / f"labels_{mode}.npy"
+        sla = StreamingLandmarkAnalysis(
+            cutoff_midpoint=4.0, cutoff_steepness=3.0, block_frames=128,
+            store_labels=str(p), async_label_copy=mode, verbose=False)
+        centers = outs.get("centers")
+        if centers is None:
+            centers = sla.fit_centers(seeds, ArrayTrajectory(md.traj))
+            outs["centers"] = centers
+        outs[mode] = (sla.run(seeds, md.traj[:256], centers=centers),
+                      np.load(p))
+    np.testing.assert_array_equal(outs[False][1], outs[True][1])
+    np.testing.assert_array_equal(outs[False][0].n_ij, outs[True][0].n_ij)
+    np.testing.assert_allclose(outs[False][0].occupancies,
+                               outs[True][0].occupancies, atol=1e-12)
