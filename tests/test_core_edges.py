@@ -187,3 +187,48 @@ def test_landmark_analysis_validation(sn):
     bare.centers = sn.centers.copy()
     with pytest.raises(ValueError, match="no vertices"):
         la.run(bare, np.zeros((4, 6, 3)))
+
+
+# ------------------------------------------------ SiteVolumes edges
+
+def test_site_volumes_degenerate_sites(sn):
+    """Sites with <4 points or a coplanar cloud: NaN by default, raise
+    with error_on_insufficient (coverage audit: QhullError branch)."""
+    from sitator_tpu.network.site_volumes import SiteVolumes
+    # site 0: coplanar cloud (QhullError); site 1: too few points
+    labels = np.array([[0, 1], [0, 1], [0, 1], [0, -1], [0, -1], [0, -1]])
+    st = SiteTrajectory(sn, labels)
+    real = np.zeros((6, 6, 3))
+    # mobile atoms are indices 4, 5; ion 0 -> site 0 coplanar z=0 square+
+    planar = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
+                       [0.5, 0.5, 0], [0.2, 0.7, 0.0]])
+    real[:, 4, :] = planar + 1.0
+    real[:3, 5, :] = planar[:3] + 3.0      # site 1: only 3 assigned frames
+    st.set_real_traj(real)
+    st2 = SiteVolumes(verbose=False).run(st)
+    vols = st2.site_network.site_volumes
+    assert np.isnan(vols).all()            # coplanar AND low-count -> NaN
+    with pytest.raises((ValueError, Exception)):
+        SiteVolumes(error_on_insufficient=True, verbose=False).run(st)
+
+
+def test_recenter_with_masses(sn):
+    """Mass-weighted COM removal equals the hand-computed weighted
+    drift (coverage audit: masses branch)."""
+    from sitator_tpu.misc.recenter import RecenterTrajectory
+    rng = np.random.default_rng(2)
+    base = rng.uniform(1, 5, (6, 3))
+    drift = np.cumsum(rng.normal(0, 0.05, (10, 3)), axis=0)
+    traj = base[None] + drift[:, None, :]
+    static_mask = np.array([1, 1, 1, 1, 0, 0], bool)
+    masses = np.array([1.0, 2.0, 3.0, 4.0])
+    out = RecenterTrajectory(masses=masses, verbose=False).run(
+        static_mask, traj, cell=np.eye(3) * 50.0)
+    # every static atom's weighted COM displacement is removed exactly
+    w = masses / masses.sum()
+    disp = out[:, static_mask, :] - out[0:1, static_mask, :]
+    com = np.einsum("fnc,n->fc", disp, w)
+    np.testing.assert_allclose(com, 0.0, atol=1e-12)
+    # input untouched (in_place=False default)
+    assert not np.allclose(traj[:, static_mask, :],
+                           out[:, static_mask, :])
