@@ -301,6 +301,32 @@ def test_streaming_dynamic_lattice_mapping(md_system):
     np.testing.assert_allclose(out.centers, out_ref.centers, atol=1e-5)
 
 
+def test_streaming_dynamic_mapping_no_consistent_perm(md_system):
+    """A static atom that drifts off WITHOUT a vacated slot to claim has
+    no consistent lattice mapping: even with dynamic_lattice_mapping the
+    streaming engine must raise (classic-engine parity,
+    test_landmark.py 'stranded atom' case) — and the error carries the
+    offending frame and residual."""
+    md, seeds = md_system
+    from sitator_tpu.util.errors import StaticLatticeError
+    T = 233
+    broken = md.traj[:500].copy()
+    sa = np.flatnonzero(md.static_mask)
+    broken[T:, sa[2]] += 2.0  # drifts off; every other slot stays filled
+
+    dyn = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0,
+                                    block_frames=100,
+                                    dynamic_lattice_mapping=True,
+                                    verbose=False)
+    centers = dyn.fit_centers(seeds, ArrayTrajectory(md.traj))
+    with pytest.raises(StaticLatticeError,
+                       match="no consistent lattice mapping") as ei:
+        dyn.run(seeds, broken, centers=centers)
+    assert ei.value.frame == T
+    assert ei.value.max_drift is not None and ei.value.max_drift > 1.0
+
+
 def test_streaming_dynamic_mapping_under_mesh(md_system):
     """Lattice remapping composes with the 8-device mesh: permutation is
     applied host-side before upload, shard_map sees ordinary blocks."""
