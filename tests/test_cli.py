@@ -744,3 +744,85 @@ def test_report_transport_sections(xyz_file, tmp_path, capsys):
     assert "## Relaxation" in text and "tau_alpha" in text
     assert "## Finite-sampling uncertainty (16 posterior draws)" in text
     assert "p_ij_lo" in text
+
+def test_run_tpt_skip_branches(capsys):
+    """_run_tpt's guard rails: overlapping quantile groups skip before
+    any TPT work; a TransitionPathAnalysis ValueError (no stationary
+    mass on the source group) downgrades to a skip note, never a crash."""
+    import argparse
+    from sitator_tpu import SiteNetwork
+    from sitator_tpu.cli import _run_tpt
+    from sitator_tpu.core.structure import Structure
+
+    structure = Structure(np.zeros((2, 3)), [16, 3], np.eye(3) * 10.0)
+    sn = SiteNetwork(structure, np.array([1, 0], bool),
+                     np.array([0, 1], bool))
+    # four sites at the SAME x: the low/high quantile groups coincide
+    sn.centers = np.array([[5.0, 5.0, 1.0], [5.0, 1.0, 5.0],
+                           [5.0, 9.0, 5.0], [5.0, 5.0, 9.0]])
+    sn.add_site_attribute("occupancies", np.full(4, 0.25))
+    args = argparse.Namespace(tpt="x", verbose=False)
+    assert _run_tpt(args, sn) is None
+    assert "skipped" in capsys.readouterr().err
+
+    # distinct x, but the chain is absorbing at site 3: the source
+    # group carries no stationary mass -> ValueError -> skip note
+    sn2 = SiteNetwork(structure, np.array([1, 0], bool),
+                      np.array([0, 1], bool))
+    sn2.centers = np.array([[1.0, 5.0, 5.0], [4.0, 5.0, 5.0],
+                            [6.0, 5.0, 5.0], [9.0, 5.0, 5.0]])
+    sn2.add_site_attribute("occupancies", np.full(4, 0.25))
+    n_ij = np.zeros((4, 4))
+    n_ij[0, 1] = n_ij[1, 2] = n_ij[2, 3] = 5.0
+    n_ij[3, 3] = 100.0  # absorbing sink
+    sn2.add_edge_attribute("n_ij", n_ij)
+    args2 = argparse.Namespace(tpt="x:0.3", verbose=False)
+    assert _run_tpt(args2, sn2) is None
+    assert "skipped" in capsys.readouterr().err
+
+
+def test_vacancy_report_paths(capsys):
+    """_print_vacancy_report: the O(F*V^3) huge-run guard skips with a
+    warning; a run with real vacancies prints the identity summary."""
+    import argparse
+    from sitator_tpu import SiteNetwork, SiteTrajectory
+    from sitator_tpu.cli import _print_vacancy_report
+    from sitator_tpu.core.structure import Structure
+
+    args = argparse.Namespace(verbose=False)
+
+    class _SN:
+        n_sites = 2000
+
+    class _ST:
+        site_network = _SN()
+        n_mobile = 10
+        n_frames = 10 ** 6
+
+    _print_vacancy_report(args, _ST())
+    assert "skipping --vacancies" in capsys.readouterr().err
+
+    # a real single-vacancy exchange run prints the summary line
+    rng = np.random.default_rng(3)
+    S = 8
+    centers = np.stack(np.meshgrid(*[np.arange(2)] * 3,
+                                   indexing="ij"), -1).reshape(-1, 3) * 3.0
+    structure = Structure(np.zeros((S, 3)), [16] + [3] * (S - 1),
+                          np.eye(3) * 6.0)
+    mask = np.zeros(S, bool)
+    mask[0] = True
+    sn = SiteNetwork(structure, mask, ~mask)
+    sn.centers = centers + 1.5
+    site_of_ion = np.arange(1, S, dtype=np.int64)
+    labels = np.empty((60, S - 1), np.int64)
+    vac = 0
+    for f in range(60):
+        labels[f] = site_of_ion
+        if rng.random() < 0.4:
+            # swap the vacancy with a random occupied site
+            i = rng.integers(0, S - 1)
+            vac, site_of_ion[i] = int(site_of_ion[i]), vac
+    st = SiteTrajectory(sn, labels)
+    _print_vacancy_report(args, st)
+    out = capsys.readouterr().out
+    assert "vacancies:" in out and "identities" in out
