@@ -826,3 +826,78 @@ def test_vacancy_report_paths(capsys):
     _print_vacancy_report(args, st)
     out = capsys.readouterr().out
     assert "vacancies:" in out and "identities" in out
+
+def test_report_needs_matplotlib(xyz_file, tmp_path, monkeypatch):
+    """--report fails fast (before any pipeline work) when matplotlib is
+    absent."""
+    monkeypatch.setitem(sys.modules, "matplotlib", None)
+    with pytest.raises(SystemExit, match="matplotlib"):
+        main(["analyze", xyz_file, "--mobile", "Li",
+              "--report", str(tmp_path / "r")])
+
+
+def test_report_failure_never_kills_the_run(xyz_file, tmp_path,
+                                            monkeypatch, capsys):
+    """A report-generation crash downgrades to a warning: the analysis
+    (already saved) must never be lost to a figure bug."""
+    import sitator_tpu.cli as cli_mod
+    def _boom(args, st, objs):
+        raise RuntimeError("synthetic figure crash")
+    monkeypatch.setattr(cli_mod, "_write_report", _boom)
+    out = str(tmp_path / "a.sites")
+    rc = main(["analyze", xyz_file, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--out", out, "--report", str(tmp_path / "rpt")])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "report generation failed: synthetic figure crash" in cap.err
+    assert os.path.exists(out + ".npz") or os.path.exists(out)
+
+
+def test_sites_bv_multi_mobile_note_and_bad_tol(tmp_path, capsys):
+    """BV screening notes that only the FIRST --mobile species is the
+    scanned cation; an invalid tolerance exits with the sites: prefix."""
+    a = 2 * (1.466 + 0.37 * np.log(6.0))
+    basis = [(0, 0, 0), (.5, .5, 0), (.5, 0, .5), (0, .5, .5)]
+    lines = ["data_t", f"_cell_length_a {a:.6f}",
+             f"_cell_length_b {a:.6f}", f"_cell_length_c {a:.6f}",
+             "_cell_angle_alpha 90", "_cell_angle_beta 90",
+             "_cell_angle_gamma 90", "loop_", "_atom_site_type_symbol",
+             "_atom_site_fract_x", "_atom_site_fract_y",
+             "_atom_site_fract_z"]
+    lines += [f"O {x} {y} {z}" for x, y, z in basis]
+    cif = tmp_path / "host.cif"
+    cif.write_text("\n".join(lines) + "\n")
+    rc = main(["sites", str(cif), "--mobile", "Li", "Na",
+               "--method", "bv", "--bv-mismatch-tol", "0.3"])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "uses ONE cation" in cap.err and "Li" in cap.err
+    with pytest.raises(SystemExit, match="sites: "):
+        main(["sites", str(cif), "--mobile", "Li", "--method", "bv",
+              "--bv-mismatch-tol", "-1"])
+
+
+def test_diagnose_and_report_on_resolvable_chain(tpt_xyz, tmp_path,
+                                                 capsys):
+    """On the longer hopping fixture the site chain has >= 2 live sites
+    and resolvable implied timescales: the full markovianity diagnose
+    detail prints, and the report renders the Markovianity and barrier
+    sections with their figures."""
+    pytest.importorskip("matplotlib")
+    rpt = str(tmp_path / "rpt")
+    rc = main(["analyze", tpt_xyz, "--mobile", "Li",
+               "--cutoff-midpoint", "4.0", "--cutoff-steepness", "3.0",
+               "--temperature", "600", "--barriers",
+               "--diagnose", "--report", rpt])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "diagnose: markovianity —" in out
+    # the detail branch, not the "n/a (fewer than two live sites)" one
+    assert ("slowest timescale" in out
+            or "slow mode decays within the lag grid" in out)
+    text = open(os.path.join(rpt, "report.md")).read()
+    assert "## Markovianity of the site chain" in text
+    assert os.path.exists(os.path.join(rpt, "implied_timescales.png"))
+    if "Pathway barriers" in text:
+        assert os.path.exists(os.path.join(rpt, "barriers.png"))
