@@ -1095,3 +1095,74 @@ def test_streaming_async_label_copy_invariance(md_system, tmp_path):
     np.testing.assert_array_equal(outs[False][0].n_ij, outs[True][0].n_ij)
     np.testing.assert_allclose(outs[False][0].occupancies,
                                outs[True][0].occupancies, atol=1e-12)
+
+def test_streaming_verbose_and_mesh_validation(md_system, tmp_path, caplog):
+    """The verbose observability lines actually fire (fit summary,
+    resume notice, remap count, final summary, per-frame exchange), and
+    a mesh whose size does not divide block_frames is rejected."""
+    import logging
+    md, seeds = md_system
+    T = 233
+    swapped = md.traj[:500].copy()
+    sa = np.flatnonzero(md.static_mask)
+    i, j = sa[2], sa[17]
+    swapped[T:, i], swapped[T:, j] = (md.traj[T:500, j].copy(),
+                                      md.traj[T:500, i].copy())
+    ckpt = str(tmp_path / "v.ckpt")
+    dyn = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0,
+                                    block_frames=100,
+                                    dynamic_lattice_mapping=True,
+                                    checkpoint_path=ckpt,
+                                    checkpoint_every=1, verbose=True)
+    full = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                     cutoff_steepness=3.0,
+                                     block_frames=100,
+                                     dynamic_lattice_mapping=True,
+                                     verbose=True)
+    with caplog.at_level(logging.INFO,
+                         logger="sitator_tpu.landmark.streaming"):
+        centers = dyn.fit_centers(seeds, ArrayTrajectory(md.traj))
+        # complete run: the remap-count summary only prints at the end
+        full.run(seeds, swapped, centers=centers)
+        with pytest.raises(Interrupt):
+            dyn.run(seeds, FlakyReader(swapped, die_after=3),
+                    centers=centers)
+        out = dyn.run(seeds, FlakyReader(swapped, die_after=None),
+                      centers=centers)
+    assert out.n_sites > 0
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("streaming fit:" in m for m in msgs)
+    assert any("resuming streaming run at frame" in m for m in msgs)
+    assert any("lattice site exchange" in m for m in msgs)
+    assert any("slot→atom remaps" in m for m in msgs)
+    assert any(m.startswith("streaming run:") for m in msgs)
+
+    from sitator_tpu.parallel.mesh import frame_mesh
+    bad = StreamingLandmarkAnalysis(cutoff_midpoint=4.0,
+                                    cutoff_steepness=3.0,
+                                    block_frames=100, mesh=frame_mesh(8),
+                                    verbose=False)
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        bad.run(seeds, swapped, centers=centers)
+
+
+def test_merge_network_singleton_and_distance_guard():
+    """merge_network's distance guard: a flicker-coupled pair too far
+    apart to be one physical site stays split, and an isolated site
+    passes through as a singleton group."""
+    from sitator_tpu.core.structure import Structure
+    structure = Structure(np.zeros((2, 3)), [16, 3], np.eye(3) * 20.0)
+    sn = SiteNetwork(structure, np.array([1, 0], bool),
+                     np.array([0, 1], bool))
+    sn.centers = np.array([[1.0, 1.0, 1.0], [9.0, 9.0, 9.0],
+                           [15.0, 15.0, 15.0]])
+    sn.add_site_attribute("occupancies", np.array([0.4, 0.4, 0.2]))
+    n_ij = np.array([[0, 50, 0], [50, 0, 0], [0, 0, 5]], np.int64)
+    sn.add_edge_attribute("n_ij", n_ij)
+    merged, remap = StreamingLandmarkAnalysis.merge_network(
+        sn, distance_threshold=2.0, verbose=True)
+    assert merged.n_sites == 3           # the distance guard held
+    assert sorted(remap.tolist()) == [0, 1, 2]
+    np.testing.assert_allclose(merged.occupancies.sum(),
+                               sn.occupancies.sum(), atol=1e-12)
