@@ -223,7 +223,11 @@ def read_poscar(path):
     """
     with open(path) as f:
         f.readline()                                  # comment
-        scale = float(f.readline().split()[0])
+        scale_line = f.readline().split()
+        if not scale_line:
+            raise ValueError("POSCAR header truncated: missing scale "
+                             "line (empty or cut-off file?)")
+        scale = float(scale_line[0])
         raw_cell = np.array([[float(x) for x in f.readline().split()]
                              for _ in range(3)])
         if scale < 0:
@@ -667,7 +671,11 @@ def parse_xdatcar_header(f):
 def _parse_xdatcar_header_body(f):
     """Header parse with the comment line already consumed — also used for
     the repeated mid-file headers of variable-cell (NPT) XDATCARs."""
-    scale = float(f.readline().split()[0])
+    scale_line = f.readline().split()
+    if not scale_line:
+        raise ValueError("XDATCAR header truncated: missing scale line "
+                         "(empty or cut-off file?)")
+    scale = float(scale_line[0])
     cell = np.array([[float(x) for x in f.readline().split()]
                      for _ in range(3)])
     if scale < 0:

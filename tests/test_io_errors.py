@@ -110,3 +110,189 @@ def test_ase_adapter_requires_ase():
     from sitator_tpu.io.ase_adapter import from_ase
     with pytest.raises(ImportError, match="[aA][sS][eE]"):
         from_ase(object())
+
+def test_extxyz_properties_without_pos(tmp_path):
+    """A well-formed Properties= declaration that nevertheless lacks a
+    pos field is an error, not a silent misread."""
+    p = _write(tmp_path, "nopos.xyz",
+               '1\nLattice="4 0 0 0 4 0 0 0 4" '
+               'Properties=species:S:1:charge:R:1\nLi 0.1\n')
+    with pytest.raises(ValueError, match="declares no pos field"):
+        read_xyz(p)
+
+
+def test_extxyz_without_species_column(tmp_path):
+    """Properties=pos:R:3 alone is legal: species default to 0."""
+    p = _write(tmp_path, "onlypos.xyz",
+               '2\nLattice="4 0 0 0 4 0 0 0 4" Properties=pos:R:3\n'
+               '1 1 1\n2 2 2\n')
+    s, traj = read_xyz(p, index="all")
+    assert traj.shape == (1, 2, 3)
+    assert (np.asarray(s.species) == 0).all()
+
+
+def test_cif_unreadable_element_token(tmp_path):
+    p = _write(tmp_path, "badel.cif", """data_x
+_cell_length_a 4
+_cell_length_b 4
+_cell_length_c 4
+_cell_angle_alpha 90
+_cell_angle_beta 90
+_cell_angle_gamma 90
+loop_
+_atom_site_type_symbol
+_atom_site_fract_x
+_atom_site_fract_y
+_atom_site_fract_z
+?? 0 0 0
+""")
+    with pytest.raises(ValueError, match="cannot read an element"):
+        read_cif(p)
+
+
+def test_cif_trailing_unquoted_symop_and_shlex_fallback(tmp_path):
+    """Legacy CIFs: an UNQUOTED 'x, y, z' in a trailing symop column
+    shatters into tokens and must be rejoined; a row with an unbalanced
+    quote falls back to whitespace splitting."""
+    p = _write(tmp_path, "legacy.cif", """data_x
+_cell_length_a 4
+_cell_length_b 4
+_cell_length_c 4
+_cell_angle_alpha 90
+_cell_angle_beta 90
+_cell_angle_gamma 90
+loop_
+_symmetry_equiv_pos_site_id
+_symmetry_equiv_pos_as_xyz
+1 x, y, z
+2 -x, -y, -z
+loop_
+_some_other_tag
+junk' with an unbalanced quote
+loop_
+_atom_site_type_symbol
+_atom_site_fract_x
+_atom_site_fract_y
+_atom_site_fract_z
+Li 0.25 0.25 0.25
+""")
+    s = read_cif(p)
+    # Li expands to +/- (0.25,0.25,0.25) under the inversion symop
+    assert (np.asarray(s.species) == 3).sum() == 2
+
+
+def test_cif_cartesian_coordinates(tmp_path):
+    """_atom_site_Cartn_x files carry cartesian coordinates that are
+    converted through the cell inverse."""
+    p = _write(tmp_path, "cartn.cif", """data_x
+_cell_length_a 4
+_cell_length_b 4
+_cell_length_c 4
+_cell_angle_alpha 90
+_cell_angle_beta 90
+_cell_angle_gamma 90
+loop_
+_atom_site_type_symbol
+_atom_site_Cartn_x
+_atom_site_Cartn_y
+_atom_site_Cartn_z
+Li 1.0 2.0 3.0
+""")
+    s = read_cif(p)
+    np.testing.assert_allclose(np.asarray(s.positions)[0],
+                               [1.0, 2.0, 3.0], atol=1e-10)
+
+
+def test_read_xdatcar_no_frames_and_truncated(tmp_path):
+    from sitator_tpu.io.formats import read_poscar, read_xdatcar
+    # a valid header with zero Direct frames
+    p = _write(tmp_path, "XDATCAR",
+               "c\n1.0\n 4 0 0\n 0 4 0\n 0 0 4\nLi\n1\n")
+    with pytest.raises(ValueError, match="no frames found"):
+        read_xdatcar(p)
+    # an EMPTY file gets a clear truncated-header error, not IndexError
+    e = _write(tmp_path, "EMPTY", "")
+    with pytest.raises(ValueError, match="header truncated"):
+        read_xdatcar(e)
+    with pytest.raises(ValueError, match="header truncated"):
+        read_poscar(e)
+
+
+def test_lammps_python_reader_malformed_box_header(tmp_path):
+    from sitator_tpu.io.formats import read_lammps_dump
+    p = _write(tmp_path, "bad.lammpstrj",
+               "ITEM: TIMESTEP\n0\nITEM: NUMBER OF ATOMS\n1\n"
+               "ITEM: SOMETHING ELSE\n")
+    with pytest.raises(ValueError, match="BOX BOUNDS"):
+        read_lammps_dump(p)
+
+
+def test_lammps_numeric_element_label(tmp_path):
+    """dump_modify can emit numeric labels in the element column: they
+    are taken as the type number directly."""
+    from sitator_tpu.io.formats import read_lammps_dump
+    p = _write(tmp_path, "numel.lammpstrj",
+               "ITEM: TIMESTEP\n0\nITEM: NUMBER OF ATOMS\n1\n"
+               "ITEM: BOX BOUNDS pp pp pp\n0 4\n0 4\n0 4\n"
+               "ITEM: ATOMS id element x y z\n1 3 1.0 1.0 1.0\n")
+    s, traj = read_lammps_dump(p)
+    assert list(s.species) == [3]
+
+
+def test_sniff_magic_bytes_without_extension(tmp_path):
+    """npz and h5 files are recognized by magic bytes even with a
+    neutral extension; unreadable paths sniff to None (-> clear error)."""
+    from sitator_tpu.io.formats import open_trajectory, sniff_format
+    arr = np.zeros((2, 1, 3), np.float32)
+    pz = tmp_path / "store.bin"
+    np.savez(str(pz), positions=arr, cell=np.eye(3))
+    # np.savez appends .npz: rename to the neutral name
+    os = __import__("os")
+    os.replace(str(pz) + ".npz", str(pz))
+    assert sniff_format(str(pz)) == "npz"
+    h5py = pytest.importorskip("h5py")
+    ph = tmp_path / "traj.dat"
+    with h5py.File(str(ph), "w") as f:
+        f["positions"] = arr
+        f["cell"] = np.eye(3)
+    assert sniff_format(str(ph)) == "h5"
+    r = open_trajectory(str(ph))
+    assert len(r) == 2
+    # a directory is unreadable as a file: sniff returns None
+    assert sniff_format(str(tmp_path)) is None
+
+
+def test_variable_cell_ignored_for_binary(tmp_path, caplog):
+    """variable_cell= on a binary trajectory warns (the rescale can only
+    be baked in at conversion time) and still opens."""
+    import logging
+    from sitator_tpu.io.formats import open_trajectory
+    p = tmp_path / "t.npy"
+    np.save(str(p), np.zeros((3, 2, 3), np.float32))
+    (tmp_path / "t.npy.structure.xyz").write_text(
+        '2\nLattice="4 0 0 0 4 0 0 0 4"\nLi 0 0 0\nS 1 1 1\n')
+    with caplog.at_level(logging.WARNING, logger="sitator_tpu.io.formats"):
+        r = open_trajectory(str(p), variable_cell="rescale")
+    assert len(r) == 3
+    assert any("ignored for binary trajectory" in rec.getMessage()
+               for rec in caplog.records)
+
+
+def test_convert_to_npy_rejects_binary_sources(tmp_path):
+    from sitator_tpu.io.formats import convert_to_npy
+    src = tmp_path / "b.npy"
+    np.save(str(src), np.zeros((2, 1, 3), np.float32))
+    with pytest.raises(ValueError, match="streams text formats only"):
+        convert_to_npy(str(src), str(tmp_path / "out.npy"))
+
+
+def test_write_lammps_dump_single_structure(tmp_path):
+    """traj=None writes the structure's own positions as one frame."""
+    from sitator_tpu.core.structure import Structure
+    from sitator_tpu.io.formats import read_lammps_dump, write_lammps_dump
+    s = Structure(np.array([[1.0, 1.0, 1.0]]), [3], np.eye(3) * 4)
+    p = str(tmp_path / "one.lammpstrj")
+    write_lammps_dump(p, s)
+    s2, traj = read_lammps_dump(p)
+    assert traj.shape == (1, 1, 3)
+    np.testing.assert_allclose(traj[0], s.positions, atol=1e-6)
