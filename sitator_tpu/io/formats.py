@@ -211,6 +211,27 @@ def write_xyz(path, structure, traj=None, mode="w"):
                 f.write(f"{s} {p[0]:.8f} {p[1]:.8f} {p[2]:.8f}\n")
 
 
+def _header_fields(f, what, fmt, n=None):
+    """Read one header line and split it, raising a clear truncation error
+    instead of the cryptic numpy/float failures a cut-off file produces.
+
+    ``n`` (optional) additionally requires at least that many fields —
+    a lattice row with two numbers is as truncated as a missing line.
+    """
+    toks = f.readline().split()
+    if not toks or (n is not None and len(toks) < n):
+        raise ValueError(f"{fmt} header truncated: missing or short "
+                         f"{what} line (empty or cut-off file?)")
+    return toks
+
+
+def _header_cell_rows(f, fmt):
+    """The three lattice-vector rows, with truncation diagnostics."""
+    return np.array([[float(x) for x in
+                      _header_fields(f, f"lattice row {i + 1}", fmt, n=3)[:3]]
+                     for i in range(3)])
+
+
 def read_poscar(path):
     """VASP POSCAR/CONTCAR → :class:`Structure` (single frame).
 
@@ -223,17 +244,12 @@ def read_poscar(path):
     """
     with open(path) as f:
         f.readline()                                  # comment
-        scale_line = f.readline().split()
-        if not scale_line:
-            raise ValueError("POSCAR header truncated: missing scale "
-                             "line (empty or cut-off file?)")
-        scale = float(scale_line[0])
-        raw_cell = np.array([[float(x) for x in f.readline().split()]
-                             for _ in range(3)])
+        scale = float(_header_fields(f, "scale", "POSCAR")[0])
+        raw_cell = _header_cell_rows(f, "POSCAR")
         if scale < 0:
             scale = (-scale / abs(np.linalg.det(raw_cell))) ** (1.0 / 3.0)
         cell = raw_cell * scale
-        toks = f.readline().split()
+        toks = _header_fields(f, "species/counts", "POSCAR")
         if all(t.lstrip("-").isdigit() for t in toks):
             counts = [int(x) for x in toks]           # VASP4
             species = np.concatenate([
@@ -241,7 +257,8 @@ def read_poscar(path):
                 for i, c in enumerate(counts)])
         else:
             symbols = toks
-            counts = [int(x) for x in f.readline().split()]
+            counts = [int(x) for x in
+                      _header_fields(f, "counts", "POSCAR")]
             species = np.concatenate([
                 np.full(c, symbol_to_number(symbols[i]), dtype=np.int32)
                 for i, c in enumerate(counts)])
@@ -249,9 +266,15 @@ def read_poscar(path):
         line = f.readline().strip()
         if line[:1].lower() == "s":                   # Selective dynamics
             line = f.readline().strip()
+        if not line:
+            raise ValueError("POSCAR header truncated: missing coordinate "
+                             "mode line (empty or cut-off file?)")
         cartesian = line[:1].lower() in ("c", "k")
-        coords = np.array([[float(x) for x in f.readline().split()[:3]]
-                           for _ in range(n)])
+        coords = np.array([
+            [float(x) for x in
+             _header_fields(f, f"coordinate row {i + 1}/{n}", "POSCAR",
+                            n=3)[:3]]
+            for i in range(n)])
     pos = coords * scale if cartesian else coords @ cell
     return Structure(pos, species, cell)
 
@@ -671,18 +694,13 @@ def parse_xdatcar_header(f):
 def _parse_xdatcar_header_body(f):
     """Header parse with the comment line already consumed — also used for
     the repeated mid-file headers of variable-cell (NPT) XDATCARs."""
-    scale_line = f.readline().split()
-    if not scale_line:
-        raise ValueError("XDATCAR header truncated: missing scale line "
-                         "(empty or cut-off file?)")
-    scale = float(scale_line[0])
-    cell = np.array([[float(x) for x in f.readline().split()]
-                     for _ in range(3)])
+    scale = float(_header_fields(f, "scale", "XDATCAR")[0])
+    cell = _header_cell_rows(f, "XDATCAR")
     if scale < 0:
         # VASP convention: a negative scale is the desired cell VOLUME
         scale = (-scale / abs(np.linalg.det(cell))) ** (1.0 / 3.0)
     cell = cell * scale
-    species_line = f.readline().split()
+    species_line = _header_fields(f, "species/counts", "XDATCAR")
     v4 = all(t.lstrip("-").isdigit() for t in species_line)
     if v4:
         # old VASP4 style: no symbols line, species_line IS the counts
@@ -690,7 +708,8 @@ def _parse_xdatcar_header_body(f):
         symbols = None
     else:
         symbols = species_line
-        counts = [int(x) for x in f.readline().split()]
+        counts = [int(x) for x in
+                  _header_fields(f, "counts", "XDATCAR")]
     header_end = f.tell()
     species = np.concatenate([
         np.full(c, i + 1 if v4 else symbol_to_number(symbols[i]),
@@ -739,7 +758,13 @@ def iread_xdatcar(path, variable_cell="error"):
                 continue
             frac = np.empty((n_atoms, 3), dtype=np.float64)
             for i in range(n_atoms):
-                frac[i] = [float(x) for x in f.readline().split()[:3]]
+                row = f.readline().split()
+                if len(row) < 3:
+                    raise ValueError(
+                        "XDATCAR frame truncated: coordinate row "
+                        f"{i + 1}/{n_atoms} missing or short (cut-off "
+                        "file?)")
+                frac[i] = [float(x) for x in row[:3]]
             pos = frac @ (ref_cell if variable_cell == "rescale" else cell)
             if structure is None:
                 structure = Structure(pos, species, ref_cell)

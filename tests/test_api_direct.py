@@ -294,8 +294,6 @@ def test_radial_smearing_table_contract():
 # ------------------------------------------------- meshed MXU step
 
 def test_mxu_analysis_step_matches_xla_reference():
-    import jax
-
     from sitator_tpu.ops import landmark as lmops
     from sitator_tpu.ops.landmark_mxu import (permute_centers,
                                               prepare_mxu_basis)

@@ -97,8 +97,13 @@ def test_trajectory_from_ase_empty_raises(fake_ase):
 
 
 def test_import_error_without_ase():
-    # ase must really be absent in this env for the contract to bind
-    assert "ase" not in sys.modules or not hasattr(
-        sys.modules.get("ase"), "__file__")
+    # skip (not fail) when ase is genuinely importable — the contract
+    # only binds in ase-less environments; the message match is the part
+    # test_io_errors.test_ase_adapter_requires_ase does not pin
+    try:
+        import ase  # noqa: F401
+        pytest.skip("ase installed in this environment")
+    except ImportError:
+        pass
     with pytest.raises(ImportError, match="ASE is not installed"):
         from_ase(_FakeAtoms(numbers=[1], positions=[[0.0, 0.0, 0.0]]))

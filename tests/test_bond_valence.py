@@ -132,3 +132,28 @@ def test_bv_sums_invariances():
     latt = np.array([2.0, -1.0, 3.0]) @ cell
     moved = bv_ops.bv_sums(probes + latt, anions, 1.94, cell)
     np.testing.assert_allclose(moved, base, rtol=2e-4)
+
+
+def test_bv_anion_mask_paths_and_verbose():
+    """Boolean anion-mask selection (good, wrong-shape, non-static),
+    the n_vertices validation, and the verbose run (coverage audit)."""
+    R0, b = 1.466, 0.37
+    a = 2 * (R0 + b * np.log(6.0))
+    structure, static, mobile, _ = _fcc_oxygen_system(2, a)
+    sn0 = SiteNetwork(structure, static, mobile)
+
+    with pytest.raises(ValueError, match="n_vertices"):
+        BondValenceSiteGenerator(n_vertices=0)
+    with pytest.raises(ValueError, match=r"must be \(n_atoms,\)"):
+        BondValenceSiteGenerator(anions=np.ones(3, bool),
+                                 verbose=False).run(sn0)
+    bad = np.ones(structure.n_atoms, bool)     # includes the mobile Li
+    with pytest.raises(ValueError, match="non-static"):
+        BondValenceSiteGenerator(anions=bad, verbose=False).run(sn0)
+
+    mask = np.asarray(static, bool).copy()
+    sn = BondValenceSiteGenerator(v_ideal=1.0, mismatch_tol=0.3,
+                                  n_bins=40, min_distance=1.2,
+                                  anions=mask, verbose=True).run(sn0)
+    assert sn.n_sites > 0
+    assert sn.bv_mismatch.shape == (sn.n_sites,)

@@ -899,5 +899,12 @@ def test_diagnose_and_report_on_resolvable_chain(tpt_xyz, tmp_path,
     text = open(os.path.join(rpt, "report.md")).read()
     assert "## Markovianity of the site chain" in text
     assert os.path.exists(os.path.join(rpt, "implied_timescales.png"))
-    if "Pathway barriers" in text:
+    # Tie the report's barriers section to the SAME run's stdout signal:
+    # if the barrier engine found sampled edges, the section and its
+    # figure MUST render; if not, the section must be absent.
+    if "density barriers: no edge with enough sampling" in out:
+        assert "Pathway barriers" not in text
+    else:
+        assert "density barriers:" in out
+        assert "## Pathway barriers (density route)" in text
         assert os.path.exists(os.path.join(rpt, "barriers.png"))

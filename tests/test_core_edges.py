@@ -208,8 +208,20 @@ def test_site_volumes_degenerate_sites(sn):
     st2 = SiteVolumes(verbose=False).run(st)
     vols = st2.site_network.site_volumes
     assert np.isnan(vols).all()            # coplanar AND low-count -> NaN
-    with pytest.raises((ValueError, Exception)):
+    # site 0 (coplanar, >= 4 points) is hit first: the QhullError re-raise
+    from scipy.spatial import QhullError
+    with pytest.raises(QhullError):
         SiteVolumes(error_on_insufficient=True, verbose=False).run(st)
+    # low-count branch raises the explicit ValueError (site 0 underfilled,
+    # reached before any hull is attempted)
+    labels_low = np.array([[-1, 0], [-1, 0], [-1, 0],
+                           [-1, -1], [-1, -1], [-1, -1]])
+    st_low = SiteTrajectory(sn, labels_low)
+    real_low = np.zeros((6, 6, 3))
+    real_low[:3, 5, :] = planar[:3] + 3.0
+    st_low.set_real_traj(real_low)
+    with pytest.raises(ValueError, match="< 4 assigned points"):
+        SiteVolumes(error_on_insufficient=True, verbose=False).run(st_low)
 
 
 def test_recenter_with_masses(sn):

@@ -266,3 +266,31 @@ def test_fit_window_single_source_of_truth():
     assert fit_window(400, (0.0, 0.004)) == (1, 3)
     assert fit_window(100, (0.2, 0.5)) == (20, 50)
     assert fit_window(5, (0.2, 0.9)) == (1, 4)
+
+
+def test_selection_masks_and_verbose_logging():
+    """Boolean-mask selection path, species-not-found and wrong-shape
+    raises, and the verbose branches of all three correlation engines
+    (coverage audit)."""
+    from sitator_tpu.io import make_hopping_trajectory
+    from sitator_tpu import SiteNetwork
+    from sitator_tpu.core.sitetraj import SiteTrajectory
+    from sitator_tpu.dynamics import ScatteringAnalysis
+
+    md = make_hopping_trajectory(n_cells=2, a=4.0, n_ions=3, n_frames=60,
+                                 jump_rate=0.05, seed=7)
+    sn = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+    st = SiteTrajectory(sn, np.zeros((md.n_frames, md.n_ions), np.int64))
+    st.set_real_traj(md.traj)
+
+    ra = RDFAnalysis(select_a=np.asarray(md.mobile_mask, bool),
+                     n_bins=24, verbose=True).run(st)
+    assert ra.g_.shape == (24,)
+    with pytest.raises(ValueError, match="no atoms of species"):
+        RDFAnalysis(select_a=99, verbose=False).run(st)
+    with pytest.raises(ValueError, match=r"must be \(n_atoms,\)"):
+        RDFAnalysis(select_a=np.ones(3, bool), verbose=False).run(st)
+    VanHoveAnalysis(lags=(0, 5), n_bins=16, origin_stride=10,
+                    verbose=True).run(st)
+    sa = ScatteringAnalysis(q_max=2.5, n_shells=3, verbose=True).run(st)
+    assert np.isfinite(sa.S_q_).any()

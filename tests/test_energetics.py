@@ -115,3 +115,24 @@ def test_validation():
                        match="total_corrected_residences"):
         SiteFreeEnergyAnalysis(temperature=300, attempt_frequency=1.0,
                                verbose=False).run(st3)
+
+
+def test_mean_reference_rerun_and_verbose():
+    """reference='mean' pins F to -kT ln(occ/mean-occ); re-running the
+    analysis replaces (never duplicates) both attributes; verbose logging
+    paths execute (coverage audit)."""
+    T = 500.0
+    st, _, _ = _two_site_st(p_hi=0.7, F=8000, seed=3)
+    an = SiteFreeEnergyAnalysis(temperature=T, attempt_frequency=1.0,
+                                reference="mean", verbose=True)
+    an.run(st)
+    sn = st.site_network
+    F1 = sn.site_free_energies.copy()
+    E1 = sn.barriers_ij.copy()
+    occ = sn.occupancies
+    ref = occ[occ > 0].mean()
+    np.testing.assert_allclose(F1, -KB * T * np.log(occ / ref),
+                               rtol=1e-12)
+    an.run(st)     # second run exercises the remove_attribute branches
+    np.testing.assert_allclose(sn.site_free_energies, F1, rtol=0)
+    np.testing.assert_allclose(sn.barriers_ij, E1, rtol=0)

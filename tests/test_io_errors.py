@@ -216,6 +216,32 @@ def test_read_xdatcar_no_frames_and_truncated(tmp_path):
         read_xdatcar(e)
     with pytest.raises(ValueError, match="header truncated"):
         read_poscar(e)
+    # cut-off one line deeper: inside the lattice rows (the ragged-array
+    # numpy crash class), after them (species), and mid-coordinates
+    for name, body, what in [
+        ("L2", "c\n1.0\n 4 0 0\n 0 4 0\n", "lattice row 3"),
+        ("LSHORT", "c\n1.0\n 4 0 0\n 0 4 0\n 0 0\n", "lattice row 3"),
+        ("NOSPEC", "c\n1.0\n 4 0 0\n 0 4 0\n 0 0 4\n", "species/counts"),
+        ("NOCOUNT", "c\n1.0\n 4 0 0\n 0 4 0\n 0 0 4\nLi\n", "counts"),
+        ("NOMODE", "c\n1.0\n 4 0 0\n 0 4 0\n 0 0 4\nLi\n2\n",
+         "coordinate mode"),
+        ("MIDCOORD", "c\n1.0\n 4 0 0\n 0 4 0\n 0 0 4\nLi\n2\nDirect\n"
+         "0.1 0.2 0.3\n", "coordinate row 2/2"),
+    ]:
+        t = _write(tmp_path, name, body)
+        with pytest.raises(ValueError, match="truncated"):
+            read_poscar(t)
+    # the shared XDATCAR header parser gets the same guards
+    x = _write(tmp_path, "XTRUNC", "c\n1.0\n 4 0 0\n")
+    with pytest.raises(ValueError, match="lattice row 2"):
+        read_xdatcar(x)
+    # cut off MID-FRAME: clear error, not a numpy broadcast crash
+    # (found driving the readers end-to-end, not by the header tests)
+    x2 = _write(tmp_path, "XMID",
+                "c\n1.0\n 4 0 0\n 0 4 0\n 0 0 4\nLi\n2\nDirect\n"
+                "0.1 0.2 0.3\n")
+    with pytest.raises(ValueError, match="frame truncated"):
+        read_xdatcar(x2)
 
 
 def test_lammps_python_reader_malformed_box_header(tmp_path):

@@ -419,3 +419,24 @@ def test_zero_landmark_detector_catches_subeps_norms():
     with pytest.raises(ZeroLandmarkError):
         LandmarkAnalysis(cutoff_midpoint=0.4, cutoff_steepness=12.0,
                          verbose=False).run(sn, md.traj)
+
+
+def test_mcl_backend_min_samples_prunes_to_empty():
+    """When every MCL group is smaller than min_samples the backend
+    returns zero centers and all-unassigned labels (verbose path
+    included) instead of crashing on an empty stack (coverage audit)."""
+    from sitator_tpu.landmark.cluster.mcl import do_landmark_clustering
+    rng = np.random.default_rng(4)
+    a = np.zeros(8); a[0] = 1.0
+    b = np.zeros(8); b[4] = 1.0
+    rows = []
+    for _ in range(10):
+        for base in (a, b):
+            v = base + rng.normal(scale=0.02, size=8)
+            rows.append(v / np.linalg.norm(v))
+    X = np.asarray(rows, np.float32)
+    counts, labels, confs, centers = do_landmark_clustering(
+        X, None, min_samples=1000, verbose=True)
+    assert len(counts) == 0 and len(centers) == 0
+    assert (labels == -1).all()
+    assert (confs == 0).all()

@@ -189,3 +189,25 @@ def test_plot_barrier_profiles_reverse_edge_and_errors():
     assert y[0] == 0.0                    # re-referenced to site 1's end
     with pytest.raises(ValueError, match="no profile"):
         plot_barrier_profiles(pa, edges=[(0, 5)])
+
+
+def test_max_distance_filter_rerun_and_verbose():
+    """max_distance prunes candidate pairs by min-image center distance;
+    re-running replaces the edge attribute; an all-pruned pair set yields
+    all-NaN barriers and no profiles (coverage audit)."""
+    rng = np.random.default_rng(0)
+    L = 8.0
+    traj = rng.uniform(0, L, (200, 4, 3))
+    centers = np.array([[1.0, 1.0, 1.0], [3.0, 3.0, 3.0]])
+    st, sn = _two_site_st(traj, centers, L)
+    kw = dict(temperature=300.0, n_bins=12, sigma=0.5, n_samples=9,
+              verbose=True)
+    pa = PathwayBarrierAnalysis(max_distance=10.0, **kw).run(st)
+    assert (0, 1) in pa.profiles_
+    E1 = sn.density_barrier_ij.copy()
+    PathwayBarrierAnalysis(max_distance=10.0, **kw).run(st)
+    np.testing.assert_allclose(sn.density_barrier_ij, E1)
+    # centers are sqrt(12) ~ 3.46 apart: a 0.5 AA cap prunes the pair
+    pa2 = PathwayBarrierAnalysis(max_distance=0.5, **kw).run(st)
+    assert not pa2.profiles_
+    assert np.isnan(sn.density_barrier_ij).all()

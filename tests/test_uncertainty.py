@@ -225,3 +225,41 @@ def test_single_live_site_edge_intervals_degenerate():
     dead_mask = np.ones((3, 3), bool)
     dead_mask[0, 0] = False
     assert np.isnan(lo[dead_mask]).all() and np.isnan(hi[dead_mask]).all()
+
+
+def test_missing_jump_attrs_raise():
+    """posterior_count_matrix needs JumpAnalysis outputs — the error
+    names what is missing (coverage audit)."""
+    labels = _simulate(P_TRUE, 200, np.random.default_rng(2))[:, None]
+    st = _st(labels, 3)
+    sn = st.site_network
+    for a in ("n_ij", "total_corrected_residences"):
+        if sn.has_attribute(a):
+            sn.remove_attribute(a)
+    with pytest.raises(ValueError, match="JumpAnalysis first"):
+        posterior_count_matrix(sn)
+
+
+def test_stationary_singular_solve_falls_back(monkeypatch):
+    """A LinAlgError from the exact solve routes through the power-
+    iteration fallback and still returns a valid distribution."""
+    from sitator_tpu.dynamics import uncertainty as unc
+    P = np.array([[0.9, 0.1], [0.2, 0.8]])
+    want = unc._obs_stationary(P)
+
+    def boom(*a, **k):
+        raise np.linalg.LinAlgError("forced")
+    monkeypatch.setattr(np.linalg, "solve", boom)
+    got = unc._obs_stationary(P)
+    assert got.sum() == pytest.approx(1.0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_verbose_logging_path():
+    """verbose=True walks the per-observable logging branch, including
+    the CI-width formatter (coverage audit)."""
+    labels = _simulate(P_TRUE, 4000, np.random.default_rng(5))[:, None]
+    st = _st(labels, 3)
+    ua = ChainUncertaintyAnalysis(n_samples=50, seed=2,
+                                  verbose=True).run(st)
+    assert set(ua.mean_) == set(ua.ci_)
