@@ -196,3 +196,28 @@ def test_merge_by_occupancy_correlation_distance_guard():
     out = MergeSitesByOccupancyCorrelation(
         threshold=0.9, distance_threshold=2.0, verbose=False).run(st)
     assert out.site_network.n_sites == 4          # nothing merged
+
+
+def test_balance_rerun_verbose_and_zero_tested():
+    """Re-running replaces the edge attributes; verbose paths log; a
+    chain with every edge below min_events reports worst_p_ = NaN
+    (coverage audit)."""
+    F = 2000
+    labels = np.tile([0, 1], F // 2)[:, None]
+    labels = np.concatenate([labels, labels[::-1]], axis=1)
+    sn = _network(2)
+    st = JumpAnalysis(verbose=False).run(SiteTrajectory(sn, labels))
+    db = DetailedBalanceAnalysis(verbose=True).run(st)
+    p1 = sn.balance_p.copy()
+    DetailedBalanceAnalysis(verbose=True).run(st)
+    np.testing.assert_allclose(sn.balance_p, p1)
+    # nothing reaches min_events -> zero tested edges, NaN worst_p_
+    db0 = DetailedBalanceAnalysis(min_events=10 ** 9,
+                                  verbose=True).run(st)
+    assert db0.n_tested_ == 0 and np.isnan(db0.worst_p_)
+
+    oc = OccupancyCorrelationAnalysis(verbose=True).run(st)
+    c1 = sn.occ_corr.copy()
+    OccupancyCorrelationAnalysis(verbose=True).run(st)
+    np.testing.assert_allclose(sn.occ_corr, c1, equal_nan=True)
+    assert oc.exclusive_pairs_.shape[1] == 2

@@ -170,3 +170,26 @@ def test_density_grid_stride_matches_materialized_subsample():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     with pytest.raises(ValueError, match="stride"):
         density_ops.density_grid(traj, cell, stride=0)
+
+
+def test_no_peaks_raises_and_verbose_run(monkeypatch):
+    """A peakless density field raises the instructive no-peaks error
+    (an all-zero grid genuinely yields zero peaks — '> threshold*max'
+    excludes everything); the verbose run logs its summary (coverage
+    audit)."""
+    from sitator_tpu.ops import density as density_ops
+    # the genuine zero-peak input at the ops layer
+    c, w = density_ops.find_density_peaks(np.zeros((6, 6, 6)),
+                                          np.eye(3) * 8.0)
+    assert len(c) == 0 and len(w) == 0
+    md = make_hopping_trajectory(n_cells=2, a=4.0, n_ions=2,
+                                 n_frames=50, seed=9)
+    sn0 = SiteNetwork(md.structure, md.static_mask, md.mobile_mask)
+    empty = (np.zeros((0, 3)), np.zeros(0))
+    monkeypatch.setattr(density_ops, "find_density_peaks",
+                        lambda *a, **k: empty)
+    with pytest.raises(ValueError, match="no density peaks"):
+        DensitySiteGenerator(verbose=False).run(sn0, md.traj)
+    monkeypatch.undo()
+    sn = DensitySiteGenerator(n_bins=24, verbose=True).run(sn0, md.traj)
+    assert sn.n_sites > 0

@@ -651,3 +651,12 @@ def test_npy_sidecar_staleness_guards(tmp_path):
     convert_to_npy(ArrayTrajectory(rng.uniform(0, 5, (5, 7, 3))), out)
     assert not os.path.exists(structure_sidecar_path(out))
     assert open_trajectory(out).structure is None
+
+
+def test_plot_atoms_mask(rng, tmp_path):
+    st = _make_annotated_st(rng)
+    s = st.site_network.structure
+    mask = np.zeros(s.n_atoms, bool)
+    mask[:4] = True
+    fig = plot_atoms(s, mask=mask)
+    fig.savefig(tmp_path / "atoms_masked.png")

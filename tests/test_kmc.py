@@ -286,3 +286,43 @@ def test_mfpt_transient_state_is_inf():
     M = mean_first_passage_times(P)
     assert np.isinf(M[1, 0])
     assert M[1, 1] == 0.0
+
+
+def test_stationary_identity_and_unconverged_warning(caplog):
+    """All-isolated chains (identity P) fall back to uniform; a chain
+    with relaxation far beyond the iteration budget warns instead of
+    silently returning a biased distribution (coverage audit)."""
+    import logging
+    pi = KineticMonteCarlo._stationary(np.eye(3))
+    np.testing.assert_allclose(pi, 1.0 / 3.0)
+    # coupling 1e-9: |lambda_2| so close to 1 the lazy iteration cannot
+    # move the uniform start to (2/3, 1/3) in 20000 steps
+    P_slow = np.array([[1 - 1e-9, 1e-9], [2e-9, 1 - 2e-9]])
+    with caplog.at_level(logging.WARNING,
+                         logger="sitator_tpu.dynamics.kmc"):
+        KineticMonteCarlo._stationary(P_slow)
+    assert any("unconverged" in r.message for r in caplog.records)
+
+
+def test_mfpt_no_live_states_all_inf(monkeypatch):
+    """The documented contract when no state carries stationary mass:
+    an all-inf matrix, not a divide-by-tiny blow-up."""
+    from sitator_tpu.dynamics.kmc import mean_first_passage_times
+    monkeypatch.setattr(KineticMonteCarlo, "_stationary",
+                        staticmethod(lambda P: np.zeros(len(P))))
+    M = mean_first_passage_times(np.array([[0.9, 0.1], [0.1, 0.9]]))
+    assert np.isinf(M).all()
+
+
+def test_kmc_zero_occupancy_start_and_verbose():
+    """start='occupancies' with an all-zero occupancy vector falls back
+    to uniform starts; the verbose summary line executes (coverage
+    audit)."""
+    sn = _network([[2.0, 2, 2], [6.0, 6, 6]])
+    P = np.array([[0.9, 0.1], [0.2, 0.8]])
+    sn.add_site_attribute("occupancies", np.zeros(2))
+    st = KineticMonteCarlo(n_walkers=6, n_frames=40, seed=3,
+                           transition_matrix=P, start="occupancies",
+                           verbose=True).run(sn)
+    assert st.traj.shape == (40, 6)
+    assert set(np.unique(st.traj)) <= {0, 1}

@@ -440,3 +440,121 @@ def test_mcl_backend_min_samples_prunes_to_empty():
     assert len(counts) == 0 and len(centers) == 0
     assert (labels == -1).all()
     assert (confs == 0).all()
+
+
+def test_dynamic_mapping_verbose_and_find_mapping_identity(synthetic_run):
+    """The verbose remap path logs slot counts; _find_lattice_mapping
+    returns the permutation unchanged when nothing exceeds the
+    threshold in f64 (coverage audit)."""
+    md, seeds, la, st = synthetic_run
+    swapped = md.traj.copy()
+    static_atoms = np.flatnonzero(md.static_mask)
+    i, j = static_atoms[2], static_atoms[17]
+    swapped[389:, i], swapped[389:, j] = (md.traj[389:, j].copy(),
+                                          md.traj[389:, i].copy())
+    la_dyn = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                              static_movement_threshold=1.0,
+                              dynamic_lattice_mapping=True, verbose=True)
+    st_dyn = la_dyn.run(seeds, swapped)
+    np.testing.assert_array_equal(st_dyn.traj, st.traj)
+
+    # identity case: no slot exceeds threshold -> same perm, max dist
+    ref = md.traj[0][md.static_mask]
+    perm = np.arange(len(ref))
+    out, worst = LandmarkAnalysis._find_lattice_mapping(
+        ref, perm, ref, md.structure.cell, 1.0)
+    np.testing.assert_array_equal(out, perm)
+    assert worst == 0.0
+
+
+def test_dynamic_mapping_graze_accept_and_nonconvergence(synthetic_run,
+                                                         monkeypatch):
+    """Two defensive corners of the remap loop, pinned by forcing the
+    host-side matcher's answer: (a) when the f64 matcher finds no
+    offenders (f32 drift grazed the threshold) the frame is ACCEPTED —
+    no infinite remap loop; (b) a matcher that keeps changing the
+    permutation without fixing the offending frame raises the
+    did-not-converge StaticLatticeError instead of spinning."""
+    md, seeds, la, st = synthetic_run
+    bad = md.traj.copy()
+    static_atoms = np.flatnonzero(md.static_mask)
+    bad[389:, static_atoms[5]] += 1.6      # real drift above thr=1.0
+
+    # (a) matcher says "same perm": frames must be accepted and the run
+    # completes (the drifted atom simply keeps its slot)
+    monkeypatch.setattr(
+        LandmarkAnalysis, "_remap_lattice",
+        lambda self, static_pos, perm, static_ref, cell, frame:
+            perm.copy())
+    la_a = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                            static_movement_threshold=1.0,
+                            dynamic_lattice_mapping=True, verbose=False)
+    st_a = la_a.run(seeds, bad)
+    assert st_a.traj.shape == st.traj.shape
+    monkeypatch.undo()
+
+    # (b) matcher cycles permutations that never fix the frame
+    def cycling(self, static_pos, perm, static_ref, cell, frame):
+        new = perm.copy()
+        new[0], new[1] = perm[1], perm[0]   # always != current perm
+        return new
+    monkeypatch.setattr(LandmarkAnalysis, "_remap_lattice", cycling)
+    la_b = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                            static_movement_threshold=1.0,
+                            dynamic_lattice_mapping=True, verbose=False)
+    with pytest.raises(StaticLatticeError, match="did not converge"):
+        la_b.run(seeds, bad)
+
+
+def test_multiple_occupancy_ignore(synthetic_run):
+    """multiple_occupancy_action='ignore' skips the check entirely
+    (coverage audit)."""
+    import logging
+    md, seeds, la, st = synthetic_run
+    bad = md.traj.copy()
+    mobile_idx = np.flatnonzero(md.mobile_mask)
+    bad[:, mobile_idx[1]] = bad[:, mobile_idx[0]]
+    la2 = LandmarkAnalysis(cutoff_midpoint=4.0, cutoff_steepness=3.0,
+                           multiple_occupancy_action="ignore",
+                           verbose=False)
+    st2 = la2.run(seeds, bad)       # no warning, no raise
+    assert st2.traj.shape[0] == md.traj.shape[0]
+
+
+def test_ops_validation_and_reduced_precision_paths():
+    """Unknown cutoff_shape / peak_evening raise; the opt-in
+    matmul_dtype casts run and stay close to the f32 result
+    (coverage audit)."""
+    import jax.numpy as jnp
+    from sitator_tpu.ops import landmark as lmops
+    rng = np.random.default_rng(5)
+    B, M, N, S = 2, 3, 8, 4
+    cell = np.eye(3, dtype=np.float32) * 8.0
+    mobile = rng.uniform(0, 8, (B, M, 3)).astype(np.float32)
+    static = rng.uniform(0, 8, (B, N, 3)).astype(np.float32)
+    A = (rng.random((N, S)) < 0.5).astype(np.float32)
+    kw = dict(cell=jnp.asarray(cell), cell_inv=jnp.linalg.inv(cell),
+              midpoint=2.0, steepness=3.0)
+    with pytest.raises(ValueError, match="cutoff_shape"):
+        lmops.landmark_vectors(mobile, static, A,
+                               cutoff_shape="gauss", **kw)
+    f32 = np.asarray(lmops.landmark_vectors(mobile, static, A, **kw))
+    bf16 = np.asarray(lmops.landmark_vectors(
+        mobile, static, A, matmul_dtype=jnp.bfloat16, **kw))
+    np.testing.assert_allclose(bf16, f32, atol=0.05)
+    with pytest.raises(ValueError, match="peak_evening"):
+        lmops.peak_even(jnp.ones((2, 3)), "sqrt")
+    lvn = f32.reshape(-1, S)
+    lvn = lvn / np.maximum(np.linalg.norm(lvn, axis=1, keepdims=True),
+                           1e-12)
+    centers = lvn[:2]
+    lab32, _ = lmops.assign_to_centers(
+        jnp.asarray(lvn), jnp.asarray(centers), jnp.ones(2, bool), 0.5)
+    lab16, _ = lmops.assign_to_centers(
+        jnp.asarray(lvn), jnp.asarray(centers), jnp.ones(2, bool), 0.5,
+        matmul_dtype=jnp.bfloat16)
+    # random near-tie rows may flip under bf16; the seed rows are their
+    # own centers with sim 1.0 and must agree exactly
+    assert np.asarray(lab16)[0] == np.asarray(lab32)[0] == 0
+    assert np.asarray(lab16)[1] == np.asarray(lab32)[1] == 1
+    assert set(np.unique(np.asarray(lab16))) <= {-1, 0, 1}

@@ -515,3 +515,57 @@ def test_recenter_trajectory_large_total_drift():
     d = (out - ref) @ np.linalg.inv(cell)
     d -= np.round(d)
     np.testing.assert_allclose(d @ cell, 0, atol=1e-8)
+
+
+def test_navgs_insufficient_and_type_carry():
+    """error_on_insufficient raises the per-site error; with it off, an
+    underfilled site contributes a single pooled average; site_types are
+    remapped onto the expanded network (coverage audit)."""
+    st, kinds = _typed_system()
+    sn = st.site_network
+    if sn.site_types is None:
+        sn.site_types = np.arange(sn.n_sites) % 2
+    F = st.n_frames
+    # starve site 0: unassign it everywhere but 2 frames
+    labels = st.traj.copy()
+    hit = np.flatnonzero(labels == 0)
+    keep = hit[:2]
+    flat = labels.ravel()
+    drop = np.setdiff1d(hit, keep)
+    flat[drop] = -1
+    st2 = type(st)(sn, flat.reshape(labels.shape))
+    st2.set_real_traj(st.real_trajectory)
+    with pytest.raises(ValueError, match="< n="):
+        NAvgsPerSite(n=3, error_on_insufficient=True,
+                     verbose=False).run(st2)
+    out = NAvgsPerSite(n=3, verbose=False).run(st2)
+    src = out.source_site
+    assert (src == 0).sum() == 1            # pooled single average
+    assert out.site_types is not None
+    np.testing.assert_array_equal(out.site_types, sn.site_types[src])
+
+
+def test_pathway_trajectory_input_validation_and_minsize():
+    """SiteTrajectory input auto-runs JumpAnalysis; a bare SiteNetwork
+    without n_ij raises; minimum_n_sites drops small components;
+    re-running replaces the attribute; verbose logs (coverage audit)."""
+    from sitator_tpu.core.sitetraj import SiteTrajectory
+
+    a = 12.0
+    centers = [[1, 1, 1], [5, 1, 1], [9, 1, 1], [1, 6, 6], [5, 6, 6]]
+    sn = make_network(centers, a=a)
+    with pytest.raises(ValueError, match="no n_ij"):
+        DiffusionPathwayAnalysis(verbose=False).run(sn)
+
+    # labels walking the x-chain + an isolated pair exchange
+    chain = np.tile([0, 1, 2], 60)
+    pair = np.tile([3, 4], 90)
+    labels = np.stack([chain, pair], axis=1)
+    st = SiteTrajectory(sn, labels)
+    dpa = DiffusionPathwayAnalysis(minimum_n_sites=3, verbose=True)
+    dpa.run(st)                      # SiteTrajectory route, auto-jump
+    assert dpa.n_pathways == 1       # pair dropped by minimum_n_sites
+    pw1 = sn.diffusion_pathway.copy()
+    assert (pw1[:3] == 0).all() and (pw1[3:] == dpa.NO_PATHWAY).all()
+    dpa.run(st)                      # rerun replaces the attribute
+    np.testing.assert_array_equal(sn.diffusion_pathway, pw1)

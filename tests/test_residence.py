@@ -135,3 +135,19 @@ def test_residence_survival_plot_smoke(tmp_path):
     plt.close("all")
     with pytest.raises(ValueError, match="no tested sites"):
         plot_residence_survival(ra, sites=[])
+
+
+def test_labels_shape_raise_rerun_and_verbose():
+    """site_residences rejects non-2D labels; re-running the engine
+    replaces its attributes; verbose logging executes (coverage
+    audit)."""
+    with pytest.raises(ValueError, match=r"\(n_frames, n_mobile\)"):
+        residence_segments(np.zeros(10, dtype=int))
+    rng = np.random.default_rng(4)
+    labels = (rng.random((3000, 2)) < 0.5).astype(int)  # iid -> geometric
+    st = _st(labels, 2)
+    ra = ResidenceTimeAnalysis(verbose=True).run(st)
+    sn = st.site_network
+    m1 = sn.residence_mean.copy()
+    ResidenceTimeAnalysis(verbose=True).run(st)
+    np.testing.assert_allclose(sn.residence_mean, m1, equal_nan=True)

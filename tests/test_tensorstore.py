@@ -204,3 +204,43 @@ def test_convert_rejects_bad_zarr_format(tmp_path):
         with pytest.raises(ValueError, match="zarr_format"):
             convert_to_zarr(str(tmp_path / "t.npy"),
                             str(tmp_path / "out.zarr"), zarr_format=bad)
+
+
+def test_driver_sniffing_dict_spec_and_validation(tmp_path, capsys):
+    """_zarr_driver detection for all three layouts, the dict-spec ctor
+    path, the zarr_format typo raise, the empty-source raise, and the
+    verbose print (coverage audit)."""
+    from sitator_tpu.io.tensorstore_io import _zarr_driver
+
+    # driver detection is purely layout-based
+    for marker, want in [("zarr.json", "zarr3"), (".zarray", "zarr"),
+                         ("attributes.json", "n5")]:
+        d = tmp_path / f"probe_{want}"
+        d.mkdir()
+        (d / marker).write_text("{}")
+        assert _zarr_driver(str(d)) == want
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    assert _zarr_driver(str(empty)) is None
+    with pytest.raises(ValueError, match="not a zarr"):
+        TensorstoreTrajectory(str(empty))
+
+    # verbose conversion prints the summary line
+    rng = np.random.default_rng(1)
+    traj = rng.normal(size=(20, 3, 3)).astype(np.float32)
+    store = str(tmp_path / "v.zarr")
+    _, out = convert_to_zarr(ArrayTrajectory(traj), store,
+                             chunk_frames=8, verbose=True)
+    assert "wrote 20 frames" in capsys.readouterr().out
+
+    # a raw tensorstore spec dict works as `path` (no sidecar lookup)
+    spec = {"driver": _zarr_driver(out),
+            "kvstore": {"driver": "file", "path": out}}
+    r = TensorstoreTrajectory(spec)
+    assert len(r) == 20 and r.structure is None
+    np.testing.assert_array_equal(r[3:9], traj[3:9])
+
+    # zarr_format typos fail loudly before any IO
+    with pytest.raises(ValueError, match="zarr_format must be 2 or 3"):
+        convert_to_zarr(ArrayTrajectory(traj), str(tmp_path / "x.zarr"),
+                        zarr_format="3")

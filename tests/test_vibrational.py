@@ -298,3 +298,72 @@ def test_conductivity_spectrum_parseval_identity():
     lhs = (w * ca.sigma_).sum() / seg
     rhs = 0.5 * pref * (J ** 2).sum() / seg
     assert lhs == pytest.approx(rhs, rel=1e-9)
+
+
+def test_avf_freq_cut_zero_power_and_attr_rerun():
+    """freq_cut windows the spectrum, a motionless trajectory returns 0,
+    and running on a SiteTrajectory twice replaces the stored attribute
+    (coverage audit)."""
+    from sitator_tpu import SiteNetwork
+    from sitator_tpu.core.sitetraj import SiteTrajectory
+    from sitator_tpu.core.structure import Structure
+
+    rng = np.random.default_rng(3)
+    F, M, dt = 257, 4, 1.0
+    k = 32
+    f0 = k / ((F - 1) * dt)
+    t = np.arange(F) * dt
+    phase = rng.uniform(0, 2 * np.pi, size=(M, 3))
+    traj = 0.3 * np.cos(2 * np.pi * f0 * t[:, None, None] + phase)
+    mask = np.ones(M, bool)
+    cell = np.eye(3) * 1e6
+
+    # a cut window that BRACKETS f0 keeps the estimate; one ABOVE it
+    # leaves zero in-window power -> 0.0
+    nu = AverageVibrationalFrequency(timestep=dt, freq_cut=(0.5 * f0,
+                                                            2 * f0),
+                                     verbose=False).run(
+        traj, mobile_mask=mask, cell=cell)
+    assert nu == pytest.approx(f0, rel=0.05)
+    nu0 = AverageVibrationalFrequency(timestep=dt, freq_cut=(0.4, 0.5),
+                                      verbose=False).run(
+        np.zeros((16, M, 3)), mobile_mask=mask, cell=cell)
+    assert nu0 == 0.0
+
+    # SiteTrajectory route stores (and on re-run REPLACES) the attribute
+    s = Structure(traj[0], [3] * M, cell)
+    sn = SiteNetwork(s, np.zeros(M, bool), mask)
+    sn.centers = np.zeros((1, 3))
+    st = SiteTrajectory(sn, np.zeros((F, M), np.int64))
+    st.set_real_traj(traj)
+    an = AverageVibrationalFrequency(timestep=dt, verbose=True)
+    v1 = an.run(st)
+    assert sn.avg_vibrational_freq[0] == pytest.approx(v1)
+    v2 = an.run(st)
+    assert v2 == pytest.approx(v1)
+
+
+def test_vacf_max_lag_zero_velocity_and_verbose():
+    """max_lag truncates the VACF grid; an all-zero velocity signal
+    yields NaN psi_ without warnings; verbose paths log (coverage
+    audit)."""
+    rng = np.random.default_rng(4)
+    traj = rng.normal(size=(300, 5, 3)).cumsum(axis=0)
+    vs = VibrationalSpectrumAnalysis(timestep=1.0, max_lag=40,
+                                     verbose=True).run(
+        traj, mobile_mask=np.ones(5, bool), cell=np.eye(3) * 1e6)
+    assert vs.vacf_.shape == (41,) and vs.times_[-1] == 40.0
+    still = VibrationalSpectrumAnalysis(timestep=1.0, verbose=False).run(
+        np.zeros((32, 2, 3)), mobile_mask=np.ones(2, bool),
+        cell=np.eye(3) * 1e6)
+    assert np.isnan(still.psi_).all()
+
+
+def test_conductivity_spectrum_verbose():
+    from sitator_tpu.dynamics import ConductivitySpectrumAnalysis
+    rng = np.random.default_rng(6)
+    traj, cell = _white_noise_system(rng, 512, 4, 0.3, 30.0)
+    ca = ConductivitySpectrumAnalysis(
+        [np.ones(4, bool)], charges=[1.0], timestep=1.0,
+        temperature=500.0, verbose=True).run(traj, cell=cell)
+    assert np.isfinite(ca.sigma_dc_)
